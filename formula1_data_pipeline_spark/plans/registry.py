@@ -1,0 +1,107 @@
+"""Model registry + topological executor — the dbt DAG, Spark-first.
+
+The reference's pipeline is a dbt project: models are SQL files whose
+``ref()`` edges form a DAG; staging/intermediate are views (inlined at
+query time), marts are tables (materialized CTAS). See reference
+``dags/formula1_elt_dag.py:40-58`` (run -> test -> snapshot) and
+``dbt_project.yml:16-19``.
+
+Spark equivalent implemented here:
+- a *model* is a pure function ``dict[str, DataFrame] -> DataFrame``
+  receiving its resolved refs/sources by name;
+- ``materialized='view'`` == returning the lazy DataFrame (logical-plan
+  composition; Catalyst inlines exactly like Snowflake inlined views);
+- ``materialized='table'`` == the executor optionally persists the
+  DataFrame (parquet saveAsTable) and re-reads it, cutting the lineage;
+- execution order is a topo-sort over declared refs, mirroring
+  ``dbt run``; assertions (``plans.assertions``) mirror ``dbt test``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+ModelFn = Callable[[Mapping[str, DataFrame]], DataFrame]
+
+
+@dataclass(frozen=True)
+class Model:
+    name: str
+    fn: ModelFn
+    refs: tuple[str, ...] = ()        # upstream models
+    sources: tuple[str, ...] = ()     # raw inputs (resolved externally)
+    materialized: str = "view"        # 'view' | 'table'
+
+
+@dataclass
+class ModelRegistry:
+    """Holds models, resolves the DAG, executes in dependency order."""
+
+    models: dict[str, Model] = field(default_factory=dict)
+
+    def register(
+        self,
+        name: str,
+        refs: tuple[str, ...] = (),
+        sources: tuple[str, ...] = (),
+        materialized: str = "view",
+    ) -> Callable[[ModelFn], ModelFn]:
+        def deco(fn: ModelFn) -> ModelFn:
+            if name in self.models:
+                raise ValueError(f"duplicate model {name!r}")
+            self.models[name] = Model(name, fn, refs, sources, materialized)
+            return fn
+
+        return deco
+
+    def topo_order(self, targets: list[str] | None = None) -> list[str]:
+        """Dependency-first order of the requested models (all by default)."""
+        wanted = set(targets or self.models)
+        # pull in transitive refs
+        stack = list(wanted)
+        while stack:
+            m = self.models[stack.pop()]
+            for r in m.refs:
+                if r not in wanted:
+                    wanted.add(r)
+                    stack.append(r)
+        ts = TopologicalSorter(
+            {n: set(self.models[n].refs) for n in wanted}
+        )
+        return list(ts.static_order())
+
+    def run(
+        self,
+        spark: SparkSession,
+        sources: Mapping[str, DataFrame],
+        targets: list[str] | None = None,
+        materialize_to: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build every model (or the listed targets + upstreams).
+
+        ``materialize_to``: optional directory; models declared
+        ``materialized='table'`` are written there as parquet and read
+        back (lineage cut == dbt CTAS). When None everything stays lazy,
+        which is what tests and the oracle gate want.
+        """
+        built: dict[str, DataFrame] = dict(sources)
+        out: dict[str, DataFrame] = {}
+        for name in self.topo_order(targets):
+            model = self.models[name]
+            missing = [s for s in model.sources if s not in built]
+            if missing:
+                raise KeyError(f"model {name!r} missing sources {missing}")
+            df = model.fn(built)
+            if materialize_to and model.materialized == "table":
+                path = f"{materialize_to}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+            built[name] = df
+            out[name] = df
+            # register as temp view so spark.sql() users see the same DAG
+            df.createOrReplaceTempView(name)
+        return out

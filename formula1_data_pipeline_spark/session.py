@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all
+cores); the same settings are cluster-safe: AQE handles runtime
+re-planning (partition coalescing, skew-join splitting, dynamic
+broadcast), shuffle partitions are sized for the local core count and
+meant to be overridden per deployment.
+
+Correctness assumptions (documented per SURVEY.md §4):
+- ``spark.sql.ansi.enabled=false``: CAST of garbage returns NULL, which
+  matches the reference's observable behavior on cleaned inputs
+  (Snowflake strict CAST after sentinel scrubbing + try_to_double for
+  known-dirty columns).
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are UTC-naive;
+  pinning UTC makes parquet timestamp comparisons exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "formula1_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Cheap to call repeatedly — Spark returns the active session when one
+    exists (configs are applied only at first creation).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- parallelism: ~cores locally; cluster deployments override.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # --- AQE: runtime partition coalescing, skew-join splitting,
+        #     sort-merge->broadcast demotion. Core of the 100 TB story.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- correctness policy (see module docstring).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Arrow for every pandas_udf / applyInPandas / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- keep parquet scans splittable at 128 MiB (default, explicit
+        #     because bench varies it); row-group pruning + pushdown on.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # --- quiet non-interactive runs.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,187 @@
+"""Semantic tests of the 15-model chain against the reference's
+documented behavior (SURVEY.md §2, FIXTURES.md §A.6 scenarios)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.plans.assertions import run_assertions
+
+
+def test_staging_drops_null_grain(built_models):
+    stg = built_models["stg_openf1_laps_historical"]
+    assert stg.filter(
+        F.col("meeting_key").isNull() | F.col("session_key").isNull()
+    ).count() == 0
+    # lap 99/98 rows (null-key dirt) must be gone
+    assert stg.filter(F.col("lap_number").isin(98, 99)).count() == 0
+
+
+def test_staging_types(built_models):
+    stg = built_models["stg_openf1_laps_historical"]
+    types = dict(stg.dtypes)
+    assert types["meeting_key"] == "int"
+    assert types["lap_time"] == "double"
+    assert types["lap_start_time"] == "timestamp"
+    assert types["is_pit_out_lap"] == "boolean"
+    assert types["segments_sector_1"] == "string"  # JSON kept untyped
+
+
+def test_realtime_staging_dedups_latest(built_models):
+    stg = built_models["stg_openf1_laps_realtime"]
+    rows = stg.filter(
+        (F.col("driver_number") == 44) & (F.col("lap_number") == 10)
+    ).collect()
+    assert len(rows) == 1
+    # dup=1 has the later date_start and lap_duration 86.000
+    assert rows[0]["lap_time"] == 86.0
+
+
+def test_union_dedup_realtime_wins(built_models):
+    alll = built_models["int_openf1_laps_all"]
+    rows = alll.filter(
+        (F.col("session_key") == 9165)
+        & (F.col("driver_number") == 44)
+        & (F.col("lap_number") == 10)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["is_realtime"] is True
+    assert rows[0]["lap_time"] == 86.0
+    # non-overlapping laps stay historical
+    hist = alll.filter(
+        (F.col("driver_number") == 44) & (F.col("lap_number") == 1)
+    ).first()
+    assert hist["is_realtime"] is False
+
+
+def test_asof_join_null_preservation(built_models):
+    sdl = built_models["int_session_driver_laps"]
+    # driver 16 has no position events at all -> rows retained, NULL position
+    d16 = sdl.filter(F.col("driver_number") == 16)
+    assert d16.count() == 12
+    assert d16.filter(F.col("race_position").isNotNull()).count() == 0
+    # driver 44 lap 1: only position sample is AFTER lap start -> NULL
+    r = sdl.filter(
+        (F.col("driver_number") == 44) & (F.col("lap_number") == 1)
+        & (F.col("session_key") == 9165)
+    ).first()
+    assert r["race_position"] is None
+    # later laps have a position
+    r5 = sdl.filter(
+        (F.col("driver_number") == 44) & (F.col("lap_number") == 5)
+        & (F.col("session_key") == 9165)
+    ).first()
+    assert r5["race_position"] is not None
+    assert r5["position_timestamp"] <= r5["lap_start_time"]
+
+
+def test_asof_strategies_agree(built_models, spark):
+    from formula1_data_pipeline_spark.operators.asof import asof_join
+
+    laps = built_models["int_openf1_laps_all"].select(
+        "meeting_key", "session_key", "driver_number", "lap_number",
+        "lap_start_time",
+    )
+    pos = built_models["int_openf1_position_all"].select(
+        "meeting_key", "session_key", "driver_number",
+        "event_timestamp", "race_position",
+    )
+    kw = dict(on=["meeting_key", "session_key", "driver_number"],
+              left_ts="lap_start_time", right_ts="event_timestamp",
+              payload=["race_position"])
+    a = asof_join(laps, pos, strategy="sorted", **kw)
+    b = asof_join(laps, pos, strategy="reference", **kw)
+    key = ["meeting_key", "session_key", "driver_number", "lap_number"]
+    diff = a.select(*key, "race_position", "event_timestamp_asof").exceptAll(
+        b.select(*key, "race_position", "event_timestamp_asof")
+    )
+    assert diff.count() == 0
+    assert a.count() == b.count() == laps.count()
+
+
+def test_features_window_semantics(built_models):
+    feats = built_models["int_driver_lap_features"]
+    one = feats.filter(
+        (F.col("session_key") == 9165) & (F.col("driver_number") == 44)
+    ).orderBy("lap_number").collect()
+    # lag/lead
+    assert one[0]["prev_lap_time"] is None
+    assert one[1]["prev_lap_time"] == one[0]["lap_time"]
+    assert one[0]["next_lap_time"] == one[1]["lap_time"]
+    # rolling avg over first row == own lap_time
+    assert abs(one[0]["rolling_avg_5_laps"] - one[0]["lap_time"]) < 1e-9
+    # stddev_samp with n=1 -> NULL (Snowflake parity)
+    assert one[0]["rolling_stddev_5_laps"] is None
+    # best lap over partition
+    best = min(r["lap_time"] for r in one)
+    assert all(r["best_lap_time_driver"] == best for r in one)
+    # count distinct over session == 6 drivers in 9165
+    assert one[0]["driver_count_in_session"] == 6
+
+
+def test_single_lap_driver_and_zero_lap_guard(built_models):
+    feats = built_models["int_driver_lap_features"]
+    solo = feats.filter(F.col("session_key") == 9300).collect()
+    assert len(solo) == 1
+    assert solo[0]["driver_count_in_session"] == 1
+    assert solo[0]["rolling_stddev_5_laps"] is None  # stddev_samp n=1
+    assert solo[0]["pace_momentum"] is None  # no prev lap
+    # zero lap_time: nullif guard -> pace component coalesces to 0
+    zero = feats.filter(
+        (F.col("driver_number") == 55) & (F.col("lap_number") == 3)
+        & (F.col("session_key") == 9165)
+    ).first()
+    assert zero["lap_time"] == 0.0
+    assert zero["performance_score_raw"] is not None
+
+
+def test_labels(built_models):
+    feats = built_models["int_driver_lap_features"]
+    labels = feats.select("pace_state", "tyre_state", "performance_rating",
+                          "track_position_state").distinct().collect()
+    valid_pace = {"ATTACKING_PACE", "HIGH_TYRE_DEGRADATION",
+                  "HIGHLY_CONSISTENT_PACE", "BASELINE_RACE_PACE"}
+    assert {r["pace_state"] for r in labels} <= valid_pace
+    ratings = {r["performance_rating"] for r in labels}
+    assert ratings <= {"Excellent", "Good", "Average", "Poor"}
+
+
+def test_race_summary(built_models):
+    summ = built_models["fct_driver_race_summary"]
+    r = summ.filter(
+        (F.col("session_key") == 9165) & (F.col("driver_number") == 44)
+    ).first()
+    assert r["first_lap"] == 1 and r["last_lap"] == 12
+    assert r["pit_stop_count"] == 1  # lap 1 pit-out only
+    assert r["best_lap_time"] <= r["avg_lap_time"]
+
+
+def test_final_f1_detail_plus_summary(built_models):
+    final = built_models["final_f1"]
+    feats = built_models["int_driver_lap_features"]
+    assert final.count() == feats.count()
+    r = final.filter(
+        (F.col("session_key") == 9165) & (F.col("driver_number") == 44)
+        & (F.col("lap_number") == 12)
+    ).first()
+    assert r["first_lap"] == 1 and r["last_lap"] == 12
+    assert r["avg_lap_time"] is not None
+
+
+def test_race_control_chain(built_models):
+    rc = built_models["int_openf1_race_control_all"]
+    # dropped null-session row gone; dup message deduped with rt winning
+    assert rc.filter(F.col("message") == "DROPPED ROW").count() == 0
+    sc = rc.filter(F.col("message") == "SAFETY CAR DEPLOYED").collect()
+    assert len(sc) == 1 and sc[0]["is_realtime"] is True
+    # sector dirty strings cleaned
+    blue = rc.filter(F.col("message") == "BLUE FLAG FOR CAR 44").first()
+    assert blue["sector"] is None
+    yellow = rc.filter(F.col("message").startswith("YELLOW")).first()
+    assert yellow["sector"] == 7.0
+    assert yellow["driver_number"] is None  # 'None' -> NULL
+
+
+def test_assertions_pass(built_models):
+    failures = run_assertions(built_models)
+    assert failures == [], failures
