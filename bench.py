@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the noop sink (full plan
+execution, no driver collect — what a cluster run would do). A warmup
+action first so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from formula1_data_pipeline_spark.queries import CATALOG, load
+from formula1_data_pipeline_spark.session import get_spark
+
+
+def run_one(spark, spec, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="bench")
+    # warmup: touch every table once (schema read + one scan job)
+    names = ("region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings")
+    for n, df in load(spark, sf_dir, *names).items():
+        df.write.format("noop").mode("overwrite").save()
+
+    only = set(sys.argv[1:])
+    times: dict[str, float] = {}
+    for name, spec in sorted(CATALOG.items()):
+        if only and name not in only:
+            continue
+        times[name] = round(run_one(spark, spec, sf_dir), 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "catalog_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Large-scale deduplication operators (SURVEY.md §2.12 mandate).
+
+Training-data pipeline dedup at 100 TB, Spark-first:
+
+- **exact_dedup** — hash-groupBy on a normalized fingerprint. One
+  shuffle on the hash; partial aggregation map-side. The canonical
+  100 TB exact-dedup plan.
+- **minhash_lsh_candidates** — MinHash signatures + banding. All
+  signature computation is per-row JVM expression work (md5 over
+  tokens — no Python, no UDF); candidates come from a self-join on
+  band keys, which shuffles only (band_key, doc_id) pairs, never
+  full documents. Doc-pair jaccard verification happens only on
+  candidates (the LSH contract). MinHash here uses the
+  min-of-keyed-md5-hex trick: md5(seed || token) is a uniform hash,
+  and taking the lexicographic MIN of hex strings is equivalent to a
+  numeric min-hash — chosen because it is exactly expressible in both
+  Spark and ANSI SQL (DuckDB oracle parity).
+- **simhash64** — 64-bit SimHash from token md5 bits, as a JVM-side
+  bit-twiddling expression; near-dups = same value (or banded
+  hamming buckets at scale).
+- **ngram_jaccard_pairs** — token-set jaccard over banded candidate
+  pairs (bucket by fingerprint prefix to bound the pair explosion).
+
+All operators take/return DataFrames and never collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization (shared with operators.text — kept to expressions both
+# engines can mirror: trim -> split on whitespace -> drop empties)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of lower-cased text, empties removed."""
+    return F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def token_set(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """md5 of whitespace-collapsed lower-cased text — the exact-dedup
+    key. (Reference has no text ops; this is the standard pipeline
+    normalization.)"""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + dup
+    count. Single shuffle on the 128-bit fingerprint; group state is
+    two longs — safe at any scale."""
+    return (
+        docs.select(
+            normalized_fingerprint(F.col(text_col)).alias("fp"),
+            F.col(id_col),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    from formula1_data_pipeline_spark.operators.dedup_priority import (
+        dedup_by_priority,
+    )
+
+    with_fp = docs.withColumn("__fp", normalized_fingerprint(F.col(text_col)))
+    return dedup_by_priority(
+        with_fp, keys=["__fp"], order=[F.col(id_col).asc()]
+    ).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8          # signature length
+BAND_SIZE = 2         # rows per band -> 4 bands
+# s-curve: P(candidate) = 1-(1-j^2)^4 — jaccard .8 => ~.98, .3 => ~.31
+
+
+def minhash_signature(tok_set: Column, n_hashes: int = N_HASHES) -> Column:
+    """Array of n lexicographic-min md5(seed||token) hex digests."""
+    return F.array(*[
+        F.array_min(
+            F.transform(tok_set, lambda t: F.md5(F.concat(F.lit(str(i)), t)))
+        )
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_bands(sig: Column, n_hashes: int = N_HASHES,
+                  band_size: int = BAND_SIZE) -> Column:
+    """Band keys: md5 of the concatenated signature slice, prefixed
+    with the band index so different bands never collide."""
+    n_bands = n_hashes // band_size
+    return F.array(*[
+        F.md5(F.concat(
+            F.lit(str(b)),
+            *[sig[b * band_size + i] for i in range(band_size)],
+        ))
+        for b in range(n_bands)
+    ])
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_hashes: int = N_HASHES,
+                           band_size: int = BAND_SIZE) -> DataFrame:
+    """Candidate near-dup pairs (a_id < b_id) sharing >= 1 LSH band,
+    annotated with exact token-set jaccard.
+
+    Scale shape: signature+bands are narrow per-row expressions; the
+    explode ships (band, id) pairs only; the self-join shuffles on
+    band keys; jaccard is computed after re-joining token sets for
+    candidates only. AQE handles hot bands (boilerplate texts).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_set(F.col(text_col)).alias("toks"),
+    )
+    sig = base.select(
+        "id", "toks", minhash_bands(minhash_signature(F.col("toks"), n_hashes),
+                                    n_hashes, band_size).alias("bands")
+    )
+    banded = sig.select("id", F.explode("bands").alias("band"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    toks = sig.select("id", "toks")
+    return (
+        pairs.join(toks.withColumnsRenamed({"id": "a_id", "toks": "a_toks"}),
+                   "a_id")
+        .join(toks.withColumnsRenamed({"id": "b_id", "toks": "b_toks"}),
+              "b_id")
+        .select(
+            "a_id", "b_id",
+            (
+                F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+                / F.size(F.array_union("a_toks", "b_toks"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+N_SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed long
+
+
+def simhash64(tok_set: Column) -> Column:
+    """60-bit SimHash: per token take 60 bits of md5, vote ±1 per bit
+    position over all tokens, sign -> bit. One JVM-side aggregate with
+    an int-array accumulator — no UDF, no shuffle, O(tokens·bits) per
+    row."""
+    def tok_hash(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+    positions = F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1))
+
+    def tok_votes(t: Column) -> Column:
+        h = tok_hash(t)
+        return F.transform(
+            positions,
+            lambda b: F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        tok_set,
+        F.array_repeat(F.lit(0), N_SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, tok_votes(t), lambda x, y: x + y),
+    )
+    # fold bit decisions back into one long: sum of 2^b for positive votes
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            positions,
+            lambda v, b: F.when(
+                v > 0, F.pow(F.lit(2.0), b).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup_groups(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical 64-bit simhash (near-dup buckets)."""
+    return (
+        docs.select(F.col(id_col), simhash64(token_set(F.col(text_col))).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# banded n-gram jaccard (non-LSH baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5) -> DataFrame:
+    """All pairs with token-set jaccard >= threshold, candidate-bounded
+    by bucketing on fingerprint length-band + first token (cheap blocking
+    that preserves all high-jaccard pairs sharing their first token —
+    the exact-SQL-expressible baseline; MinHash-LSH is the scale path).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_set(F.col(text_col)).alias("toks"),
+    ).withColumn("block", F.col("toks")[0])
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            (
+                F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+                / F.size(F.array_union("a.toks", "b.toks"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)

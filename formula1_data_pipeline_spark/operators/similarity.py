@@ -1,0 +1,149 @@
+"""Embedding similarity search (SURVEY.md §2.12 mandate).
+
+- **cosine_topk** — brute-force exact top-k: broadcast the (small)
+  query set against the corpus; per-row dot/norm as JVM fold
+  expressions (sequential double accumulation — deterministic and
+  oracle-matchable); rank per query. The correctness baseline.
+- **ann_lsh_topk** — the scale path: random-hyperplane LSH buckets
+  (sign-bit sketch from deterministic per-dimension hashes), candidates
+  = same-bucket pairs, exact cosine on candidates only. At 100 TB the
+  corpus shuffles once on bucket keys instead of cross-joining.
+
+Embeddings are ``array<float>``; all math is widened to double first
+(float kernels lose determinism across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+
+    Output: q_id, n_id, cos_sim, rank. ``round_dp`` rounds the score
+    before ranking (with an id tiebreak) so rankings are reproducible
+    across engines; pass None for raw scores.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_raw"),
+        )
+    )
+    score = (
+        F.round(F.col("cos_raw"), round_dp) if round_dp is not None
+        else F.col("cos_raw")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(score.desc(), F.col("n_id").asc())
+    return (
+        scored.select("q_id", "n_id", score.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from a hash
+    (no RNG state — reproducible across runs/executors)."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).digest()
+        vals.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit sketch: bucket id from n hyperplane sign bits."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bits.append(F.when(dot(vec, plane) >= 0, 2 ** p).otherwise(0))
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine among same-bucket candidates.
+
+    Recall/cost tradeoff via n_planes (8 planes -> 256 buckets).
+    Output schema matches cosine_topk; ranks are per-query among
+    candidates found.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("n_vec"), dim, n_planes))
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,70 @@
+"""Text analysis operators (SURVEY.md §2.12 mandate).
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+and document fingerprinting — all as JVM-side column expressions
+(no Python in the hot path), each with an exact ANSI-SQL twin for the
+DuckDB oracle. Designed to run as a single narrow projection over a
+100 TB documents table: no shuffle, no UDF, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.dedup import (  # noqa: F401
+    normalized_fingerprint,
+    token_set,
+    tokens,
+)
+
+# small deterministic stopword sets for the language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(token_set(col))
+
+
+def stopword_hits(tok_set: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the token set."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(tok_set, stop))
+
+
+def lang_scores(tok_set: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(tok_set, lang) for lang in STOPWORDS}
+
+
+def predict_lang(tok_set: Column) -> Column:
+    """Argmax language by stopword hits, fixed priority order on ties
+    (en > es > de > fr), 'und' (undetermined) when nothing hits."""
+    scores = lang_scores(tok_set)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic 0-1 quality heuristic: length band + lexical
+    diversity + token-volume saturation (the standard cheap pre-filter
+    for LLM corpora)."""
+    n_tok = token_count(text).cast("double")
+    n_uniq = unique_token_count(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
+    volume = F.least(F.lit(1.0), n_tok / 100.0)
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 5000), 1.0).otherwise(0.0)
+    return 0.3 * diversity + 0.4 * volume + 0.3 * length_ok

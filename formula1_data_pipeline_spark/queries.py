@@ -1,0 +1,697 @@
+"""Operator query catalog — the driver-contract surface.
+
+One entry per implemented operator family from SURVEY.md §2, each a
+``(spark, sf_dir) -> DataFrame`` callable paired with an ANSI-SQL
+DuckDB oracle over the same parquet tables. The driver (and
+``tests/test_oracle_parity.py``, its local clone) compares row count +
+schema + order-insensitive value hash, so every query here is written
+to be *bit-deterministic* across engines:
+
+- SUM/AVG of doubles are order-dependent across partitions, so any
+  aggregated double goes through ``CAST(... AS DECIMAL(18,6))`` —
+  decimal addition is exact and associative, identical in both
+  engines — then back to double. Division happens once, on identical
+  operands (sum_dec / count), so the result is bit-identical.
+- Rolling stddev is computed from decimal window sums with the
+  explicit (n·Σx² − (Σx)²)-style formula instead of the built-in
+  (engines disagree at 1 ulp via different accumulation orders).
+- Cosine similarity is computed in double with sequential fold in
+  both engines, then rounded to 6 dp with a vec_id tiebreak before
+  ranking.
+- Double->decimal rounding-mode differences (HALF_UP vs HALF_EVEN)
+  are irrelevant: exact decimal tie points are not representable in
+  binary doubles, so the tie rule never fires.
+
+Query naming: q0x = reference-surface relational operators,
+q2x = LLM-pipeline extension operators, q3x = streaming/multimodal,
+q40 = the flagship composite pipeline (``entry()`` runs it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read testdata tables. ``events.ts`` is TIMESTAMP(NANOS) in the
+    parquet footer, which Spark's reader rejects — read nanos as long
+    (runtime conf, so it works on any externally-supplied session) and
+    truncate to microsecond timestamps; oracle SQL mirrors this with
+    ``CAST(ts AS TIMESTAMP)`` (DuckDB TIMESTAMP is µs)."""
+    out = {}
+    for n in names:
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            out[n] = df
+        else:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+    return out
+
+
+# Oracle-side view of events with µs timestamps (matches load()).
+EVENTS_US = "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+
+def _dec_sum(col, alias: str):
+    """Order-independent SUM of a double column (see module doc)."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q0x — reference-surface relational operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_cast_project_filter",
+    """
+    SELECT l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS INT)                    AS qty_int,
+           l_extendedprice,
+           l_extendedprice * (1 - l_discount)         AS net_price,
+           strftime(l_shipdate, '%Y-%m-%d')           AS ship_date,
+           l_returnflag = 'R'                         AS is_return,
+           upper(l_linestatus)                        AS status_uc
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    """,
+    doc="P1 not-null grain filter + P2 rename/cast projection + F1 casts "
+        "(stg_openf1_laps_historical.sql:5-40 pattern)",
+)
+def q01_cast_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        (F.col("l_returnflag") == "R").alias("is_return"),
+        F.upper("l_linestatus").alias("status_uc"),
+    )
+
+
+@register(
+    "q02_union_dedup_priority",
+    """
+    WITH hist AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               l_extendedprice AS price, FALSE AS is_realtime
+        FROM lineitem WHERE l_linenumber <= 4
+    ), rt AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               l_extendedprice * 1.1 AS price, TRUE AS is_realtime
+        FROM lineitem WHERE l_linenumber = 4
+    ), unioned AS (
+        SELECT * FROM hist UNION ALL SELECT * FROM rt
+    ), deduped AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_orderkey, l_linenumber
+            ORDER BY is_realtime DESC, l_shipdate DESC, price DESC
+        ) AS rn FROM unioned
+    )
+    SELECT l_orderkey, l_linenumber, price, is_realtime
+    FROM deduped WHERE rn = 1
+    """,
+    doc="U1 union-all + W1 priority dedup (realtime wins, newest wins) "
+        "(int_openf1_laps_all.sql:3-87)",
+)
+def q02_union_dedup_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup_priority import dedup_by_priority
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    hist = li.filter(F.col("l_linenumber") <= 4).select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        F.col("l_extendedprice").alias("price"),
+        F.lit(False).alias("is_realtime"),
+    )
+    rt = li.filter(F.col("l_linenumber") == 4).select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        (F.col("l_extendedprice") * 1.1).alias("price"),
+        F.lit(True).alias("is_realtime"),
+    )
+    deduped = dedup_by_priority(
+        hist.unionByName(rt),
+        keys=["l_orderkey", "l_linenumber"],
+        # duplicate (orderkey, linenumber) rows exist in the synthetic
+        # data: price tiebreak keeps the pick engine-independent.
+        order=[F.col("is_realtime").desc(), F.col("l_shipdate").desc(),
+               F.col("price").desc()],
+    )
+    return deduped.select("l_orderkey", "l_linenumber", "price", "is_realtime")
+
+
+@register(
+    "q03_asof_join",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM events
+    ), laps AS (
+        SELECT event_id, user_id, ts, value
+        FROM ev WHERE event_type = 'purchase'
+    ), pos AS (
+        SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        FROM ev WHERE event_type = 'view'
+    ), j AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               p.ts AS ts_asof, p.p_event_id, p.p_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY p.ts DESC, p.p_event_id DESC
+               ) AS rn
+        FROM laps l
+        LEFT JOIN pos p ON p.user_id = l.user_id AND p.ts <= l.ts
+    )
+    SELECT event_id, user_id, ts, value, ts_asof, p_event_id, p_value
+    FROM j WHERE rn = 1
+    """,
+    doc="J1 as-of join, latest-at-or-before with NULL preservation "
+        "(int_session_driver_laps.sql:41-100); Spark side uses the "
+        "single-shuffle union-sort strategy",
+)
+def q03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    laps = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pos = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    out = asof_join(
+        laps, pos, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["p_event_id", "p_value"], strategy="sorted",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "ts_asof", "p_event_id", "p_value",
+    )
+
+
+@register(
+    "q04_window_features",
+    """
+    WITH w AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               lag(l_quantity)  OVER ord AS prev_qty,
+               lead(l_quantity) OVER ord AS next_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    OVER frame5 AS DOUBLE)                     AS rolling_sum_price,
+               count(l_extendedprice) OVER frame5              AS rolling_n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2)))
+                    OVER frame5 AS DOUBLE)                     AS rolling_sumsq,
+               min(l_extendedprice) OVER (PARTITION BY l_orderkey) AS min_price,
+               count(DISTINCT l_suppkey)
+                   OVER (PARTITION BY l_orderkey)              AS n_suppliers
+        FROM lineitem
+        WINDOW ord AS (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_suppkey, l_extendedprice,
+                                l_quantity),
+               frame5 AS (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_suppkey, l_extendedprice,
+                                   l_quantity
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity, prev_qty, next_qty,
+           rolling_sum_price / rolling_n AS rolling_avg_price,
+           CASE WHEN rolling_n > 1 THEN
+               sqrt(greatest(0.0,
+                   (rolling_sumsq - rolling_sum_price * rolling_sum_price
+                        / rolling_n) / (rolling_n - 1)))
+           END AS rolling_stddev_price,
+           min_price, n_suppliers
+    FROM w
+    """,
+    doc="W3 lag/lead, W4 rolling mean, W5 rolling stddev (explicit "
+        "decimal-sum formula, see module doc), W6 partition min, "
+        "W7 count-distinct-over-window (int_driver_lap_features.sql:26-62)",
+)
+def q04_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.windows import count_distinct_over
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    # (orderkey, linenumber) is NOT unique in the synthetic data; the
+    # extra keys make the window order total => engine-independent.
+    ordw = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    frame5 = ordw.rowsBetween(-4, Window.currentRow)
+    part = Window.partitionBy("l_orderkey")
+    dec = F.col("l_extendedprice").cast("decimal(18,6)")
+    dec2 = F.col("l_extendedprice").cast("decimal(12,2)")
+
+    base = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        F.lag("l_quantity").over(ordw).alias("prev_qty"),
+        F.lead("l_quantity").over(ordw).alias("next_qty"),
+        F.sum(dec).over(frame5).cast("double").alias("rolling_sum_price"),
+        F.count("l_extendedprice").over(frame5).alias("rolling_n"),
+        F.sum(dec2 * dec2).over(frame5).cast("double").alias("rolling_sumsq"),
+        F.min("l_extendedprice").over(part).alias("min_price"),
+        count_distinct_over("l_suppkey", part).cast("long").alias("n_suppliers"),
+    )
+    n = F.col("rolling_n")
+    s = F.col("rolling_sum_price")
+    sq = F.col("rolling_sumsq")
+    return base.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "prev_qty", "next_qty",
+        (s / n).alias("rolling_avg_price"),
+        F.when(
+            n > 1,
+            F.sqrt(F.greatest(F.lit(0.0), (sq - s * s / n) / (n - 1))),
+        ).alias("rolling_stddev_price"),
+        "min_price", "n_suppliers",
+    )
+
+
+@register(
+    "q05_groupby_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*)                                            AS count_order,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE)         AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE)         AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           min(l_extendedprice)                                AS min_price,
+           max(l_extendedprice)                                AS max_price,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS discounted_count
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="A1 hash group-by multi-aggregate + A2 conditional count + A3 "
+        "ordinal grouping (fct_driver_race_summary.sql:7-30); TPC-H Q1 shape",
+)
+def q05_groupby_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _dec_sum(disc, "sum_disc_price"),
+        _dec_sum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+            "discounted_count"
+        ),
+    )
+
+
+@register(
+    "q06_agg_back_join",
+    """
+    WITH agg AS (
+        SELECT l_orderkey,
+               count(*)        AS n_lines,
+               max(l_quantity) AS max_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                               AS order_price
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+           a.n_lines, a.max_qty, a.order_price
+    FROM lineitem l LEFT JOIN agg a ON l.l_orderkey = a.l_orderkey
+    """,
+    doc="J2 aggregate-back join: detail LEFT JOIN its own summary "
+        "(final_f1.sql:65-83); summary side broadcast",
+)
+def q06_agg_back_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    agg = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.max("l_quantity").alias("max_qty"),
+        _dec_sum(F.col("l_extendedprice"), "order_price"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(agg), "l_orderkey", "left")
+
+
+@register(
+    "q07_anti_join",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    )
+    """,
+    doc="J3/S8 anti-join: skip already-loaded keys "
+        "(dags/open_f1_historical.py:226-231)",
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "lineitem")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_anti",
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "q08_top1_priority",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS type_priority
+    FROM orders
+    ORDER BY type_priority DESC, o_orderdate DESC, o_orderkey DESC
+    LIMIT 1
+    """,
+    doc="O1/O2 top-1 by derived composite priority "
+        "(dags/open_f1_realtime.py:208-217); TakeOrderedAndProject, "
+        "no global sort",
+)
+def q08_top1_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.topk import top1_by_priority
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    with_prio = o.withColumn(
+        "type_priority",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0),
+    )
+    return top1_by_priority(
+        with_prio,
+        order=[F.desc("type_priority"), F.desc("o_orderdate"), F.desc("o_orderkey")],
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate",
+        "type_priority",
+    )
+
+
+@register(
+    "q09_sentinel_parse",
+    r"""
+    WITH dirty AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE l_linenumber % 7
+                   WHEN 0 THEN 'None'
+                   WHEN 1 THEN ' nan '
+                   WHEN 2 THEN ''
+                   WHEN 3 THEN concat('+', CAST(CAST(l_quantity AS INT) AS VARCHAR), ' LAP')
+                   WHEN 4 THEN concat(CAST(CAST(l_quantity AS INT) AS VARCHAR), '.0')
+                   WHEN 5 THEN concat(CAST(CAST(l_quantity AS INT) AS VARCHAR), '.25')
+                   ELSE 'garbage'
+               END AS raw
+        FROM lineitem
+    ), cleaned AS (
+        SELECT *, CASE WHEN trim(raw) IN
+            ('', ' ', 'None', 'none', 'NULL', 'null', 'NaN', 'nan', 'NAN')
+            THEN NULL ELSE raw END AS clean
+        FROM dirty
+    )
+    SELECT l_orderkey, l_linenumber, raw, clean,
+           CASE
+               WHEN clean IS NULL THEN NULL
+               WHEN contains(upper(clean), 'LAP') THEN
+                   CAST(TRY_CAST(NULLIF(regexp_extract(clean, '(-?\d+)', 1), '')
+                        AS INT) AS VARCHAR)
+               WHEN TRY_CAST(clean AS DOUBLE) IS NULL THEN NULL
+               WHEN TRY_CAST(clean AS DOUBLE) = floor(TRY_CAST(clean AS DOUBLE))
+                   THEN concat(CAST(CAST(floor(TRY_CAST(clean AS DOUBLE)) AS BIGINT)
+                        AS VARCHAR), '.0')
+               ELSE CAST(TRY_CAST(clean AS DOUBLE) AS VARCHAR)
+           END AS gap_parsed,
+           CAST(TRY_CAST(trunc(TRY_CAST(clean AS DOUBLE)) AS INT) AS VARCHAR)
+               AS int_parsed
+    FROM cleaned
+    """,
+    doc="F10 sentinel scrub + F14 lap-gap parser + F13 int-or-none "
+        "(dags/open_f1_historical.py:60-101), dirty strings synthesized "
+        "deterministically from lineitem",
+)
+def q09_sentinel_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.functions.cleaning import (
+        clean_null_sentinels,
+        parse_lap_gap,
+        to_int_or_none_str,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    qty_int = F.col("l_quantity").cast("int").cast("string")
+    raw = (
+        F.when(F.col("l_linenumber") % 7 == 0, F.lit("None"))
+        .when(F.col("l_linenumber") % 7 == 1, F.lit(" nan "))
+        .when(F.col("l_linenumber") % 7 == 2, F.lit(""))
+        .when(F.col("l_linenumber") % 7 == 3,
+              F.concat(F.lit("+"), qty_int, F.lit(" LAP")))
+        .when(F.col("l_linenumber") % 7 == 4, F.concat(qty_int, F.lit(".0")))
+        .when(F.col("l_linenumber") % 7 == 5, F.concat(qty_int, F.lit(".25")))
+        .otherwise(F.lit("garbage"))
+    )
+    dirty = li.select("l_orderkey", "l_linenumber", raw.alias("raw"))
+    clean = clean_null_sentinels(F.col("raw"))
+    return dirty.select(
+        "l_orderkey", "l_linenumber", "raw",
+        clean.alias("clean"),
+        parse_lap_gap(clean).alias("gap_parsed"),
+        to_int_or_none_str(clean).alias("int_parsed"),
+    )
+
+
+@register(
+    "q10_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    """,
+    doc="F11/S3 JSON-in-string field extraction "
+        "(segments columns kept as JSON strings, "
+        "stg_openf1_laps_historical.sql:31-33)",
+)
+def q10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "q11_distinct",
+    "SELECT DISTINCT event_type FROM events",
+    doc="A4 DISTINCT projection (dags/open_f1_historical.py:162-164)",
+)
+def q11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")["events"].select("event_type").distinct()
+
+
+@register(
+    "q12_window_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderkey <> 1
+    """,
+    doc="P5 timestamp-window + P6 IN-list + P7 exclusion predicates "
+        "(dags/open_f1_historical.py:174-220)",
+)
+def q12_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 23:59:59").cast("timestamp"))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderkey") != 1)
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — flagship composite pipeline (SURVEY.md §7 step 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_flagship_pipeline",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), laps AS (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS lap_number
+        FROM ev WHERE event_type = 'purchase'
+    ), pos AS (
+        SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        FROM ev WHERE event_type = 'view'
+    ), j AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value, l.lap_number,
+               p.ts AS ts_asof, p.p_event_id, p.p_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY p.ts DESC, p.p_event_id DESC
+               ) AS rn
+        FROM laps l
+        LEFT JOIN pos p ON p.user_id = l.user_id AND p.ts <= l.ts
+    ), lapjoined AS (
+        SELECT event_id, user_id, ts, value, lap_number,
+               ts_asof, p_event_id, p_value
+        FROM j WHERE rn = 1
+    ), feat AS (
+        SELECT *,
+               lag(value)  OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER frame5 AS DOUBLE)
+                   / count(value) OVER frame5 AS rolling_avg_value,
+               min(value) OVER (PARTITION BY user_id) AS best_value
+        FROM lapjoined
+        WINDOW w AS (PARTITION BY user_id ORDER BY lap_number),
+               frame5 AS (PARTITION BY user_id ORDER BY lap_number
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ), summary AS (
+        SELECT user_id,
+               count(*) AS n_laps,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               CAST(sum(CASE WHEN p_value IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_prior_view
+        FROM lapjoined GROUP BY user_id
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value, f.lap_number,
+           f.ts_asof, f.p_event_id, f.p_value,
+           f.prev_value, f.next_value, f.rolling_avg_value, f.best_value,
+           CASE WHEN f.value <= f.best_value * 1.05 THEN 'fast'
+                WHEN f.value <= f.best_value * 1.2  THEN 'steady'
+                ELSE 'slow' END AS pace_state,
+           s.n_laps, s.avg_value, s.min_value, s.max_value, s.n_no_prior_view
+    FROM feat f LEFT JOIN summary s ON f.user_id = s.user_id
+    """,
+    doc="Flagship composite: staging filter (P1) -> sessionized grain "
+        "(W1-style row_number) -> as-of join (J1, sorted strategy) -> "
+        "lag/lead/rolling/partition-min features (W3-W6, F7 CASE ladder) "
+        "-> per-key summary agg (A1/A2) -> agg-back join (J2, broadcast). "
+        "The full reference chain stg_* -> int_session_driver_laps -> "
+        "int_driver_lap_features -> fct_driver_race_summary -> final_f1 "
+        "re-expressed over the events table; this is entry()'s query.",
+)
+def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.asof import asof_join
+
+    ev = (
+        load(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    laps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn(
+            "lap_number",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    pos = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    lapjoined = asof_join(
+        laps, pos, on=["user_id"], left_ts="ts", right_ts="ts",
+        payload=["p_event_id", "p_value"], strategy="sorted",
+    )
+
+    w = Window.partitionBy("user_id").orderBy("lap_number")
+    frame5 = w.rowsBetween(-4, Window.currentRow)
+    part = Window.partitionBy("user_id")
+    feat = lapjoined.select(
+        "*",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(frame5)
+            .cast("double") / F.count("value").over(frame5)
+        ).alias("rolling_avg_value"),
+        F.min("value").over(part).alias("best_value"),
+    ).withColumn(
+        "pace_state",
+        F.when(F.col("value") <= F.col("best_value") * 1.05, "fast")
+        .when(F.col("value") <= F.col("best_value") * 1.2, "steady")
+        .otherwise("slow"),
+    )
+
+    summary = lapjoined.groupBy("user_id").agg(
+        F.count("*").alias("n_laps"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(F.when(F.col("p_value").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_no_prior_view"),
+    )
+    return feat.join(F.broadcast(summary), "user_id", "left").select(
+        "event_id", "user_id", "ts", "value", "lap_number",
+        "ts_asof", "p_event_id", "p_value",
+        "prev_value", "next_value", "rolling_avg_value", "best_value",
+        "pace_state",
+        "n_laps", "avg_value", "min_value", "max_value", "n_no_prior_view",
+    )

@@ -57,6 +57,10 @@ def get_spark(
         #     because bench varies it); row-group pruning + pushdown on.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # --- testdata events.parquet carries TIMESTAMP(NANOS) which
+        #     Spark's parquet reader rejects; read as long and convert
+        #     (queries.load truncates to micros, matching DuckDB's cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- quiet non-interactive runs.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
