@@ -186,10 +186,13 @@ def simhash64(tok_set: Column) -> Column:
 
     def tok_votes(t: Column) -> Column:
         h = tok_hash(t)
+        # F.shiftright's Python wrapper only takes int shift amounts;
+        # the SQL function accepts a column — call it directly.
         return F.transform(
             positions,
             lambda b: F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1)),
         )
 
@@ -235,10 +238,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     that preserves all high-jaccard pairs sharing their first token —
     the exact-SQL-expressible baseline; MinHash-LSH is the scale path).
     """
+    # block on the first *raw* token (array_distinct / list_distinct
+    # don't agree on element order across engines, so the distinct set's
+    # head is not a portable key)
     base = docs.select(
         F.col(id_col).alias("id"),
         token_set(F.col(text_col)).alias("toks"),
-    ).withColumn("block", F.col("toks")[0])
+        tokens(F.col(text_col))[0].alias("block"),
+    )
     pairs = (
         base.alias("a")
         .join(base.alias("b"), "block")

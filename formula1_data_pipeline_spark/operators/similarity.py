@@ -73,7 +73,9 @@ def cosine_topk(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("q_id").orderBy(score.desc(), F.col("n_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
     return (
         scored.select("q_id", "n_id", score.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))

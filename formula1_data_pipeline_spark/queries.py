@@ -695,3 +695,7 @@ def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pace_state",
         "n_laps", "avg_value", "min_value", "max_value", "n_no_prior_view",
     )
+
+
+# extension-operator entries register themselves into CATALOG on import
+from formula1_data_pipeline_spark import queries_llm  # noqa: E402,F401

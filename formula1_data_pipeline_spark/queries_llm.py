@@ -1,0 +1,275 @@
+"""q2x — LLM-training-data pipeline operators (SURVEY.md §2.12).
+
+Catalog entries for the mandated extension operators over the
+``documents`` / ``embeddings`` tables: exact + near dedup, similarity
+search, and text analysis. Registered into ``queries.CATALOG`` (this
+module is imported at the bottom of ``queries``).
+
+Every oracle mirrors the Spark expression step-for-step (same md5
+keying, same lexicographic mins, same sequential double folds) so the
+driver's value-hash comparison is exact — see the determinism notes in
+``queries``'s module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.queries import load, register
+
+# DuckDB twin of operators.dedup.tokens / token_set
+_SQL_TOKS = (
+    r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+    r"x -> x <> '')"
+)
+
+
+@register(
+    "q20_exact_dedup",
+    rf"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via normalized-text fingerprint hash-groupBy "
+        "(§2.12): single shuffle on md5(collapsed text), two-long group "
+        "state — the canonical 100 TB exact-dedup plan",
+)
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import exact_dedup_groups
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "q21_minhash_lsh",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks
+        FROM documents
+    ), sig AS (
+        SELECT id, toks,
+               [list_min(list_transform(toks, t -> md5('0'||t))),
+                list_min(list_transform(toks, t -> md5('1'||t))),
+                list_min(list_transform(toks, t -> md5('2'||t))),
+                list_min(list_transform(toks, t -> md5('3'||t))),
+                list_min(list_transform(toks, t -> md5('4'||t))),
+                list_min(list_transform(toks, t -> md5('5'||t))),
+                list_min(list_transform(toks, t -> md5('6'||t))),
+                list_min(list_transform(toks, t -> md5('7'||t)))] AS sig
+        FROM base
+    ), banded AS (
+        SELECT id, unnest([
+            md5('0'||sig[1]||sig[2]), md5('1'||sig[3]||sig[4]),
+            md5('2'||sig[5]||sig[6]), md5('3'||sig[7]||sig[8])
+        ]) AS band
+        FROM sig
+    ), pairs AS (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        FROM banded a JOIN banded b USING (band)
+        WHERE a.id < b.id
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+    FROM pairs p
+    JOIN base ta ON ta.id = p.a_id
+    JOIN base tb ON tb.id = p.b_id
+    """,
+    doc="MinHash(8)+LSH(4 bands) near-dup candidates with exact jaccard "
+        "verify (§2.12): signatures are per-row JVM expressions, shuffle "
+        "ships only (band, id) pairs, jaccard only on candidates",
+)
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "q22_simhash",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks
+        FROM documents
+    ), tokrows AS (
+        SELECT id, unnest(toks) AS t FROM base
+    ), bits AS (
+        -- integer sums via GROUP BY (list_aggregate 'sum' goes through
+        -- double and loses low bits above 2^53)
+        SELECT tk.id, r.b,
+               CASE WHEN sum(CASE WHEN (CAST(('0x' || substr(md5(tk.t), 1, 15))
+                                        AS BIGINT) >> r.b) & 1 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN CAST(1 AS BIGINT) << r.b
+                    ELSE CAST(0 AS BIGINT) END AS bitval
+        FROM tokrows tk CROSS JOIN range(0, 60) r(b)
+        GROUP BY tk.id, r.b
+    ), sim AS (
+        SELECT base.id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
+        FROM base LEFT JOIN (
+            SELECT id, sum(bitval) AS sh FROM bits GROUP BY id
+        ) s USING (id)
+    )
+    SELECT simhash, min(id) AS canonical_id, count(*) AS n_docs
+    FROM sim GROUP BY 1
+    """,
+    doc="SimHash(60-bit) near-dup buckets (§2.12): per-token md5 bit "
+        "votes folded JVM-side (no UDF, no shuffle before the groupBy)",
+)
+def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        simhash_dedup_groups,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return simhash_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "q23_ngram_jaccard",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks,
+               ({_SQL_TOKS})[1] AS block
+        FROM documents
+    ), blocked AS (
+        SELECT id, toks, block FROM base
+    ), pairs AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks)))
+                   AS jaccard
+        FROM blocked a JOIN blocked b USING (block)
+        WHERE a.id < b.id
+    )
+    SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
+    """,
+    doc="Token-set jaccard >= 0.5 over first-token blocking (§2.12): the "
+        "SQL-expressible near-dup baseline; MinHash-LSH (q21) is the "
+        "scale path",
+)
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q24_cosine_topk",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS n_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q_id, n_id,
+               round(
+                   {_SQL_DOT.format(a='q_vec', b='n_vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='q_vec', b='q_vec')})
+                            * sqrt({_SQL_DOT.format(a='n_vec', b='n_vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE q_id <> n_id
+    ), ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force exact cosine top-5 per query vector (§2.12): "
+        "broadcast the query set, sequential-fold dot products in "
+        "double, per-query rank. The ANN correctness baseline; "
+        "ann_lsh_topk is the bucketed scale path",
+)
+def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+@register(
+    "q25_text_stats",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text, toks, list_distinct(toks) AS tset
+        FROM base
+    ), hits AS (
+        SELECT doc_id, text, toks, tset,
+               len(list_intersect(tset,
+                   ['the','and','of','to','a','in','is','it'])) AS en,
+               len(list_intersect(tset,
+                   ['el','la','de','que','y','en','un','es'])) AS es,
+               len(list_intersect(tset,
+                   ['der','die','und','das','ist','ein','nicht','mit'])) AS de,
+               len(list_intersect(tset,
+                   ['le','la','et','les','des','un','une','est'])) AS fr
+        FROM s
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(tset) AS n_unique,
+           CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                WHEN fr = greatest(en, es, de, fr) THEN 'fr'
+           END AS lang_pred,
+           0.3 * (CASE WHEN len(toks) > 0
+                       THEN CAST(len(tset) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END)
+               + 0.4 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000
+                             THEN 1.0 ELSE 0.0 END) AS quality
+    FROM hits
+    """,
+    doc="Text analysis (§2.12): token counts, stopword-argmax "
+        "language-ID, and the 0-1 quality heuristic — one narrow "
+        "shuffle-free codegen'd projection over documents",
+)
+def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = T.tokens(F.col("text"))
+    tset = T.token_set(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(tset).alias("n_unique"),
+        T.predict_lang(tset).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
