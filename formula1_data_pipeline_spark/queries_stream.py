@@ -1,0 +1,68 @@
+"""q3x — streaming + multimodal catalog entries (SURVEY.md §2.10/§2.12).
+
+q30 exercises the opaque-binary media path end-to-end (pack → Arrow
+mapInPandas decode/feature batches); q31 runs a REAL Structured
+Streaming query (file source → watermark → tumbling window agg →
+AvailableNow → memory sink) whose append-mode emission rule
+(window_end <= max event time - delay) the oracle reproduces in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from formula1_data_pipeline_spark.queries import load, register
+
+
+@register(
+    "q30_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing (§2.12): pack text to opaque "
+        "binary payloads, then Arrow-batched mapInPandas decode + "
+        "feature extraction (byte length, content md5). The codec stub "
+        "is the only fake; schema/batching/UDF shape are production-real",
+)
+def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        to_media_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return extract_features(to_media_table(docs))
+
+
+@register(
+    "q31_stream_windowed_agg",
+    """
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ), m AS (
+        SELECT max(ts) AS max_ts FROM ev
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM ev, m
+    GROUP BY 1, 2, 3, m.max_ts
+    HAVING window_end <= max_ts - INTERVAL '10 minutes'
+    """,
+    doc="Structured Streaming tumbling-window agg (§2.10 upgrade): "
+        "parquet file stream -> withWatermark(10 min) -> 1h window "
+        "count/sum -> AvailableNow -> memory sink. Append mode emits "
+        "exactly the windows closed by the final watermark, which the "
+        "oracle's HAVING clause mirrors",
+)
+def q31_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.streaming import stream_windowed_agg
+
+    return stream_windowed_agg(spark, f"{sf_dir}/events.parquet")

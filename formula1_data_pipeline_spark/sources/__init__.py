@@ -1,0 +1,25 @@
+from formula1_data_pipeline_spark.sources.openf1 import (
+    RecordedClient,
+    ingest_session_endpoints,
+    records_to_raw_df,
+    select_latest_session,
+    session_window_filter,
+)
+from formula1_data_pipeline_spark.sources.sinks import (
+    append_raw,
+    merge_upsert,
+    replace_by_key,
+    skip_loaded,
+)
+
+__all__ = [
+    "RecordedClient",
+    "append_raw",
+    "ingest_session_endpoints",
+    "merge_upsert",
+    "records_to_raw_df",
+    "replace_by_key",
+    "select_latest_session",
+    "session_window_filter",
+    "skip_loaded",
+]

@@ -1,0 +1,175 @@
+"""OpenF1-shaped REST ingest (S1-S3, O1-O3, P5-P7) behind an interface.
+
+The reference fetches ``https://api.openf1.org/v1/{endpoint}?session_
+key=...`` per session (``dags/open_f1_historical.py:48-57``) and
+normalizes with pandas. Here the HTTP client is an interface so tests
+(and this offline container) feed recorded JSON; normalization is
+Spark-native:
+
+- **records_to_raw_df** (S3+F10-F12): list-of-dicts -> all-string
+  DataFrame — union of keys becomes columns, nested values JSON-encode,
+  null-sentinel strings scrub to NULL. This is the reference's
+  ``pd.DataFrame`` + ``clean_df`` collapsed into one createDataFrame +
+  column expressions.
+- **select_latest_session** (O1+O2): top-1 by (Race-beats-Qualifying,
+  latest date) — ``dags/open_f1_realtime.py:208-217``.
+- **session_window_filter** (P5+P6+P7): 120-day window, session-type
+  IN-list, exclude-latest — ``dags/open_f1_historical.py:174-220``.
+- **ingest_session_endpoints**: the per-session fetch loop (S1) with
+  key-injection defaults (F17) — ``dags/open_f1_historical.py:254-270``.
+
+The API returns a few thousand rows per session — driver-side fetch +
+createDataFrame is the right scale boundary; the heavy lifting starts
+once rows are parquet.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Mapping
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from formula1_data_pipeline_spark.functions.cleaning import scrub_dataframe
+
+ENDPOINTS = ("laps", "intervals", "position", "race_control")
+SESSION_TYPES = ("Race", "Qualifying")
+
+
+class OpenF1Client(Protocol):
+    """S1/S2 fetch surface; implementations return parsed JSON lists."""
+
+    def fetch(self, endpoint: str, **params: object) -> list[dict]: ...
+
+
+class RecordedClient:
+    """Test/offline client serving recorded payloads keyed by
+    (endpoint, frozenset(params))."""
+
+    def __init__(self, recordings: Mapping[str, list[dict]]):
+        # key: "endpoint" or "endpoint?k=v&k2=v2" (sorted params)
+        self._rec = dict(recordings)
+
+    def fetch(self, endpoint: str, **params: object) -> list[dict]:
+        if params:
+            qs = "&".join(f"{k}={params[k]}" for k in sorted(params))
+            key = f"{endpoint}?{qs}"
+            if key in self._rec:
+                return self._rec[key]
+        return self._rec.get(endpoint, [])
+
+
+def _cell_to_str(v: object) -> str | None:
+    """F11+F12: None stays NULL, nested JSON-encodes, rest str()."""
+    if v is None:
+        return None
+    if isinstance(v, (list, dict)):
+        return json.dumps(v)
+    if isinstance(v, bool):
+        return str(v)  # Python str(True) = 'True', reference parity
+    return str(v)
+
+
+def records_to_raw_df(
+    spark: SparkSession,
+    records: Iterable[Mapping[str, object]],
+    inject: Mapping[str, object] | None = None,
+) -> DataFrame | None:
+    """S3: JSON records -> all-string DataFrame (None if no records,
+    mirroring the reference's empty-DataFrame short-circuit at
+    ``dags/open_f1_historical.py:126-128``).
+
+    ``inject`` adds missing columns with a constant (F17 key
+    injection) — only applied where the record lacks the key.
+    """
+    records = list(records)
+    if not records:
+        return None
+    inject = dict(inject or {})
+    cols: list[str] = []
+    seen = set()
+    for r in records:
+        for k in r:
+            if k not in seen:
+                seen.add(k)
+                cols.append(k)
+    for k in inject:
+        if k not in seen:
+            seen.add(k)
+            cols.append(k)
+    rows = [
+        tuple(
+            _cell_to_str(r.get(c, inject.get(c)))
+            for c in cols
+        )
+        for r in records
+    ]
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in cols]
+    )
+    return scrub_dataframe(spark.createDataFrame(rows, schema))
+
+
+def session_window_filter(
+    sessions: DataFrame,
+    cutoff: str,
+    now: str,
+    date_col: str = "date_end",
+    exclude_session_key: int | None = None,
+) -> DataFrame:
+    """P5+P6+P7: completed Race/Qualifying sessions inside the load
+    window, minus the one reserved for the realtime leg."""
+    out = sessions.filter(
+        (F.col(date_col) >= F.lit(cutoff).cast("timestamp"))
+        & (F.col(date_col) <= F.lit(now).cast("timestamp"))
+        & F.col("session_name").isin(*SESSION_TYPES)
+    )
+    if exclude_session_key is not None:
+        out = out.filter(F.col("session_key") != F.lit(exclude_session_key))
+    return out
+
+
+def select_latest_session(sessions: DataFrame,
+                          date_col: str = "date_end") -> DataFrame:
+    """O1+O2: the single latest completed session, Race beating
+    Qualifying, newest winning ties — TakeOrderedAndProject, no global
+    sort (``dags/open_f1_realtime.py:208-217``)."""
+    from formula1_data_pipeline_spark.operators.topk import top1_by_priority
+
+    with_prio = sessions.withColumn(
+        "type_priority",
+        F.when(F.col("session_name") == "Race", 1).otherwise(0),
+    )
+    return top1_by_priority(
+        with_prio,
+        order=[F.desc("type_priority"), F.desc(date_col),
+               F.desc("session_key")],
+    )
+
+
+def ingest_session_endpoints(
+    spark: SparkSession,
+    client: OpenF1Client,
+    session_key: int,
+    meeting_key: int | None = None,
+    year: int | None = None,
+    endpoints: Iterable[str] = ENDPOINTS,
+) -> dict[str, DataFrame]:
+    """S1 per-session fetch across endpoints -> raw all-string frames
+    with injected keys (F17). Empty endpoints are omitted."""
+    out: dict[str, DataFrame] = {}
+    inject = {"session_key": session_key}
+    if meeting_key is not None:
+        inject["meeting_key"] = meeting_key
+    if year is not None:
+        inject["year"] = year
+    for ep in endpoints:
+        df = records_to_raw_df(
+            spark, client.fetch(ep, session_key=session_key), inject=inject
+        )
+        if df is not None:
+            out[ep] = df
+    return out

@@ -1,0 +1,102 @@
+"""Raw-layer sinks — the S4-S8 ingest surface, Spark-first.
+
+The reference lands API JSON into all-VARCHAR Snowflake tables with
+batched INSERTs, delete+reload upserts, and drop-recreate schema
+recovery (``dags/open_f1_historical.py:111-152``,
+``dags/open_f1_realtime.py:108-170``). The Spark-native equivalents:
+
+- **append_raw** (S4+S5): all-string landing + ``mode("append")``
+  parquet — Spark batches writes per partition; no 5000-row
+  executemany loop needed.
+- **replace_by_key** (S6): the delete+reload upsert as an atomic
+  dynamic partition overwrite — only the partitions present in the
+  incoming batch are replaced, the exact semantic of
+  ``DELETE WHERE session_key = X`` + re-insert, minus the two-step
+  race window. (Delta ``replaceWhere``/MERGE is the production path;
+  this parquet formulation keeps the repo dependency-free.)
+- **merge_upsert** (S6 alt): key-based last-write-wins merge for
+  non-partitioned layouts — read, union (schema drift tolerated via
+  unionByName/allowMissingColumns, replacing the reference's
+  drop-and-recreate S7 destructively losing data), priority-dedup,
+  rewrite.
+- **skip_loaded** (S8): left-anti join of candidate keys against
+  already-landed keys.
+
+At 100 TB: raw tables partition by the replace key (session_key here,
+date/hour for event feeds), so a realtime refresh touches one
+partition's files and incremental loads prune everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.functions.cleaning import stringify_all
+
+
+def append_raw(df: DataFrame, path: str,
+               partition_by: list[str] | None = None) -> None:
+    """S4+S5: land as all-string parquet, append-only."""
+    w = stringify_all(df).write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def replace_by_key(df: DataFrame, path: str, key: str) -> None:
+    """S6: atomically replace exactly the ``key`` partitions present in
+    ``df`` (dynamic partition overwrite) — the delete+reload upsert."""
+    (
+        stringify_all(df)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(key)
+        .parquet(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order: list[Column],
+) -> None:
+    """S6/S7: last-write-wins merge into a non-partitioned parquet
+    table. New columns from schema drift survive as NULLs on old rows
+    (the non-destructive upgrade of the reference's drop-recreate).
+
+    Read-modify-write: fine for dimension-sized tables; big facts
+    should use replace_by_key partitioning instead.
+    """
+    from formula1_data_pipeline_spark.operators.dedup_priority import (
+        dedup_by_priority,
+    )
+
+    incoming = stringify_all(df)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        incoming.write.mode("overwrite").parquet(f"{path}_tmp")
+        spark.read.parquet(f"{path}_tmp").write.mode("overwrite").parquet(path)
+        return
+    merged = dedup_by_priority(
+        incoming.unionByName(existing, allowMissingColumns=True),
+        keys=keys,
+        order=order,
+    )
+    # parquet reads lazily from the files being overwritten — stage
+    # through a temp dir to avoid reading-while-writing
+    merged.write.mode("overwrite").parquet(f"{path}_tmp")
+    spark.read.parquet(f"{path}_tmp").write.mode("overwrite").parquet(path)
+
+
+def skip_loaded(candidates: DataFrame, loaded: DataFrame,
+                key: str = "session_key") -> DataFrame:
+    """S8: drop candidate rows whose key already landed
+    (``dags/open_f1_historical.py:226-231``). Broadcast left-anti —
+    the loaded-keys side is a DISTINCT projection, always small."""
+    return candidates.join(
+        F.broadcast(loaded.select(key).distinct()), key, "left_anti"
+    )
