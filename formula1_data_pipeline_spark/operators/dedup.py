@@ -93,19 +93,51 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-N_HASHES = 8          # signature length
-BAND_SIZE = 2         # rows per band -> 4 bands
-# s-curve: P(candidate) = 1-(1-j^2)^4 — jaccard .8 => ~.98, .3 => ~.31
+N_HASHES = 16         # signature length
+BAND_SIZE = 4         # rows per band -> 4 bands
+# s-curve: P(candidate) = 1-(1-j^4)^4 — threshold ~ (1/4)^(1/4) = .71:
+# jaccard .9 => ~.97, .8 => ~.88, .5 => ~.23, .33 => ~.05. Weaker
+# banding (e.g. 2-row bands) floods the candidate join on corpora with
+# shared boilerplate vocabulary — the dominant cost at scale is the
+# candidate-pair count, not the signature hashing.
 
 
 def minhash_signature(tok_set: Column, n_hashes: int = N_HASHES) -> Column:
-    """Array of n lexicographic-min md5(seed||token) hex digests."""
+    """Array of n lexicographic-min md5(seed||token) hex digests.
+
+    Column-expression form (higher-order functions — interpreted, not
+    codegen'd). For bulk signatures prefer ``minhash_signatures_df``,
+    which computes identical values through codegen'd aggregates.
+    """
     return F.array(*[
         F.array_min(
             F.transform(tok_set, lambda t: F.md5(F.concat(F.lit(str(i)), t)))
         )
         for i in range(n_hashes)
     ])
+
+
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, toks, sig) for every doc — the scale path for signatures.
+
+    Explode tokens and take ``n_hashes`` MIN aggregates: every md5 and
+    the mins run inside whole-stage codegen with map-side partial
+    aggregation, unlike the lambda-based column form (Spark evaluates
+    higher-order-function lambdas interpreted, ~10x slower here). Values
+    are identical to ``minhash_signature``.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        token_set(F.col(text_col)).alias("toks"),
+    )
+    toks = base.select("id", F.explode("toks").alias("t"))
+    sig = toks.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("t")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]).select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    return base.join(sig, "id", "left")
 
 
 def minhash_bands(sig: Column, n_hashes: int = N_HASHES,
@@ -134,13 +166,9 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     band keys; jaccard is computed after re-joining token sets for
     candidates only. AQE handles hot bands (boilerplate texts).
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        token_set(F.col(text_col)).alias("toks"),
-    )
-    sig = base.select(
-        "id", "toks", minhash_bands(minhash_signature(F.col("toks"), n_hashes),
-                                    n_hashes, band_size).alias("bands")
+    sig = minhash_signatures_df(docs, text_col, id_col, n_hashes).select(
+        "id", "toks",
+        minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
     )
     banded = sig.select("id", F.explode("bands").alias("band"))
     pairs = (
@@ -150,11 +178,21 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    toks = sig.select("id", "toks")
+    # token sets are one row per doc — tiny next to the pair set;
+    # broadcasting keeps the (large) candidate-pair stream shuffle-free
+    # through both verify joins. Re-derived from docs, NOT from `sig`:
+    # a broadcast side recomputes its whole subtree, and sig carries
+    # the 16-hash aggregation.
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        token_set(F.col(text_col)).alias("toks"),
+    )
     return (
-        pairs.join(toks.withColumnsRenamed({"id": "a_id", "toks": "a_toks"}),
+        pairs.join(F.broadcast(
+            toks.withColumnsRenamed({"id": "a_id", "toks": "a_toks"})),
                    "a_id")
-        .join(toks.withColumnsRenamed({"id": "b_id", "toks": "b_toks"}),
+        .join(F.broadcast(
+            toks.withColumnsRenamed({"id": "b_id", "toks": "b_toks"})),
               "b_id")
         .select(
             "a_id", "b_id",
@@ -215,13 +253,50 @@ def simhash64(tok_set: Column) -> Column:
     )
 
 
+def simhash_df(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) per doc — the scale path.
+
+    Explode distinct tokens, hash each once, then take 60 codegen'd
+    conditional-SUM aggregates (one per bit) with map-side partial
+    aggregation; a final projection folds the signs into the long.
+    Same values as ``simhash64`` but whole-stage-codegen throughout —
+    the lambda-based column form evaluates interpreted and is ~10x
+    slower on real corpora. Empty-token docs get simhash 0 via the
+    left join + coalesce.
+    """
+    base = docs.select(F.col(id_col).alias("id"),
+                       token_set(F.col(text_col)).alias("toks"))
+    toks = base.select("id", F.explode("toks").alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    votes = toks.groupBy("id").agg(*[
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(N_SIMHASH_BITS)
+    ])
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(N_SIMHASH_BITS)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    sim = votes.select("id", total.alias("simhash"))
+    return base.select("id").join(sim, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
 def simhash_dedup_groups(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
-    """Group docs by identical 64-bit simhash (near-dup buckets)."""
+    """Group docs by identical simhash (near-dup buckets)."""
     return (
-        docs.select(F.col(id_col), simhash64(token_set(F.col(text_col))).alias("simhash"))
+        simhash_df(docs, text_col, id_col)
         .groupBy("simhash")
-        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_docs"))
     )
 
 

@@ -53,19 +53,16 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), sig AS (
         SELECT id, toks,
-               [list_min(list_transform(toks, t -> md5('0'||t))),
-                list_min(list_transform(toks, t -> md5('1'||t))),
-                list_min(list_transform(toks, t -> md5('2'||t))),
-                list_min(list_transform(toks, t -> md5('3'||t))),
-                list_min(list_transform(toks, t -> md5('4'||t))),
-                list_min(list_transform(toks, t -> md5('5'||t))),
-                list_min(list_transform(toks, t -> md5('6'||t))),
-                list_min(list_transform(toks, t -> md5('7'||t)))] AS sig
+               list_transform(range(0, 16), i ->
+                   list_min(list_transform(toks, t -> md5(CAST(i AS VARCHAR)||t)))
+               ) AS sig
         FROM base
     ), banded AS (
         SELECT id, unnest([
-            md5('0'||sig[1]||sig[2]), md5('1'||sig[3]||sig[4]),
-            md5('2'||sig[5]||sig[6]), md5('3'||sig[7]||sig[8])
+            md5('0'||sig[1]||sig[2]||sig[3]||sig[4]),
+            md5('1'||sig[5]||sig[6]||sig[7]||sig[8]),
+            md5('2'||sig[9]||sig[10]||sig[11]||sig[12]),
+            md5('3'||sig[13]||sig[14]||sig[15]||sig[16])
         ]) AS band
         FROM sig
     ), pairs AS (

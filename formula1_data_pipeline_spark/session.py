@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 256MB threshold misses moderately-skewed partitions
+        # on a 32-core local box (LSH hot bands, boilerplate keys);
+        # split anything 5x median above 64MB
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "67108864")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "33554432")
         # --- correctness policy (see module docstring).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
