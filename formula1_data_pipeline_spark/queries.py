@@ -631,6 +631,14 @@ def q12_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-expressed over the events table; this is entry()'s query.",
 )
 def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-shuffle formulation (SCALE.md): the as-of union-sort hash
+    # partitions by user_id once; lap_number, every feature window, and
+    # the session summary all reuse that partitioning (lap_number is
+    # derivable post-join because the as-of output is exactly the laps
+    # rows). The summary is computed as unbounded window aggregates
+    # instead of the literal groupBy + self-join (J2's idiomatic
+    # alternative per SURVEY §2.3; q06 keeps the literal join shape) —
+    # which also avoids materializing the join's left subtree twice.
     from formula1_data_pipeline_spark.operators.asof import asof_join
 
     ev = (
@@ -638,15 +646,8 @@ def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    laps = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "value")
-        .withColumn(
-            "lap_number",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ),
-        )
+    laps = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
     )
     pos = ev.filter(F.col("event_type") == "view").select(
         "user_id", "ts",
@@ -658,37 +659,32 @@ def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["p_event_id", "p_value"], strategy="sorted",
     )
 
-    w = Window.partitionBy("user_id").orderBy("lap_number")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame5 = w.rowsBetween(-4, Window.currentRow)
     part = Window.partitionBy("user_id")
+    vdec = F.sum(F.col("value").cast("decimal(18,6)"))
     feat = lapjoined.select(
         "*",
+        F.row_number().over(w).alias("lap_number"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).over(frame5)
-            .cast("double") / F.count("value").over(frame5)
-        ).alias("rolling_avg_value"),
+        (vdec.over(frame5).cast("double") / F.count("value").over(frame5))
+        .alias("rolling_avg_value"),
         F.min("value").over(part).alias("best_value"),
+        F.count("*").over(part).alias("n_laps"),
+        (vdec.over(part).cast("double") / F.count("*").over(part))
+        .alias("avg_value"),
+        F.min("value").over(part).alias("min_value"),
+        F.max("value").over(part).alias("max_value"),
+        F.sum(F.when(F.col("p_value").isNull(), 1).otherwise(0)).over(part)
+        .cast("long").alias("n_no_prior_view"),
     ).withColumn(
         "pace_state",
         F.when(F.col("value") <= F.col("best_value") * 1.05, "fast")
         .when(F.col("value") <= F.col("best_value") * 1.2, "steady")
         .otherwise("slow"),
     )
-
-    summary = lapjoined.groupBy("user_id").agg(
-        F.count("*").alias("n_laps"),
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-        ).alias("avg_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.sum(F.when(F.col("p_value").isNull(), 1).otherwise(0))
-        .cast("long").alias("n_no_prior_view"),
-    )
-    return feat.join(F.broadcast(summary), "user_id", "left").select(
+    return feat.select(
         "event_id", "user_id", "ts", "value", "lap_number",
         "ts_asof", "p_event_id", "p_value",
         "prev_value", "next_value", "rolling_avg_value", "best_value",
