@@ -149,3 +149,39 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs in embedding space: LSH-bucket blocking,
+    then exact cosine >= threshold within buckets (a_id < b_id).
+
+    The embedding-space analogue of MinHash near-dup: the self-join
+    shuffles on bucket keys only; cosine runs on candidates. Misses
+    only pairs split across buckets — acceptable at threshold ~0.99
+    where sign sketches rarely differ; lower n_planes to trade cost
+    for recall.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
+    a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+                 "bucket")
+    b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+                 "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -215,6 +215,103 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_PLANE = (
+    "list_transform(range(0, 64), d -> "
+    "CAST(('0x' || substr(md5(CAST({p} AS VARCHAR) || ':' "
+    "|| CAST(d AS VARCHAR)), 1, 16)) AS UBIGINT) "
+    "/ 9223372036854775808.0 - 1.0)"
+)
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN {_SQL_DOT.format(a='vec', b=_SQL_PLANE.format(p=p))} >= 0 "
+    f"THEN {2 ** p} ELSE 0 END)"
+    for p in range(8)
+)
+
+
+@register(
+    "q26_ann_lsh_topk",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), bucketed AS (
+        SELECT vec_id, vec, {_SQL_BUCKET} AS bucket FROM vecs
+    ), scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               round(
+                   {_SQL_DOT.format(a='q.vec', b='c.vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='q.vec', b='q.vec')})
+                            * sqrt({_SQL_DOT.format(a='c.vec', b='c.vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM bucketed c
+        JOIN (SELECT * FROM bucketed WHERE vec_id < 10) q USING (bucket)
+        WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="ANN via random-hyperplane LSH (§2.12 scale path): 8 sign-bit "
+        "hyperplanes (deterministic md5-derived, bit-identical across "
+        "engines) -> 256 buckets -> exact cosine among same-bucket "
+        "candidates only. At 100 TB the corpus shuffles once on bucket "
+        "keys instead of cross-joining (vs q24's exact baseline)",
+)
+def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=8,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+@register(
+    "q27_embedding_neardup",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), bucketed AS (
+        SELECT vec_id, vec, {_SQL_BUCKET} AS bucket FROM vecs
+    ), pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(
+                   {_SQL_DOT.format(a='a.vec', b='b.vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='a.vec', b='a.vec')})
+                            * sqrt({_SQL_DOT.format(a='b.vec', b='b.vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM bucketed a JOIN bucketed b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    """,
+    doc="Embedding-cosine near-dup pairs (§2.12): LSH-bucket blocking "
+        "(same 8-plane sketch as q26) then exact cosine >= 0.99 within "
+        "buckets — the embedding-space analogue of MinHash dedup",
+)
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_neardup_pairs(
+        emb, dim=64, n_planes=8, threshold=0.99,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
 @register(
     "q25_text_stats",
     f"""
