@@ -556,6 +556,44 @@ def q12_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13_sql_surface",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CASE WHEN count(*) > 10000 THEN 'big'
+                WHEN count(*) > 1000  THEN 'medium'
+                ELSE 'small' END AS bucket
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1, 2
+    """,
+    doc="SQL-surface parity (A3 GROUP BY ordinal + CASE + agg): the "
+        "reference is a SQL system (dbt on Snowflake); this entry runs "
+        "verbatim Spark SQL over registered temp views — same text, "
+        "both engines (Spark groupByOrdinal is default-on)",
+)
+def q13_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem")["lineitem"].createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql("""
+        SELECT l_returnflag,
+               l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               CASE WHEN count(*) > 10000 THEN 'big'
+                    WHEN count(*) > 1000  THEN 'medium'
+                    ELSE 'small' END AS bucket
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY 1, 2
+    """)
+
+
 # ---------------------------------------------------------------------------
 # q40 — flagship composite pipeline (SURVEY.md §7 step 4)
 # ---------------------------------------------------------------------------
