@@ -86,6 +86,10 @@ def _py_float_repr(d: Column) -> Column:
     emits."""
     s = d.cast("string")
     return F.when(d.isNull(), F.lit(None)).when(
+        # negative zero: floor() loses the sign (str(-0.0) = '-0.0');
+        # the plain string cast preserves it
+        (d == 0) & (s == "-0.0"), F.lit("-0.0")
+    ).when(
         d == F.floor(d), F.concat(F.floor(d).cast("string"), F.lit(".0"))
     ).otherwise(s)
 
