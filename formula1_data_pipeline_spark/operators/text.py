@@ -57,6 +57,39 @@ def predict_lang(tok_set: Column) -> Column:
     return expr
 
 
+SHINGLE_K = 3      # tokens per shingle
+SKETCH_SIZE = 8    # bottom-k sketch size
+
+
+def shingle_fingerprint(text: Column, k: int = SHINGLE_K,
+                        sketch: int = SKETCH_SIZE) -> Column:
+    """Document fingerprint: bottom-``sketch`` of the k-gram shingle
+    rolling hashes (order-sensitive, unlike the token-set ops) — two
+    docs' fingerprint overlap estimates their shingle-set jaccard,
+    the standard winnowing-style near-dup sketch.
+
+    Hash = first 60 bits of md5 over the space-joined shingle, so the
+    oracle reproduces it exactly. Guarded for docs shorter than k
+    tokens (Spark ``sequence(0, n)`` with negative n counts DOWN —
+    the guard is load-bearing).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 15
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    return F.when(
+        n >= k,
+        F.slice(F.array_sort(F.array_distinct(shingles)), 1, sketch),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic 0-1 quality heuristic: length band + lexical
     diversity + token-volume saturation (the standard cheap pre-filter

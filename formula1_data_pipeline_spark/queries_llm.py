@@ -313,6 +313,36 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q28_shingle_fingerprint",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_slice(list_sort(list_distinct(
+                   list_transform(range(0, len(toks) - 2), i ->
+                       CAST(('0x' || substr(md5(array_to_string(
+                           list_slice(toks, i + 1, i + 3), ' ')), 1, 15))
+                       AS BIGINT))
+               )), 1, 8)
+           ELSE [] END AS fingerprint
+    FROM base
+    """,
+    doc="Document fingerprinting (§2.12): bottom-8 sketch of 3-gram "
+        "shingle rolling hashes — order-sensitive near-dup signature; "
+        "fingerprint overlap estimates shingle-set jaccard",
+)
+def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.text import shingle_fingerprint
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id", shingle_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
     "q25_text_stats",
     f"""
     WITH base AS (
