@@ -1,6 +1,8 @@
 from formula1_data_pipeline_spark.sources.openf1 import (
     RecordedClient,
     ingest_session_endpoints,
+    normalize_intervals,
+    normalize_sessions,
     records_to_raw_df,
     select_latest_session,
     session_window_filter,
@@ -17,6 +19,8 @@ __all__ = [
     "append_raw",
     "ingest_session_endpoints",
     "merge_upsert",
+    "normalize_intervals",
+    "normalize_sessions",
     "records_to_raw_df",
     "replace_by_key",
     "select_latest_session",

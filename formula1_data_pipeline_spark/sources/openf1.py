@@ -113,6 +113,48 @@ def records_to_raw_df(
     return scrub_dataframe(spark.createDataFrame(rows, schema))
 
 
+def normalize_intervals(df: DataFrame) -> DataFrame:
+    """F13+F14 applied to the intervals endpoint
+    (``dags/open_f1_historical.py:81-107``): ``driver_number`` through
+    the int-or-none parse, ``gap_to_leader`` through the lap-gap
+    parser — each only if the column exists (API payloads drift)."""
+    from formula1_data_pipeline_spark.functions.cleaning import (
+        parse_lap_gap,
+        to_int_or_none_str,
+    )
+
+    out = df
+    if "driver_number" in df.columns:
+        out = out.withColumn(
+            "driver_number", to_int_or_none_str(F.trim(F.col("driver_number")))
+        )
+    if "gap_to_leader" in df.columns:
+        out = out.withColumn(
+            "gap_to_leader", parse_lap_gap(F.trim(F.col("gap_to_leader")))
+        )
+    return out
+
+
+def normalize_sessions(df: DataFrame) -> DataFrame:
+    """F15+F16+F17 for the sessions catalog
+    (``dags/open_f1_historical.py:190-201``): coerce the end/start
+    timestamp (NULL on garbage), default ``meeting_name`` to
+    'Unknown GP' (creating the column if the API omitted it) and
+    ``session_name`` to 'Unknown'."""
+    out = df
+    time_col = "date_end" if "date_end" in df.columns else "date_start"
+    out = out.withColumn(time_col, F.col(time_col).try_cast("timestamp"))
+    if "meeting_name" not in out.columns:
+        out = out.withColumn("meeting_name", F.lit("Unknown GP"))
+    else:
+        out = out.fillna({"meeting_name": "Unknown GP"})
+    name_col = (
+        "session_name" if "session_name" in out.columns else "session_type"
+    )
+    out = out.fillna({name_col: "Unknown"})
+    return out
+
+
 def session_window_filter(
     sessions: DataFrame,
     cutoff: str,
@@ -171,5 +213,7 @@ def ingest_session_endpoints(
             spark, client.fetch(ep, session_key=session_key), inject=inject
         )
         if df is not None:
+            if ep == "intervals":
+                df = normalize_intervals(df)
             out[ep] = df
     return out

@@ -69,6 +69,36 @@ def test_ingest_injects_keys(spark):
     assert row["meeting_key"] == "1219" and row["year"] == "2023"
 
 
+def test_normalize_intervals_and_sessions(spark):
+    from formula1_data_pipeline_spark.sources import (
+        normalize_intervals,
+        normalize_sessions,
+    )
+
+    iv = records_to_raw_df(spark, [
+        {"driver_number": "44.0", "gap_to_leader": "+1 LAP"},
+        {"driver_number": " 16 ", "gap_to_leader": "2.456"},
+        {"driver_number": "x", "gap_to_leader": "garbage"},
+    ])
+    rows = normalize_intervals(iv).collect()
+    assert [(r["driver_number"], r["gap_to_leader"]) for r in rows] == [
+        ("44", "1"), ("16", "2.456"), (None, None),
+    ]
+
+    sess = records_to_raw_df(spark, [
+        {"session_key": 1, "date_end": "2023-11-26T16:00:00",
+         "meeting_name": "Abu Dhabi GP", "session_name": "Race"},
+        {"session_key": 2, "date_end": "not-a-date",
+         "meeting_name": None, "session_name": None},
+    ])
+    got = {r["session_key"]: r for r in normalize_sessions(sess).collect()}
+    assert got["1"]["meeting_name"] == "Abu Dhabi GP"
+    assert got["2"]["meeting_name"] == "Unknown GP"      # F16 default
+    assert got["2"]["session_name"] == "Unknown"
+    assert got["2"]["date_end"] is None                  # F15 coerce
+    assert got["1"]["date_end"] is not None
+
+
 def test_session_window_and_latest_selection(spark):
     sess = records_to_raw_df(spark, SESSIONS).withColumn(
         "date_end", F.col("date_end").cast("timestamp")
