@@ -46,6 +46,41 @@ def token_set(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def hashed_token_set(col: Column) -> Column:
+    """Distinct 60-bit token hashes — jaccard on long arrays costs a
+    fraction of string-array intersects (no per-element UTF8 hashing)
+    and broadcasts smaller. array_distinct AFTER hashing so a (never
+    observed) collision still yields engine-identical set sizes.
+
+    Column form (interpreted HOF) — for bulk use prefer
+    ``hashed_token_sets_df``: a broadcast side evaluates its subtree
+    on one thread, where the interpreted per-token hashing serializes.
+    """
+    return F.array_distinct(
+        F.transform(
+            tokens(col),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("long"),
+        )
+    )
+
+
+def hashed_token_sets_df(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, toks: array<long>) via explode + codegen'd hash +
+    collect_set — the parallel shape of ``hashed_token_set`` (element
+    ORDER may differ, set membership identical; only intersection /
+    union sizes are consumed)."""
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_set(F.col(text_col))).alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    return ex.select("id", h.alias("h")).groupBy("id").agg(
+        F.collect_set("h").alias("toks")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -182,19 +217,12 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     # broadcasting keeps the (large) candidate-pair stream shuffle-free
     # through both verify joins. Re-derived from docs, NOT from `sig`:
     # a broadcast side recomputes its whole subtree, and sig carries
-    # the 16-hash aggregation.
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        token_set(F.col(text_col)).alias("toks"),
-    )
-    return (
-        pairs.join(F.broadcast(
-            toks.withColumnsRenamed({"id": "a_id", "toks": "a_toks"})),
-                   "a_id")
-        .join(F.broadcast(
-            toks.withColumnsRenamed({"id": "b_id", "toks": "b_toks"})),
-              "b_id")
-        .select("a_id", "b_id", _jaccard("a_toks", "b_toks"))
+    # the 16-hash aggregation. Hashed to longs via the parallel
+    # explode+codegen shape; attached via _attach_toks so the two
+    # joins share one BroadcastExchange (ReusedExchange).
+    toks = hashed_token_sets_df(docs, text_col, id_col)
+    return _attach_toks(pairs, toks).select(
+        "a_id", "b_id", _jaccard("a_toks", "b_toks")
     )
 
 
@@ -322,19 +350,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
     )
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        token_set(F.col(text_col)).alias("toks"),
-    )
+    toks = hashed_token_sets_df(docs, text_col, id_col)
     return (
-        pairs.join(F.broadcast(
-            toks.withColumnsRenamed({"id": "a_id", "toks": "a_toks"})),
-                   "a_id")
-        .join(F.broadcast(
-            toks.withColumnsRenamed({"id": "b_id", "toks": "b_toks"})),
-              "b_id")
+        _attach_toks(pairs, toks)
         .select("a_id", "b_id", _jaccard("a_toks", "b_toks"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _attach_toks(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """Join a_toks/b_toks onto (a_id, b_id) pairs from ONE broadcast
+    of ``toks`` — identical build subtrees on both joins let Spark
+    reuse the BroadcastExchange instead of computing it twice
+    (withColumnsRenamed on each side would fork the plans)."""
+    bt = F.broadcast(toks)
+    return (
+        pairs.join(bt.alias("ta"), F.col("a_id") == F.col("ta.id"))
+        .withColumn("a_toks", F.col("ta.toks")).drop("id", "toks")
+        .join(bt.alias("tb"), F.col("b_id") == F.col("tb.id"))
+        .withColumn("b_toks", F.col("tb.toks")).drop("id", "toks")
     )
 
 

@@ -24,6 +24,12 @@ _SQL_TOKS = (
     r"x -> x <> '')"
 )
 
+# DuckDB twin of operators.dedup.hashed_token_set (60-bit token hashes)
+_SQL_HTOKS = (
+    f"list_distinct(list_transform({_SQL_TOKS}, t -> "
+    "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)))"
+)
+
 
 @register(
     "q20_exact_dedup",
@@ -49,7 +55,8 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q21_minhash_lsh",
     f"""
     WITH base AS (
-        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks
+        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks,
+               {_SQL_HTOKS} AS htoks
         FROM documents
     ), sig AS (
         SELECT id, toks,
@@ -71,8 +78,9 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.id < b.id
     )
     SELECT p.a_id, p.b_id,
-           CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
-               / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+           CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE)
+               / len(list_distinct(list_concat(ta.htoks, tb.htoks)))
+               AS jaccard
     FROM pairs p
     JOIN base ta ON ta.id = p.a_id
     JOIN base tb ON tb.id = p.b_id
@@ -134,7 +142,7 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_ngram_jaccard",
     f"""
     WITH base AS (
-        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks,
+        SELECT doc_id AS id, {_SQL_HTOKS} AS toks,
                ({_SQL_TOKS})[1] AS block
         FROM documents
     ), blocked AS (
