@@ -90,6 +90,45 @@ def shingle_fingerprint(text: Column, k: int = SHINGLE_K,
     ).otherwise(F.array().cast("array<long>"))
 
 
+def shingle_fingerprints_df(docs, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = SHINGLE_K,
+                            sketch: int = SKETCH_SIZE):
+    """(id, fingerprint) per doc — the bulk/scale shape of
+    ``shingle_fingerprint``: explode tokens with position, form k-grams
+    via lead() windows, hash codegen-side, bottom-``sketch`` via
+    collect_set + array_sort. One narrow shuffle on doc id; identical
+    values to the column form."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    shingled = ex.select(
+        "id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        parts[-1].isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    fps = shingled.select("id", h.alias("h")).groupBy("id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, sketch)
+        .alias("fingerprint")
+    )
+    # docs shorter than k tokens have no shingles -> empty fingerprint
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(fps, "id", "left")
+        .select(
+            "id",
+            F.coalesce("fingerprint", F.array().cast("array<long>"))
+            .alias("fingerprint"),
+        )
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic 0-1 quality heuristic: length band + lexical
     diversity + token-volume saturation (the standard cheap pre-filter

@@ -342,12 +342,12 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint overlap estimates shingle-set jaccard",
 )
 def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula1_data_pipeline_spark.operators.text import shingle_fingerprint
+    from formula1_data_pipeline_spark.operators.text import (
+        shingle_fingerprints_df,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return docs.select(
-        "doc_id", shingle_fingerprint(F.col("text")).alias("fingerprint")
-    )
+    return shingle_fingerprints_df(docs).withColumnRenamed("id", "doc_id")
 
 
 @register(
