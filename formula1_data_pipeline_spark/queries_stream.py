@@ -66,3 +66,63 @@ def q31_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.streaming import stream_windowed_agg
 
     return stream_windowed_agg(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "q32_sessionization",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL '5 minutes'
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '5 minutes' AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Gap-based sessionization via F.session_window (5-minute gap): "
+        "the streaming-native session operator run in batch mode; the "
+        "oracle derives identical sessions with the classic "
+        "gaps-and-islands lag+cumsum formulation. Session end = last "
+        "event + gap (Spark's session_window semantics)",
+)
+def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
