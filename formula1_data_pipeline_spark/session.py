@@ -18,6 +18,7 @@ Correctness assumptions (documented per SURVEY.md §4):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -67,6 +68,15 @@ def get_spark(
         #     Spark's parquet reader rejects; read as long and convert
         #     (queries.load truncates to micros, matching DuckDB's cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- managed tables (bucketed layouts) land in tmp, not cwd;
+        #     static conf, so it must be set at session build.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-warehouse"),
+            ),
+        )
         # --- quiet non-interactive runs.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))

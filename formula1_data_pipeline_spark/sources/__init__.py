@@ -1,3 +1,7 @@
+from formula1_data_pipeline_spark.sources.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
 from formula1_data_pipeline_spark.sources.openf1 import (
     RecordedClient,
     ingest_session_endpoints,
@@ -17,6 +21,8 @@ from formula1_data_pipeline_spark.sources.sinks import (
 __all__ = [
     "RecordedClient",
     "append_raw",
+    "bucketed_join",
+    "write_bucketed",
     "ingest_session_endpoints",
     "merge_upsert",
     "normalize_intervals",
