@@ -1,5 +1,8 @@
+from formula1_data_pipeline_spark.streaming.stateful import (
+    stateful_first_seen,
+)
 from formula1_data_pipeline_spark.streaming.windowed import (
     stream_windowed_agg,
 )
 
-__all__ = ["stream_windowed_agg"]
+__all__ = ["stateful_first_seen", "stream_windowed_agg"]

@@ -186,6 +186,52 @@ def test_stream_windowed_agg_matches_batch(spark):
     assert len(out) == batch.count() > 0
 
 
+def test_stateful_first_seen_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: streaming first-seen
+    dedup == batch row_number()==1 over the same data."""
+    import os
+    import pathlib
+
+    from pyspark.sql import Window
+
+    from formula1_data_pipeline_spark.queries import load
+    from formula1_data_pipeline_spark.streaming import stateful_first_seen
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    os.symlink(pathlib.Path(f"{sf_dir}/events.parquet"),
+               src / "events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet")
+        .load(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    deduped = stateful_first_seen(stream)
+    q = (
+        deduped.writeStream.format("memory").queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in spark.table("first_seen").collect()
+    }
+
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    expected = {
+        (r["user_id"], r["event_type"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 @pytest.mark.parametrize("media_type", ["image/png", "audio/wav"])
 def test_multimodal_codec_stub_raises(media_type):
     from formula1_data_pipeline_spark.operators.multimodal import decode_media
