@@ -325,21 +325,32 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
         SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_slice(list_sort(list_distinct(
+                       list_transform(range(0, len(toks) - 2), i ->
+                           CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(toks, i + 1, i + 3), ' ')), 1, 15))
+                           AS BIGINT))
+                   )), 1, 8)
+               ELSE [] END AS fingerprint
+        FROM base
+    ), ex AS (
+        SELECT doc_id, unnest(fingerprint) AS shingle_hash FROM fp
     )
     SELECT doc_id,
-           CASE WHEN len(toks) >= 3 THEN
-               list_slice(list_sort(list_distinct(
-                   list_transform(range(0, len(toks) - 2), i ->
-                       CAST(('0x' || substr(md5(array_to_string(
-                           list_slice(toks, i + 1, i + 3), ' ')), 1, 15))
-                       AS BIGINT))
-               )), 1, 8)
-           ELSE [] END AS fingerprint
-    FROM base
+           CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY shingle_hash
+           ) AS INT) AS rank,
+           shingle_hash
+    FROM ex
     """,
     doc="Document fingerprinting (§2.12): bottom-8 sketch of 3-gram "
-        "shingle rolling hashes — order-sensitive near-dup signature; "
-        "fingerprint overlap estimates shingle-set jaccard",
+        "shingle rolling hashes, exploded to one (doc_id, rank, hash) "
+        "row per sketch element so the gate can canonicalize it — "
+        "order-sensitive near-dup signature; fingerprint overlap "
+        "estimates shingle-set jaccard",
 )
 def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.text import (
@@ -347,7 +358,18 @@ def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return shingle_fingerprints_df(docs).withColumnRenamed("id", "doc_id")
+    fps = shingle_fingerprints_df(docs).withColumnRenamed("id", "doc_id")
+    # Sketch arrays are sorted ascending + distinct, so explode position
+    # == rank by hash value; docs shorter than k tokens (empty sketch)
+    # drop out on both sides identically.
+    return fps.select(
+        "doc_id",
+        F.posexplode("fingerprint").alias("pos", "shingle_hash"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        "shingle_hash",
+    )
 
 
 @register(
