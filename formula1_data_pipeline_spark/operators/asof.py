@@ -92,8 +92,14 @@ def asof_join_sorted(
     ``right_tiebreak``: columns ordering right rows that share a
     timestamp (last one wins), so results are deterministic; defaults
     to the payload columns.
+
+    Right rows with a NULL timestamp can never satisfy the reference
+    predicate (``r.ts <= l.ts`` is NULL), but ``asc_nulls_first``
+    would sort them before everything and forward-fill their payload —
+    so they are dropped before the union.
     """
     tiebreak = right_tiebreak or payload
+    right = right.filter(F.col(right_ts).isNotNull())
     l = left.select(
         *left.columns,
         F.col(left_ts).alias(_TS),

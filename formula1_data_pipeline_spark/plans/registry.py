@@ -80,6 +80,7 @@ class ModelRegistry:
         sources: Mapping[str, DataFrame],
         targets: list[str] | None = None,
         materialize_to: str | None = None,
+        register_views: bool = False,
     ) -> dict[str, DataFrame]:
         """Build every model (or the listed targets + upstreams).
 
@@ -87,6 +88,11 @@ class ModelRegistry:
         ``materialized='table'`` are written there as parquet and read
         back (lineage cut == dbt CTAS). When None everything stays lazy,
         which is what tests and the oracle gate want.
+
+        ``register_views``: opt-in ``createOrReplaceTempView(name)`` for
+        each built model so ``spark.sql()`` users see the DAG. Off by
+        default — it mutates session-global temp-view state and would
+        silently clobber same-named views.
         """
         built: dict[str, DataFrame] = dict(sources)
         out: dict[str, DataFrame] = {}
@@ -102,6 +108,6 @@ class ModelRegistry:
                 df = spark.read.parquet(path)
             built[name] = df
             out[name] = df
-            # register as temp view so spark.sql() users see the same DAG
-            df.createOrReplaceTempView(name)
+            if register_views:
+                df.createOrReplaceTempView(name)
         return out

@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 from formula1_data_pipeline_spark.functions.cleaning import stringify_all
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FS API (works
+    for local paths, HDFS, and object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def append_raw(df: DataFrame, path: str,
                partition_by: list[str] | None = None) -> None:
     """S4+S5: land as all-string parquet, append-only."""
@@ -75,12 +84,14 @@ def merge_upsert(
     )
 
     incoming = stringify_all(df)
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    # Only a genuinely missing table may take the fresh-write path; a
+    # transient/corrupt read error must surface, NOT silently overwrite
+    # previously landed data with the incoming batch alone.
+    if not _path_exists(spark, path):
         incoming.write.mode("overwrite").parquet(f"{path}_tmp")
         spark.read.parquet(f"{path}_tmp").write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     merged = dedup_by_priority(
         incoming.unionByName(existing, allowMissingColumns=True),
         keys=keys,

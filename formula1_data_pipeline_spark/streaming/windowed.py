@@ -43,7 +43,11 @@ def stream_windowed_agg(
     its delete+reload (S6).
     """
     # schema must be known up front for a file stream; take it from a
-    # batch read (nanosAsLong conf makes ts a bigint here)
+    # batch read. events.parquet carries TIMESTAMP(NANOS), which the
+    # reader rejects unless nanosAsLong is set — a runtime conf, set
+    # here so externally-supplied sessions (not built by get_spark)
+    # work too, matching queries.load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(events_path).schema
     # FileStreamSource only accepts directories — stage the file(s)
     # behind a symlink dir (zero-copy)

@@ -99,6 +99,27 @@ def test_asof_strategies_agree(built_models, spark):
     assert a.count() == b.count() == laps.count()
 
 
+def test_asof_strategies_agree_on_null_right_ts(spark):
+    """A right row with a NULL timestamp can never match the reference
+    predicate (r.ts <= l.ts is NULL); the sorted strategy must not
+    forward-fill its payload either (ADVICE r1: asc_nulls_first sorted
+    it first, so pos=99 leaked into every left row)."""
+    from formula1_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0)], "k int, lts double"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 15.0, 7)], "k int, rts double, pos int"
+    )
+    kw = dict(on=["k"], left_ts="lts", right_ts="rts", payload=["pos"])
+    a = asof_join(left, right, strategy="sorted", **kw)
+    b = asof_join(left, right, strategy="reference", **kw)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b == {(1, 10.0, None, None), (1, 20.0, 15.0, 7)}
+
+
 def test_features_window_semantics(built_models):
     feats = built_models["int_driver_lap_features"]
     one = feats.filter(
