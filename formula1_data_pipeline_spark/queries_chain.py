@@ -157,10 +157,12 @@ _SQL_LAPS_TYPED = """
 """
 
 
-@register(
-    "q41_model_chain",
-    f"""
-    WITH ev AS (
+# CTE chain shared by q41 (summary mart) and q43 (final_f1 mart):
+# raw synthesis -> staging casts -> W2/U1/W1 dedups -> J1 as-of join
+# (sdl) -> the full W3-W8 feature set (feat). Everything through feat is
+# engine-agnostic ANSI SQL.
+_SQL_CHAIN_FEAT = f"""
+    ev AS (
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
                value
         FROM events
@@ -253,11 +255,16 @@ _SQL_LAPS_TYPED = """
         ) WHERE rn = 1
     ), sdl AS (
         SELECT meeting_key, session_key, driver_number, lap_number,
-               lap_start_time, lap_time, is_pit_out_lap, race_position
+               lap_start_time, lap_time, sector1_time, sector2_time,
+               sector3_time, i1_speed_kph, i2_speed_kph, st_speed_kph,
+               is_pit_out_lap, season_year, is_realtime, race_position
         FROM (
             SELECT l.meeting_key, l.session_key, l.driver_number,
                    l.lap_number, l.lap_start_time, l.lap_time,
-                   l.is_pit_out_lap, p.race_position,
+                   l.sector1_time, l.sector2_time, l.sector3_time,
+                   l.i1_speed_kph, l.i2_speed_kph, l.st_speed_kph,
+                   l.is_pit_out_lap, l.season_year, l.is_realtime,
+                   p.race_position,
                    row_number() OVER (
                        PARTITION BY l.meeting_key, l.session_key,
                                     l.driver_number, l.lap_number
@@ -273,6 +280,12 @@ _SQL_LAPS_TYPED = """
         ) WHERE rn = 1
     ), feat AS (
         SELECT *,
+               lag(lap_time) OVER w_ord                 AS prev_lap_time,
+               lead(lap_time) OVER w_ord                AS next_lap_time,
+               avg(lap_time) OVER w5                    AS rolling_avg_5_laps,
+               lag(lap_time) OVER w_ord - lap_time      AS pace_momentum,
+               lag(race_position) OVER w_ord - race_position
+                                                        AS position_momentum,
                lap_time - min(lap_time) OVER w_all      AS degradation_index,
                stddev_samp(lap_time) OVER w5            AS pace_stability_index,
                coalesce(
@@ -286,13 +299,23 @@ _SQL_LAPS_TYPED = """
                            ) * 40
                       ELSE 0 END                        AS performance_score_raw
         FROM sdl
-        WINDOW w5 AS (PARTITION BY meeting_key, session_key, driver_number
+        WINDOW w_ord AS (PARTITION BY meeting_key, session_key,
+                                      driver_number
+                         ORDER BY lap_number),
+               w5 AS (PARTITION BY meeting_key, session_key, driver_number
                       ORDER BY lap_number
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
                w_all AS (PARTITION BY meeting_key, session_key,
                                       driver_number),
                w_sess AS (PARTITION BY meeting_key, session_key)
     )
+"""
+
+
+@register(
+    "q41_model_chain",
+    f"""
+    WITH {_SQL_CHAIN_FEAT}
     SELECT meeting_key, session_key, driver_number,
            min(lap_number)                 AS first_lap,
            max(lap_number)                 AS last_lap,
@@ -489,4 +512,102 @@ def q42_race_control_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meeting_key", "session_key", "event_timestamp", "driver_number",
         "lap_number", "category", "flag", "scope", "sector", "message",
         "is_realtime",
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — the full mart layer: final_f1 (== fct_driver_laps columns + the
+# J2 agg-back join of fct_driver_race_summary), reference
+# dbt/models/marts/final_f1.sql:65-83, run through the REAL registry.
+# --------------------------------------------------------------------------
+
+# volatile doubles (engine accumulation order differs) rounded to 6 dp
+# on BOTH sides; exact columns (casts, subtractions, mins of exact
+# values) pass through unrounded.
+_Q43_LAP_COLS = """
+           l.meeting_key, l.session_key, l.driver_number, l.lap_number,
+           l.lap_start_time, l.lap_time, l.sector1_time, l.sector2_time,
+           l.sector3_time, l.i1_speed_kph, l.i2_speed_kph, l.st_speed_kph,
+           l.is_pit_out_lap, l.season_year, l.is_realtime, l.race_position,
+           l.prev_lap_time, l.next_lap_time,
+           round(l.rolling_avg_5_laps, 6) AS rolling_avg_5_laps,
+           l.pace_momentum,
+           round(l.pace_stability_index, 6) AS pace_stability_index,
+           l.degradation_index, l.position_momentum,
+           round(l.performance_score_raw, 6) AS performance_score_raw,
+           l.pace_state, l.track_position_state
+"""
+
+
+@register(
+    "q43_final_f1",
+    f"""
+    WITH {_SQL_CHAIN_FEAT}, lab AS (
+        SELECT *,
+               CASE WHEN pace_momentum > 0.3 AND degradation_index < 1.0
+                         THEN 'ATTACKING_PACE'
+                    WHEN degradation_index > 2.5
+                         THEN 'HIGH_TYRE_DEGRADATION'
+                    WHEN pace_stability_index < 0.15
+                         THEN 'HIGHLY_CONSISTENT_PACE'
+                    ELSE 'BASELINE_RACE_PACE' END AS pace_state,
+               CASE WHEN position_momentum > 0 THEN 'GAINING_POSITIONS'
+                    WHEN position_momentum < 0 THEN 'LOSING_POSITIONS'
+                    ELSE 'HOLDING_POSITION' END AS track_position_state
+        FROM feat
+    ), summary AS (
+        SELECT meeting_key, session_key, driver_number,
+               min(lap_number)                 AS first_lap,
+               max(lap_number)                 AS last_lap,
+               min(race_position)              AS best_position,
+               max(race_position)              AS worst_position,
+               min(lap_time)                   AS best_lap_time,
+               round(avg(lap_time), 6)         AS avg_lap_time,
+               round(avg(pace_stability_index), 6)  AS avg_psi,
+               round(avg(degradation_index), 6)     AS avg_degradation,
+               round(avg(performance_score_raw), 6) AS avg_performance_score,
+               CAST(sum(CASE WHEN is_pit_out_lap THEN 1 ELSE 0 END)
+                    AS BIGINT)                 AS pit_stop_count
+        FROM feat
+        GROUP BY 1, 2, 3
+    )
+    SELECT {_Q43_LAP_COLS},
+           s.first_lap, s.last_lap, s.best_position, s.worst_position,
+           s.best_lap_time, s.avg_lap_time, s.avg_psi, s.avg_degradation,
+           s.avg_performance_score, s.pit_stop_count
+    FROM lab l
+    LEFT JOIN summary s
+      ON s.meeting_key = l.meeting_key
+     AND s.session_key = l.session_key
+     AND s.driver_number = l.driver_number
+    """,
+    doc="The full mart layer under the gate: final_f1 = per-lap detail "
+        "(every fct_driver_laps column, incl. the 2 label ladders it "
+        "carries) LEFT JOIN its own session summary (J2 agg-back, "
+        "broadcast side) — run through the real registry to the "
+        "final_f1 model; oracle replays the whole chain + join in SQL",
+)
+def q43_final_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+
+    raw = synth_raw_tables(spark, sf_dir)
+    built = REGISTRY.run(spark, raw, targets=["final_f1"])
+    f = built["final_f1"]
+    keep = [
+        c for c in f.columns
+        if c not in {"rolling_avg_5_laps", "pace_stability_index",
+                     "performance_score_raw", "avg_lap_time", "avg_psi",
+                     "avg_degradation", "avg_performance_score",
+                     "pit_stop_count"}
+    ]
+    return f.select(
+        *keep,
+        F.round("rolling_avg_5_laps", 6).alias("rolling_avg_5_laps"),
+        F.round("pace_stability_index", 6).alias("pace_stability_index"),
+        F.round("performance_score_raw", 6).alias("performance_score_raw"),
+        F.round("avg_lap_time", 6).alias("avg_lap_time"),
+        F.round("avg_psi", 6).alias("avg_psi"),
+        F.round("avg_degradation", 6).alias("avg_degradation"),
+        F.round("avg_performance_score", 6).alias("avg_performance_score"),
+        F.col("pit_stop_count").cast("long").alias("pit_stop_count"),
     )
