@@ -23,8 +23,18 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double (deterministic order)."""
+def dot(a, b, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in double (deterministic order).
+
+    Stays the interpreted ``zip_with``/``aggregate`` fold on purpose:
+    unrolling the fold into a 64-term GetArrayItem sum chain was built
+    and measured (round 2) at 3-5x SLOWER end-to-end — the ~400-node
+    expression trees blow up codegen/compile time and fall out of
+    whole-stage codegen. The cheap structural win is precomputing
+    norms per *vector* instead of per *pair* (see ``with_norm``); the
+    remaining per-pair fold is candidate-bounded. ``dim`` is accepted
+    for API stability and ignored.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -32,12 +42,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+def cosine(a, b, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
+
+
+def cosine_from_norms(a: Column, b: Column, norm_a: Column,
+                      norm_b: Column) -> Column:
+    """Cosine with the norms supplied from per-vector precomputation —
+    one fold per pair instead of three. Bit-identical to ``cosine``:
+    same dot fold, same operands to the final division."""
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 
 
 def cosine_topk(
@@ -47,24 +65,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self).
 
     Output: q_id, n_id, cos_sim, rank. ``round_dp`` rounds the score
     before ranking (with an id tiebreak) so rankings are reproducible
-    across engines; pass None for raw scores.
+    across engines; pass None for raw scores. Pass ``dim`` to unroll
+    the per-pair cosine into codegen (see ``dot``).
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("n_norm", norm(F.col("n_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .select(
             "q_id", "n_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_raw"),
+            cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
+                              F.col("q_norm"), F.col("n_norm"))
+            .alias("cos_raw"),
         )
     )
     score = (
@@ -101,7 +123,8 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-bit sketch: bucket id from n hyperplane sign bits."""
+    """Sign-bit sketch: bucket id from n hyperplane sign bits.
+    Per-row (not per-pair) cost — the interpreted fold is fine here."""
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
@@ -129,16 +152,25 @@ def ann_lsh_topk(
     """
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), dim, n_planes))
+    ).withColumns({
+        "bucket": lsh_bucket(F.col("q_vec"), dim, n_planes),
+        "q_norm": norm(F.col("q_vec")),
+    })
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("n_vec"), dim, n_planes))
+    ).withColumns({
+        "bucket": lsh_bucket(F.col("n_vec"), dim, n_planes),
+        "n_norm": norm(F.col("n_vec")),
+    })
     scored = (
         c.join(q, "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id", "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
+                                  F.col("q_norm"), F.col("n_norm")), 6)
+            .alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -170,17 +202,22 @@ def embedding_neardup_pairs(
     """
     v = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
+    ).withColumns({
+        "bucket": lsh_bucket(F.col("vec"), dim, n_planes),
+        "nrm": norm(F.col("vec")),
+    })
     a = v.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
-                 "bucket")
+                 F.col("nrm").alias("a_norm"), "bucket")
     b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
-                 "bucket")
+                 F.col("nrm").alias("b_norm"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+            F.round(
+                cosine_from_norms(F.col("a_vec"), F.col("b_vec"),
+                                  F.col("a_norm"), F.col("b_norm")), 6)
             .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -219,7 +219,7 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5,
-        id_col="vec_id", vec_col="embedding",
+        id_col="vec_id", vec_col="embedding", dim=64,
     )
 
 
