@@ -192,7 +192,8 @@ def minhash_bands(sig: Column, n_hashes: int = N_HASHES,
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            n_hashes: int = N_HASHES,
-                           band_size: int = BAND_SIZE) -> DataFrame:
+                           band_size: int = BAND_SIZE,
+                           n_salts: int = 32) -> DataFrame:
     """Candidate near-dup pairs (a_id < b_id) sharing >= 1 LSH band,
     annotated with exact token-set jaccard.
 
@@ -201,18 +202,54 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     band keys; jaccard is computed after re-joining token sets for
     candidates only. AQE handles hot bands (boilerplate texts).
     """
+    n_bands = n_hashes // band_size
     sig = minhash_signatures_df(docs, text_col, id_col, n_hashes).select(
-        "id", "toks",
+        "id",
         minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
     )
-    banded = sig.select("id", F.explode("bands").alias("band"))
-    pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band")
+    banded = sig.select("id", F.posexplode("bands").alias("bidx", "band"))
+    # Salt the band key to parallelize the expansion join: the shuffled
+    # (band, id) rows are tiny, so AQE coalesces the exchange to ~1
+    # partition — but the pair blowup happens INSIDE the join, which
+    # then runs (with the jaccard verify downstream) single-task.
+    # a-side gets salt = hash(id) % S; b-side replicates each row
+    # across all S salts, so every (a, b) pair meets in exactly one
+    # (band, salt) bucket and a hot band spreads over S tasks. The
+    # explicit repartition pins the partitioning (user repartition is
+    # exempt from AQE coalescing); replication costs S x the tiny
+    # banded side, nothing at any scale.
+    a_side = banded.withColumn(
+        "salt", F.pmod(F.hash("id"), F.lit(n_salts))
+    ).repartition(n_salts, "band", "salt")
+    b_side = banded.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    ).repartition(n_salts, "band", "salt")
+    cand = (
+        a_side.alias("a")
+        .join(b_side.alias("b"), ["band", "salt"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.bidx").alias("bidx"),
+        )
     )
+    # Min-band dedup instead of a global distinct: a pair colliding in
+    # k bands appears k times in `cand`; keep only the copy from the
+    # FIRST band the pair shares. The check needs each side's band
+    # array — attached from one shared broadcast (band keys embed the
+    # band index, so a_bands[j] == b_bands[j] iff they collide in band
+    # j). This replaces a full shuffle of the candidate stream (24M
+    # rows at sf0.1) with a codegen'd filter — the verify pipeline
+    # becomes a single narrow stage after the band join.
+    cand = _attach_pair_payload(cand, sig, "bands")
+    first_shared = F.when(
+        F.col("a_bands")[0] == F.col("b_bands")[0], 0
+    )
+    for j in range(1, n_bands):
+        first_shared = first_shared.when(
+            F.col("a_bands")[j] == F.col("b_bands")[j], j
+        )
+    pairs = cand.filter(F.col("bidx") == first_shared).select("a_id", "b_id")
     # token sets are one row per doc — tiny next to the pair set;
     # broadcasting keeps the (large) candidate-pair stream shuffle-free
     # through both verify joins. Re-derived from docs, NOT from `sig`:
@@ -358,18 +395,24 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def _attach_toks(pairs: DataFrame, toks: DataFrame) -> DataFrame:
-    """Join a_toks/b_toks onto (a_id, b_id) pairs from ONE broadcast
-    of ``toks`` — identical build subtrees on both joins let Spark
-    reuse the BroadcastExchange instead of computing it twice
-    (withColumnsRenamed on each side would fork the plans)."""
-    bt = F.broadcast(toks)
+def _attach_pair_payload(pairs: DataFrame, payload: DataFrame,
+                         col: str) -> DataFrame:
+    """Join ``payload``'s ``col`` onto (a_id, b_id) pairs as
+    a_{col}/b_{col} from ONE broadcast — identical build subtrees on
+    both joins let Spark reuse the BroadcastExchange instead of
+    computing it twice (withColumnsRenamed on each side would fork the
+    plans). ``payload`` must be (id, {col})."""
+    bp = F.broadcast(payload)
     return (
-        pairs.join(bt.alias("ta"), F.col("a_id") == F.col("ta.id"))
-        .withColumn("a_toks", F.col("ta.toks")).drop("id", "toks")
-        .join(bt.alias("tb"), F.col("b_id") == F.col("tb.id"))
-        .withColumn("b_toks", F.col("tb.toks")).drop("id", "toks")
+        pairs.join(bp.alias("pa"), F.col("a_id") == F.col("pa.id"))
+        .withColumn(f"a_{col}", F.col(f"pa.{col}")).drop("id", col)
+        .join(bp.alias("pb"), F.col("b_id") == F.col("pb.id"))
+        .withColumn(f"b_{col}", F.col(f"pb.{col}")).drop("id", col)
     )
+
+
+def _attach_toks(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    return _attach_pair_payload(pairs, toks, "toks")
 
 
 def _jaccard(a: str, b: str):
