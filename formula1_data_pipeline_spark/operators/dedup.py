@@ -359,6 +359,63 @@ def simhash_dedup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_distance: int = 3,
+                          n_slices: int = 4,
+                          bits_per_slice: int = 15) -> DataFrame:
+    """Simhash-group pairs within hamming distance [1, max_distance]
+    (distance 0 — identical sketches — is ``simhash_dedup_groups``).
+
+    Pigeonhole blocking: a pair differing in <= max_distance bits
+    differs in <= max_distance of the ``n_slices`` bit slices, so with
+    ``n_slices > max_distance`` it must share at least one slice
+    verbatim. Candidates = pairs sharing (slice index, slice value);
+    exact hamming via bit_count(xor) on candidates only. Operating on
+    *distinct sketches* (not docs) bounds the join: the sliced table
+    has n_slices rows per distinct sketch, the shuffle key is the
+    16ish-bit slice value — the standard scale-out shape for hamming
+    joins. Output: one row per near-dup group pair with canonical ids
+    and the doc-pair count (n_docs_a x n_docs_b).
+    """
+    if n_slices <= max_distance:
+        raise ValueError("need n_slices > max_distance for pigeonhole "
+                         "completeness")
+    groups = simhash_dedup_groups(docs, text_col, id_col)
+    mask = (1 << bits_per_slice) - 1
+    slice_keys = F.array(*[
+        F.struct(
+            F.lit(s).alias("sidx"),
+            F.shiftright(F.col("simhash"), bits_per_slice * s)
+            .bitwiseAND(F.lit(mask)).alias("skey"),
+        )
+        for s in range(n_slices)
+    ])
+    sliced = groups.select(
+        "simhash", "canonical_id", "n_docs",
+        F.explode(slice_keys).alias("sk"),
+    ).select(
+        "simhash", "canonical_id", "n_docs",
+        F.col("sk.sidx").alias("sidx"), F.col("sk.skey").alias("skey"),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        sliced.alias("a")
+        .join(sliced.alias("b"), ["sidx", "skey"])
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
+        .select(
+            F.col("a.simhash").alias("a_simhash"),
+            F.col("b.simhash").alias("b_simhash"),
+            ham.cast("int").alias("hamming"),
+            F.col("a.canonical_id").alias("a_canonical_id"),
+            F.col("b.canonical_id").alias("b_canonical_id"),
+            (F.col("a.n_docs") * F.col("b.n_docs")).alias("n_pair_docs"),
+        )
+        .filter((F.col("hamming") >= 1) & (F.col("hamming") <= max_distance))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # banded n-gram jaccard (non-LSH baseline)
 # ---------------------------------------------------------------------------

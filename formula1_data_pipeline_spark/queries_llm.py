@@ -98,10 +98,11 @@ def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
 
 
-@register(
-    "q22_simhash",
-    f"""
-    WITH base AS (
+# DuckDB twin of operators.dedup.simhash_df: CTE chain ending in
+# sim(id, simhash) — shared by q22 (distance-0 groups) and q29
+# (hamming 1-3 near-dup pairs).
+_SQL_SIM_CTES = f"""
+    base AS (
         SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks
         FROM documents
     ), tokrows AS (
@@ -123,6 +124,13 @@ def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id, sum(bitval) AS sh FROM bits GROUP BY id
         ) s USING (id)
     )
+"""
+
+
+@register(
+    "q22_simhash",
+    f"""
+    WITH {_SQL_SIM_CTES}
     SELECT simhash, min(id) AS canonical_id, count(*) AS n_docs
     FROM sim GROUP BY 1
     """,
@@ -136,6 +144,45 @@ def q22_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return simhash_dedup_groups(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "q29_simhash_neardup",
+    f"""
+    WITH {_SQL_SIM_CTES}, groups AS (
+        SELECT simhash, min(id) AS canonical_id, count(*) AS n_docs
+        FROM sim GROUP BY 1
+    ), sliced AS (
+        SELECT simhash, canonical_id, n_docs, s.sidx,
+               (simhash >> (15 * s.sidx)) & 32767 AS skey
+        FROM groups CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sidx) s
+    )
+    SELECT DISTINCT
+           a.simhash AS a_simhash,
+           b.simhash AS b_simhash,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+           a.canonical_id AS a_canonical_id,
+           b.canonical_id AS b_canonical_id,
+           a.n_docs * b.n_docs AS n_pair_docs
+    FROM sliced a
+    JOIN sliced b ON a.sidx = b.sidx AND a.skey = b.skey
+    WHERE a.simhash < b.simhash
+      AND bit_count(xor(a.simhash, b.simhash)) BETWEEN 1 AND 3
+    """,
+    doc="SimHash near-dup at hamming distance 1-3 (§2.12): pigeonhole "
+        "blocking on 4x15-bit slices (<=3 differing bits must leave one "
+        "slice identical), exact bit_count(xor) verify on candidates, "
+        "computed over distinct sketches so the join is bounded by "
+        "sketch-group count, not doc count",
+)
+def q29_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return simhash_neardup_pairs(docs, text_col="text", id_col="doc_id",
+                                 max_distance=3)
 
 
 @register(
