@@ -1,0 +1,71 @@
+"""ANN quality instrumentation (VERDICT r1 item 7).
+
+Measures recall@k of the LSH-bucketed ANN (q26 path) against the exact
+brute-force baseline (q24 path) on the shared synthetic embeddings, and
+locks a floor so a recall regression (e.g. a banding change that
+silently drops candidates) fails CI rather than shipping as a silently
+worse index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    lsh_bucket_keys,
+    _lsh_bucketed,
+)
+from tests.conftest import sf_dir
+
+
+def _load_emb(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir('0.001')}/embeddings.parquet")
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r.q_id, r.n_id) for r in df.select("q_id", "n_id").collect()}
+
+
+def test_ann_recall_floor(spark):
+    """Multi-table 16x5 LSH must recover >= 60% of the exact top-5.
+
+    Measured ~0.7-0.9 on the synthetic corpus (true neighbors sit at
+    cos ~0.32, so single-table 8-plane recall is 0.02-0.06 — the
+    multi-table sketch is what makes the index usable here).
+    """
+    emb = _load_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = _pairs(cosine_topk(emb, queries, k=5,
+                               id_col="vec_id", vec_col="embedding"))
+    approx = _pairs(ann_lsh_topk(emb, queries, dim=64, k=5,
+                                 n_tables=16, n_planes=5,
+                                 id_col="vec_id", vec_col="embedding"))
+    assert exact, "exact baseline returned no pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall@5 regressed: {recall:.2f}"
+
+
+def test_bulk_bucketing_matches_column_form(spark):
+    """The explode+join bulk path must emit exactly the bucket keys the
+    per-row column form defines (same planes, same key layout)."""
+    emb = _load_emb(spark).limit(50)
+    col_form = {
+        (r.vec_id, b)
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket_keys(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dim=64, n_tables=4, n_planes=5,
+            ).alias("keys"),
+        ).collect()
+        for b in r.keys
+    }
+    bulk = {
+        (r.n_id, r.bucket)
+        for r in _lsh_bucketed(emb, 64, 4, 5, "vec_id", "embedding",
+                               "n_").collect()
+    }
+    assert bulk == col_form
