@@ -28,6 +28,24 @@ def run_one(spark, spec, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _warn_regressions(times: dict[str, float], factor: float = 2.0) -> None:
+    """Compare against bench_baseline.json and shout (stderr only — the
+    driver parses stdout as one JSON line) when a query regresses more
+    than ``factor``x. Sub-second baselines are padded to 1 s so JVM
+    jitter on tiny queries doesn't page anyone."""
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if not os.path.exists(base_path):
+        return
+    with open(base_path) as f:
+        baseline = json.load(f)["queries"]
+    for name, t in times.items():
+        b = baseline.get(name)
+        if b is not None and t > max(b, 1.0) * factor:
+            print(f"bench REGRESSION: {name} {t:.2f}s vs baseline "
+                  f"{b:.2f}s (> {factor}x)", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -47,6 +65,7 @@ def main() -> None:
             continue
         times[name] = round(run_one(spark, spec, sf_dir), 3)
 
+    _warn_regressions(times)
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "catalog_wall_seconds",
