@@ -270,6 +270,110 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_assign(base: DataFrame, coefs: DataFrame, n_best: int,
+                out_prefix: str) -> DataFrame:
+    """Assign each (id, vec, nrm) row to its ``n_best`` closest
+    centroids by cosine (constant |x| dropped from the argmax).
+
+    Same bulk shape as LSH bucketing: explode once, broadcast-join the
+    (d, cluster, coef, cnorm) centroid table, one codegen'd SUM per
+    (id, cluster) — the centroid set stays tiny (offline k-means at
+    scale), so assignment is map-side work plus one skinny shuffle.
+    Ties break to the lowest cluster id, mirrored in the oracle."""
+    from pyspark.sql import Window
+
+    ex = base.select("id", F.posexplode("vec").alias("d", "val"))
+    scores = (
+        ex.join(F.broadcast(coefs), "d")
+        .groupBy("id", "cluster", "cnorm")
+        .agg(F.sum(F.col("val") * F.col("coef")).alias("dot"))
+        .select(
+            "id", "cluster",
+            (F.col("dot") / F.nullif(F.col("cnorm"), F.lit(0.0)))
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        scores.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_best)
+        .select("id", "cluster")
+    )
+    return base.join(assigned, "id").select(
+        F.col("id").alias(f"{out_prefix}id"),
+        F.col("vec").alias(f"{out_prefix}vec"),
+        F.col("nrm").alias(f"{out_prefix}norm"),
+        "cluster",
+    )
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into
+    ``n_centroids`` inverted lists (each vector joins its single
+    closest centroid), probe the ``n_probe`` closest lists per query,
+    exact cosine on the probed lists only.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    deterministic and oracle-replayable; a production deployment swaps
+    in offline k-means centroids (the operator only needs the
+    (cluster, d, coef) table, so that swap is a one-line change).
+
+    Scale shape: candidate volume is ~n_probe/n_centroids of the
+    corpus per query; the corpus shuffles once on cluster keys, the
+    probed query side broadcasts. Output schema matches cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    base_c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    base_q = queries.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+
+    cent = (
+        base_c.orderBy("id").limit(n_centroids)
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy("id")) - 1
+        )
+    )
+    coefs = cent.select(
+        "cluster", F.col("nrm").alias("cnorm"),
+        F.posexplode("vec").alias("d", "coef"),
+    )
+
+    c = _ivf_assign(base_c, coefs, 1, "n_")
+    q = _ivf_assign(base_q, coefs, n_probe, "q_")
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(
+                cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
+                                  F.col("q_norm"), F.col("n_norm")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,

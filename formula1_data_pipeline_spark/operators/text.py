@@ -57,6 +57,29 @@ def predict_lang(tok_set: Column) -> Column:
     return expr
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs that
+# Java regex (Spark) and RE2 (DuckDB oracle) evaluate identically: no
+# lookahead (RE2 lacks it), ASCII classes only (the engines' \w/unicode
+# property semantics differ). Matches contraction suffixes, space-glued
+# letter runs, digit runs, and punctuation runs; whitespace not claimed
+# by a leading ' ?' is simply skipped by extract-all, which replaces the
+# canonical pattern's '\s+(?!\S)' tail.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens of raw text (case preserved, leading space
+    kept on the token — the GPT-2 convention). A cheap, codegen'd
+    stand-in for a real BPE vocab merge: counts from this pattern track
+    true BPE token counts closely enough for length filtering and
+    cost estimation over a 100 TB corpus."""
+    return F.regexp_extract_all(col, F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 SHINGLE_K = 3      # tokens per shingle
 SKETCH_SIZE = 8    # bottom-k sketch size
 

@@ -490,3 +490,117 @@ def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.predict_lang(tset).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     )
+
+
+# BPE pattern with SQL apostrophes doubled for the DuckDB literal.
+def _bpe_sql_pattern() -> str:
+    from formula1_data_pipeline_spark.operators.text import BPE_REGEX
+
+    return BPE_REGEX.replace("'", "''")
+
+
+@register(
+    "q33_bpe_token_stats",
+    rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
+               AS n_bpe_tokens,
+           len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
+                      AS DOUBLE)
+                 / nullif(len(regexp_extract_all(text, '\S+')), 0), 6)
+               AS bpe_per_word
+    FROM documents
+    """,
+    doc="Token-cost estimation (§2.12): BPE-ish pre-tokenizer counts "
+        "(GPT-2-style regex, restricted to the Java-regex/RE2 common "
+        "subset so Spark and the oracle tokenize bit-identically) next "
+        "to whitespace word counts — the standard per-document cost / "
+        "length-filter signal for an LLM corpus. Narrow shuffle-free "
+        "codegen'd projection; regexp_extract_all runs JVM-side",
+)
+def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_bpe = T.bpe_token_count(F.col("text"))
+    n_ws = F.size(T.tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / F.nullif(n_ws, F.lit(0)), 6)
+        .alias("bpe_per_word"),
+    )
+
+
+@register(
+    "q34_ivf_flat_topk",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id, vec,
+               row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+               sqrt({_SQL_DOT.format(a='vec', b='vec')}) AS cnorm
+        FROM vecs ORDER BY vec_id LIMIT 16
+    ), scores AS (
+        SELECT v.vec_id AS id, cent.cluster,
+               {_SQL_DOT.format(a='v.vec', b='cent.vec')}
+               / nullif(cent.cnorm, 0.0) AS score
+        FROM vecs v CROSS JOIN cent
+    ), assign_c AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM scores
+        ) WHERE crank = 1
+    ), probes AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM scores WHERE id < 10
+        ) WHERE crank <= 4
+    ), scored AS (
+        SELECT q.id AS q_id, c.id AS n_id,
+               round(
+                   {_SQL_DOT.format(a='qv.vec', b='cv.vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='qv.vec', b='qv.vec')})
+                            * sqrt({_SQL_DOT.format(a='cv.vec', b='cv.vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM probes q
+        JOIN assign_c c USING (cluster)
+        JOIN vecs qv ON qv.vec_id = q.id
+        JOIN vecs cv ON cv.vec_id = c.id
+        WHERE q.id <> c.id
+    ), ranked AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF-flat ANN (§2.12 scale path #2, next to q26's LSH): corpus "
+        "partitioned into 16 inverted lists by closest centroid "
+        "(deterministic first-16 centroids; production swaps in offline "
+        "k-means via the same (cluster, d, coef) table), queries probe "
+        "their 4 closest lists, exact cosine on probed lists only. "
+        "Candidate volume ~n_probe/n_centroids of the corpus per query; "
+        "centroid table broadcasts, corpus shuffles once on cluster",
+)
+def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import (
+        ivf_flat_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_flat_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+        n_centroids=16, n_probe=4,
+        id_col="vec_id", vec_col="embedding",
+    )
