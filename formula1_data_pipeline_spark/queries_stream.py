@@ -69,6 +69,35 @@ def q31_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q35_stream_stateful_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+    doc="Custom stateful streaming operator under the gate (§2.10): "
+        "applyInPandasWithState first-seen dedup — per-user state holds "
+        "the set of already-emitted event_types (hashed longs, bounded "
+        "by subkey cardinality, not stream length), each micro-batch "
+        "emits only never-before-seen (user, type) rows. Run as a real "
+        "stream (file source -> state store -> AvailableNow -> memory "
+        "sink); over one bounded replay the emission equals the "
+        "row_number()=1 first row per key, which the oracle replays",
+)
+def q35_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.streaming import stream_stateful_dedup
+
+    return stream_stateful_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "q32_sessionization",
     """
     WITH ev AS (

@@ -21,7 +21,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -54,19 +54,25 @@ def stateful_first_seen(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (seen,) = state.get if state.exists else ([],)
         seen_set = set(seen)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
-            emit_mask = []
-            for sk in pdf[subkey_col]:
-                h = _h64(str(sk))
-                if h in seen_set:
-                    emit_mask.append(False)
-                else:
-                    seen_set.add(h)
-                    emit_mask.append(True)
-            out = pdf[pd.Series(emit_mask, index=pdf.index)]
-            if len(out):
-                yield out
+        # Concatenate the group's Arrow chunks BEFORE sorting: a group
+        # larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks, and chunk-local sorts would make first-seen depend on
+        # chunk boundaries. One micro-batch's group fits executor
+        # memory by the same argument as any applyInPandas group.
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        emit_mask = []
+        for sk in pdf[subkey_col]:
+            h = _h64(str(sk))
+            if h in seen_set:
+                emit_mask.append(False)
+            else:
+                seen_set.add(h)
+                emit_mask.append(True)
+        out = pdf[pd.Series(emit_mask, index=pdf.index)]
+        if len(out):
+            yield out
         state.update((sorted(seen_set),))
 
     return events.groupBy(key_col).applyInPandasWithState(
@@ -76,3 +82,54 @@ def stateful_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stateful_dedup(
+    spark: SparkSession,
+    events_path: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run ``stateful_first_seen`` over the events table as a real
+    Structured Streaming query (file source -> applyInPandasWithState
+    -> AvailableNow -> memory sink) and return the emitted rows.
+
+    Over a bounded backlog replayed in one AvailableNow pass this emits
+    exactly the min-(ts, event_id) row per (user_id, event_type) —
+    which is what the DuckDB oracle replays with row_number() = 1. On
+    a live unbounded stream the same operator keeps emitting only
+    never-before-seen subkeys, state bounded by subkey cardinality.
+    """
+    import os
+    import pathlib
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(events_path).schema
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    p = pathlib.Path(events_path)
+    os.symlink(p, pathlib.Path(src_dir) / p.name)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(src_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+
+    deduped = stateful_first_seen(stream)
+    qname = f"first_seen_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return spark.table(qname)
