@@ -35,13 +35,49 @@ from pyspark.sql import functions as F
 from formula1_data_pipeline_spark.functions.cleaning import stringify_all
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def _path_exists(spark: SparkSession, path: str) -> bool:
     """Filesystem-agnostic existence check via the Hadoop FS API (works
     for local paths, HDFS, and object stores alike)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = _fs(spark, path)
     return fs.exists(hpath)
+
+
+def _swap_in(spark: SparkSession, staged: str, path: str) -> None:
+    """Promote a fully-written staged directory to ``path`` with
+    directory renames — atomic on POSIX and HDFS, so a concurrent
+    reader sees either the old table or the new one, never a
+    half-overwritten mix of both (the failure mode of overwriting the
+    live directory in place). The displaced old table is removed only
+    after the new one is live; on any earlier failure the live table
+    is untouched and only a staged/old dir leaks for manual cleanup.
+
+    Object stores have no atomic rename — there the production path is
+    a transactional table format (Delta/Iceberg MERGE, reference
+    semantics ``dags/open_f1_realtime.py:153-170``); this rename
+    protocol is the strongest dependency-free equivalent.
+    """
+    import uuid
+
+    jvm = spark._jvm
+    fs, hpath = _fs(spark, path)
+    hstaged = jvm.org.apache.hadoop.fs.Path(staged)
+    hold = jvm.org.apache.hadoop.fs.Path(f"{path}.old-{uuid.uuid4().hex[:8]}")
+    if fs.exists(hpath):
+        if not fs.rename(hpath, hold):
+            raise IOError(f"swap: could not displace live table {path}")
+    if not fs.rename(hstaged, hpath):
+        # roll the old table back so readers keep a live path
+        if fs.exists(hold):
+            fs.rename(hold, hpath)
+        raise IOError(f"swap: could not promote staged table to {path}")
+    if fs.exists(hold):
+        fs.delete(hold, True)
 
 
 def append_raw(df: DataFrame, path: str,
@@ -83,24 +119,26 @@ def merge_upsert(
         dedup_by_priority,
     )
 
+    import uuid
+
     incoming = stringify_all(df)
+    staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
     # Only a genuinely missing table may take the fresh-write path; a
     # transient/corrupt read error must surface, NOT silently overwrite
     # previously landed data with the incoming batch alone.
     if not _path_exists(spark, path):
-        incoming.write.mode("overwrite").parquet(f"{path}_tmp")
-        spark.read.parquet(f"{path}_tmp").write.mode("overwrite").parquet(path)
-        return
-    existing = spark.read.parquet(path)
-    merged = dedup_by_priority(
-        incoming.unionByName(existing, allowMissingColumns=True),
-        keys=keys,
-        order=order,
-    )
-    # parquet reads lazily from the files being overwritten — stage
-    # through a temp dir to avoid reading-while-writing
-    merged.write.mode("overwrite").parquet(f"{path}_tmp")
-    spark.read.parquet(f"{path}_tmp").write.mode("overwrite").parquet(path)
+        incoming.write.mode("overwrite").parquet(staged)
+    else:
+        existing = spark.read.parquet(path)
+        merged = dedup_by_priority(
+            incoming.unionByName(existing, allowMissingColumns=True),
+            keys=keys,
+            order=order,
+        )
+        # the merged plan reads lazily from the live files — fully
+        # materialize into the staged dir before touching the table
+        merged.write.mode("overwrite").parquet(staged)
+    _swap_in(spark, staged, path)
 
 
 def skip_loaded(candidates: DataFrame, loaded: DataFrame,

@@ -162,6 +162,9 @@ def test_merge_upsert_last_write_wins_schema_drift(spark, tmp_path):
     assert got["1"]["lap_duration"] == "89.0"   # last write won
     assert got["2"]["lap_duration"] == "91.0"   # old row survived drift
     assert got["2"]["loaded_at"] is None        # drift column null-filled
+    # the staged-swap must leave exactly the live table behind — no
+    # .staged-/.old- debris and no half-written mix
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["merged"]
 
 
 def test_stream_windowed_agg_matches_batch(spark):
