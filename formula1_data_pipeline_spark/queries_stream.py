@@ -98,6 +98,51 @@ def q35_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q36_stream_merge_upsert",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM ev
+    )
+    WHERE rn = 1
+    """,
+    doc="Streaming upsert leg under the gate (§2.10, the reference's "
+        "realtime DAG end-to-end): events replayed as a 4-file stream, "
+        "each micro-batch landed via foreachBatch -> merge_upsert "
+        "(staged-write + atomic rename) keyed by (user_id, event_type) "
+        "with intrinsic latest-event-wins priority; landed table read "
+        "back. The oracle computes the same argmax per key directly — "
+        "batch split/order cannot change the converged state",
+)
+def q36_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.streaming import stream_merge_upsert
+
+    landed = stream_merge_upsert(spark, f"{sf_dir}/events.parquet")
+    # landing is all-string (S4 semantics); cast back for comparison —
+    # string->double/timestamp round-trips are exact (see q14 notes)
+    return landed.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
     "q32_sessionization",
     """
     WITH ev AS (

@@ -127,7 +127,9 @@ def merge_upsert(
     # transient/corrupt read error must surface, NOT silently overwrite
     # previously landed data with the incoming batch alone.
     if not _path_exists(spark, path):
-        incoming.write.mode("overwrite").parquet(staged)
+        # the fresh path must also enforce key uniqueness, or the
+        # landed state would depend on how the first batch was split
+        merged = dedup_by_priority(incoming, keys=keys, order=order)
     else:
         existing = spark.read.parquet(path)
         merged = dedup_by_priority(
@@ -137,7 +139,9 @@ def merge_upsert(
         )
         # the merged plan reads lazily from the live files — fully
         # materialize into the staged dir before touching the table
-        merged.write.mode("overwrite").parquet(staged)
+    # the merged plan reads lazily from the live files — fully
+    # materialize into the staged dir before touching the table
+    merged.write.mode("overwrite").parquet(staged)
     _swap_in(spark, staged, path)
 
 

@@ -2,12 +2,16 @@ from formula1_data_pipeline_spark.streaming.stateful import (
     stateful_first_seen,
     stream_stateful_dedup,
 )
+from formula1_data_pipeline_spark.streaming.upsert import (
+    stream_merge_upsert,
+)
 from formula1_data_pipeline_spark.streaming.windowed import (
     stream_windowed_agg,
 )
 
 __all__ = [
     "stateful_first_seen",
+    "stream_merge_upsert",
     "stream_stateful_dedup",
     "stream_windowed_agg",
 ]

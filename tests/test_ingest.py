@@ -241,3 +241,25 @@ def test_multimodal_codec_stub_raises(media_type):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", media_type)
+
+
+def test_stream_merge_upsert_batch_split_invariant(spark):
+    """foreachBatch -> merge_upsert converges to the same landed state
+    (latest event per user/type) regardless of micro-batch split,
+    because the merge priority is intrinsic to the rows."""
+    from formula1_data_pipeline_spark.streaming import stream_merge_upsert
+
+    path = "/root/testdata/sf0.001/events.parquet"
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.event_type, r.event_id)
+            for r in df.select("user_id", "event_type", "event_id").collect()
+        )
+
+    one = canon(stream_merge_upsert(spark, path, n_source_files=1))
+    four = canon(stream_merge_upsert(spark, path, n_source_files=4))
+    assert one == four
+    # one row per key, and keys are unique
+    keys = {(u, t) for u, t, _ in four}
+    assert len(keys) == len(four) > 0
