@@ -107,10 +107,18 @@ def merge_upsert(
     path: str,
     keys: list[str],
     order: list[Column],
+    order_cols: list[str] | None = None,
 ) -> None:
     """S6/S7: last-write-wins merge into a non-partitioned parquet
     table. New columns from schema drift survive as NULLs on old rows
     (the non-destructive upgrade of the reference's drop-recreate).
+
+    ``order_cols`` names plain columns the ``order`` expressions
+    reference that a batch may not carry yet (e.g. a ``loaded_at``
+    stamp that first appears mid-stream): they are null-filled so the
+    priority sort resolves instead of failing analysis — drift in the
+    order column gets the same NULL tolerance as any other drifted
+    column.
 
     Read-modify-write: fine for dimension-sized tables; big facts
     should use replace_by_key partitioning instead.
@@ -121,7 +129,13 @@ def merge_upsert(
 
     import uuid
 
-    incoming = stringify_all(df)
+    def _ensure_order_cols(frame: DataFrame) -> DataFrame:
+        for name in order_cols or []:
+            if name not in frame.columns:
+                frame = frame.withColumn(name, F.lit(None).cast("string"))
+        return frame
+
+    incoming = _ensure_order_cols(stringify_all(df))
     staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
     # Only a genuinely missing table may take the fresh-write path; a
     # transient/corrupt read error must surface, NOT silently overwrite
@@ -131,7 +145,7 @@ def merge_upsert(
         # landed state would depend on how the first batch was split
         merged = dedup_by_priority(incoming, keys=keys, order=order)
     else:
-        existing = spark.read.parquet(path)
+        existing = _ensure_order_cols(spark.read.parquet(path))
         merged = dedup_by_priority(
             incoming.unionByName(existing, allowMissingColumns=True),
             keys=keys,

@@ -150,13 +150,16 @@ def test_merge_upsert_last_write_wins_schema_drift(spark, tmp_path):
         spark, [{"session_key": 1, "lap_number": 1, "lap_duration": 90.0},
                 {"session_key": 1, "lap_number": 2, "lap_duration": 91.0}])
     merge_upsert(spark, v1, path, keys=["session_key", "lap_number"],
-                 order=[F.col("loaded_at").desc_nulls_last()])
+                 order=[F.col("loaded_at").desc_nulls_last()],
+                 order_cols=["loaded_at"])
     # v2 updates lap 1 and brings a NEW column (S7 drift, non-destructive)
+    # — including in the ORDER column itself, which v1 never carried
     v2 = records_to_raw_df(
         spark, [{"session_key": 1, "lap_number": 1, "lap_duration": 89.0,
                  "loaded_at": "2"}])
     merge_upsert(spark, v2, path, keys=["session_key", "lap_number"],
-                 order=[F.col("loaded_at").desc_nulls_last()])
+                 order=[F.col("loaded_at").desc_nulls_last()],
+                 order_cols=["loaded_at"])
     got = {r["lap_number"]: r for r in spark.read.parquet(path).collect()}
     assert len(got) == 2
     assert got["1"]["lap_duration"] == "89.0"   # last write won
