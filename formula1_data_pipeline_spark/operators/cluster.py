@@ -1,0 +1,158 @@
+"""Connected components — duplicate-cluster resolution over a pair graph.
+
+Pairwise near-dup operators (MinHash-LSH ``dedup.minhash_lsh_candidates``,
+SimHash ``dedup.simhash_neardup_pairs``) emit *edges*; a real dedup
+pipeline must then resolve their transitive closure into clusters and
+pick one canonical document per cluster. The reference has no graph
+surface (its dedup is single-hop ``row_number`` priority,
+``dbt/models/intermediate/int_openf1_laps_all.sql:55-63``); this is part
+of the mandated LLM-pipeline extension surface (SURVEY.md §2.12).
+
+Algorithm: iterative **min-label propagation with pointer jumping**.
+Each round every node takes the minimum label over itself and its
+neighbors (one join + one groupBy = one shuffle each), then labels are
+compressed by one pointer-jump (``comp <- label(comp)``), which is what
+turns O(diameter) convergence into O(log n) rounds — the same doubling
+trick as the Hash-to-Min / large-star-small-star family used for
+web-scale clustering. State per round is one (id, comp) pair per node;
+``localCheckpoint`` truncates lineage so plans don't grow with the
+round count. At 100 TB: rounds are data-parallel shuffles on the node
+id, the driver only evaluates the 1-row convergence probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable through
+    ``edges`` (undirected). Returns (id, comp); singleton nodes keep
+    ``comp == id``. Deterministic: the fixpoint is the per-component
+    minimum regardless of iteration order.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    labels = node_ids.withColumn("comp", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        # each node gathers its neighbors' current labels ...
+        nbr = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.b") == F.col("l.id"))
+            .select(F.col("e.a").alias("id"), F.col("l.comp").alias("comp"))
+        )
+        # ... and keeps the minimum over {self} ∪ neighbors
+        new = (
+            labels.select("id", "comp")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping: follow the label's own label one step, so
+        # label chains halve every round (O(log n) total rounds); the
+        # change flag rides in the same materialization job — a changed
+        # label, or an id newly absorbed from an edge endpoint, flips it
+        jumped = (
+            new.alias("x")
+            .join(
+                new.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                "id", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp")
+            )
+            .join(
+                labels.select("id", F.col("comp").alias("prev_comp")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                "comp",
+                (
+                    F.col("prev_comp").isNull()
+                    | (F.col("comp") != F.col("prev_comp"))
+                ).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter("chg").limit(1).count()
+        labels = jumped.drop("chg")
+        if changed == 0:
+            # edge endpoints outside ``nodes`` conduct labels through
+            # the graph but are not part of the answer
+            return labels.join(node_ids, "id", "left_semi")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup clustering: SimHash sketches → pigeonhole
+    candidate pairs (hamming ≤ ``max_distance``) → connected components
+    over {doc → its sketch-group canonical} ∪ {canonical ↔ canonical}
+    edges. Returns (doc_id, cluster_id, cluster_size) where
+    ``cluster_id`` is the minimum doc_id of the cluster — the canonical
+    document a keep-one dedup would retain.
+    """
+    from formula1_data_pipeline_spark.operators.dedup import (
+        simhash_df,
+        simhash_group_pairs,
+    )
+
+    # sketch once (localCheckpoint: the 60-aggregate tree is the
+    # expensive part, and both the group table and the doc mapping
+    # read it), then run CC over the *canonical group graph* only —
+    # nodes are distinct sketches, orders of magnitude fewer than docs
+    # on a duplicate-heavy corpus; docs rejoin through their canonical.
+    sim = simhash_df(docs, text_col, id_col).localCheckpoint()
+    groups = (
+        sim.groupBy("simhash")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_docs"))
+        .localCheckpoint()
+    )
+    pair = simhash_group_pairs(groups, max_distance=max_distance).select(
+        F.col("a_canonical_id").alias("src"),
+        F.col("b_canonical_id").alias("dst"),
+    )
+    cc = connected_components(
+        groups.select(F.col("canonical_id").alias("id")), pair
+    )
+    # min doc id of a cluster == min over its canonicals (each canonical
+    # is already the min of its sketch group), so comp is the cluster id
+    docmap = sim.join(groups.select("simhash", "canonical_id"), "simhash")
+    return (
+        docmap.join(
+            cc.withColumnRenamed("id", "canonical_id"), "canonical_id"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("comp").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+    )

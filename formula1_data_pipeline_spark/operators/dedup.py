@@ -382,6 +382,17 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
         raise ValueError("need n_slices > max_distance for pigeonhole "
                          "completeness")
     groups = simhash_dedup_groups(docs, text_col, id_col)
+    return simhash_group_pairs(groups, max_distance, n_slices,
+                               bits_per_slice)
+
+
+def simhash_group_pairs(groups: DataFrame,
+                        max_distance: int = 3,
+                        n_slices: int = 4,
+                        bits_per_slice: int = 15) -> DataFrame:
+    """Pair stage of ``simhash_neardup_pairs``, taking precomputed
+    (simhash, canonical_id, n_docs) groups so callers that also need
+    the groups (e.g. cluster resolution) sketch the corpus once."""
     mask = (1 << bits_per_slice) - 1
     slice_keys = F.array(*[
         F.struct(

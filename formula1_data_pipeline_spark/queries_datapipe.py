@@ -1,0 +1,298 @@
+"""q37-q39, q44-q45 — training-data pipeline + scale-pattern operators.
+
+Second tranche of the mandated LLM-pipeline extension surface
+(SURVEY.md §2.12) plus an explicit skew-mitigation pattern:
+
+- q37: near-dup **cluster resolution** — connected components over the
+  SimHash pair graph (``operators/cluster.py``). Pairwise candidates
+  (q21/q29) are only half a dedup pipeline; this is the keep-one half.
+- q38: **deterministic hash sampling** — reproducible train/val/test
+  splits and language-stratified downsampling
+  (``operators/sampling.py``).
+- q39: **TF-IDF top terms** per document — corpus-level term weighting
+  with an integer-exact scoring pipeline (single IEEE multiply+divide,
+  no libm) so the cross-engine hash is bit-stable.
+- q44: **PII redaction** — regex scrubbing of emails/phone numbers, the
+  standard pre-training text hygiene pass.
+- q45: **salted join** — manual skew salting of a large equi-join
+  (replicate one side across N salt buckets) producing results
+  identical to the plain join; the pattern AQE skew-join automates,
+  expressed explicitly for engines/paths where it can't.
+
+Oracles follow the determinism rules in ``queries``'s module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.queries import _dec_sum, load, register
+from formula1_data_pipeline_spark.queries_llm import _SQL_SIM_CTES, _SQL_TOKS
+
+
+@register(
+    "q37_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SIM_CTES}, groups AS (
+        SELECT simhash, min(id) AS canonical_id FROM sim GROUP BY 1
+    ), star AS (
+        SELECT s.id AS src, g.canonical_id AS dst
+        FROM sim s JOIN groups g USING (simhash)
+        WHERE s.id <> g.canonical_id
+    ), sliced AS (
+        SELECT simhash, canonical_id, s.sidx,
+               (simhash >> (15 * s.sidx)) & 32767 AS skey
+        FROM groups CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sidx) s
+    ), neardup AS (
+        SELECT DISTINCT a.canonical_id AS src, b.canonical_id AS dst
+        FROM sliced a
+        JOIN sliced b ON a.sidx = b.sidx AND a.skey = b.skey
+        WHERE a.simhash < b.simhash
+          AND bit_count(xor(a.simhash, b.simhash)) BETWEEN 1 AND 3
+    ), sym AS (
+        SELECT src, dst FROM star
+        UNION SELECT dst, src FROM star
+        UNION SELECT src, dst FROM neardup
+        UNION SELECT dst, src FROM neardup
+    ), reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        -- only ever propagate shrinking labels: the component minimum
+        -- still reaches every node (it is < every id on its paths),
+        -- everything larger is pruned instead of materialized
+        SELECT s.dst, r.comp
+        FROM sym s JOIN reach r ON s.src = r.id
+        WHERE r.comp < s.dst
+    ), cc AS (
+        SELECT id, min(comp) AS comp FROM reach GROUP BY id
+    )
+    SELECT id AS doc_id, comp AS cluster_id,
+           count(*) OVER (PARTITION BY comp) AS cluster_size
+    FROM cc
+    """,
+    doc="Near-dup cluster resolution (§2.12): SimHash hamming<=3 pair "
+        "graph -> connected components (min-label propagation + pointer "
+        "jumping, O(log n) shuffle rounds) -> (doc, cluster, size) with "
+        "cluster_id = canonical doc a keep-one dedup retains; oracle is "
+        "a DuckDB recursive CTE over the same edges",
+)
+def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.cluster import (
+        neardup_clusters,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return neardup_clusters(docs, text_col="text", id_col="doc_id",
+                            max_distance=3)
+
+
+# DuckDB twin of operators.sampling.hash_bucket
+def _sql_bucket(key_expr: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '|' || "
+        f"'{salt}'), 1, 15)) AS BIGINT) % 100"
+    )
+
+
+@register(
+    "q38_hash_split",
+    f"""
+    SELECT doc_id, lang,
+           {_sql_bucket('doc_id', 'split-v1')} AS bucket,
+           CASE WHEN {_sql_bucket('doc_id', 'split-v1')} < 80 THEN 'train'
+                WHEN {_sql_bucket('doc_id', 'split-v1')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           {_sql_bucket('doc_id', 'downsample-v1')} <
+               CASE WHEN lang = 'en' THEN 50
+                    WHEN lang = 'zh' THEN 40
+                    ELSE 25 END AS kept
+    FROM documents
+    """,
+    doc="Deterministic hash sampling (§2.12): md5-keyed train/val/test "
+        "split + language-stratified downsample flag — reproducible "
+        "across runs/engines/partitionings, shuffle-free codegen "
+        "projection",
+)
+def q38_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        hash_bucket,
+        stratified_keep,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    b_split = hash_bucket(F.col("doc_id"), "split-v1")
+    b_down = hash_bucket(F.col("doc_id"), "downsample-v1")
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 40)
+        .otherwise(25)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        b_split.alias("bucket"),
+        assign_split(b_split, train_pct=80, val_pct=10).alias("split"),
+        stratified_keep(b_down, rate).alias("kept"),
+    )
+
+
+@register(
+    "q39_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, term, tf, doc_freq,
+               CAST(tf AS DOUBLE) *
+                   (CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE))
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, doc_freq, score,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (§2.12): tf and df via two "
+        "hash aggregations, linear idf N/df (one IEEE multiply+divide, "
+        "no libm log => bit-identical across engines), "
+        "(score desc, term) ranking; n_docs rides in as a 1-row "
+        "broadcast, never a driver collect",
+)
+def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")
+    )
+    ranked = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("term")
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    return ranked.select("doc_id", "term", "tf", "doc_freq", "score", "rank")
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+
+@register(
+    "q44_pii_redaction",
+    f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example.com or +1-555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '.'
+               AS text
+        FROM documents
+    ), red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id, redacted,
+           contains(redacted, '<EMAIL>') AS had_email,
+           contains(redacted, '<PHONE>') AS had_phone
+    FROM red
+    """,
+    doc="PII redaction (§2.12): email + phone regex scrubbing over text "
+        "augmented with synthetic per-doc PII (the corpus itself is "
+        "clean), exact redacted-string parity across Java regex and "
+        "RE2 gates the patterns behave identically; shuffle-free "
+        "codegen projection",
+)
+def q44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id", redacted.alias("redacted")
+    ).select(
+        "doc_id",
+        "redacted",
+        F.col("redacted").contains("<EMAIL>").alias("had_email"),
+        F.col("redacted").contains("<PHONE>").alias("had_phone"),
+    )
+
+
+@register(
+    "q45_salted_join",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="Salted equi-join (skew mitigation): big side gets "
+        "salt = hash(row) % 8, the other side is exploded across all 8 "
+        "salts, join on (key, salt) — identical results to the plain "
+        "join (the oracle), but a hot orderkey's rows now spread over 8 "
+        "reducers instead of one; the manual form of AQE skew-join for "
+        "paths AQE can't rewrite (or salts > its split threshold)",
+)
+def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 8
+    t = load(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)),
+    )
+    ords = (
+        t["orders"]
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+    )
+    joined = li.join(
+        ords,
+        (li["l_orderkey"] == ords["o_orderkey"]) & (li["salt"] == ords["salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n_items"),
+    )

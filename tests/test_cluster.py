@@ -1,0 +1,66 @@
+"""connected_components operator: convergence, determinism, shapes."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from formula1_data_pipeline_spark.operators.cluster import (
+    connected_components,
+    neardup_clusters,
+)
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    edges = spark.createDataFrame(
+        edge_pairs or [(None, None)], "src: long, dst: long"
+    )
+    if not edge_pairs:
+        edges = edges.filter(F.col("src").isNotNull())
+    got = connected_components(nodes, edges)
+    return {r["id"]: r["comp"] for r in got.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # path graph 1-2-3-4-5-6-7-8: diameter 7, but pointer jumping should
+    # still converge; every node labels to 1
+    comp = _cc(spark, range(1, 9), [(i, i + 1) for i in range(1, 8)])
+    assert comp == {i: 1 for i in range(1, 9)}
+
+
+def test_components_and_singletons(spark):
+    comp = _cc(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (2, 3), (11, 10)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_edges_to_unlisted_nodes_dont_add_rows(spark):
+    # labels come from the nodes frame; edge endpoints outside it can
+    # still conduct (7 bridges 1 and 2) but don't appear in the output
+    comp = _cc(spark, [1, 2], [(1, 7), (7, 2)])
+    assert comp == {1: 1, 2: 1}
+
+
+def test_neardup_clusters_covers_all_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (3, "alpha beta gamma delta epsilon eta"),   # near dup
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in neardup_clusters(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # exact dups always share a cluster; doc 4 is alone
+    assert got[1] == got[2]
+    assert got[4][1] == 1 and got[4][0] == 4
+
+
+def test_nonconvergence_raises(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "id: long")
+    edges = spark.createDataFrame([(1, 2)], "src: long, dst: long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=0)
