@@ -88,6 +88,7 @@ def stream_stateful_dedup(
     spark: SparkSession,
     events_path: str,
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run ``stateful_first_seen`` over the events table as a real
     Structured Streaming query (file source -> applyInPandasWithState
@@ -121,15 +122,22 @@ def stream_stateful_dedup(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
 
+    from formula1_data_pipeline_spark.streaming.confs import (
+        scoped_shuffle_partitions,
+    )
+
     deduped = stateful_first_seen(stream)
     qname = f"first_seen_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(timeout_sec)
+    # state-store instances scale with shuffle partitions (see confs):
+    # size them to the bounded replay, not the session default
+    with scoped_shuffle_partitions(spark, state_partitions):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
     return spark.table(qname)

@@ -41,6 +41,7 @@ def stream_merge_upsert(
     events_path: str,
     n_source_files: int = 4,
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Replay ``events`` as a file stream of ``n_source_files``
     micro-batches (maxFilesPerTrigger=1), landing each through
@@ -85,12 +86,19 @@ def stream_merge_upsert(
             ],
         )
 
-    query = (
-        stream.writeStream.foreachBatch(land)
-        .option("checkpointLocation",
-                str(base / f"ckpt_{uuid.uuid4().hex[:8]}"))
-        .trigger(availableNow=True)
-        .start()
+    from formula1_data_pipeline_spark.streaming.confs import (
+        scoped_shuffle_partitions,
     )
-    query.awaitTermination(timeout_sec)
+
+    # per-batch merge jobs (dedup window + staged rewrite) plan during
+    # the stream, so the override spans awaitTermination (confs.py)
+    with scoped_shuffle_partitions(spark, state_partitions):
+        query = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation",
+                    str(base / f"ckpt_{uuid.uuid4().hex[:8]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
     return spark.read.parquet(landing)

@@ -32,6 +32,7 @@ def stream_windowed_agg(
     window_duration: str = "1 hour",
     watermark_delay: str = "10 minutes",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the windowed count/sum aggregation over ``events`` as a real
     Structured Streaming query (AvailableNow → memory sink) and return
@@ -85,14 +86,20 @@ def stream_windowed_agg(
         )
     )
 
-    qname = f"windowed_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from formula1_data_pipeline_spark.streaming.confs import (
+        scoped_shuffle_partitions,
     )
-    query.awaitTermination(timeout_sec)
+
+    qname = f"windowed_{uuid.uuid4().hex[:8]}"
+    # window-agg state shards one store per shuffle partition (confs.py)
+    with scoped_shuffle_partitions(spark, state_partitions):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
     return spark.table(qname)
