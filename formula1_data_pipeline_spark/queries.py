@@ -732,6 +732,7 @@ def q40_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # extension-operator entries register themselves into CATALOG on import
+from formula1_data_pipeline_spark import queries_analytics  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_chain  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_ingest  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_datapipe  # noqa: E402,F401

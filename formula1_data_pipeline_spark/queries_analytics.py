@@ -1,0 +1,144 @@
+"""q46-q48 — analytic operators beyond the reference surface.
+
+The reference's aggregation surface stops at plain GROUP BY
+(SURVEY.md §2.4: "No grouping sets / cube / rollup"); an engine users
+switch to still needs the standard analytic extensions. Three gated
+additions:
+
+- q46: **exact group quantiles** — type-1 (lower) quantiles via
+  row_number against ceil(p·n), no interpolation, so the result is an
+  actual data value and the cross-engine hash is exact (built-in
+  percentile_cont interpolates with engine-specific float folds).
+- q47: **pivot** — event counts per user pivoted to one column per
+  event type (explicit value list: deterministic output schema, and
+  the one-pass conditional-aggregate plan Spark compiles pivot into).
+- q48: **rollup** — subtotal + grand-total grouping sets with
+  decimal-exact sums.
+
+All three are single-shuffle plans; q46 adds a per-group sort inside
+the window (the unavoidable cost of exact quantiles — the 100 TB
+alternative is approx_percentile's mergeable sketch, traded off in
+the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.queries import _dec_sum, load, register
+
+_QUANTILES = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_case_sql(name: str, p: float) -> str:
+    return (
+        f"max(CASE WHEN rn = greatest(1, CAST(ceil({p} * n) AS BIGINT)) "
+        f"THEN l_quantity END) AS {name}"
+    )
+
+
+@register(
+    "q46_group_quantiles",
+    f"""
+    WITH r AS (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_quantity
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag, max(n) AS n_rows,
+           min(l_quantity) AS min_qty,
+           {_q_case_sql('p50', 0.5)},
+           {_q_case_sql('p90', 0.9)},
+           {_q_case_sql('p99', 0.99)},
+           max(l_quantity) AS max_qty
+    FROM r
+    GROUP BY 1
+    """,
+    doc="Exact per-group quantiles (type-1/lower: element at rank "
+        "ceil(p*n), no interpolation => an actual data value, exact "
+        "across engines): one shuffle on the group key with an "
+        "in-partition sort. At 100 TB prefer approx_percentile's "
+        "mergeable t-digest-style sketch (map-side partials, no full "
+        "sort) when 1%-ish rank error is acceptable; this is the exact "
+        "path",
+)
+def q46_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    r = li.select("l_returnflag", "l_quantity").select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    q_aggs = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n"))),
+                F.col("l_quantity"),
+            )
+        ).alias(name)
+        for name, p in _QUANTILES.items()
+    ]
+    return r.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        *q_aggs,
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "q47_pivot",
+    f"""
+    SELECT user_id,
+           {', '.join(
+               f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot (long->wide): per-user event counts, one column per "
+        "event type. The explicit values list keeps the output schema "
+        "deterministic AND keeps the plan one-pass — Spark compiles it "
+        "to conditional aggregates over a single shuffle (without the "
+        "list it first runs a distinct scan to discover columns)",
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+@register(
+    "q48_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup grouping sets (flag, status) -> (flag) -> (): subtotals "
+        "and grand total in one pass — Spark expands the sets and "
+        "aggregates with map-side partials, one shuffle; decimal sums "
+        "keep the doubles order-independent",
+)
+def q48_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n_items"),
+    )
