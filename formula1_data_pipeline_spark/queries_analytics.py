@@ -142,3 +142,67 @@ def q48_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec_sum(F.col("l_quantity"), "sum_qty"),
         F.count("*").alias("n_items"),
     )
+
+
+@register(
+    "q49_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    """,
+    doc="Unpivot/melt (wide->long): three measure columns to "
+        "(key, measure, value) rows via the built-in unpivot — a "
+        "narrow scan-local expansion (Spark Expand node, no shuffle, "
+        "3x rows out); oracle spells it as the equivalent UNION ALL",
+)
+def q49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "q50_rank_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w_price AS INT) AS price_rank,
+           CAST(dense_rank() OVER w_price AS INT) AS price_dense_rank,
+           percent_rank() OVER w_price AS price_pct_rank,
+           CAST(ntile(10) OVER w_total AS INT) AS decile
+    FROM orders
+    WINDOW w_price AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+           w_total AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Ranking family the reference never uses (SURVEY.md §2.5 'no "
+        "rank/dense_rank/ntile'): rank/dense_rank/percent_rank are "
+        "deterministic on the bare price ordering (tie rows share "
+        "values); ntile needs the total (price, key) ordering because "
+        "its value depends on row position among ties. Same partition "
+        "key for both windows -> one shuffle, two in-partition sorts",
+)
+def q50_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    w_price = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_total = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_price).cast("int").alias("price_rank"),
+        F.dense_rank().over(w_price).cast("int").alias("price_dense_rank"),
+        F.percent_rank().over(w_price).alias("price_pct_rank"),
+        F.ntile(10).over(w_total).cast("int").alias("decile"),
+    )
