@@ -15,6 +15,8 @@ Embeddings are ``array<float>``; all math is widened to double first
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,14 +114,21 @@ def cosine_topk(
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from a hash
-    (no RNG state — reproducible across runs/executors)."""
+    (no RNG state — reproducible across runs/executors). Memoized:
+    plane construction is driver-side md5 work and callers ask for the
+    same planes repeatedly."""
+    return list(_hyperplane_cached(dim, plane))
+
+
+@functools.lru_cache(maxsize=4096)
+def _hyperplane_cached(dim: int, plane: int) -> tuple[float, ...]:
     import hashlib
 
     vals = []
     for d in range(dim):
         h = hashlib.md5(f"{plane}:{d}".encode()).digest()
         vals.append(int.from_bytes(h[:8], "big") / 2**63 - 1.0)
-    return vals
+    return tuple(vals)
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
@@ -163,12 +172,13 @@ def lsh_bucket_keys(vec: Column, dim: int, n_tables: int = 16,
 def _plane_coefs(spark, dim: int, n_tables: int, n_planes: int) -> DataFrame:
     """Tiny (d, plane, coef) coefficient table for all hyperplanes —
     built once per operator call and broadcast-joined on both sides."""
-    return spark.createDataFrame(
-        [(d, t * n_planes + p, _hyperplane(dim, t * n_planes + p)[d])
-         for d in range(dim)
-         for t in range(n_tables) for p in range(n_planes)],
-        "d int, plane int, coef double",
-    )
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            plane_id = t * n_planes + p
+            vals = _hyperplane(dim, plane_id)
+            rows.extend((d, plane_id, vals[d]) for d in range(dim))
+    return spark.createDataFrame(rows, "d int, plane int, coef double")
 
 
 def _lsh_bucketed(df: DataFrame, dim: int, n_tables: int, n_planes: int,
