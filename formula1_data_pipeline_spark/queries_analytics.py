@@ -106,18 +106,20 @@ def q46_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="Pivot (long->wide): per-user event counts, one column per "
-        "event type. The explicit values list keeps the output schema "
-        "deterministic AND keeps the plan one-pass — Spark compiles it "
-        "to conditional aggregates over a single shuffle (without the "
-        "list it first runs a distinct scan to discover columns)",
+        "event type, spelled as conditional aggregates. The built-in "
+        "df.pivot() compiles to TWO shuffles (pre-aggregate on "
+        "(user, type), then pivotfirst on user) — the conditional-agg "
+        "formulation is the same result in ONE shuffle with map-side "
+        "partials, the plan you want at scale when the value list is "
+        "known (locked by tests/test_plans.py)",
 )
 def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")["events"]
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, list(_EVENT_TYPES))
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in _EVENT_TYPES
+        ]
     )
 
 

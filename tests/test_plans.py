@@ -53,3 +53,46 @@ def test_filter_pushdown_and_pruning(spark):
 def test_groupby_partial_aggregation(spark):
     plan = plan_of(spark, "q05_groupby_summary")
     assert "partial_sum" in plan or "partial_count" in plan, plan
+
+
+def test_hash_split_shuffle_free(spark):
+    # q38 is a pure projection: no exchange of any kind
+    plan = plan_of(spark, "q38_hash_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_shuffle_free(spark):
+    plan = plan_of(spark, "q44_pii_redaction")
+    assert "Exchange" not in plan, plan
+
+
+def test_unpivot_expands_without_shuffle(spark):
+    # q49: Expand node (or per-measure projection union), no exchange
+    plan = plan_of(spark, "q49_unpivot")
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_is_one_pass(spark):
+    # explicit value list => conditional aggregates over ONE shuffle,
+    # no distinct-scan job to discover pivot columns
+    plan = plan_of(spark, "q47_pivot")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_rollup_single_shuffle_with_partials(spark):
+    plan = plan_of(spark, "q48_rollup")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Expand" in plan and "partial_sum" in plan, plan
+
+
+def test_rank_family_single_shuffle_two_sorts(spark):
+    # same partition key for both windows: one exchange, two sorts
+    plan = plan_of(spark, "q50_rank_family")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    # n_docs joins in as a broadcast, not a shuffle
+    plan = plan_of(spark, "q39_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan, plan
