@@ -147,3 +147,57 @@ def q14_ingest_write_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_probe(skipped, "skip", "c_custkey", "c_acctbal",
                             F.lit(None)))
     )
+
+
+@register(
+    "q15_csv_jsonl_roundtrip",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               min(l_shipdate) AS min_ship,
+               max(l_shipdate) AS max_ship
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT 'csv' AS fmt, * FROM agg
+    UNION ALL
+    SELECT 'jsonl', * FROM agg
+    """,
+    doc="CSV + JSON-lines source/sink faithfulness: lineitem written "
+        "to each format and read back with an explicit schema "
+        "(microsecond timestampFormat, shortest-round-trip doubles), "
+        "then aggregated; the oracle aggregates the original table — "
+        "any value lost or altered by either format breaks the hash",
+)
+def q15_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.sources.files import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    base = tempfile.mkdtemp(prefix="q15_roundtrip_")
+    write_csv(li, f"{base}/csv")
+    write_jsonl(li, f"{base}/jsonl")
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").alias("sum_price"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        ).select(F.lit(fmt).alias("fmt"), "*")
+
+    back_csv = read_csv(spark, f"{base}/csv", li.schema)
+    back_jsonl = read_jsonl(spark, f"{base}/jsonl", li.schema)
+    return agg(back_csv, "csv").unionByName(agg(back_jsonl, "jsonl"))
