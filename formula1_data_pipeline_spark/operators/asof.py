@@ -141,6 +141,130 @@ def asof_join_sorted(
     )
 
 
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    right_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """merge_asof-parity directions over the same union-sort shape:
+
+    - ``backward`` — latest right at-or-before (ties: greatest
+      tiebreak), the reference semantics;
+    - ``forward`` — earliest right at-or-after (ties: smallest
+      tiebreak);
+    - ``nearest`` — closer of the two, exact backward/forward picks
+      compared by absolute distance, ties broken toward backward
+      (pandas ``merge_asof`` convention).
+
+    ``tolerance`` (an INTERVAL column) masks matches farther than the
+    bound — the left row survives with NULLs, merge_asof-style.
+
+    One shuffle on the equi keys for every direction; ``nearest`` adds
+    a second in-partition sort (the reversed fill), never a second
+    exchange. Linear in input size like ``asof_join_sorted``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    tiebreak = right_tiebreak or payload
+    right = right.filter(F.col(right_ts).isNotNull())
+    payload_t = (
+        "struct<" + ",".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}"
+            for c in [right_ts, *payload]
+        ) + ">"
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_LEFT_ORD),
+        F.lit(None).cast(payload_t).alias(_PAYLOAD),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_LEFT_ORD),
+        F.struct(F.col(right_ts), *[F.col(p) for p in payload]).alias(_PAYLOAD),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # backward fill: ascending ts, right rows first at equal ts (<=),
+    # greatest tiebreak filled last => wins
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col(_TS).asc_nulls_first(),
+            F.col(_LEFT_ORD).asc(),
+            *[F.col(_PAYLOAD)[t].asc_nulls_first() for t in tiebreak],
+        )
+        .rowsBetween(*frame)
+    )
+    # forward fill: descending ts, right rows still first at equal ts
+    # (>=), smallest tiebreak filled last => wins
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col(_TS).desc_nulls_last(),
+            F.col(_LEFT_ORD).asc(),
+            *[F.col(_PAYLOAD)[t].desc_nulls_last() for t in tiebreak],
+        )
+        .rowsBetween(*frame)
+    )
+
+    def masked(fill: Column, valid: Column) -> Column:
+        return F.when(valid, fill).otherwise(F.lit(None).cast(payload_t))
+
+    # a NULL left timestamp matches nothing in any direction (the
+    # reference predicate is NULL); without this guard the desc-sorted
+    # forward window would hand null-ts left rows a spurious fill
+    filled = u
+    if direction in ("backward", "nearest"):
+        back = F.last(_PAYLOAD, ignorenulls=True).over(w_back)
+        ok = back.isNotNull() & F.col(_TS).isNotNull()
+        if tolerance is not None:
+            ok = ok & (back[right_ts] >= F.col(_TS) - tolerance)
+        filled = filled.withColumn("__back", masked(back, ok))
+    if direction in ("forward", "nearest"):
+        fwd = F.last(_PAYLOAD, ignorenulls=True).over(w_fwd)
+        ok = fwd.isNotNull() & F.col(_TS).isNotNull()
+        if tolerance is not None:
+            ok = ok & (fwd[right_ts] <= F.col(_TS) + tolerance)
+        filled = filled.withColumn("__fwd", masked(fwd, ok))
+
+    if direction == "backward":
+        pick = F.col("__back")
+    elif direction == "forward":
+        pick = F.col("__fwd")
+    else:
+        d_back = F.unix_micros(F.col(_TS)) - F.unix_micros(
+            F.col("__back")[right_ts]
+        )
+        d_fwd = F.unix_micros(F.col("__fwd")[right_ts]) - F.unix_micros(
+            F.col(_TS)
+        )
+        pick = (
+            F.when(F.col("__back").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__back"))
+            .when(d_back <= d_fwd, F.col("__back"))
+            .otherwise(F.col("__fwd"))
+        )
+    return (
+        filled.filter(F.col(_LEFT_ORD) == 1)
+        .withColumn("__pick", pick)
+        .select(
+            *left.columns,
+            F.col("__pick")[right_ts].alias(f"{right_ts}_asof"),
+            *[F.col("__pick")[p].alias(p) for p in payload],
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -229,6 +229,123 @@ def q03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_asof_directions",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value
+        FROM events
+    ), laps AS (
+        SELECT event_id, user_id, ts, value
+        FROM ev WHERE event_type = 'purchase'
+    ), pos AS (
+        SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        FROM ev WHERE event_type = 'view'
+    ), back AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               p.ts AS ts_asof, p.p_event_id, p.p_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY p.ts DESC, p.p_event_id DESC, p.p_value DESC
+               ) AS rn
+        FROM laps l
+        LEFT JOIN pos p ON p.user_id = l.user_id AND p.ts <= l.ts
+                       AND p.ts >= l.ts - INTERVAL 2 HOUR
+    ), fwdc AS (
+        SELECT l.event_id,
+               p.ts AS ts_asof, p.p_event_id, p.p_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY p.ts ASC, p.p_event_id ASC, p.p_value ASC
+               ) AS rn
+        FROM laps l
+        LEFT JOIN pos p ON p.user_id = l.user_id AND p.ts >= l.ts
+    ), fwd AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               f.ts_asof, f.p_event_id, f.p_value
+        FROM laps l JOIN fwdc f ON f.event_id = l.event_id AND f.rn = 1
+    ), backnt AS (
+        SELECT l.event_id,
+               p.ts AS ts_asof, p.p_event_id, p.p_value,
+               row_number() OVER (
+                   PARTITION BY l.event_id
+                   ORDER BY p.ts DESC, p.p_event_id DESC, p.p_value DESC
+               ) AS rn
+        FROM laps l
+        LEFT JOIN pos p ON p.user_id = l.user_id AND p.ts <= l.ts
+    ), near AS (
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               (f.ts_asof IS NULL OR (b.ts_asof IS NOT NULL AND
+                epoch_us(l.ts) - epoch_us(b.ts_asof)
+                    <= epoch_us(f.ts_asof) - epoch_us(l.ts))) AS use_back,
+               b.ts_asof AS b_ts, b.p_event_id AS b_id, b.p_value AS b_val,
+               f.ts_asof AS f_ts, f.p_event_id AS f_id, f.p_value AS f_val
+        FROM laps l
+        LEFT JOIN (SELECT * FROM backnt WHERE rn = 1) b
+               ON b.event_id = l.event_id
+        LEFT JOIN (SELECT * FROM fwdc WHERE rn = 1) f
+               ON f.event_id = l.event_id
+    )
+    SELECT 'backward' AS direction, event_id, user_id, ts, value,
+           ts_asof, p_event_id, p_value
+    FROM back WHERE rn = 1
+    UNION ALL
+    SELECT 'forward', event_id, user_id, ts, value,
+           ts_asof, p_event_id, p_value
+    FROM fwd
+    UNION ALL
+    SELECT 'nearest', event_id, user_id, ts, value,
+           CASE WHEN use_back THEN b_ts ELSE f_ts END,
+           CASE WHEN use_back THEN b_id ELSE f_id END,
+           CASE WHEN use_back THEN b_val ELSE f_val END
+    FROM near
+    """,
+    doc="J1 extended to merge_asof parity: backward (with a 2h "
+        "tolerance), forward, and nearest directions from ONE "
+        "union-sort operator (operators/asof.py::asof_join_directional)"
+        " — backward/forward are a single shuffle + one in-partition "
+        "sort, nearest adds only a reversed second sort, never a "
+        "second exchange; ties resolve greatest-id backward, "
+        "smallest-id forward, distance ties toward backward "
+        "(pandas convention)",
+)
+def q16_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.asof import (
+        asof_join_directional,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    laps = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pos = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    common = dict(on=["user_id"], left_ts="ts", right_ts="ts",
+                  payload=["p_event_id", "p_value"])
+    legs = [
+        ("backward", asof_join_directional(
+            laps, pos, direction="backward",
+            tolerance=F.expr("INTERVAL 2 HOURS"), **common)),
+        ("forward", asof_join_directional(
+            laps, pos, direction="forward", **common)),
+        ("nearest", asof_join_directional(
+            laps, pos, direction="nearest", **common)),
+    ]
+    out = None
+    for name, leg in legs:
+        part = leg.select(
+            F.lit(name).alias("direction"),
+            "event_id", "user_id", "ts", "value",
+            "ts_asof", "p_event_id", "p_value",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
     "q04_window_features",
     """
     WITH w AS (
