@@ -346,6 +346,61 @@ def q16_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_range_join",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value
+        FROM events
+    ), pts AS (
+        SELECT event_id AS v_event_id, user_id, ts AS v_ts, value AS v_value
+        FROM ev WHERE event_type = 'view'
+    ), iv AS (
+        SELECT event_id AS p_event_id, user_id, ts AS iv_start,
+               ts + INTERVAL 2 HOUR AS iv_end
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v_event_id, p_event_id, v_ts, iv_start, iv_end,
+           v_value
+    FROM pts v
+    JOIN iv p ON v.user_id = p.user_id
+             AND v.v_ts >= p.iv_start AND v.v_ts <= p.iv_end
+    """,
+    doc="Range join (point-in-interval): views matched to the 2h window "
+        "after each same-user purchase. Spark side uses bin bucketing "
+        "(operators/rangejoin.py): intervals explode to their 1h bins, "
+        "points map to one bin, equi-join on (user, bin) + exact "
+        "predicate — bounded fan-out instead of the quadratic per-key "
+        "nested-loop the naive inequality join degenerates to; each "
+        "pair meets in exactly one bin so no dedup. Oracle is the "
+        "naive predicate join",
+)
+def q17_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    pts = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"), "user_id",
+        F.col("ts").alias("v_ts"), F.col("value").alias("v_value"),
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_end"),
+    )
+    out = point_in_interval_join(
+        pts, iv, on=["user_id"], point_ts="v_ts",
+        start="iv_start", end="iv_end", bin_seconds=3600,
+    )
+    return out.select(
+        "user_id", "v_event_id", "p_event_id", "v_ts",
+        "iv_start", "iv_end", "v_value",
+    )
+
+
+@register(
     "q04_window_features",
     """
     WITH w AS (

@@ -96,3 +96,11 @@ def test_tfidf_broadcasts_corpus_count(spark):
     # n_docs joins in as a broadcast, not a shuffle
     plan = plan_of(spark, "q39_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_range_join_is_equi_join_not_nlj(spark):
+    # bin bucketing must turn the range predicate into an equi-join
+    plan = plan_of(spark, "q17_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert any(j in plan for j in
+               ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan
