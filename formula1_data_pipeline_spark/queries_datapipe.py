@@ -31,10 +31,9 @@ from formula1_data_pipeline_spark.queries import _dec_sum, load, register
 from formula1_data_pipeline_spark.queries_llm import _SQL_SIM_CTES, _SQL_TOKS
 
 
-@register(
-    "q37_neardup_clusters",
-    f"""
-    WITH RECURSIVE {_SQL_SIM_CTES}, groups AS (
+# the SimHash-edge connected-components CTE chain, shared by the q37
+# cluster gate and the q51 keep-one gate (prefix with WITH RECURSIVE)
+_SQL_CC_CTES = f"""{_SQL_SIM_CTES}, groups AS (
         SELECT simhash, min(id) AS canonical_id FROM sim GROUP BY 1
     ), star AS (
         SELECT s.id AS src, g.canonical_id AS dst
@@ -66,7 +65,13 @@ from formula1_data_pipeline_spark.queries_llm import _SQL_SIM_CTES, _SQL_TOKS
         WHERE r.comp < s.dst
     ), cc AS (
         SELECT id, min(comp) AS comp FROM reach GROUP BY id
-    )
+    )"""
+
+
+@register(
+    "q37_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_CC_CTES}
     SELECT id AS doc_id, comp AS cluster_id,
            count(*) OVER (PARTITION BY comp) AS cluster_size
     FROM cc
@@ -295,4 +300,142 @@ def q45_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         _dec_sum(F.col("l_quantity"), "sum_qty"),
         F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q51_neardup_keep_one",
+    f"""
+    WITH RECURSIVE {_SQL_CC_CTES}
+    SELECT doc_id, n_represented FROM (
+        SELECT id AS doc_id, comp,
+               count(*) OVER (PARTITION BY comp) AS n_represented
+        FROM cc
+    )
+    WHERE doc_id = comp
+    """,
+    doc="Keep-one near-dup dedup (§2.12): the corpus after dropping "
+        "every document whose near-dup cluster (q37) has a smaller "
+        "member — one surviving canonical per cluster, annotated with "
+        "how many documents it represents",
+)
+def q51_neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.cluster import (
+        neardup_clusters,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    clusters = neardup_clusters(docs, text_col="text", id_col="doc_id",
+                                max_distance=3)
+    return clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select(
+        "doc_id", F.col("cluster_size").alias("n_represented")
+    )
+
+
+# quality/lang fragments mirror q25's oracle exactly (same stopword
+# lists, same CASE priority, same arithmetic shape)
+_SQL_LANG_QUALITY = r"""
+    base AS (
+        SELECT doc_id, text, list_filter(
+            regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''
+        ) AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text, toks, list_distinct(toks) AS tset FROM base
+    ), hits AS (
+        SELECT doc_id, text, toks, tset,
+               len(list_intersect(tset,
+                   ['the','and','of','to','a','in','is','it'])) AS en,
+               len(list_intersect(tset,
+                   ['el','la','de','que','y','en','un','es'])) AS es,
+               len(list_intersect(tset,
+                   ['der','die','und','das','ist','ein','nicht','mit'])) AS de,
+               len(list_intersect(tset,
+                   ['le','la','et','les','des','un','une','est'])) AS fr
+        FROM s
+    ), scored AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    WHEN fr = greatest(en, es, de, fr) THEN 'fr'
+               END AS lang_pred,
+               0.3 * (CASE WHEN len(toks) > 0
+                           THEN CAST(len(tset) AS DOUBLE) / len(toks)
+                           ELSE 0.0 END)
+                   + 0.4 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (CASE WHEN length(text) >= 50
+                                  AND length(text) <= 5000
+                                 THEN 1.0 ELSE 0.0 END) AS quality,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM hits
+    )"""
+
+
+@register(
+    "q52_corpus_prep",
+    f"""
+    WITH {_SQL_LANG_QUALITY}, filtered AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.6 AND lang_pred IN ('en', 'es', 'de', 'fr')
+    ), keep AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filtered
+    )
+    SELECT doc_id, lang_pred, n_tokens, quality,
+           CASE WHEN {_sql_bucket('doc_id', 'split-v1')} < 80 THEN 'train'
+                WHEN {_sql_bucket('doc_id', 'split-v1')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           {_sql_bucket('doc_id', 'downsample-v1')} <
+               CASE WHEN lang_pred = 'en' THEN 50 ELSE 25 END AS kept
+    FROM keep WHERE rn = 1
+    """,
+    doc="Corpus-prep flagship (§2.12 composition): quality filter -> "
+        "language filter -> exact dedup keep-one (min doc_id per "
+        "normalized fingerprint) -> deterministic split + stratified "
+        "downsample flag, all in one shuffle-light pass (one window on "
+        "fp, everything else codegen projections) — the standard "
+        "pre-training corpus pipeline end-to-end under the hash gate",
+)
+def q52_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import text as T
+    from formula1_data_pipeline_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+    from formula1_data_pipeline_spark.operators.dedup_priority import (
+        dedup_by_priority,
+    )
+    from formula1_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        hash_bucket,
+        stratified_keep,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tset = T.token_set(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        T.predict_lang(tset).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.6)
+        & F.col("lang_pred").isin("en", "es", "de", "fr")
+    )
+    keep = dedup_by_priority(
+        filtered, keys=["fp"], order=[F.col("doc_id").asc()]
+    )
+    b_split = hash_bucket(F.col("doc_id"), "split-v1")
+    b_down = hash_bucket(F.col("doc_id"), "downsample-v1")
+    rate = F.when(F.col("lang_pred") == "en", 50).otherwise(25)
+    return keep.select(
+        "doc_id", "lang_pred", "n_tokens", "quality",
+        assign_split(b_split).alias("split"),
+        stratified_keep(b_down, rate).alias("kept"),
     )
