@@ -1,0 +1,120 @@
+"""Property tests for the round-2 operators: connected components vs a
+union-find reference, bin-bucketed range join vs the naive predicate
+join, and hash-sampling stability under repartitioning."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from formula1_data_pipeline_spark.operators.cluster import (
+    connected_components,
+)
+from formula1_data_pipeline_spark.operators.rangejoin import (
+    point_in_interval_join,
+)
+from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+
+# One shared session across examples (conftest's fixture); keep example
+# counts small — every example runs Spark jobs.
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict:
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id of the component
+    out = {}
+    for x in range(n_nodes):
+        r = find(x)
+        out.setdefault(r, []).append(x)
+    label = {}
+    for members in out.values():
+        m = min(members)
+        for x in members:
+            label[x] = m
+    return label
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=16
+    ),
+)
+def test_cc_matches_union_find(spark, n, edges):
+    edges = [(a, b) for a, b in edges if a < n and b < n]
+    expect = _uf_components(n, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    e = spark.createDataFrame(edges or [(0, 0)], "src: long, dst: long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, e).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)), max_size=6
+    ),
+    bin_s=st.sampled_from([1, 7, 60]),
+)
+def test_rangejoin_matches_naive(spark, pts, ivs, bin_s):
+    t0 = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(i, "k", t0 + dt.timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid: long, key: string, ts: timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, "k", t0 + dt.timedelta(seconds=s),
+             t0 + dt.timedelta(seconds=s + w))
+            for j, (s, w) in enumerate(ivs)
+        ] or [(0, "z", t0, t0)],
+        "ivid: long, key: string, s: timestamp, e: timestamp",
+    )
+    got = {
+        (r["pid"], r["ivid"])
+        for r in point_in_interval_join(
+            p, iv, ["key"], "ts", "s", "e", bin_seconds=bin_s
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["ivid"])
+        for r in p.join(
+            iv.withColumnRenamed("key", "k2"),
+            (F.col("key") == F.col("k2"))
+            & (F.col("ts") >= F.col("s"))
+            & (F.col("ts") <= F.col("e")),
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_hash_bucket_stable_under_repartition(spark):
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    b = lambda df: df.select(  # noqa: E731
+        "doc_id", hash_bucket(F.col("doc_id"), "split-v1").alias("b")
+    )
+    one = {r["doc_id"]: r["b"] for r in b(docs.coalesce(1)).collect()}
+    many = {r["doc_id"]: r["b"] for r in b(docs.repartition(17)).collect()}
+    assert one == many
+    # buckets roughly uniform: every decile occupied
+    from collections import Counter
+
+    deciles = Counter(v // 10 for v in one.values())
+    assert len(deciles) == 10
