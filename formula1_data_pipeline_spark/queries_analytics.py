@@ -208,3 +208,53 @@ def q50_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w_price).alias("price_pct_rank"),
         F.ntile(10).over(w_total).cast("int").alias("decile"),
     )
+
+
+@register(
+    "q53_approx_sketches",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_within_15pct,
+           true AS p50_within_10pct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Approximate sketches under an accuracy gate: "
+        "approx_count_distinct (HyperLogLog++) and approx_percentile "
+        "(mergeable quantile sketch) are the 100 TB path for distinct "
+        "counts and quantiles (map-side-mergeable, no per-group sort). "
+        "Their values can't be replayed in another engine, so the gate "
+        "checks deterministic BOUNDS instead: the oracle asserts the "
+        "sketch lands within 15%/10% of the exact answer computed in "
+        "the same query — a drift in either sketch breaks the hash",
+)
+def q53_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    exact_p50 = F.expr(
+        "percentile(value, 0.5)"
+    )
+    approx_p50 = F.expr(
+        "approx_percentile(value, 0.5, 1000)"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            exact_p50.alias("exact_p50"),
+            approx_p50.alias("ap50"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("approx_within_15pct"),
+            (
+                F.abs(F.col("ap50") - F.col("exact_p50"))
+                <= 0.10 * F.abs(F.col("exact_p50"))
+            ).alias("p50_within_10pct"),
+        )
+    )

@@ -200,3 +200,37 @@ def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q54_stream_static_join",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value FROM events
+    )
+    SELECT c.c_mktsegment, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM ev e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join (§2.10 extension): the events file stream "
+        "enriched per micro-batch with the broadcast customer "
+        "dimension (no stream-side state, dimension re-planned each "
+        "batch), aggregated per (segment, type) in complete mode over "
+        "an AvailableNow replay; the oracle replays the same join+agg "
+        "in batch SQL — over a bounded replay they are identical",
+)
+def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.streaming import (
+        stream_static_join_agg,
+    )
+
+    dim = load(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment"
+    )
+    return stream_static_join_agg(
+        spark, f"{sf_dir}/events.parquet", dim,
+        dim_key="c_custkey", dim_attr="c_mktsegment",
+    )

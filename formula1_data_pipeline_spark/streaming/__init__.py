@@ -1,3 +1,6 @@
+from formula1_data_pipeline_spark.streaming.enrich import (
+    stream_static_join_agg,
+)
 from formula1_data_pipeline_spark.streaming.stateful import (
     stateful_first_seen,
     stream_stateful_dedup,
@@ -11,6 +14,7 @@ from formula1_data_pipeline_spark.streaming.windowed import (
 
 __all__ = [
     "stateful_first_seen",
+    "stream_static_join_agg",
     "stream_merge_upsert",
     "stream_stateful_dedup",
     "stream_windowed_agg",
