@@ -89,3 +89,84 @@ def extract_features(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+TRANSFORM_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("i", LongType()),
+    StructField("j", LongType()),
+    StructField("val", StringType()),
+])
+
+
+def resize_nearest(media: DataFrame, src_w: int = 16, out_w: int = 4,
+                   out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor image resize over binary payloads.
+
+    The "image" is the deterministic fake this environment allows: the
+    payload bytes laid out row-major at ``src_w`` bytes per row (height
+    = n_bytes // src_w). The *plumbing* is the real thing — Arrow
+    batches in, per-payload numpy-style index arithmetic, typed rows
+    out, shuffle-free — and because the fake is bytes, the resampled
+    pixels are oracle-checkable byte-for-byte (kind='px', val = the
+    sampled byte as 2-digit hex). A real deployment swaps the body for
+    PIL: the schema, batch iteration, and scale shape don't change.
+
+    Emits nothing for payloads shorter than one row (height 0), like a
+    decoder rejecting a truncated file.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in TRANSFORM_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                h = len(data) // src_w
+                if h < 1:
+                    continue
+                for i in range(out_h):
+                    src_row = (i * h) // out_h
+                    for j in range(out_w):
+                        src_col = (j * src_w) // out_w
+                        b = data[src_row * src_w + src_col]
+                        out["media_id"].append(mid)
+                        out["kind"].append("px")
+                        out["i"].append(i)
+                        out["j"].append(j)
+                        out["val"].append(f"{b:02X}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=TRANSFORM_SCHEMA)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 32,
+                 stride: int = 4) -> DataFrame:
+    """Every ``stride``-th fixed-size frame from a binary payload —
+    the video analogue of ``resize_nearest``'s fake codec: payload =
+    concatenated ``frame_bytes``-byte frames, sampling keeps frames
+    0, stride, 2*stride, ... (kind='frame', i = frame index, j = -1,
+    val = md5 of the frame's uppercase-hex encoding — hex-then-hash so
+    the oracle can recompute it from SQL string functions, byte
+    slicing not being portable). Trailing partial frames are dropped,
+    as a real demuxer drops a truncated tail packet.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in TRANSFORM_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = len(data) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    frame = data[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    out["media_id"].append(mid)
+                    out["kind"].append("frame")
+                    out["i"].append(fi)
+                    out["j"].append(-1)
+                    out["val"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=TRANSFORM_SCHEMA)

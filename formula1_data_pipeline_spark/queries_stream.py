@@ -234,3 +234,51 @@ def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet", dim,
         dim_key="c_custkey", dim_attr="c_mktsegment",
     )
+
+
+@register(
+    "q55_multimodal_transform",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, to_hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ), px AS (
+        SELECT media_id,
+               CAST(i.x AS BIGINT) AS i, CAST(j.x AS BIGINT) AS j,
+               substring(hx,
+                   2 * ((((i.x * (nb // 16)) // 4) * 16)
+                        + ((j.x * 16) // 4)) + 1, 2) AS val
+        FROM m
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) i
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS x) j
+        WHERE nb // 16 >= 1
+    ), fx AS (
+        SELECT media_id, unnest(range(0, nb // 32)) AS fi, hx FROM m
+    ), fr AS (
+        SELECT media_id, CAST(fi AS BIGINT) AS i,
+               md5(substring(hx, fi * 64 + 1, 64)) AS val
+        FROM fx WHERE fi % 4 = 0
+    )
+    SELECT media_id, 'px' AS kind, i, j, val FROM px
+    UNION ALL
+    SELECT media_id, 'frame', i, CAST(-1 AS BIGINT), val FROM fr
+    """,
+    doc="Multimodal transforms (§2.12): nearest-neighbor resize (16-wide "
+        "byte-grid fake image -> 4x4) and stride-4 frame sampling "
+        "(32-byte fake frames) as Arrow mapInPandas over binary "
+        "payloads — the real plumbing (schema, batch iteration, "
+        "shuffle-free narrow plan) with the codec faked "
+        "deterministically so every sampled byte and frame hash is "
+        "verified byte-for-byte by the oracle's hex arithmetic",
+)
+def q55_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        resize_nearest,
+        to_media_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = to_media_table(docs)
+    return resize_nearest(media).unionByName(frame_sample(media))
