@@ -1,4 +1,4 @@
-"""q46-q48 — analytic operators beyond the reference surface.
+"""q46-q50, q53 — analytic operators beyond the reference surface.
 
 The reference's aggregation surface stops at plain GROUP BY
 (SURVEY.md §2.4: "No grouping sets / cube / rollup"); an engine users
@@ -15,10 +15,12 @@ additions:
 - q48: **rollup** — subtotal + grand-total grouping sets with
   decimal-exact sums.
 
-All three are single-shuffle plans; q46 adds a per-group sort inside
-the window (the unavoidable cost of exact quantiles — the 100 TB
-alternative is approx_percentile's mergeable sketch, traded off in
-the docstring).
+Plus q49 (unpivot/melt), q50 (rank/dense_rank/percent_rank/ntile),
+and q53 (approximate sketches gated by accuracy bounds against exact
+answers). All single-shuffle (or shuffle-free) plans; q46 adds a
+per-group sort inside the window (the unavoidable cost of exact
+quantiles — q53's approx_percentile is the mergeable 100 TB
+alternative).
 """
 
 from __future__ import annotations
@@ -257,4 +259,42 @@ def q53_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.10 * F.abs(F.col("exact_p50"))
             ).alias("p50_within_10pct"),
         )
+    )
+
+
+@register(
+    "q56_range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS n_orders_30d
+    FROM orders
+    """,
+    doc="RANGE window frame (absent from the reference, SURVEY.md §2.5 "
+        "'no RANGE frames'): per-customer trailing-30-day spend — the "
+        "frame is bounded by the ORDER value (event time), not row "
+        "position, so ties and gaps behave correctly for event-time "
+        "rollups; one shuffle on the partition key, decimal sums for "
+        "cross-engine exactness",
+)
+def q56_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    # rangeBetween needs a numeric ordering: seconds since epoch; the
+    # 30-day bound is inclusive on both ends, matching SQL RANGE
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w).cast("double").alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
     )

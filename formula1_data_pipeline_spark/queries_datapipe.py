@@ -1,4 +1,4 @@
-"""q37-q39, q44-q45 — training-data pipeline + scale-pattern operators.
+"""q37-q39, q44-q45, q51-q52 — training-data pipeline + scale patterns.
 
 Second tranche of the mandated LLM-pipeline extension surface
 (SURVEY.md §2.12) plus an explicit skew-mitigation pattern:
@@ -18,6 +18,10 @@ Second tranche of the mandated LLM-pipeline extension surface
   (replicate one side across N salt buckets) producing results
   identical to the plain join; the pattern AQE skew-join automates,
   expressed explicitly for engines/paths where it can't.
+- q51: **keep-one dedup** — the corpus after dropping every doc whose
+  near-dup cluster has a smaller member (q37's clusters applied).
+- q52: **corpus-prep flagship** — quality -> language -> exact dedup
+  -> split/downsample composed in one shuffle-light pass.
 
 Oracles follow the determinism rules in ``queries``'s module docstring.
 """
