@@ -298,3 +298,107 @@ def q56_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w).cast("double").alias("spend_30d"),
         F.count("*").over(w).alias("n_orders_30d"),
     )
+
+
+@register(
+    "q57_cube_grouping",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Cube grouping sets with GROUPING() indicators (rollup's q48 "
+        "sibling): all four aggregation levels in one pass — Expand + "
+        "single shuffle with map-side partials; grouping() "
+        "disambiguates a real NULL group key from a subtotal row, the "
+        "standard OLAP idiom the reference never reaches",
+)
+def q57_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count("*").alias("n_items"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status",
+        "sum_qty", "n_items",
+    )
+
+
+@register(
+    "q58_set_ops",
+    """
+    WITH recent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ), high_value AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    SELECT 'both' AS bucket, o_custkey
+    FROM (SELECT o_custkey FROM recent
+          INTERSECT SELECT o_custkey FROM high_value)
+    UNION ALL
+    SELECT 'recent_only', o_custkey
+    FROM (SELECT o_custkey FROM recent
+          EXCEPT SELECT o_custkey FROM high_value)
+    """,
+    doc="INTERSECT / EXCEPT set operations (absent from the reference, "
+        "SURVEY.md §2.7): distinct-semantics set algebra — Spark plans "
+        "both as aggregate-style joins (left-semi / left-anti over "
+        "distinct inputs), one shuffle each side",
+)
+def q58_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")["orders"]
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_custkey")
+    high = orders.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    both = recent.intersect(high).select(
+        F.lit("both").alias("bucket"), "o_custkey"
+    )
+    only = recent.distinct().exceptAll(high.distinct()).select(
+        F.lit("recent_only").alias("bucket"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "q59_subquery_surface",
+    """
+    SELECT c_custkey, c_mktsegment,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="SQL-surface breadth (q13's sibling): correlated EXISTS + "
+        "correlated scalar subquery through spark.sql — Catalyst "
+        "de-correlates both into joins (left-semi for EXISTS, "
+        "aggregate + left-outer for the scalar), so the executed plan "
+        "is join-shaped, never a per-row re-execution",
+)
+def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("q59_customer")
+    t["orders"].createOrReplaceTempView("q59_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT count(*) FROM q59_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM q59_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM q59_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
