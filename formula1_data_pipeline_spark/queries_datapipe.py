@@ -443,3 +443,107 @@ def q52_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_split(b_split).alias("split"),
         stratified_keep(b_down, rate).alias("kept"),
     )
+
+
+@register(
+    "q60_levenshtein_pairs",
+    r"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               substring(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                         1, 40) AS head,
+               array_to_string(
+                   list_filter(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               x -> x <> '')[1:2], ' ') AS block
+        FROM documents
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM base a JOIN base b USING (block)
+    WHERE a.id < b.id AND levenshtein(a.head, b.head) <= 8
+    """,
+    doc="Fuzzy near-dup via edit distance (§2.12): 40-char normalized "
+        "prefixes compared with levenshtein <= 8 under two-token "
+        "blocking — the O(len^2)-per-pair metric is affordable exactly "
+        "because blocking bounds the pair stream first (same shape as "
+        "q23's jaccard baseline). Blocking granularity is the scale "
+        "knob: one token left Zipf-sized blocks (~n/30 docs each, "
+        "~870k pairs at sf0.1); two tokens cut the pair stream ~50x "
+        "with identical survivors on this corpus. Spark additionally "
+        "runs the banded threshold DP (levenshtein(l, r, 8), "
+        "O(threshold*len) per pair, -1 when exceeded) — DuckDB's "
+        "plain Wagner-Fischer agrees exactly on every kept pair",
+)
+def q60_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.substring(norm, 1, 40).alias("head"),
+        F.concat_ws(" ", tok[0], tok[1]).alias("block"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"), 8)
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+@register(
+    "q61_quality_report",
+    """
+    WITH agg AS (
+        SELECT
+            CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS user_id_null,
+            CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS ts_null,
+            CAST(sum(CASE WHEN event_type NOT IN
+                ('click', 'error', 'purchase', 'signup', 'view')
+                OR event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_event_type,
+            CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS negative_value,
+            count(*) - count(DISTINCT event_id) AS event_id_dups
+        FROM events
+    )
+    SELECT 'user_id_null' AS check, user_id_null AS n_violations FROM agg
+    UNION ALL SELECT 'ts_null', ts_null FROM agg
+    UNION ALL SELECT 'bad_event_type', bad_event_type FROM agg
+    UNION ALL SELECT 'negative_value', negative_value FROM agg
+    UNION ALL SELECT 'event_id_dups', event_id_dups FROM agg
+    """,
+    doc="Declarative data-quality report (the reference's 55 dbt "
+        "not_null tests generalized, dags/formula1_elt_dag.py:46-50): "
+        "not-null, accepted-values, non-negative, and key-uniqueness "
+        "checks computed in ONE aggregation pass "
+        "(operators/quality.py) — one scan for the whole rule suite "
+        "instead of dbt's query-per-test",
+)
+def q61_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.quality import quality_report
+
+    ev = load(spark, sf_dir, "events")["events"]
+    return quality_report(
+        ev,
+        violation_rules={
+            "user_id_null": F.col("user_id").isNull(),
+            "ts_null": F.col("ts").isNull(),
+            "bad_event_type": (
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                )
+            ) | F.col("event_type").isNull(),
+            "negative_value": F.col("value") < 0,
+        },
+        unique_keys={"event_id_dups": ["event_id"]},
+    )
