@@ -237,6 +237,44 @@ def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62_stream_stream_join",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT l.user_id,
+           l.event_id AS left_event_id,
+           r.event_id AS right_event_id,
+           l.ts AS left_ts,
+           r.ts AS right_ts,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS lag_micros
+    FROM ev l
+    JOIN ev r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts < l.ts + INTERVAL '6 hours'
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    doc="Stream-stream interval join (§2.10 extension, the fourth "
+        "streaming class): events replayed as TWO watermarked file "
+        "streams (views, purchases) joined on user within a 6-hour "
+        "event-time interval — the time-bound predicate plus both "
+        "watermarks is what lets Spark evict join state, bounding it "
+        "by rate x window instead of stream length. Append-mode inner "
+        "join over the bounded replay equals the batch interval join "
+        "the oracle runs",
+)
+def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "q55_multimodal_transform",
     """
     WITH m AS (

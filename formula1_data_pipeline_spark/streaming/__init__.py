@@ -1,6 +1,9 @@
 from formula1_data_pipeline_spark.streaming.enrich import (
     stream_static_join_agg,
 )
+from formula1_data_pipeline_spark.streaming.joins import (
+    stream_stream_interval_join,
+)
 from formula1_data_pipeline_spark.streaming.stateful import (
     stateful_first_seen,
     stream_stateful_dedup,
@@ -17,5 +20,6 @@ __all__ = [
     "stream_static_join_agg",
     "stream_merge_upsert",
     "stream_stateful_dedup",
+    "stream_stream_interval_join",
     "stream_windowed_agg",
 ]
