@@ -33,72 +33,100 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    iter_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through
     ``edges`` (undirected). Returns (id, comp); singleton nodes keep
     ``comp == id``. Deterministic: the fixpoint is the per-component
     minimum regardless of iteration order.
+
+    ``iter_shuffle_partitions`` scopes the shuffle width of the
+    iteration only: the label table is one (id, comp) pair per node —
+    usually orders of magnitude smaller than the data that produced
+    the edges — so its shuffles should be sized to the GRAPH, not to
+    the session's data-scale default (32 partitions of a 4k-node
+    table is pure task overhead; at 100 TB with billions of nodes the
+    right number is large and this knob is how you set it).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+    from formula1_data_pipeline_spark.streaming.confs import (
+        scoped_shuffle_partitions,
     )
-    node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
-    labels = node_ids.withColumn("comp", F.col("id")).localCheckpoint()
-    for _ in range(max_iter):
-        # each node gathers its neighbors' current labels ...
-        nbr = (
-            sym.alias("e")
-            .join(labels.alias("l"), F.col("e.b") == F.col("l.id"))
-            .select(F.col("e.a").alias("id"), F.col("l.comp").alias("comp"))
-        )
-        # ... and keeps the minimum over {self} ∪ neighbors
-        new = (
-            labels.select("id", "comp")
-            .union(nbr)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping: follow the label's own label one step, so
-        # label chains halve every round (O(log n) total rounds); the
-        # change flag rides in the same materialization job — a changed
-        # label, or an id newly absorbed from an edge endpoint, flips it
-        jumped = (
-            new.alias("x")
-            .join(
-                new.select(
-                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
-                ).alias("y"),
-                "comp",
-                "left",
+
+    spark = nodes.sparkSession
+    with scoped_shuffle_partitions(spark, iter_shuffle_partitions):
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
             )
-            .select(
-                "id", F.coalesce(F.col("comp2"), F.col("comp")).alias("comp")
-            )
-            .join(
-                labels.select("id", F.col("comp").alias("prev_comp")),
-                "id",
-                "left",
-            )
-            .select(
-                "id",
-                "comp",
-                (
-                    F.col("prev_comp").isNull()
-                    | (F.col("comp") != F.col("prev_comp"))
-                ).alias("chg"),
-            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = jumped.filter("chg").limit(1).count()
-        labels = jumped.drop("chg")
-        if changed == 0:
-            # edge endpoints outside ``nodes`` conduct labels through
-            # the graph but are not part of the answer
-            return labels.join(node_ids, "id", "left_semi")
+        node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
+        labels = node_ids.withColumn("comp", F.col("id")).localCheckpoint()
+        for _ in range(max_iter):
+            # each node gathers its neighbors' current labels ...
+            nbr = (
+                sym.alias("e")
+                .join(labels.alias("l"), F.col("e.b") == F.col("l.id"))
+                .select(
+                    F.col("e.a").alias("id"), F.col("l.comp").alias("comp")
+                )
+            )
+            # ... and keeps the minimum over {self} ∪ neighbors
+            new = (
+                labels.select("id", "comp")
+                .union(nbr)
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping: follow the label's own label one step,
+            # so label chains halve every round (O(log n) total rounds)
+            jumped = (
+                new.alias("x")
+                .join(
+                    new.select(
+                        F.col("id").alias("comp"),
+                        F.col("comp").alias("comp2"),
+                    ).alias("y"),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+                )
+                .join(
+                    labels.select("id", F.col("comp").alias("prev_comp")),
+                    "id",
+                    "left",
+                )
+                .select(
+                    "id",
+                    "comp",
+                    (
+                        F.col("prev_comp").isNull()
+                        | (F.col("comp") != F.col("prev_comp"))
+                    ).alias("chg"),
+                )
+                # lazy checkpoint: the convergence probe right below is
+                # the first action, so ONE job both materializes this
+                # round's labels and counts the changed rows (an eager
+                # checkpoint + separate probe costs a second job launch
+                # per round — measured ~0.2 s/round on local[32])
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                jumped.agg(F.sum(F.col("chg").cast("int")).alias("n"))
+                .collect()[0]["n"]
+                or 0  # sum over an empty node set is NULL
+            )
+            labels = jumped.drop("chg")
+            if changed == 0:
+                # edge endpoints outside ``nodes`` conduct labels
+                # through the graph but are not part of the answer
+                return labels.join(node_ids, "id", "left_semi")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -109,6 +137,7 @@ def neardup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_distance: int = 3,
+    iter_shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """End-to-end near-dup clustering: SimHash sketches → pigeonhole
     candidate pairs (hamming ≤ ``max_distance``) → connected components
@@ -137,8 +166,12 @@ def neardup_clusters(
         F.col("a_canonical_id").alias("src"),
         F.col("b_canonical_id").alias("dst"),
     )
+    # iteration shuffles are sized to the canonical-group graph (a few
+    # thousand nodes locally), not the corpus — see connected_components
     cc = connected_components(
-        groups.select(F.col("canonical_id").alias("id")), pair
+        groups.select(F.col("canonical_id").alias("id")),
+        pair,
+        iter_shuffle_partitions=iter_shuffle_partitions,
     )
     # min doc id of a cluster == min over its canonicals (each canonical
     # is already the min of its sketch group), so comp is the cluster id
