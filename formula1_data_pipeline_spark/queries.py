@@ -50,13 +50,14 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     out = {}
     for n in names:
         if n == "events":
+            from formula1_data_pipeline_spark.functions.timestamps import (
+                normalize_event_ts,
+            )
+
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-                )
-            out[n] = df
+            out[n] = normalize_event_ts(
+                spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            )
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
     return out

@@ -46,10 +46,11 @@ def stream_static_join_agg(
     p = pathlib.Path(events_path)
     os.symlink(p, pathlib.Path(src_dir) / p.name)
     stream = spark.readStream.schema(raw_schema).format("parquet").load(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    stream = normalize_event_ts(stream)
 
     joined = stream.join(
         F.broadcast(dim), stream["user_id"] == dim[dim_key], "inner"

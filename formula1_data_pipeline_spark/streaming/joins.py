@@ -68,8 +68,11 @@ def stream_stream_interval_join(
             .format("parquet")
             .load(src_dir)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        from formula1_data_pipeline_spark.functions.timestamps import (
+            normalize_event_ts,
+        )
+
+        s = normalize_event_ts(s)
         return (
             s.filter(
                 F.col("event_type") == event_type

@@ -117,10 +117,11 @@ def stream_stateful_dedup(
         .format("parquet")
         .load(src_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    stream = normalize_event_ts(stream)
 
     from formula1_data_pipeline_spark.streaming.confs import (
         scoped_shuffle_partitions,

@@ -53,9 +53,11 @@ def stream_merge_upsert(
     # TIMESTAMP(NANOS) footer: runtime conf so externally-supplied
     # sessions work too, matching queries.load.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(events_path)
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    ev = normalize_event_ts(spark.read.parquet(events_path))
     ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
 
     base = pathlib.Path(tempfile.mkdtemp(prefix="stream_upsert_"))

@@ -63,10 +63,11 @@ def stream_windowed_agg(
         .format("parquet")
         .load(src_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
+
+    stream = normalize_event_ts(stream)
 
     agg = (
         stream.withWatermark("ts", watermark_delay)
