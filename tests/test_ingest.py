@@ -200,6 +200,9 @@ def test_stateful_first_seen_matches_batch(spark, tmp_path):
 
     from pyspark.sql import Window
 
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        normalize_event_ts,
+    )
     from formula1_data_pipeline_spark.queries import load
     from formula1_data_pipeline_spark.streaming import stateful_first_seen
 
@@ -209,10 +212,8 @@ def test_stateful_first_seen_matches_batch(spark, tmp_path):
     os.symlink(pathlib.Path(f"{sf_dir}/events.parquet"),
                src / "events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema).format("parquet")
-        .load(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).format("parquet").load(str(src))
     )
     deduped = stateful_first_seen(stream)
     q = (
