@@ -57,6 +57,12 @@ def main() -> None:
              "orders", "lineitem", "events", "documents", "embeddings")
     for n, df in load(spark, sf_dir, *names).items():
         df.write.format("noop").mode("overwrite").save()
+    # ... and spin up the Arrow/Python workers so the first mapInPandas
+    # query isn't billed the interpreter fork (same rationale as the
+    # JVM/codegen warmup above)
+    spark.range(64).repartition(4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     only = set(sys.argv[1:])
     times: dict[str, float] = {}

@@ -232,6 +232,86 @@ def _lsh_bucketed(df: DataFrame, dim: int, n_tables: int, n_planes: int,
     )
 
 
+def _lsh_bucketed_arrow(df: DataFrame, dim: int, n_tables: int,
+                        n_planes: int, id_col: str, vec_col: str,
+                        out_prefix: str) -> DataFrame:
+    """Arrow-vectorized bucketing: one narrow ``mapInPandas`` stage
+    computes all ``n_tables * n_planes`` hyperplane dots per vector
+    with NumPy and emits (id, vec, norm, bucket-key array).
+
+    This is the scale shape for dense numerics: per-partition
+    vectorized FMA over Arrow batches — no shuffle, no join, constant
+    generated code — where the pure-JVM alternative is either an
+    interpreted HOF fold per plane (measured 18-40 s at sf0.1: the
+    2000-row parquet lands in one partition and each fold is a
+    Catalyst-interpreter eval) or an explode + broadcast-join +
+    double-aggregate pipeline (~6 stages of fixed latency that
+    dominate small inputs and an extra wide shuffle at scale).
+
+    Bit-exactness with the DuckDB oracle's sequential fold: the
+    accumulation loops over dimensions d = 0..dim-1 ADDING ONE TERM AT
+    A TIME (vectorized across rows and planes), so every per-element
+    accumulator sees the same add-one-round-one sequence as the JVM /
+    DuckDB fold — NOT NumPy's pairwise-summed ``matmul``, which rounds
+    differently and could flip a sign at the bucket boundary. Norms
+    accumulate the same way. Sign test (>= 0) and the key packing are
+    integer-exact.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_tables * n_planes)],
+        dtype=np.float64,
+    )  # [P, dim]
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+        StructField("nrm", DoubleType()),
+        StructField("buckets", ArrayType(LongType())),
+    ])
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            acc = np.zeros((n, planes.shape[0]))
+            nrm2 = np.zeros(n)
+            for d in range(dim):  # d-sequential: one rounding per add
+                acc += V[:, d:d + 1] * planes[:, d]
+                nrm2 += V[:, d] * V[:, d]
+            keys = np.empty((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                k = np.zeros(n, dtype=np.int64)
+                for p in range(n_planes):
+                    k += (acc[:, t * n_planes + p] >= 0).astype(np.int64) << p
+                keys[:, t] = t * (1 << n_planes) + k
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "vec": list(V),
+                "nrm": np.sqrt(nrm2),
+                "buckets": list(keys),
+            })
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    out = base.mapInPandas(batches, schema=schema)
+    return out.select(
+        F.col("id").alias(f"{out_prefix}id"),
+        F.col("vec").alias(f"{out_prefix}vec"),
+        F.col("nrm").alias(f"{out_prefix}norm"),
+        F.explode("buckets").alias("bucket"),
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -253,11 +333,10 @@ def ann_lsh_topk(
     Output schema matches cosine_topk; ranks are per-query among
     candidates found.
     """
-    coefs = _plane_coefs(corpus.sparkSession, dim, n_tables, n_planes)
-    q = _lsh_bucketed(queries, dim, n_tables, n_planes, id_col, vec_col,
-                      "q_", coefs)
-    c = _lsh_bucketed(corpus, dim, n_tables, n_planes, id_col, vec_col,
-                      "n_", coefs)
+    q = _lsh_bucketed_arrow(queries, dim, n_tables, n_planes, id_col,
+                            vec_col, "q_")
+    c = _lsh_bucketed_arrow(corpus, dim, n_tables, n_planes, id_col,
+                            vec_col, "n_")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))

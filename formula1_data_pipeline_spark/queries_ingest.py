@@ -201,3 +201,189 @@ def q15_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back_csv = read_csv(spark, f"{base}/csv", li.schema)
     back_jsonl = read_jsonl(spark, f"{base}/jsonl", li.schema)
     return agg(back_csv, "csv").unionByName(agg(back_jsonl, "jsonl"))
+
+
+@register(
+    "q63_rest_ingest_path",
+    """
+    WITH sess AS (
+        SELECT n_nationkey AS k,
+               CASE n_nationkey % 3 WHEN 0 THEN 'Race'
+                    WHEN 1 THEN 'Qualifying' ELSE 'Practice' END
+                   AS session_name,
+               CASE WHEN n_nationkey = 13 THEN NULL
+                    ELSE CAST('2024-01-'
+                         || lpad(CAST((n_nationkey % 28) + 1 AS VARCHAR),
+                                 2, '0')
+                         || ' 12:00:00' AS TIMESTAMP) END AS date_end,
+               CASE WHEN n_nationkey % 5 = 0 THEN 'Unknown GP'
+                    ELSE 'GP ' || n_name END AS meeting_name
+        FROM nation
+    ), filt AS (
+        SELECT * FROM sess
+        WHERE date_end >= TIMESTAMP '2024-01-03'
+          AND date_end <= TIMESTAMP '2024-01-20'
+          AND session_name IN ('Race', 'Qualifying')
+    ), latest AS (
+        SELECT * FROM filt
+        ORDER BY (session_name = 'Race') DESC, date_end DESC,
+                 CAST(k AS VARCHAR) DESC
+        LIMIT 1
+    ), sup AS (
+        SELECT s_suppkey AS j, s_nationkey FROM supplier
+        WHERE s_suppkey <= 20
+    )
+    SELECT 'sessions' AS step, CAST(k AS VARCHAR) AS key,
+           session_name AS s1, meeting_name AS s2,
+           CAST(NULL AS VARCHAR) AS s3, CAST(NULL AS DOUBLE) AS d1,
+           date_end AS ts1
+    FROM filt
+    UNION ALL
+    SELECT 'latest', CAST(k AS VARCHAR), session_name, meeting_name,
+           NULL, NULL, date_end
+    FROM latest
+    UNION ALL
+    SELECT 'laps', CAST(j AS VARCHAR),
+           '[' || j || ', ' || s_nationkey || ']',
+           (CASE WHEN j % 2 = 0 THEN 'True' ELSE 'False' END)
+               || ':' || (SELECT CAST(k AS VARCHAR) FROM latest)
+               || ':2024',
+           CASE WHEN j % 5 = 0 THEN NULL ELSE 'OK' END,
+           CAST(j AS DOUBLE) / 4 + 60.0, NULL
+    FROM sup
+    UNION ALL
+    SELECT 'intervals',
+           CASE WHEN j % 7 = 0 THEN NULL ELSE CAST(j AS VARCHAR) END,
+           CASE j % 4 WHEN 0 THEN '1' WHEN 1 THEN '2' WHEN 2 THEN NULL
+                ELSE CAST(CAST(j AS DOUBLE) / 4 AS VARCHAR) END,
+           NULL, NULL, NULL, NULL
+    FROM sup
+    """,
+    doc="REST ingest edge under the gate (S1-S3, F11-F17, O1/O2, "
+        "P5-P7): recorded OpenF1-shaped payloads (built from nation/"
+        "supplier rows so the oracle can recompute them) run the full "
+        "driver-side path — records_to_raw_df (all-string landing + "
+        "null-sentinel scrub + nested-JSON encode), normalize_sessions "
+        "(F15 try_cast date, F16 meeting-name default), "
+        "session_window_filter (P5-P7), select_latest_session (O1/O2 "
+        "Race-beats-Qualifying), ingest_session_endpoints (S1 "
+        "param-keyed fetch + F17 key injection + F13/F14 intervals "
+        "normalization), append_raw landing — then probes the landed "
+        "state row-by-row. Closes the last pytest-only core rows",
+)
+def q63_rest_ingest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.sources.openf1 import (
+        RecordedClient,
+        ingest_session_endpoints,
+        normalize_sessions,
+        records_to_raw_df,
+        select_latest_session,
+        session_window_filter,
+    )
+    from formula1_data_pipeline_spark.sources.sinks import append_raw
+
+    t = load(spark, sf_dir, "nation", "supplier")
+    nat = t["nation"].select("n_nationkey", "n_name").collect()
+    sup = (
+        t["supplier"].filter(F.col("s_suppkey") <= 20)
+        .select("s_suppkey", "s_nationkey").collect()
+    )
+
+    # --- recorded "sessions" payload, derived from nation rows so the
+    # oracle can rebuild it: one garbage date (F15), some records with
+    # meeting_name absent (F16 default), three session types (P6).
+    sessions_payload = []
+    for r in nat:
+        k = r.n_nationkey
+        rec: dict[str, object] = {
+            "session_key": k,
+            "session_name": ("Race", "Qualifying", "Practice")[k % 3],
+            "date_end": (
+                "not-a-date" if k == 13
+                else f"2024-01-{(k % 28) + 1:02d}T12:00:00"
+            ),
+        }
+        if k % 5 != 0:
+            rec["meeting_name"] = f"GP {r.n_name}"
+        sessions_payload.append(rec)
+
+    sessions = normalize_sessions(
+        records_to_raw_df(spark, sessions_payload)
+    )
+    filt = session_window_filter(
+        sessions, cutoff="2024-01-03", now="2024-01-20"
+    )
+    latest = select_latest_session(filt)
+    chosen = latest.select("session_key").collect()[0][0]
+    skey = int(chosen)
+
+    # --- per-session endpoint payloads for the chosen session, keyed
+    # by querystring (S1 param passing); supplier-derived so the
+    # oracle replays them. laps exercises F11 (nested list -> JSON),
+    # F12 (bool str), F10 (sentinel scrub); intervals exercises F13
+    # (int-or-null driver number) and F14 (lap-gap parse).
+    laps_recs: list[dict] = []
+    intervals_recs: list[dict] = []
+    for r in sup:
+        j = r.s_suppkey
+        laps_recs.append({
+            "driver_number": j,
+            "lap_duration": j / 4 + 60.0,
+            "is_pit_out_lap": j % 2 == 0,
+            "segments_sector_1": [j, r.s_nationkey],
+            "status": "None" if j % 5 == 0 else "OK",
+        })
+        intervals_recs.append({
+            "driver_number": "x" if j % 7 == 0 else f"{j}.0",
+            "gap_to_leader": (
+                "+1 LAP" if j % 4 == 0
+                else "2 LAPS" if j % 4 == 1
+                else "None" if j % 4 == 2
+                else str(j / 4)
+            ),
+        })
+    client = RecordedClient({
+        f"laps?session_key={skey}": laps_recs,
+        f"intervals?session_key={skey}": intervals_recs,
+        # position / race_control: no recordings -> empty fetch -> the
+        # S3 empty-payload short-circuit omits them
+    })
+    raw = ingest_session_endpoints(
+        spark, client, session_key=skey, year=2024
+    )
+
+    base = tempfile.mkdtemp(prefix="q63_rest_")
+    append_raw(raw["laps"], f"{base}/raw_laps")
+    append_raw(raw["intervals"], f"{base}/raw_intervals")
+    laps = spark.read.parquet(f"{base}/raw_laps")
+    intervals = spark.read.parquet(f"{base}/raw_intervals")
+
+    def probe(df, step, key, s1, s2, s3, d1, ts1):
+        return df.select(
+            F.lit(step).alias("step"), key.alias("key"),
+            s1.alias("s1"), s2.alias("s2"), s3.alias("s3"),
+            d1.cast("double").alias("d1"),
+            ts1.cast("timestamp").alias("ts1"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    null_t = F.lit(None).cast("timestamp")
+    return (
+        probe(filt, "sessions", F.col("session_key"),
+              F.col("session_name"), F.col("meeting_name"), null_s,
+              null_d, F.col("date_end"))
+        .unionByName(probe(
+            latest, "latest", F.col("session_key"),
+            F.col("session_name"), F.col("meeting_name"), null_s,
+            null_d, F.col("date_end")))
+        .unionByName(probe(
+            laps, "laps", F.col("driver_number"),
+            F.col("segments_sector_1"),
+            F.concat_ws(":", F.col("is_pit_out_lap"),
+                        F.col("session_key"), F.col("year")),
+            F.col("status"), F.col("lap_duration"), null_t))
+        .unionByName(probe(
+            intervals, "intervals", F.col("driver_number"),
+            F.col("gap_to_leader"), null_s, null_s, null_d, null_t))
+    )

@@ -14,11 +14,6 @@ the join.
 
 from __future__ import annotations
 
-import os
-import pathlib
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,21 +31,12 @@ def stream_static_join_agg(
     to the static ``dim`` on ``user_id == dim_key``, aggregate counts
     and a decimal-exact value sum per (dim_attr, event_type); complete
     mode + AvailableNow returns the final table."""
-    from formula1_data_pipeline_spark.streaming.confs import (
-        scoped_shuffle_partitions,
+    from formula1_data_pipeline_spark.streaming.scaffold import (
+        file_stream,
+        run_available_now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_path).schema
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    p = pathlib.Path(events_path)
-    os.symlink(p, pathlib.Path(src_dir) / p.name)
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(src_dir)
-    from formula1_data_pipeline_spark.functions.timestamps import (
-        normalize_event_ts,
-    )
-
-    stream = normalize_event_ts(stream)
+    stream = file_stream(spark, events_path)
 
     joined = stream.join(
         F.broadcast(dim), stream["user_id"] == dim[dim_key], "inner"
@@ -62,15 +48,7 @@ def stream_static_join_agg(
         .alias("sum_value"),
     )
 
-    qname = f"enriched_{uuid.uuid4().hex[:8]}"
-    with scoped_shuffle_partitions(spark, state_partitions):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(timeout_sec)
-    return spark.table(qname)
+    return run_available_now(
+        agg, output_mode="complete", timeout_sec=timeout_sec,
+        state_partitions=state_partitions, name_prefix="enriched",
+    )

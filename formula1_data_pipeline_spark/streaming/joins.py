@@ -28,11 +28,6 @@ eviction bounds.
 
 from __future__ import annotations
 
-import os
-import pathlib
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,27 +47,13 @@ def stream_stream_interval_join(
     ``left_type`` row of the same user with
     ``left.ts <= right.ts < left.ts + window``. Returns the joined
     pairs (append mode, AvailableNow)."""
-    from formula1_data_pipeline_spark.streaming.confs import (
-        scoped_shuffle_partitions,
+    from formula1_data_pipeline_spark.streaming.scaffold import (
+        file_stream,
+        run_available_now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_path).schema
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    p = pathlib.Path(events_path)
-    os.symlink(p, pathlib.Path(src_dir) / p.name)
-
     def side(event_type: str, prefix: str) -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .load(src_dir)
-        )
-        from formula1_data_pipeline_spark.functions.timestamps import (
-            normalize_event_ts,
-        )
-
-        s = normalize_event_ts(s)
+        s = file_stream(spark, events_path)
         return (
             s.filter(
                 F.col("event_type") == event_type
@@ -104,15 +85,7 @@ def stream_stream_interval_join(
         .alias("lag_micros"),
     )
 
-    qname = f"joined_{uuid.uuid4().hex[:8]}"
-    with scoped_shuffle_partitions(spark, state_partitions):
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(timeout_sec)
-    return spark.table(qname)
+    return run_available_now(
+        joined, output_mode="append", timeout_sec=timeout_sec,
+        state_partitions=state_partitions, name_prefix="joined",
+    )

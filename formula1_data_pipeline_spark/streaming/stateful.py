@@ -100,45 +100,15 @@ def stream_stateful_dedup(
     a live unbounded stream the same operator keeps emitting only
     never-before-seen subkeys, state bounded by subkey cardinality.
     """
-    import os
-    import pathlib
-    import tempfile
-    import uuid
-
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_path).schema
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    p = pathlib.Path(events_path)
-    os.symlink(p, pathlib.Path(src_dir) / p.name)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(src_dir)
-    )
-    from formula1_data_pipeline_spark.functions.timestamps import (
-        normalize_event_ts,
+    from formula1_data_pipeline_spark.streaming.scaffold import (
+        file_stream,
+        run_available_now,
     )
 
-    stream = normalize_event_ts(stream)
-
-    from formula1_data_pipeline_spark.streaming.confs import (
-        scoped_shuffle_partitions,
-    )
-
-    deduped = stateful_first_seen(stream)
-    qname = f"first_seen_{uuid.uuid4().hex[:8]}"
+    deduped = stateful_first_seen(file_stream(spark, events_path))
     # state-store instances scale with shuffle partitions (see confs):
     # size them to the bounded replay, not the session default
-    with scoped_shuffle_partitions(spark, state_partitions):
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(timeout_sec)
-    return spark.table(qname)
+    return run_available_now(
+        deduped, output_mode="append", timeout_sec=timeout_sec,
+        state_partitions=state_partitions, name_prefix="first_seen",
+    )

@@ -67,8 +67,10 @@ def stream_merge_upsert(
     # maxFilesPerTrigger=1 genuinely exercises multi-batch merging
     ev.repartition(n_source_files).write.parquet(src_dir)
 
+    # the stream reads back what we just wrote — its schema IS ev's
+    # (already ts-normalized), no footer probe job needed
     stream = (
-        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        spark.readStream.schema(ev.schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src_dir)

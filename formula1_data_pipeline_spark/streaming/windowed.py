@@ -19,9 +19,6 @@ watermark eviction, safe at any volume.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,31 +40,12 @@ def stream_windowed_agg(
     would still be merged, the semantic the reference approximates with
     its delete+reload (S6).
     """
-    # schema must be known up front for a file stream; take it from a
-    # batch read. events.parquet carries TIMESTAMP(NANOS), which the
-    # reader rejects unless nanosAsLong is set — a runtime conf, set
-    # here so externally-supplied sessions (not built by get_spark)
-    # work too, matching queries.load.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(events_path).schema
-    # FileStreamSource only accepts directories — stage the file(s)
-    # behind a symlink dir (zero-copy)
-    import os
-    import pathlib
-
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    p = pathlib.Path(events_path)
-    os.symlink(p, pathlib.Path(src_dir) / p.name)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(src_dir)
-    )
-    from formula1_data_pipeline_spark.functions.timestamps import (
-        normalize_event_ts,
+    from formula1_data_pipeline_spark.streaming.scaffold import (
+        file_stream,
+        run_available_now,
     )
 
-    stream = normalize_event_ts(stream)
+    stream = file_stream(spark, events_path)
 
     agg = (
         stream.withWatermark("ts", watermark_delay)
@@ -87,20 +65,8 @@ def stream_windowed_agg(
         )
     )
 
-    from formula1_data_pipeline_spark.streaming.confs import (
-        scoped_shuffle_partitions,
-    )
-
-    qname = f"windowed_{uuid.uuid4().hex[:8]}"
     # window-agg state shards one store per shuffle partition (confs.py)
-    with scoped_shuffle_partitions(spark, state_partitions):
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(timeout_sec)
-    return spark.table(qname)
+    return run_available_now(
+        agg, output_mode="append", timeout_sec=timeout_sec,
+        state_partitions=state_partitions, name_prefix="windowed",
+    )

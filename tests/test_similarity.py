@@ -16,6 +16,7 @@ from formula1_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_keys,
     _lsh_bucketed,
+    _lsh_bucketed_arrow,
 )
 from tests.conftest import sf_dir
 
@@ -87,3 +88,24 @@ def test_bulk_bucketing_matches_column_form(spark):
                                "n_").collect()
     }
     assert bulk == col_form
+
+
+def test_arrow_bucketing_matches_column_form(spark):
+    """The Arrow/NumPy bucketing (the q26 production path) must emit
+    bit-identical bucket keys AND norms to the JVM forms — its
+    d-sequential accumulation is designed to round exactly like the
+    sequential fold, so equality here is exact, not approximate."""
+    emb = _load_emb(spark).limit(50)
+    arrow = {
+        (r.n_id, r.bucket): r.n_norm
+        for r in _lsh_bucketed_arrow(emb, 64, 4, 5, "vec_id",
+                                     "embedding", "n_").collect()
+    }
+    bulk = {
+        (r.n_id, r.bucket): r.n_norm
+        for r in _lsh_bucketed(emb, 64, 4, 5, "vec_id", "embedding",
+                               "n_").collect()
+    }
+    assert set(arrow) == set(bulk)
+    for key, nrm in arrow.items():
+        assert nrm == bulk[key], f"norm mismatch at {key}"
