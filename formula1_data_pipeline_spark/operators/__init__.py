@@ -25,3 +25,9 @@ from formula1_data_pipeline_spark.operators.topk import (  # noqa: F401
 from formula1_data_pipeline_spark.operators.windows import (  # noqa: F401
     count_distinct_over,
 )
+from formula1_data_pipeline_spark.operators.packing import (  # noqa: F401
+    pack_sequences,
+)
+from formula1_data_pipeline_spark.operators.scd2 import (  # noqa: F401
+    scd2_history,
+)

@@ -1,0 +1,81 @@
+"""Sequence packing — assigning documents to fixed token-budget bins.
+
+LLM training consumes documents packed into fixed-length sequences
+("sample packing"): walk the corpus in a deterministic order, keep a
+running token count, and a document's bin is the budget-window its
+start lands in. The semantics are a global exclusive prefix sum over
+the ordered token counts — which is exactly the operation a naive
+window (``Window.orderBy(...)`` with no partition) would funnel
+through ONE task at 100 TB.
+
+The scale shape here is the classic two-level distributed prefix sum:
+
+1. range-bucket the order key (contiguous id ranges, so bucket order
+   equals document order),
+2. one hash aggregate computes each bucket's token total,
+3. the tiny bucket table (corpus_rows / bucket_size rows) takes the
+   only global-ordered window — thousands of rows, not billions,
+4. bucket offsets broadcast-join back and a PARTITIONED window
+   (partitionBy bucket) finishes the within-bucket prefix.
+
+Total cost: one narrow aggregate + one broadcast join + one bounded
+window per bucket. No global sort, no single-task stage; bucket_size
+tunes the tradeoff between driver-side table size and per-bucket
+window width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    n_tokens: Column,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Assign each document a packing bin: bin_id = which
+    ``budget``-token window the document's start offset falls in when
+    documents are laid out in ``id_col`` order. Returns
+    (id_col, n_tokens, bin_id, pack_pos) where pack_pos is the start
+    offset within the bin. Deterministic — depends only on ids and
+    token counts, not on physical partitioning.
+    """
+    d = docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).alias("_bkt"),
+    )
+    bucket_sums = d.groupBy("_bkt").agg(
+        F.sum("n_tokens").alias("_bsum")
+    )
+    # the only unpartitioned window runs over the tiny bucket table
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_cum_before",
+            F.col("_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("_cum_before") / budget).alias("bin_id"),
+            (F.col("_cum_before") % budget).alias("pack_pos"),
+        )
+    )

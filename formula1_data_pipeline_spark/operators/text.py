@@ -163,3 +163,59 @@ def quality_score(text: Column) -> Column:
     volume = F.least(F.lit(1.0), n_tok / 100.0)
     length_ok = F.when((n_chars >= 50) & (n_chars <= 5000), 1.0).otherwise(0.0)
     return 0.3 * diversity + 0.4 * volume + 0.3 * length_ok
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Space-joined word n-grams of the whitespace tokens (empty array
+    for docs shorter than ``n`` tokens — guarded because
+    ``sequence(0, cnt - n)`` with negative bounds counts DOWN)."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        )
+
+    return F.when(
+        cnt >= n, F.transform(F.sequence(F.lit(0), cnt - n), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition signal: the fraction of word n-grams
+    that are repeats of an earlier n-gram in the same document
+    (1 - distinct/total). NULL for docs with no n-grams. Codegen'd
+    narrow projection — the standard low-quality/boilerplate filter
+    for a pre-training corpus."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0,
+        F.round((total - distinct).cast("double") / total, 6),
+    )
+
+
+def shingle_hashes_df(docs, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = SHINGLE_K):
+    """ALL distinct k-gram shingle hashes per doc as exploded
+    (id, h) rows — the full-set sibling of the bottom-k
+    ``shingle_fingerprints_df`` (same lead()-window shingling, same
+    60-bit md5 hash), for operators that need exact membership
+    (e.g. benchmark-contamination checks) rather than a sketch."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, k)]
+    shingled = ex.select(
+        "id",
+        F.concat_ws(" ", *parts).alias("sh"),
+        parts[-1].isNotNull().alias("full"),
+    ).filter(F.col("full"))
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    return shingled.select("id", h.alias("h")).distinct()

@@ -547,3 +547,243 @@ def q61_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"event_id_dups": ["event_id"]},
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 tranche: sequence packing, repetition filter, contamination
+# check, SCD2 snapshot history
+# ---------------------------------------------------------------------------
+
+from formula1_data_pipeline_spark.queries_llm import (  # noqa: E402
+    _bpe_sql_pattern,
+)
+
+
+@register(
+    "q64_sequence_packing",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS bin_id,
+           CAST(cum_before % 512 AS BIGINT) AS pack_pos
+    FROM c
+    """,
+    doc="Sequence packing (sample packing for LLM training): documents "
+        "laid out in doc_id order get the 512-BPE-token bin their "
+        "start offset falls in. Implemented as a two-level distributed "
+        "prefix sum (range-bucket -> per-bucket totals -> tiny-table "
+        "offset window -> partitioned within-bucket window) so no "
+        "stage runs a global single-task sort — the oracle's flat "
+        "window IS that single task, which is exactly what this shape "
+        "avoids at 100 TB. operators/packing.py",
+)
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import text as T
+    from formula1_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return pack_sequences(
+        docs, T.bpe_token_count(F.col("text")), budget=512,
+        id_col="doc_id", bucket_size=1000,
+    )
+
+
+@register(
+    "q65_repetition_filter",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(0, len(toks) - 1), i ->
+                       toks[i + 1] || ' ' || toks[i + 2])
+               ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           len(grams) AS n_bigrams,
+           len(list_distinct(grams)) AS n_distinct,
+           CASE WHEN len(grams) > 0 THEN
+               round(CAST(len(grams) - len(list_distinct(grams))
+                          AS DOUBLE) / len(grams), 6)
+           END AS dup_fraction,
+           CASE WHEN len(grams) > 0 THEN
+               round(CAST(len(grams) - len(list_distinct(grams))
+                          AS DOUBLE) / len(grams), 6) > 0.2
+           END AS is_repetitive
+    FROM g
+    """,
+    doc="Gopher-style repetition quality filter: fraction of word "
+        "bigrams that repeat an earlier bigram in the same document; "
+        "docs above 0.2 flagged as boilerplate/low-quality. Bulk shape "
+        "= posexplode + lead() window + one hash aggregate per doc "
+        "(all codegen'd; one narrow shuffle on doc id). The column "
+        "form (text.py::repeated_ngram_fraction) is interpreted-HOF "
+        "and re-evaluates the gram array per referencing column — "
+        "measured 32 s vs 1.5 s at sf0.1 — so the bulk shape is the "
+        "production path, exactly as with shingle fingerprints",
+)
+def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = ex.select(
+        "doc_id",
+        F.when(
+            F.lead("t", 1).over(w).isNotNull(),
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)),
+        ).alias("gram"),
+    )
+    stats = grams.groupBy("doc_id").agg(
+        F.count("gram").alias("n_bigrams"),
+        F.countDistinct("gram").alias("n_distinct"),
+    )
+    dup = F.round(
+        (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
+        / F.col("n_bigrams"), 6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.when(F.col("n_bigrams") > 0, dup).alias("dup_fraction"),
+            F.when(F.col("n_bigrams") > 0, dup > 0.2)
+            .alias("is_repetitive"),
+        )
+    )
+
+
+@register(
+    "q66_contamination_check",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(range(0, len(toks) - 2),
+                       i -> CAST(('0x' || substr(md5(array_to_string(
+                                list_slice(toks, i + 1, i + 3), ' ')),
+                                1, 15)) AS BIGINT)))
+               ELSE [] END AS hs
+        FROM t
+    ), bench AS (
+        SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+        SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 97 <> 0
+    ), hits AS (
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM corpus c JOIN bench b USING (h)
+        GROUP BY 1
+    )
+    SELECT s.doc_id,
+           COALESCE(hits.n_hits, 0) AS n_hits,
+           COALESCE(hits.n_hits, 0) > 0 AS contaminated
+    FROM sh s LEFT JOIN hits USING (doc_id)
+    WHERE s.doc_id % 97 <> 0
+    """,
+    doc="Benchmark-contamination check: corpus documents sharing any "
+        "3-gram shingle hash (q28's md5 scheme) with a held-out "
+        "benchmark set (doc_id % 97 = 0 here; a real eval set in "
+        "production) are flagged with their hit count. The benchmark "
+        "shingle set broadcasts (eval sets are small), so the corpus "
+        "side never shuffles for the membership join — scales as a "
+        "narrow scan + broadcast semi-join at 100 TB. "
+        "operators/text.py::shingle_hashes_df",
+)
+def q66_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.text import shingle_hashes_df
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    shingles = shingle_hashes_df(docs)
+    is_bench = F.col("id") % 97 == 0
+    bench_h = shingles.filter(is_bench).select("h").distinct()
+    corpus = shingles.filter(~is_bench)
+    # (id, h) is distinct per doc, so count(*) == distinct hit count
+    hits = (
+        corpus.join(F.broadcast(bench_h), "h")
+        .groupBy("id").agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "q67_scd2_history",
+    """
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), runs AS (
+        SELECT user_id, island, event_type AS attr,
+               min(ts) AS valid_from, count(*) AS n_events
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT user_id, attr, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+               IS NULL AS is_current
+    FROM runs
+    """,
+    doc="SCD type-2 history — the dbt-snapshot semantics the "
+        "reference's third DAG invokes but never defines models for "
+        "(SURVEY.md §2.11 M2): each user's event_type runs collapse to "
+        "validity intervals with valid_from/valid_to and an is_current "
+        "flag. Gaps-and-islands windows partitioned by the dimension "
+        "key; the window and the island aggregate share one shuffle. "
+        "operators/scd2.py",
+)
+def q67_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.scd2 import scd2_history
+
+    ev = (
+        load(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    )
+    return scd2_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    )

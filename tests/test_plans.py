@@ -104,3 +104,17 @@ def test_range_join_is_equi_join_not_nlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert any(j in plan for j in
                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), plan
+
+
+def test_packing_prefix_sum_shape(spark):
+    """q64's distributed prefix sum: exactly ONE single-partition
+    exchange (the tiny bucket-offset window), never the data path."""
+    plan = plan_of(spark, "q64_sequence_packing")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """q66's benchmark shingle set must broadcast — the corpus side
+    never shuffles for the membership join."""
+    plan = plan_of(spark, "q66_contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
