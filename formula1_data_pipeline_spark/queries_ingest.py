@@ -353,10 +353,8 @@ def q63_rest_ingest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = tempfile.mkdtemp(prefix="q63_rest_")
-    # REST payloads are driver-built LocalRelations of a few dozen
-    # rows — land them as one file each instead of a task per core
-    append_raw(raw["laps"].coalesce(1), f"{base}/raw_laps")
-    append_raw(raw["intervals"].coalesce(1), f"{base}/raw_intervals")
+    append_raw(raw["laps"], f"{base}/raw_laps")
+    append_raw(raw["intervals"], f"{base}/raw_intervals")
     laps = spark.read.parquet(f"{base}/raw_laps")
     intervals = spark.read.parquet(f"{base}/raw_intervals")
 
