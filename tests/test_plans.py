@@ -118,3 +118,10 @@ def test_contamination_broadcasts_benchmark(spark):
     never shuffles for the membership join."""
     plan = plan_of(spark, "q66_contamination_check")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_single_shuffle(spark):
+    """q67's windows and island aggregate all reuse the user_id
+    partitioning — exactly one hash exchange in the whole plan."""
+    plan = plan_of(spark, "q67_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
