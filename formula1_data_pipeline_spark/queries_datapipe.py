@@ -787,3 +787,58 @@ def q67_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", attr_col="event_type",
         ts_col="ts", tiebreak_col="event_id",
     )
+
+
+@register(
+    "q68_mixture_resample",
+    """
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ), m AS (
+        SELECT min(n_docs) AS n_min FROM counts
+    ), rates AS (
+        SELECT lang, n_docs,
+               sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
+        FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, r.n_docs,
+           round(r.rate, 6) AS keep_rate,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
+                'mix-v1'), 1, 15)) AS BIGINT) % 1000000
+               < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+    FROM documents d JOIN rates r USING (lang)
+    """,
+    doc="Domain-mixture resampling (temperature 0.5): per-language "
+        "keep rates sqrt(n_min/n_lang), so sampled counts scale as "
+        "sqrt(n_lang) — the standard temperature reweighting of a "
+        "multi-source training mix. sqrt is IEEE-correctly-rounded in "
+        "both engines (pow is NOT, which is why T is fixed at 0.5), "
+        "the rate threshold is an exact integer compare on the md5 "
+        "micro-bucket, and membership is a pure function of doc_id — "
+        "reproducible across runs, engines and partitionings. Shape: "
+        "one tiny aggregate (langs), broadcast back over a narrow "
+        "scan; no corpus shuffle at any scale",
+)
+def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang", "n_docs",
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+            .alias("rate"),
+        )
+    )
+    bucket = hash_bucket(F.col("doc_id"), "mix-v1", n_buckets=1000000)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id", "lang", "n_docs",
+            F.round("rate", 6).alias("keep_rate"),
+            (bucket < F.floor(F.col("rate") * 1000000)).alias("kept"),
+        )
+    )
