@@ -20,6 +20,8 @@ future encoding change is a one-line fix.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,14 +35,30 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     spark = df.sparkSession
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        # The NTZ→LTZ cast below is only value-exact under UTC, and the
+        # cast executes lazily (long after this function returns), so a
+        # scoped save/restore would silently un-pin it before execution.
+        # Mutate, but loudly: callers who care about their session tz
+        # should pin it themselves (session.py does).
+        warnings.warn(
+            "normalize_event_ts: pinning spark.sql.session.timeZone=UTC "
+            "on the supplied session (required for value-exact NTZ->LTZ "
+            "event-time casts); this persists for the session's lifetime.",
+            stacklevel=2,
+        )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong: floor to µs
-        # floor (not DIV) so pre-epoch nanos truncate the same way the
-        # oracle's ns→µs conversion does; column API avoids SQL-name
-        # interpolation for columns that would need backticks.
+        # Floor-division in *integer* math: 2024-epoch nanos (~1.7e18)
+        # exceed double's 2^53 exact range, so F.floor(col / 1000) (which
+        # promotes to double) mis-rounds ~12% of non-µs-aligned values.
+        # `x - pmod(x, 1000)` is floor-aligned for negatives too
+        # (pmod(-1, 1000) = 999), matching the oracle's ns→µs floor.
         return df.withColumn(
-            col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+            col,
+            F.timestamp_micros(
+                F.expr(f"(`{col}` - pmod(`{col}`, 1000)) DIV 1000")
+            ),
         )
     if dt == "timestamp_ntz":  # µs NTZ footer; UTC session tz => exact
         return df.withColumn(col, F.col(col).cast("timestamp"))

@@ -279,6 +279,18 @@ def _lsh_bucketed_arrow(df: DataFrame, dim: int, n_tables: int,
         for pdf in it:
             if not len(pdf):
                 continue
+            # Degrade per-row on NULL / wrong-length embeddings (the JVM
+            # path this replaced null'd them out row-by-row): a single
+            # bad vector must not fail the whole stage via np.stack's
+            # ragged-input error. Dropped rows simply produce no bucket,
+            # so they can never appear as a candidate — same visible
+            # semantics as a NULL dot product filtered downstream.
+            ok = pdf["vec"].map(
+                lambda v: v is not None and len(v) == dim
+            )
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
             V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
             n = V.shape[0]
             acc = np.zeros((n, planes.shape[0]))

@@ -17,8 +17,9 @@ now:
   per-partition; see confs.py), awaitTermination, returns the sink
   table.
 
-Caching note: schema/symlink caches key on the resolved path, so the
-same process can gate sf0.001/sf0.01/sf0.1 side by side. These are
+Caching note: schema/symlink caches key on (resolved path, mtime,
+size), so the same process can gate sf0.001/sf0.01/sf0.1 side by side
+and a rewritten file invalidates its stale entry. These are
 per-process conveniences for the bounded local replays — a production
 deployment reads its stream from a real source (Kafka / object-store
 listing) and none of this scaffolding exists.
@@ -41,14 +42,24 @@ from formula1_data_pipeline_spark.streaming.confs import (
     scoped_shuffle_partitions,
 )
 
-_SCHEMA_CACHE: dict[str, StructType] = {}
-_SRC_DIR_CACHE: dict[str, str] = {}
+_CacheKey = tuple[str, int, int]  # (resolved path, mtime_ns, size)
+_SCHEMA_CACHE: dict[_CacheKey, StructType] = {}
+_SRC_DIR_CACHE: dict[_CacheKey, str] = {}
+
+
+def _cache_key(path: str) -> _CacheKey:
+    """Key caches on (path, mtime_ns, size) so a file rewritten
+    in-process (e.g. a regenerated replay table with a changed schema)
+    invalidates the stale schema/symlink instead of serving it."""
+    resolved = pathlib.Path(path).resolve()
+    st = resolved.stat()
+    return (str(resolved), st.st_mtime_ns, st.st_size)
 
 
 def _probe_schema(spark: SparkSession, path: str) -> StructType:
     """File streams need the schema up front; take it from a batch
-    footer read, once per path per process."""
-    key = str(pathlib.Path(path).resolve())
+    footer read, once per (path, mtime, size) per process."""
+    key = _cache_key(path)
     if key not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return _SCHEMA_CACHE[key]
@@ -56,8 +67,9 @@ def _probe_schema(spark: SparkSession, path: str) -> StructType:
 
 def _staged_dir(path: str) -> str:
     """FileStreamSource only accepts directories — stage the file
-    behind a symlink dir (zero-copy), once per path per process."""
-    key = str(pathlib.Path(path).resolve())
+    behind a symlink dir (zero-copy), once per (path, mtime, size)
+    per process."""
+    key = _cache_key(path)
     if key not in _SRC_DIR_CACHE:
         src_dir = tempfile.mkdtemp(prefix="stream_src_")
         p = pathlib.Path(path)

@@ -90,6 +90,37 @@ def test_bulk_bucketing_matches_column_form(spark):
     assert bulk == col_form
 
 
+def test_arrow_bucketing_degrades_per_row_on_bad_vectors(spark):
+    """A NULL or wrong-length embedding must drop that ROW, not fail
+    the whole stage (np.stack raises on ragged input otherwise) —
+    parity with the per-row degradation of the JVM path it replaced."""
+    from pyspark.sql import types as T
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, None),            # NULL vector
+        (2, [1.0, 2.0]),      # wrong length
+        (3, [0.5] * 64),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    out = _lsh_bucketed_arrow(df, 64, 4, 5, "vec_id", "embedding", "n_")
+    ids = {r.n_id for r in out.select("n_id").distinct().collect()}
+    assert ids == {0, 3}
+
+    # End-to-end: ann_lsh_topk over the same frame completes and only
+    # scores the valid rows.
+    res = ann_lsh_topk(df, df.filter(F.col("vec_id") == 0), dim=64, k=5,
+                       n_tables=4, n_planes=5,
+                       id_col="vec_id", vec_col="embedding")
+    assert {r.n_id for r in res.collect()} <= {3}
+
+
 def test_arrow_bucketing_matches_column_form(spark):
     """The Arrow/NumPy bucketing (the q26 production path) must emit
     bit-identical bucket keys AND norms to the JVM forms — its
