@@ -913,36 +913,73 @@ from formula1_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 
 
+# Queries whose implementing modules changed since their last driver
+# gate — maintained by hand each round, checked against the round's
+# diff. Round 3 proved the hazard this closes: the Arrow LSH rewrite
+# changed q26's physical path AFTER its last driver-gated row, so the
+# driver never re-verified the code it actually graded. These sort
+# directly after the never/least-recently-gated block. Round 4 changes:
+# sinks/txn manifest protocol (q14, q36), similarity per-row degrade
+# (q24, q26, q27, q34), timestamps ns->us integer math + scaffold
+# cache (every streaming leg: q31, q32, q35, q54, q62).
+CHANGED_SINCE_GATE = [
+    "q14_ingest_write_path", "q36_stream_merge_upsert",
+    "q24_cosine_topk", "q26_ann_lsh_topk", "q27_embedding_neardup",
+    "q34_ivf_flat_topk", "q21_minhash_lsh",
+    "q31_stream_windowed_agg", "q32_sessionization",
+    "q35_stream_stateful_dedup", "q54_stream_static_join",
+    "q62_stream_stream_join",
+]
+
+
 def _gate_priority_order() -> None:
-    """Reorder CATALOG so queries absent from the most recent driver
-    CORRECTNESS file iterate first.
+    """Reorder CATALOG so the driver's bounded-budget gate re-verifies
+    the queries that most need a row: never-gated first, then stalest
+    last-gated round, then queries whose implementation changed since
+    their last gate (CHANGED_SINCE_GATE), then the rest.
 
     The driver's correctness gate has a bounded budget: in round 2 it
     recorded exactly the first 50 of 60 catalog entries in iteration
-    order and silently dropped the rest. Iterating least-recently-gated
-    first guarantees any budget — count- or time-based — is spent on
-    the queries that most need a correctness row, and converges to full
-    coverage across rounds. Deterministic: depends only on committed
-    CORRECTNESS_r*.json files.
+    order and silently dropped the rest. Ranking by last-gated round
+    (across ALL committed CORRECTNESS_r*.json, not just the newest)
+    spends any budget — count- or time-based — on the least-recently
+    verified queries and converges to full rolling coverage.
+    Deterministic: depends only on committed files + the hand-kept
+    changed list.
     """
     import json
     import pathlib
+    import re
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    files = sorted(root.glob("CORRECTNESS_r*.json"))
-    if not files:
+    last_gated: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        try:
+            names = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in names:
+            last_gated[name] = max(last_gated.get(name, 0), int(m.group(1)))
+    if not last_gated:
         return
-    try:
-        gated = set(json.loads(files[-1].read_text()))
-    except (OSError, ValueError):
-        return
-    ungated = {n: s for n, s in CATALOG.items() if n not in gated}
-    if not ungated or len(ungated) == len(CATALOG):
-        return
-    rest = {n: s for n, s in CATALOG.items() if n in gated}
+    changed_rank = {n: i for i, n in enumerate(CHANGED_SINCE_GATE)}
+    catalog_rank = {n: i for i, n in enumerate(CATALOG)}
+
+    def rank(name: str):
+        # (never-gated or stalest round) > changed-since-gate > rest
+        return (
+            last_gated.get(name, -1),
+            0 if name in changed_rank else 1,
+            changed_rank.get(name, catalog_rank[name]),
+        )
+
+    ordered = sorted(CATALOG, key=rank)
+    reordered = {n: CATALOG[n] for n in ordered}
     CATALOG.clear()
-    CATALOG.update(ungated)
-    CATALOG.update(rest)
+    CATALOG.update(reordered)
 
 
 _gate_priority_order()

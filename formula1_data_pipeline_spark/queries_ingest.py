@@ -94,6 +94,7 @@ def q14_ingest_write_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace_by_key,
         skip_loaded,
     )
+    from formula1_data_pipeline_spark.sources.txn import read_table
 
     t = load(spark, sf_dir, "customer", "supplier")
     cust, supp = t["customer"], t["supplier"]
@@ -112,7 +113,7 @@ def q14_ingest_write_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal", F.col("c_acctbal") + 1000.0
     )
     replace_by_key(reload_df, seg, key="c_mktsegment")
-    replaced = spark.read.parquet(seg)
+    replaced = read_table(spark, seg)
 
     # 3. S6-alt/S7: last-write-wins merge; incoming batch drifts schema
     mrg = f"{base}/supplier_merged"
@@ -130,7 +131,7 @@ def q14_ingest_write_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, incoming, mrg,
         keys=["s_suppkey"], order=[F.col("batch").desc()],
     )
-    merged = spark.read.parquet(mrg)
+    merged = read_table(spark, mrg)
 
     # 4. S8: drop candidates whose key already landed in step 1
     candidates = cust.select(

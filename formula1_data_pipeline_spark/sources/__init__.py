@@ -17,10 +17,26 @@ from formula1_data_pipeline_spark.sources.sinks import (
     replace_by_key,
     skip_loaded,
 )
+from formula1_data_pipeline_spark.sources.txn import (
+    current_version,
+    is_txn_table,
+    read_table,
+    txn_append,
+    txn_merge,
+    txn_replace,
+    vacuum,
+)
 
 __all__ = [
     "RecordedClient",
     "append_raw",
+    "current_version",
+    "is_txn_table",
+    "read_table",
+    "txn_append",
+    "txn_merge",
+    "txn_replace",
+    "vacuum",
     "bucketed_join",
     "write_bucketed",
     "ingest_session_endpoints",

@@ -9,11 +9,10 @@ recovery (``dags/open_f1_historical.py:111-152``,
   parquet — Spark batches writes per partition; no 5000-row
   executemany loop needed.
 - **replace_by_key** (S6): the delete+reload upsert as an atomic
-  dynamic partition overwrite — only the partitions present in the
+  partition-scoped replace — only the partitions present in the
   incoming batch are replaced, the exact semantic of
   ``DELETE WHERE session_key = X`` + re-insert, minus the two-step
-  race window. (Delta ``replaceWhere``/MERGE is the production path;
-  this parquet formulation keeps the repo dependency-free.)
+  race window.
 - **merge_upsert** (S6 alt): key-based last-write-wins merge for
   non-partitioned layouts — read, union (schema drift tolerated via
   unionByName/allowMissingColumns, replacing the reference's
@@ -22,9 +21,20 @@ recovery (``dags/open_f1_historical.py:111-152``,
 - **skip_loaded** (S8): left-anti join of candidate keys against
   already-landed keys.
 
+Both mutating sinks default to the **manifest commit protocol**
+(``sources/txn.py``): immutable data dirs + an atomically-published
+single-object manifest, the object-store-safe replacement for the
+directory-rename swap (atomic only on POSIX/HDFS) and the dynamic
+partition overwrite (non-transactional on S3-class stores). Read the
+landed tables back with ``txn.read_table`` — it falls through to a
+plain parquet read for non-manifest layouts. ``protocol="rename"`` /
+``protocol="overwrite"`` keep the old physical layouts for plain-
+parquet consumers.
+
 At 100 TB: raw tables partition by the replace key (session_key here,
 date/hour for event feeds), so a realtime refresh touches one
-partition's files and incremental loads prune everything else.
+partition's files and incremental loads prune everything else; the
+manifest carries untouched partitions forward by reference.
 """
 
 from __future__ import annotations
@@ -89,9 +99,22 @@ def append_raw(df: DataFrame, path: str,
     w.parquet(path)
 
 
-def replace_by_key(df: DataFrame, path: str, key: str) -> None:
+def replace_by_key(df: DataFrame, path: str, key: str,
+                   protocol: str = "manifest") -> None:
     """S6: atomically replace exactly the ``key`` partitions present in
-    ``df`` (dynamic partition overwrite) — the delete+reload upsert."""
+    ``df`` — the delete+reload upsert.
+
+    ``protocol="manifest"`` (default) commits via txn.py: new partition
+    dirs staged invisibly, untouched partitions carried forward by
+    reference, one atomic manifest publish — transactional on object
+    stores. ``protocol="overwrite"`` is the legacy dynamic partition
+    overwrite (plain parquet layout, non-transactional on S3-class
+    stores)."""
+    if protocol == "manifest":
+        from formula1_data_pipeline_spark.sources.txn import txn_replace
+
+        txn_replace(df.sparkSession, stringify_all(df), path, key)
+        return
     (
         stringify_all(df)
         .write.mode("overwrite")
@@ -108,10 +131,11 @@ def merge_upsert(
     keys: list[str],
     order: list[Column],
     order_cols: list[str] | None = None,
+    protocol: str = "manifest",
 ) -> None:
-    """S6/S7: last-write-wins merge into a non-partitioned parquet
-    table. New columns from schema drift survive as NULLs on old rows
-    (the non-destructive upgrade of the reference's drop-recreate).
+    """S6/S7: last-write-wins merge into a non-partitioned table. New
+    columns from schema drift survive as NULLs on old rows (the
+    non-destructive upgrade of the reference's drop-recreate).
 
     ``order_cols`` names plain columns the ``order`` expressions
     reference that a batch may not carry yet (e.g. a ``loaded_at``
@@ -119,6 +143,14 @@ def merge_upsert(
     priority sort resolves instead of failing analysis — drift in the
     order column gets the same NULL tolerance as any other drifted
     column.
+
+    ``protocol="manifest"`` (default) commits through txn.txn_merge:
+    the merge result is staged invisibly and published with one atomic
+    put-if-absent manifest — transactional on object stores, and
+    concurrent merges retry against the new snapshot instead of losing
+    updates. ``protocol="rename"`` keeps the legacy staged-write +
+    directory-rename swap (plain parquet layout; atomic on POSIX/HDFS
+    only).
 
     Read-modify-write: fine for dimension-sized tables; big facts
     should use replace_by_key partitioning instead.
@@ -136,23 +168,32 @@ def merge_upsert(
         return frame
 
     incoming = _ensure_order_cols(stringify_all(df))
-    staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
-    # Only a genuinely missing table may take the fresh-write path; a
-    # transient/corrupt read error must surface, NOT silently overwrite
-    # previously landed data with the incoming batch alone.
-    if not _path_exists(spark, path):
-        # the fresh path must also enforce key uniqueness, or the
-        # landed state would depend on how the first batch was split
-        merged = dedup_by_priority(incoming, keys=keys, order=order)
-    else:
-        existing = _ensure_order_cols(spark.read.parquet(path))
-        merged = dedup_by_priority(
-            incoming.unionByName(existing, allowMissingColumns=True),
+
+    def merge_fn(existing: DataFrame | None) -> DataFrame:
+        # A genuinely missing table takes the fresh-write path — which
+        # must also enforce key uniqueness, or the landed state would
+        # depend on how the first batch was split. A transient/corrupt
+        # read error surfaces instead of silently overwriting landed
+        # data with the incoming batch alone.
+        if existing is None:
+            return dedup_by_priority(incoming, keys=keys, order=order)
+        return dedup_by_priority(
+            incoming.unionByName(_ensure_order_cols(existing),
+                                 allowMissingColumns=True),
             keys=keys,
             order=order,
         )
-        # the merged plan reads lazily from the live files — fully
-        # materialize into the staged dir before touching the table
+
+    if protocol == "manifest":
+        from formula1_data_pipeline_spark.sources.txn import txn_merge
+
+        txn_merge(spark, path, merge_fn)
+        return
+
+    merged = merge_fn(
+        spark.read.parquet(path) if _path_exists(spark, path) else None
+    )
+    staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
     # the merged plan reads lazily from the live files — fully
     # materialize into the staged dir before touching the table
     merged.write.mode("overwrite").parquet(staged)

@@ -17,8 +17,10 @@ idempotent-upsert property the reference's delete+reload gets by
 brute force.
 
 Scale notes (100 TB stream): foreachBatch gives the stream
-transactional batch semantics per micro-batch; merge_upsert's staged
-write + atomic rename keeps readers consistent between batches. State
+transactional batch semantics per micro-batch; merge_upsert's manifest
+commit protocol (``sources/txn.py`` — immutable data dirs + atomic
+put-if-absent manifest) keeps readers consistent between batches,
+including on object stores where directory rename is not atomic. State
 is the landed table itself (no executor state store), so stream memory
 is O(micro-batch), not O(stream). The merge cost grows with the landed
 table — in production the landing table is partitioned by key range so
@@ -105,4 +107,6 @@ def stream_merge_upsert(
             .start()
         )
         query.awaitTermination(timeout_sec)
-    return spark.read.parquet(landing)
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    return read_table(spark, landing)

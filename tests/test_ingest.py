@@ -10,6 +10,7 @@ from formula1_data_pipeline_spark.sources import (
     append_raw,
     ingest_session_endpoints,
     merge_upsert,
+    read_table,
     records_to_raw_df,
     replace_by_key,
     select_latest_session,
@@ -132,12 +133,12 @@ def test_append_replace_merge_skip(spark, tmp_path):
         spark, [{"session_key": 9165, "driver_number": 1, "lap_number": 1,
                  "lap_duration": 91.0}])
     replace_by_key(refreshed, path, key="session_key")
-    got = spark.read.parquet(path)
+    got = read_table(spark, path)
     assert got.filter(F.col("session_key") == 9165).count() == 1
     assert got.filter(F.col("session_key") == 9200).count() == 1
 
     # S8: anti-join skip
-    loaded = spark.read.parquet(path).select("session_key")
+    loaded = read_table(spark, path).select("session_key")
     cand = records_to_raw_df(
         spark, [{"session_key": 9165}, {"session_key": 9300}])
     remaining = skip_loaded(cand, loaded).collect()
@@ -160,13 +161,13 @@ def test_merge_upsert_last_write_wins_schema_drift(spark, tmp_path):
     merge_upsert(spark, v2, path, keys=["session_key", "lap_number"],
                  order=[F.col("loaded_at").desc_nulls_last()],
                  order_cols=["loaded_at"])
-    got = {r["lap_number"]: r for r in spark.read.parquet(path).collect()}
+    got = {r["lap_number"]: r for r in read_table(spark, path).collect()}
     assert len(got) == 2
     assert got["1"]["lap_duration"] == "89.0"   # last write won
     assert got["2"]["lap_duration"] == "91.0"   # old row survived drift
     assert got["2"]["loaded_at"] is None        # drift column null-filled
-    # the staged-swap must leave exactly the live table behind — no
-    # .staged-/.old- debris and no half-written mix
+    # the commit must leave exactly the live table behind — no
+    # staged/debris dirs outside it and no half-written mix
     assert sorted(p.name for p in tmp_path.iterdir()) == ["merged"]
 
 
