@@ -275,6 +275,80 @@ def q62_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q69_stream_rest_ingest",
+    """
+    WITH sup AS (
+        SELECT s_suppkey AS j FROM supplier WHERE s_suppkey <= 20
+    ), polls AS (
+        SELECT j, p.p
+        FROM sup CROSS JOIN (VALUES (0), (1), (2), (3)) AS p(p)
+        WHERE (j + p.p) % 3 <> 0
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY j ORDER BY p DESC) AS rn
+        FROM polls
+    )
+    SELECT CAST(j AS VARCHAR) AS driver_number,
+           CAST('9165' AS VARCHAR) AS session_key,
+           60.0 + j / 4.0 + p AS lap_duration,
+           CAST(p AS BIGINT) AS last_poll,
+           CASE WHEN j % 5 = 0 THEN NULL ELSE 'OK' END AS status
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Streaming REST ingest leg (§2.10's idiomatic upgrade of the "
+        "reference's realtime polling loop, dags/open_f1_realtime.py:"
+        "249-263): a 4-poll schedule replayed one micro-batch per poll, "
+        "each poll fetching recorded supplier-derived payloads through "
+        "a RateLimitedClient, normalized by records_to_raw_df (S3 "
+        "all-string landing + sentinel scrub + key/poll injection) and "
+        "landed via foreachBatch -> merge_upsert (manifest-"
+        "transactional, last-poll-wins intrinsic priority). Poll p "
+        "carries suppliers with (j+p)%3 != 0, so polls overlap and "
+        "later polls genuinely supersede earlier ones; the oracle "
+        "replays the poll schedule and takes the max-poll row per key",
+)
+def q69_stream_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.sources.openf1 import RecordedClient
+    from formula1_data_pipeline_spark.streaming import (
+        RateLimitedClient,
+        stream_rest_ingest,
+    )
+
+    sup = (
+        load(spark, sf_dir, "supplier")["supplier"]
+        .filter(F.col("s_suppkey") <= 20)
+        .select("s_suppkey").collect()
+    )
+    skey = 9165
+    recordings = {}
+    for p in range(4):
+        recordings[f"laps?poll={p}&session_key={skey}"] = [
+            {
+                "driver_number": r.s_suppkey,
+                "lap_duration": r.s_suppkey / 4 + 60.0 + p,
+                "status": "None" if r.s_suppkey % 5 == 0 else "OK",
+            }
+            for r in sup
+            if (r.s_suppkey + p) % 3 != 0
+        ]
+    client = RateLimitedClient(RecordedClient(recordings),
+                               min_interval_sec=0.0)
+    landed = stream_rest_ingest(
+        spark, client, endpoint="laps", session_key=skey, n_polls=4,
+        keys=["driver_number"],
+    )
+    return landed.select(
+        F.col("driver_number"),
+        F.col("session_key"),
+        F.col("lap_duration").cast("double").alias("lap_duration"),
+        F.col("poll").cast("long").alias("last_poll"),
+        F.col("status"),
+    )
+
+
+@register(
     "q55_multimodal_transform",
     """
     WITH m AS (

@@ -4,6 +4,11 @@ from formula1_data_pipeline_spark.streaming.enrich import (
 from formula1_data_pipeline_spark.streaming.joins import (
     stream_stream_interval_join,
 )
+from formula1_data_pipeline_spark.streaming.rest import (
+    RateLimitedClient,
+    batch_rest_ingest,
+    stream_rest_ingest,
+)
 from formula1_data_pipeline_spark.streaming.stateful import (
     stateful_first_seen,
     stream_stateful_dedup,
@@ -16,7 +21,10 @@ from formula1_data_pipeline_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "RateLimitedClient",
+    "batch_rest_ingest",
     "stateful_first_seen",
+    "stream_rest_ingest",
     "stream_static_join_agg",
     "stream_merge_upsert",
     "stream_stateful_dedup",
