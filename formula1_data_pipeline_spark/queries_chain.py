@@ -539,10 +539,7 @@ _Q43_LAP_COLS = """
 """
 
 
-@register(
-    "q43_final_f1",
-    f"""
-    WITH {_SQL_CHAIN_FEAT}, lab AS (
+_SQL_LAB = """lab AS (
         SELECT *,
                CASE WHEN pace_momentum > 0.3 AND degradation_index < 1.0
                          THEN 'ATTACKING_PACE'
@@ -555,7 +552,13 @@ _Q43_LAP_COLS = """
                     WHEN position_momentum < 0 THEN 'LOSING_POSITIONS'
                     ELSE 'HOLDING_POSITION' END AS track_position_state
         FROM feat
-    ), summary AS (
+    )"""
+
+
+@register(
+    "q43_final_f1",
+    f"""
+    WITH {_SQL_CHAIN_FEAT}, {_SQL_LAB}, summary AS (
         SELECT meeting_key, session_key, driver_number,
                min(lap_number)                 AS first_lap,
                max(lap_number)                 AS last_lap,
@@ -610,4 +613,34 @@ def q43_final_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_degradation", 6).alias("avg_degradation"),
         F.round("avg_performance_score", 6).alias("avg_performance_score"),
         F.col("pit_stop_count").cast("long").alias("pit_stop_count"),
+    )
+
+
+@register(
+    "q70_fct_driver_laps",
+    f"""
+    WITH {_SQL_CHAIN_FEAT}, {_SQL_LAB}
+    SELECT {_Q43_LAP_COLS}
+    FROM lab l
+    """,
+    doc="fct_driver_laps under the gate (ref dbt/models/marts/"
+        "fct_driver_laps.sql:3-33): the projection mart run through the "
+        "real registry — closes the last pytest-only mart; the oracle "
+        "replays the chain to the feature table and projects the same "
+        "26 columns (volatile doubles rounded 6 dp on both sides, q41 "
+        "float policy)",
+)
+def q70_fct_driver_laps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+
+    raw = synth_raw_tables(spark, sf_dir)
+    built = REGISTRY.run(spark, raw, targets=["fct_driver_laps"])
+    f = built["fct_driver_laps"]
+    volatile = {"rolling_avg_5_laps", "pace_stability_index",
+                "performance_score_raw"}
+    return f.select(
+        *[c for c in f.columns if c not in volatile],
+        F.round("rolling_avg_5_laps", 6).alias("rolling_avg_5_laps"),
+        F.round("pace_stability_index", 6).alias("pace_stability_index"),
+        F.round("performance_score_raw", 6).alias("performance_score_raw"),
     )
