@@ -926,6 +926,9 @@ CHANGED_SINCE_GATE = [
     "q14_ingest_write_path", "q36_stream_merge_upsert",
     "q24_cosine_topk", "q26_ann_lsh_topk", "q27_embedding_neardup",
     "q34_ivf_flat_topk", "q21_minhash_lsh",
+    # dedup.py simhash expr-string rewrite (round 4):
+    "q22_simhash", "q29_simhash_neardup", "q37_neardup_clusters",
+    "q51_neardup_keep_one", "q52_corpus_prep",
     "q31_stream_windowed_agg", "q32_sessionization",
     "q35_stream_stateful_dedup", "q54_stream_static_join",
     "q62_stream_stream_join",
