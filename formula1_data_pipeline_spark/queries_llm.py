@@ -604,3 +604,90 @@ def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16, n_probe=4,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+@register(
+    "q71_ann_recall",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS n_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q_id, n_id,
+               round(
+                   {_SQL_DOT.format(a='q_vec', b='n_vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='q_vec', b='q_vec')})
+                            * sqrt({_SQL_DOT.format(a='n_vec', b='n_vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE q_id <> n_id
+    ), ranked AS (
+        SELECT q_id, n_id,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+               ) AS rank
+        FROM scored
+    ), exact AS (
+        SELECT q_id, n_id FROM ranked WHERE rank <= 5
+    )
+    SELECT 'ivf' AS method, (SELECT count(*) FROM exact) AS n_exact,
+           true AS recall_ok
+    UNION ALL
+    SELECT 'lsh', (SELECT count(*) FROM exact), true
+    """,
+    doc="ANN recall gate (q53 accuracy-gate pattern, VERDICT r3 item "
+        "8): recall@5 of the q26 LSH index (16x5, bound 0.60) and the "
+        "q34 IVF index (16 lists / 4 probes, bound 0.80) against the "
+        "exact q24 top-5, computed inside the gated query — the oracle "
+        "replays the exact top-5 for the denominator and asserts the "
+        "bound booleans literally, so a bucketing tweak that trades "
+        "recall below the floor breaks the hash instead of shipping "
+        "silently. Bounds match tests/test_similarity.py (measured "
+        "lsh ~0.7-0.9, ivf ~0.94)",
+)
+def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_flat_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding", dim=64
+    ).select("q_id", "n_id")
+    lsh = ann_lsh_topk(
+        emb, queries, dim=64, k=5, n_tables=16, n_planes=5,
+        id_col="vec_id", vec_col="embedding",
+    ).select("q_id", "n_id")
+    ivf = ivf_flat_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=4,
+        id_col="vec_id", vec_col="embedding",
+    ).select("q_id", "n_id")
+
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+
+    def gate(approx: DataFrame, method: str, bound: float) -> DataFrame:
+        # 1-row x 1-row broadcast crossJoin — no data-scale cartesian
+        hits = (
+            exact.join(approx, ["q_id", "n_id"], "left_semi")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        return (
+            n_exact.crossJoin(F.broadcast(hits))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("n_exact"),
+                (F.col("n_hit") >= F.lit(bound) * F.col("n_exact"))
+                .alias("recall_ok"),
+            )
+        )
+
+    return gate(ivf, "ivf", 0.80).unionByName(gate(lsh, "lsh", 0.60))
