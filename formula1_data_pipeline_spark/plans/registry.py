@@ -80,6 +80,7 @@ class ModelRegistry:
         sources: Mapping[str, DataFrame],
         targets: list[str] | None = None,
         materialize_to: str | None = None,
+        materialize_all: bool = False,
         register_views: bool = False,
     ) -> dict[str, DataFrame]:
         """Build every model (or the listed targets + upstreams).
@@ -88,6 +89,13 @@ class ModelRegistry:
         ``materialized='table'`` are written there as parquet and read
         back (lineage cut == dbt CTAS). When None everything stays lazy,
         which is what tests and the oracle gate want.
+
+        ``materialize_all``: with ``materialize_to``, persist EVERY
+        model, not just the 'table' marts — each model then builds on
+        its parents' parquet instead of their logical plans. Use when
+        many downstream consumers will each trigger the DAG (e.g. the
+        assertion runner's one-job-per-model checks), which would
+        otherwise recompute the shared chain prefix per consumer.
 
         ``register_views``: opt-in ``createOrReplaceTempView(name)`` for
         each built model so ``spark.sql()`` users see the DAG. Off by
@@ -102,7 +110,9 @@ class ModelRegistry:
             if missing:
                 raise KeyError(f"model {name!r} missing sources {missing}")
             df = model.fn(built)
-            if materialize_to and model.materialized == "table":
+            if materialize_to and (
+                materialize_all or model.materialized == "table"
+            ):
                 path = f"{materialize_to}/{name}"
                 df.write.mode("overwrite").parquet(path)
                 df = spark.read.parquet(path)

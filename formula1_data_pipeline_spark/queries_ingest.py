@@ -204,6 +204,39 @@ def q15_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(back_csv, "csv").unionByName(agg(back_jsonl, "jsonl"))
 
 
+def _synth_session_window(spark: SparkSession, nation: DataFrame) -> DataFrame:
+    """The recorded "sessions" payload shared by q63 and q72, derived
+    from nation rows so the oracle can rebuild it: one garbage date
+    (F15), some records with meeting_name absent (F16 default), three
+    session types (P6) — normalized and window-filtered (P5-P7)."""
+    from formula1_data_pipeline_spark.sources.openf1 import (
+        normalize_sessions,
+        records_to_raw_df,
+        session_window_filter,
+    )
+
+    nat = nation.select("n_nationkey", "n_name").collect()
+    sessions_payload = []
+    for r in nat:
+        k = r.n_nationkey
+        rec: dict[str, object] = {
+            "session_key": k,
+            "session_name": ("Race", "Qualifying", "Practice")[k % 3],
+            "date_end": (
+                "not-a-date" if k == 13
+                else f"2024-01-{(k % 28) + 1:02d}T12:00:00"
+            ),
+        }
+        if k % 5 != 0:
+            rec["meeting_name"] = f"GP {r.n_name}"
+        sessions_payload.append(rec)
+
+    sessions = normalize_sessions(records_to_raw_df(spark, sessions_payload))
+    return session_window_filter(
+        sessions, cutoff="2024-01-03", now="2024-01-20"
+    )
+
+
 @register(
     "q63_rest_ingest_path",
     """
@@ -276,44 +309,17 @@ def q63_rest_ingest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.sources.openf1 import (
         RecordedClient,
         ingest_session_endpoints,
-        normalize_sessions,
-        records_to_raw_df,
         select_latest_session,
-        session_window_filter,
     )
     from formula1_data_pipeline_spark.sources.sinks import append_raw
 
     t = load(spark, sf_dir, "nation", "supplier")
-    nat = t["nation"].select("n_nationkey", "n_name").collect()
     sup = (
         t["supplier"].filter(F.col("s_suppkey") <= 20)
         .select("s_suppkey", "s_nationkey").collect()
     )
 
-    # --- recorded "sessions" payload, derived from nation rows so the
-    # oracle can rebuild it: one garbage date (F15), some records with
-    # meeting_name absent (F16 default), three session types (P6).
-    sessions_payload = []
-    for r in nat:
-        k = r.n_nationkey
-        rec: dict[str, object] = {
-            "session_key": k,
-            "session_name": ("Race", "Qualifying", "Practice")[k % 3],
-            "date_end": (
-                "not-a-date" if k == 13
-                else f"2024-01-{(k % 28) + 1:02d}T12:00:00"
-            ),
-        }
-        if k % 5 != 0:
-            rec["meeting_name"] = f"GP {r.n_name}"
-        sessions_payload.append(rec)
-
-    sessions = normalize_sessions(
-        records_to_raw_df(spark, sessions_payload)
-    )
-    filt = session_window_filter(
-        sessions, cutoff="2024-01-03", now="2024-01-20"
-    )
+    filt = _synth_session_window(spark, t["nation"])
     latest = select_latest_session(filt)
     chosen = latest.select("session_key").collect()[0][0]
     skey = int(chosen)
@@ -387,4 +393,51 @@ def q63_rest_ingest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probe(
             intervals, "intervals", F.col("driver_number"),
             F.col("gap_to_leader"), null_s, null_s, null_d, null_t))
+    )
+
+
+@register(
+    "q72_session_chronology",
+    """
+    WITH sess AS (
+        SELECT n_nationkey AS k,
+               CASE n_nationkey % 3 WHEN 0 THEN 'Race'
+                    WHEN 1 THEN 'Qualifying' ELSE 'Practice' END
+                   AS session_name,
+               CASE WHEN n_nationkey = 13 THEN NULL
+                    ELSE CAST('2024-01-'
+                         || lpad(CAST((n_nationkey % 28) + 1 AS VARCHAR),
+                                 2, '0')
+                         || ' 12:00:00' AS TIMESTAMP) END AS date_end
+        FROM nation
+    ), filt AS (
+        SELECT * FROM sess
+        WHERE date_end >= TIMESTAMP '2024-01-03'
+          AND date_end <= TIMESTAMP '2024-01-20'
+          AND session_name IN ('Race', 'Qualifying')
+    )
+    SELECT CAST(k AS VARCHAR) AS session_key, session_name, date_end,
+           CAST(row_number() OVER (
+               ORDER BY date_end, CAST(k AS VARCHAR)
+           ) AS INT) AS chrono_rank
+    FROM filt
+    """,
+    doc="O3 chronological session ordering under the gate (ref "
+        "dags/open_f1_historical.py processes the windowed session "
+        "catalog oldest-first): the q63 session window ranked by "
+        "(date_end, session_key). The catalog is metadata-sized (P5-P7 "
+        "filtered), so the total-order window is bounded by sessions "
+        "per load window, never data volume — closes the last "
+        "pytest-only O-row",
+)
+def q72_session_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    filt = _synth_session_window(
+        spark, load(spark, sf_dir, "nation")["nation"]
+    )
+    w = Window.orderBy("date_end", "session_key")
+    return filt.select(
+        "session_key", "session_name", "date_end",
+        F.row_number().over(w).cast("int").alias("chrono_rank"),
     )

@@ -206,3 +206,56 @@ def test_race_control_chain(built_models):
 def test_assertions_pass(built_models):
     failures = run_assertions(built_models)
     assert failures == [], failures
+
+
+def test_materialize_all_round_trips_every_model(spark, tmp_path):
+    """S11 + the r4 materialize_all option: every model persists to
+    parquet and the read-back values equal the lazy build's."""
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+    from tests.fixtures_openf1 import build_raw_tables
+
+    raw = build_raw_tables(spark)
+    lazy = REGISTRY.run(spark, raw)
+    mat = REGISTRY.run(spark, raw, materialize_to=str(tmp_path),
+                       materialize_all=True)
+    assert set(lazy) == set(mat)
+    for name in ("stg_openf1_laps_historical", "int_driver_lap_features",
+                 "fct_driver_race_summary"):
+        assert (tmp_path / name).exists(), name
+        a = sorted(map(tuple, lazy[name].na.fill(0).collect()))
+        b = sorted(map(tuple, mat[name].na.fill(0).collect()))
+        assert a == b, f"{name} changed through materialization"
+
+
+def test_assertions_report_matches_run_assertions(spark):
+    """The one-job assertions_report must agree with the per-check
+    run_assertions on both a clean chain and a corrupted one."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.plans.assertions import (
+        assertions_report,
+        run_assertions,
+    )
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+    from tests.fixtures_openf1 import build_raw_tables
+
+    built = REGISTRY.run(spark, build_raw_tables(spark))
+    report = {(r["model"], r["kind"]): r["passed"]
+              for r in assertions_report(built).collect()}
+    failures = {(f.model, f.kind) for f in run_assertions(built)}
+    assert all(report.values()) and not failures
+
+    # corrupt one model: null out a tested column and duplicate grain
+    bad = dict(built)
+    bad["int_openf1_laps_all"] = (
+        built["int_openf1_laps_all"]
+        .withColumn("driver_number", F.lit(None).cast("int"))
+    )
+    report_bad = {(r["model"], r["kind"]): r["passed"]
+                  for r in assertions_report(bad).collect()}
+    failures_bad = {(f.model, f.kind) for f in run_assertions(bad)}
+    assert report_bad[("int_openf1_laps_all", "not_null")] is False
+    assert ("int_openf1_laps_all", "not_null") in failures_bad
+    # agreement on every (model, kind)
+    for key, passed in report_bad.items():
+        assert passed == (key not in failures_bad), key
