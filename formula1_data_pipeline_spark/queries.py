@@ -929,6 +929,10 @@ CHANGED_SINCE_GATE = [
     # dedup.py simhash expr-string rewrite (round 4):
     "q22_simhash", "q29_simhash_neardup", "q37_neardup_clusters",
     "q51_neardup_keep_one", "q52_corpus_prep",
+    # registry materialize_all + queries_chain/_ingest refactors and
+    # the openf1 Arrow LocalRelation landing (round 4):
+    "q41_model_chain", "q42_race_control_chain", "q43_final_f1",
+    "q63_rest_ingest_path",
     "q31_stream_windowed_agg", "q32_sessionization",
     "q35_stream_stateful_dedup", "q54_stream_static_join",
     "q62_stream_stream_join",
