@@ -441,3 +441,62 @@ def q72_session_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_key", "session_name", "date_end",
         F.row_number().over(w).cast("int").alias("chrono_rank"),
     )
+
+
+@register(
+    "q75_time_travel",
+    """
+    WITH sup AS (
+        SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey <= 30
+    ), v1 AS (
+        SELECT s_suppkey, s_acctbal FROM sup
+    ), v2 AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
+                    ELSE s_acctbal END AS s_acctbal
+        FROM sup
+    )
+    SELECT 1 AS version, CAST(s_suppkey AS VARCHAR) AS s_suppkey,
+           s_acctbal
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(s_suppkey AS VARCHAR), s_acctbal FROM v2
+    """,
+    doc="Manifest-table snapshot reads (time travel) under the gate: "
+        "two merge_upsert commits build versions 1 and 2 of a landed "
+        "table; read_table(version=1) must still serve the pre-merge "
+        "state byte-exactly AFTER version 2 is live (immutable data "
+        "dirs + pinned manifest — the property object-store readers "
+        "rely on for consistent scans), while the default read serves "
+        "version 2. The oracle replays both states from the source "
+        "table (sources/txn.py; the r4 transactional-commit protocol)",
+)
+def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.sources.sinks import merge_upsert
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    sup = (
+        load(spark, sf_dir, "supplier")["supplier"]
+        .filter(F.col("s_suppkey") <= 30)
+        .select("s_suppkey", "s_acctbal")
+    )
+    path = tempfile.mkdtemp(prefix="q75_travel_") + "/t"
+    merge_upsert(spark, sup, path, keys=["s_suppkey"],
+                 order=[F.col("s_acctbal").desc_nulls_last()])
+    update = sup.filter(F.col("s_suppkey") % 3 == 0).withColumn(
+        "s_acctbal", F.col("s_acctbal") + 100.0
+    ).withColumn("batch", F.lit("2"))
+    merge_upsert(spark, update, path, keys=["s_suppkey"],
+                 order=[F.col("batch").desc_nulls_last()],
+                 order_cols=["batch"])
+
+    def probe(df: DataFrame, version: int) -> DataFrame:
+        return df.select(
+            F.lit(version).alias("version"),
+            F.col("s_suppkey"),
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+
+    return probe(read_table(spark, path, version=1), 1).unionByName(
+        probe(read_table(spark, path), 2)
+    )
