@@ -333,8 +333,11 @@ def q69_stream_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in sup
             if (r.s_suppkey + p) % 3 != 0
         ]
+    # a small but REAL pacing interval so the production rate-limit
+    # path (monotonic clock + sleep) runs under the gate; 4 polls
+    # x 10 ms bounds the added wall at 30 ms
     client = RateLimitedClient(RecordedClient(recordings),
-                               min_interval_sec=0.0)
+                               min_interval_sec=0.01)
     landed = stream_rest_ingest(
         spark, client, endpoint="laps", session_key=skey, n_polls=4,
         keys=["driver_number"],
