@@ -660,34 +660,35 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(
-        emb, queries, k=5, id_col="vec_id", vec_col="embedding", dim=64
-    ).select("q_id", "n_id")
-    lsh = ann_lsh_topk(
-        emb, queries, dim=64, k=5, n_tables=16, n_planes=5,
-        id_col="vec_id", vec_col="embedding",
-    ).select("q_id", "n_id")
-    ivf = ivf_flat_topk(
-        emb, queries, dim=64, k=5, n_centroids=16, n_probe=4,
-        id_col="vec_id", vec_col="embedding",
-    ).select("q_id", "n_id")
-
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-
-    def gate(approx: DataFrame, method: str, bound: float) -> DataFrame:
-        # 1-row x 1-row broadcast crossJoin — no data-scale cartesian
-        hits = (
-            exact.join(approx, ["q_id", "n_id"], "left_semi")
-            .agg(F.count("*").alias("n_hit"))
-        )
-        return (
-            n_exact.crossJoin(F.broadcast(hits))
-            .select(
-                F.lit(method).alias("method"),
-                F.col("n_exact"),
-                (F.col("n_hit") >= F.lit(bound) * F.col("n_exact"))
-                .alias("recall_ok"),
-            )
-        )
-
-    return gate(ivf, "ivf", 0.80).unionByName(gate(lsh, "lsh", 0.60))
+    # Each index's top-k output is <= n_queries x k = 50 rows — collect
+    # the three pair sets and intersect driver-side, so each index plan
+    # (incl. the exact cross-join, the most expensive) executes exactly
+    # once; the DataFrame-join formulation re-ran the exact plan under
+    # every gate leg (~5x the dominant cost — r4 review finding).
+    exact = {
+        (r.q_id, r.n_id)
+        for r in cosine_topk(emb, queries, k=5, id_col="vec_id",
+                             vec_col="embedding", dim=64)
+        .select("q_id", "n_id").collect()
+    }
+    lsh = {
+        (r.q_id, r.n_id)
+        for r in ann_lsh_topk(emb, queries, dim=64, k=5, n_tables=16,
+                              n_planes=5, id_col="vec_id",
+                              vec_col="embedding")
+        .select("q_id", "n_id").collect()
+    }
+    ivf = {
+        (r.q_id, r.n_id)
+        for r in ivf_flat_topk(emb, queries, dim=64, k=5, n_centroids=16,
+                               n_probe=4, id_col="vec_id",
+                               vec_col="embedding")
+        .select("q_id", "n_id").collect()
+    }
+    rows = [
+        ("ivf", len(exact), len(exact & ivf) >= 0.80 * len(exact)),
+        ("lsh", len(exact), len(exact & lsh) >= 0.60 * len(exact)),
+    ]
+    return spark.createDataFrame(
+        rows, "method string, n_exact long, recall_ok boolean"
+    )

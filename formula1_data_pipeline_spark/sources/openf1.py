@@ -118,7 +118,12 @@ def records_to_raw_df(
     try:
         import pandas as pd
 
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # get_spark() pins this at build; only externally-supplied
+        # sessions need it, and check-before-set keeps a hot ingest
+        # loop from re-writing session conf on every batch
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        if spark.conf.get(arrow_key, None) != "true":
+            spark.conf.set(arrow_key, "true")
         local = spark.createDataFrame(
             pd.DataFrame(rows, columns=cols, dtype=object), schema
         )

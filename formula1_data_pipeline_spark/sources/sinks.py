@@ -45,17 +45,12 @@ from pyspark.sql import functions as F
 from formula1_data_pipeline_spark.functions.cleaning import stringify_all
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
-
-
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    """Filesystem-agnostic existence check via the Hadoop FS API (works
-    for local paths, HDFS, and object stores alike)."""
-    fs, hpath = _fs(spark, path)
-    return fs.exists(hpath)
+# one Hadoop-FS access layer for the whole sources package (txn.py owns
+# it; duplicating it here invited divergence — r4 review finding)
+from formula1_data_pipeline_spark.sources.txn import (  # noqa: E402
+    _exists as _path_exists,
+    _fs,
+)
 
 
 def _swap_in(spark: SparkSession, staged: str, path: str) -> None:

@@ -76,6 +76,19 @@ def _is_local(path: str) -> bool:
     return "://" not in path or path.startswith("file:")
 
 
+# Object-store schemes where Hadoop rename is copy+delete (NOT atomic)
+# and the exists-check + rename fallback below would silently break the
+# protocol's one atomicity requirement. Each of these stores exposes a
+# native conditional PUT (S3 `If-None-Match: *`, GCS
+# `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`) — wire
+# that in before lifting this guard; degrading silently is how lost
+# updates ship.
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
+     "oss", "cos", "swift"}
+)
+
+
 def _local(path: str) -> str:
     return path[5:] if path.startswith("file:") else path
 
@@ -121,6 +134,14 @@ def _put_if_absent(spark: SparkSession, path: str, data: bytes) -> bool:
             return False
         finally:
             os.unlink(tmp)
+    scheme = path.split("://", 1)[0].lower()
+    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+        raise NotImplementedError(
+            f"put-if-absent on {scheme}:// requires the store's native "
+            "conditional PUT (rename is copy+delete there, not atomic); "
+            "integrate it in txn._put_if_absent before using manifest "
+            "tables on this filesystem"
+        )
     fs, hfinal = _fs(spark, path)
     if fs.exists(hfinal):
         return False
@@ -235,17 +256,53 @@ def _stage(spark: SparkSession, df: DataFrame, table: str,
     return segments
 
 
+def _plain_entries(spark: SparkSession, table: str) -> list[tuple[str, bool]]:
+    """Visible children that are NOT protocol-managed — i.e. anything
+    other than ``_txn``/hidden names and ``d-*`` data dirs. These are
+    pre-manifest plain-layout remnants a bootstrap must account for."""
+    return [
+        (n, d) for n, d in _ls(spark, table)
+        if not _HIDDEN.match(n) and not n.startswith("d-")
+    ]
+
+
 def _bootstrap_segments(spark: SparkSession, table: str,
                         key: str | None) -> list[dict]:
     """Import a pre-manifest plain layout (e.g. append_raw's partitioned
     parquet) as version-0 state: segments pointing into the table root.
-    Lets a manifest op adopt an existing plain table in place."""
+    Lets a manifest op adopt an existing plain table in place.
+
+    Raises if the plain layout does not match the requested keying
+    (e.g. keyed adoption of a flat-file table, or unkeyed adoption of a
+    ``key=value`` directory layout): silently adopting a partial view
+    would publish a manifest that HIDES the unmatched data from every
+    reader — data loss from the reader's perspective.
+    """
     if not _exists(spark, table):
         return []
+    plain = _plain_entries(spark, table)
     if key is None:
+        uncovered = [n for n, is_dir in plain if is_dir]
+        if uncovered:
+            raise ValueError(
+                f"cannot adopt plain layout of {table} as an unkeyed "
+                f"manifest table: directories {uncovered} would be "
+                "hidden from readers; merge through a keyed op or "
+                "migrate explicitly"
+            )
         files = _data_files(spark, table)
         return [{"dir": ".", "partition": None, "files": files}] if files \
             else []
+    uncovered = [
+        n for n, is_dir in plain
+        if not (is_dir and n.startswith(f"{key}="))
+    ]
+    if uncovered:
+        raise ValueError(
+            f"cannot adopt plain layout of {table} as a manifest table "
+            f"keyed by {key!r}: entries {uncovered} do not belong to "
+            "that partitioning and would be hidden from readers"
+        )
     segments = []
     for name, is_dir in sorted(_ls(spark, table)):
         if is_dir and name.startswith(f"{key}="):
@@ -382,12 +439,30 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
         for _ in range(_MAX_RETRIES):
             v = current_version(spark, table)
             if v is None:
-                existing = (
-                    read_table(spark, table)
-                    if _exists(spark, table) and _bootstrap_segments(
-                        spark, table, None)
-                    else None
+                # Adopt ANY plain layout — flat files or a partitioned
+                # key=value tree — by reading exactly the plain
+                # entries: the merge rewrites everything into one
+                # segment, so no layout matching is needed, but losing
+                # either layout's rows (the pre-fix behavior for
+                # partitioned trees) would be silent data loss. Paths
+                # are enumerated explicitly so a leaked d-* staged dir
+                # can't poison partition discovery.
+                plain = (
+                    _plain_entries(spark, table)
+                    if _exists(spark, table) else []
                 )
+                dirs = [n for n, is_dir in plain if is_dir]
+                files = [n for n, is_dir in plain if not is_dir]
+                if dirs:
+                    existing = spark.read.option("basePath", table).parquet(
+                        *[f"{table}/{n}" for n in dirs + files]
+                    )
+                elif files:
+                    existing = spark.read.parquet(
+                        *[f"{table}/{f}" for f in files]
+                    )
+                else:
+                    existing = None
                 next_v = 1
             else:
                 existing = read_table(spark, table, version=v)
@@ -408,11 +483,22 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
             _delete(spark, f"{table}/{d}")
 
 
-def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
+def vacuum(spark: SparkSession, table: str, keep_versions: int = 1,
+           min_age_sec: float = 3600.0) -> int:
     """Drop data dirs unreferenced by the ``keep_versions`` newest
     manifests, and the superseded manifests themselves. Returns the
     number of data dirs removed. Safe order: old manifests first, so a
-    crash mid-vacuum never leaves a manifest pointing at deleted data."""
+    crash mid-vacuum never leaves a manifest pointing at deleted data.
+
+    ``min_age_sec``: an unreferenced dir younger than this is left
+    alone — it may be the staged data of an IN-FLIGHT commit whose
+    manifest hasn't been published yet; deleting it would let that
+    committer publish a manifest pointing at deleted files (the same
+    retention guard Delta's VACUUM uses). Pass 0 only when no writer
+    can be concurrent (tests, single-writer maintenance windows).
+    """
+    import time
+
     vs = _versions(spark, table)
     if not vs:
         return 0
@@ -424,9 +510,14 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
     for v in vs:
         if v not in keep:
             _delete(spark, _manifest_path(table, v))
+    cutoff_ms = (time.time() - min_age_sec) * 1000.0
     removed = 0
     for name, is_dir in _ls(spark, table):
-        if is_dir and name.startswith("d-") and name not in live:
-            _delete(spark, f"{table}/{name}")
-            removed += 1
+        if not (is_dir and name.startswith("d-") and name not in live):
+            continue
+        fs, hpath = _fs(spark, f"{table}/{name}")
+        if fs.getFileStatus(hpath).getModificationTime() > cutoff_ms:
+            continue  # possibly an in-flight commit's staged data
+        _delete(spark, f"{table}/{name}")
+        removed += 1
     return removed

@@ -91,10 +91,12 @@ def stream_rest_ingest(
     order_cols: list[str] | None = None,
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
-) -> DataFrame:
+) -> DataFrame | None:
     """Run ``n_polls`` REST polls as a bounded stream (one micro-batch
     per poll), landing each through the transactional merge sink, and
-    return the converged landed table.
+    return the converged landed table — or ``None`` if every poll was
+    empty (the ``records_to_raw_df`` convention). Raises TimeoutError
+    rather than returning a partially-landed table.
 
     Each poll ``p`` fetches ``endpoint`` with
     ``(session_key=…, poll=p)`` (the incremental-params shape of the
@@ -162,7 +164,19 @@ def stream_rest_ingest(
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(timeout_sec)
+        if not query.awaitTermination(timeout_sec):
+            # returning a partially-landed table while the query keeps
+            # writing behind the reader's back would be silent data
+            # corruption — stop it and fail loudly instead
+            query.stop()
+            raise TimeoutError(
+                f"stream_rest_ingest: {n_polls}-poll replay did not "
+                f"finish within {timeout_sec}s"
+            )
+    from formula1_data_pipeline_spark.sources.txn import is_txn_table
+
+    if not is_txn_table(spark, landing):
+        return None  # every poll was empty — the S3 short-circuit
     return read_table(spark, landing)
 
 
@@ -173,10 +187,11 @@ def batch_rest_ingest(
     session_key: int,
     polls: Iterable[int],
     keys: list[str],
-) -> DataFrame:
+) -> DataFrame | None:
     """The batch equivalent of ``stream_rest_ingest`` for parity
     checks: fetch every poll, union, keep the max-poll row per key —
-    what the landed table must converge to regardless of streaming."""
+    what the landed table must converge to regardless of streaming.
+    ``None`` when every poll is empty, matching the stream side."""
     from formula1_data_pipeline_spark.operators.dedup_priority import (
         dedup_by_priority,
     )
@@ -192,6 +207,8 @@ def batch_rest_ingest(
         )
         if df is not None:
             frames.append(df)
+    if not frames:
+        return None
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)

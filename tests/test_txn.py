@@ -101,7 +101,7 @@ def test_crashed_commit_leaves_readers_untouched(spark, tmp_path):
     _stage(spark, _df(spark, [("x", "666")], ["k", "v"]), path, None)
     assert _snapshot(spark, path) == before
     assert current_version(spark, path) == 1
-    removed = vacuum(spark, path, keep_versions=1)
+    removed = vacuum(spark, path, keep_versions=1, min_age_sec=0)
     assert removed == 1  # exactly the orphan
     assert _snapshot(spark, path) == before
 
@@ -144,7 +144,7 @@ def test_concurrent_merge_no_lost_update(spark, tmp_path):
     assert current_version(spark, path) == 3
     # the loser's orphaned first staging attempt was cleaned up:
     # exactly 3 live data dirs remain after a full vacuum
-    vacuum(spark, path, keep_versions=3)
+    vacuum(spark, path, keep_versions=3, min_age_sec=0)
     dirs = [p.name for p in (tmp_path / "t").iterdir()
             if p.name.startswith("d-")]
     assert len(dirs) == 3
@@ -272,10 +272,60 @@ def test_vacuum_keeps_pinned_versions_readable(spark, tmp_path):
     txn_merge(spark, path, lambda _: _df(spark, [("a", "1")], ["k", "v"]))
     txn_merge(spark, path, lambda ex: ex.withColumn("v", F.lit("2")))
     txn_merge(spark, path, lambda ex: ex.withColumn("v", F.lit("3")))
-    removed = vacuum(spark, path, keep_versions=2)
+    removed = vacuum(spark, path, keep_versions=2, min_age_sec=0)
     assert removed == 1  # v1's dir gone, v2+v3 alive
     assert [r["v"] for r in read_table(spark, path, version=2).collect()] \
         == ["2"]
     assert [r["v"] for r in read_table(spark, path).collect()] == ["3"]
     with pytest.raises(FileNotFoundError):
         read_table(spark, path, version=1)
+
+
+def test_merge_adopts_plain_partitioned_layout(spark, tmp_path):
+    """r4 review finding: merge onto a pre-manifest PARTITIONED plain
+    layout (append_raw's shape) must adopt those rows, not silently
+    publish a manifest containing only the incoming batch."""
+    path = str(tmp_path / "t")
+    (
+        _df(spark, [("s1", "a"), ("s2", "b")], ["sess", "v"])
+        .write.partitionBy("sess").parquet(path)
+    )
+    merge_upsert(
+        spark, _df(spark, [("s1", "A2")], ["sess", "v2"]).selectExpr(
+            "sess", "v2 as v"),
+        path, keys=["sess"], order=[F.col("v").desc_nulls_last()],
+    )
+    got = {r["sess"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got == {"s1": "a", "s2": "b"} or got == {"s1": "A2", "s2": "b"}
+    assert "s2" in got  # the partitioned row survived adoption
+
+
+def test_keyed_bootstrap_rejects_mismatched_layout(spark, tmp_path):
+    """Adopting a flat-file plain table under a partition key (or a
+    partitioned one unkeyed via append) must raise, not hide data."""
+    flat = str(tmp_path / "flat")
+    _df(spark, [("a", "1")], ["k", "v"]).write.parquet(flat)
+    with pytest.raises(ValueError, match="would be hidden"):
+        txn_replace(spark, _df(spark, [("a", "2")], ["k", "v"]),
+                    flat, key="k")
+
+    part = str(tmp_path / "part")
+    _df(spark, [("a", "1")], ["k", "v"]).write.partitionBy("k").parquet(part)
+    with pytest.raises(ValueError, match="would be hidden"):
+        txn_append(spark, _df(spark, [("b", "2")], ["k", "v"]), part)
+
+
+def test_vacuum_retention_spares_fresh_dirs(spark, tmp_path):
+    """r4 review finding: an unreferenced dir younger than min_age_sec
+    may belong to an in-flight commit — default vacuum must leave it,
+    so a concurrent committer can still publish it safely."""
+    path = str(tmp_path / "t")
+    txn_merge(spark, path, lambda _: _df(spark, [("a", "1")], ["k", "v"]))
+    staged = _stage(spark, _df(spark, [("x", "9")], ["k", "v"]), path, None)
+    assert vacuum(spark, path) == 0  # default retention: spared
+    # the in-flight commit can still publish and be read
+    assert _publish(spark, path, 2, staged, None)
+    assert [r["k"] for r in read_table(spark, path).collect()] == ["x"]
+    # with retention waived (single-writer window) it is reclaimable
+    txn_merge(spark, path, lambda ex: ex)
+    assert vacuum(spark, path, keep_versions=1, min_age_sec=0) >= 1
