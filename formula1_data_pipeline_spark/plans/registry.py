@@ -34,7 +34,8 @@ class Model:
     fn: ModelFn
     refs: tuple[str, ...] = ()        # upstream models
     sources: tuple[str, ...] = ()     # raw inputs (resolved externally)
-    materialized: str = "view"        # 'view' | 'table'
+    materialized: str = "view"        # 'view' | 'table' | 'incremental'
+    incremental_key: str | None = None  # partition key for 'incremental'
 
 
 @dataclass
@@ -49,11 +50,18 @@ class ModelRegistry:
         refs: tuple[str, ...] = (),
         sources: tuple[str, ...] = (),
         materialized: str = "view",
+        incremental_key: str | None = None,
     ) -> Callable[[ModelFn], ModelFn]:
+        if materialized == "incremental" and not incremental_key:
+            raise ValueError(
+                f"incremental model {name!r} needs incremental_key"
+            )
+
         def deco(fn: ModelFn) -> ModelFn:
             if name in self.models:
                 raise ValueError(f"duplicate model {name!r}")
-            self.models[name] = Model(name, fn, refs, sources, materialized)
+            self.models[name] = Model(name, fn, refs, sources, materialized,
+                                      incremental_key)
             return fn
 
         return deco
@@ -110,7 +118,24 @@ class ModelRegistry:
             if missing:
                 raise KeyError(f"model {name!r} missing sources {missing}")
             df = model.fn(built)
-            if materialize_to and (
+            if materialize_to and model.materialized == "incremental":
+                # dbt-incremental semantics, delete+insert strategy: the
+                # caller feeds this run's source window; only the
+                # incremental_key partitions present in the new batch
+                # are replaced (txn_replace carries the rest forward by
+                # reference), so repeated loads converge to the
+                # full-rebuild state and re-running a window is
+                # idempotent. Committed via the manifest protocol —
+                # readers see each load atomically.
+                from formula1_data_pipeline_spark.sources.txn import (
+                    read_table,
+                    txn_replace,
+                )
+
+                path = f"{materialize_to}/{name}"
+                txn_replace(spark, df, path, key=model.incremental_key)
+                df = read_table(spark, path)
+            elif materialize_to and (
                 materialize_all or model.materialized == "table"
             ):
                 path = f"{materialize_to}/{name}"
