@@ -500,3 +500,74 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe(read_table(spark, path, version=1), 1).unionByName(
         probe(read_table(spark, path), 2)
     )
+
+
+@register(
+    "q77_bucketed_join",
+    """
+    SELECT o.o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_spend,
+           max(c.c_mktsegment) AS c_mktsegment
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Bucketed-layout join under the gate: orders and customer are "
+        "written as co-bucketed managed tables (bucketBy+sortBy on the "
+        "join key — the write-time shuffle), then joined and "
+        "aggregated; the physical plan has NO Exchange on either join "
+        "side (asserted in-query, the test_bucketing invariant), so "
+        "the values prove the co-located read path end-to-end. At "
+        "100 TB this is the layout for the session-grain joins "
+        "(SURVEY §4: the reference declared no clustering keys; our "
+        "choice)",
+)
+def q77_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from formula1_data_pipeline_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    t = load(spark, sf_dir, "orders", "customer")
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"q77_orders_{tag}", f"q77_customer_{tag}"
+    write_bucketed(t["orders"].select("o_custkey", "o_totalprice"),
+                   lt, ["o_custkey"], n_buckets=16)
+    write_bucketed(t["customer"].select("c_custkey", "c_mktsegment")
+                   .withColumnRenamed("c_custkey", "o_custkey"),
+                   rt, ["o_custkey"], n_buckets=16)
+    # pin the co-located sort-merge path (a broadcast of the small sf
+    # dim would also be shuffle-free but wouldn't prove the bucketed
+    # layout); restore the conf so other queries keep broadcasting
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, lt, rt, on=["o_custkey"])
+        # the whole point is the shuffle-free join — enforce it here so
+        # a bucketing regression fails the gate, not just a plan test
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError("bucketed join plan contains an Exchange")
+        out = (
+            joined.groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double").alias("total_spend"),
+                F.max("c_mktsegment").alias("c_mktsegment"),
+            )
+            # the gate materializes lazily after this function returns —
+            # the plan must not depend on the scoped conf, so force the
+            # join result now via localCheckpoint (tiny: one row per
+            # customer at gate scale)
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for tbl in (lt, rt):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
