@@ -402,3 +402,76 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q78_stat_moments",
+    """
+    WITH ev AS (
+        SELECT event_type, value,
+               (CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                - CAST(epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE))
+               / 1e6 AS t
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS mean,
+               avg(value * value) - avg(value) * avg(value) AS m2,
+               avg(value * value * value)
+                 - 3 * avg(value * value) * avg(value)
+                 + 2 * avg(value) * avg(value) * avg(value) AS m3,
+               avg(value * value * value * value)
+                 - 4 * avg(value * value * value) * avg(value)
+                 + 6 * avg(value * value) * avg(value) * avg(value)
+                 - 3 * avg(value) * avg(value) * avg(value) * avg(value)
+                   AS m4,
+               corr(value, t) AS corr_vt,
+               covar_samp(value, t) AS covar_vt
+        FROM ev
+        GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(mean, 6) AS mean,
+           round(m2 * n / (n - 1), 6) AS var_samp,
+           round(m3 / (m2 ^ 1.5), 6) AS skewness,
+           round(m4 / (m2 ^ 2) - 3, 6) AS kurtosis,
+           round(corr_vt, 6) AS corr_vt,
+           round(covar_vt, 4) AS covar_vt
+    FROM m
+    """,
+    doc="Statistical-moment aggregate family (map-side-mergeable, the "
+        "100 TB path for distribution diagnostics): var_samp, skewness "
+        "(population g1 = m3/m2^1.5, Spark's definition), kurtosis "
+        "(excess, m4/m2^2 - 3), Pearson corr and covar_samp of value "
+        "vs event time. The oracle recomputes every moment from raw "
+        "power sums rather than trusting DuckDB's own skewness/"
+        "kurtosis (different estimator definitions) — both engines "
+        "then agree to far below the 6-dp rounding",
+)
+def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")["events"]
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type", "value",
+            (
+                (F.unix_micros("ts")
+                 - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+                .cast("double") / 1e6
+            ).alias("t"),
+        )
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_samp("value"), 6).alias("var_samp"),
+            F.round(F.skewness("value"), 6).alias("skewness"),
+            F.round(F.kurtosis("value"), 6).alias("kurtosis"),
+            F.round(F.corr("value", "t"), 6).alias("corr_vt"),
+            F.round(F.covar_samp("value", "t"), 4).alias("covar_vt"),
+        )
+    )
