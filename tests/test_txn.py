@@ -350,3 +350,72 @@ def test_object_store_scheme_refuses_loudly(spark):
     NOT atomic — the protocol must refuse instead of degrading."""
     with pytest.raises(NotImplementedError, match="conditional PUT"):
         _put_if_absent(spark, "s3a://bucket/table/_txn/v1.json", b"{}")
+
+
+def test_randomized_op_sequences_match_model(spark, tmp_path):
+    """Property: any interleaving of append/replace/merge ops leaves
+    read_table equal to a trivial Python dict model — and every
+    intermediate version stays readable (snapshot isolation). Fixed
+    seed: deterministic, no flaking; the value is the op-sequence
+    coverage, not the randomness."""
+    import random
+
+    rng = random.Random(20260813)
+    for case in range(3):
+        path = str(tmp_path / f"t{case}")
+        model: dict[str, dict[str, str]] = {}  # partition -> {k: v}
+        history = []
+        merged = False
+        for step in range(5):
+            # a keyed op on a table whose last merge committed it
+            # unkeyed raises the documented key-mismatch ValueError —
+            # legal sequences stay merge-only after a merge
+            op = "merge" if merged else rng.choice(
+                ["append", "replace", "merge"]
+            )
+            part = rng.choice(["p1", "p2", "p3"])
+            rows = [
+                (part, f"k{rng.randint(0, 3)}", f"v{case}.{step}.{i}")
+                for i in range(rng.randint(1, 3))
+            ]
+            df = _df(spark, rows, ["part", "k", "v"])
+            if op == "append":
+                txn_append(spark, df, path, key="part")
+                model.setdefault(part, {})
+                for _, k, v in rows:
+                    # append keeps duplicates; model tracks multiset via
+                    # unique value strings (all values are distinct)
+                    model[part][v] = (k, v)
+            elif op == "replace":
+                txn_replace(spark, df, path, key="part")
+                model[part] = {v: (k, v) for _, k, v in rows}
+            else:
+                def merge(existing, df=df):
+                    return df if existing is None else \
+                        existing.unionByName(df)
+                txn_merge(spark, path, merge)
+                # merge flattens to unpartitioned: fold into one bucket
+                flat = {v: (k, v) for p in model.values()
+                        for (k, v) in p.values()}
+                flat.update({v: (k, v) for _, k, v in rows})
+                # after a merge the table is unpartitioned; partition
+                # column 'part' survives as a data column
+                model = {"__flat__": flat}
+                merged = True
+            history.append((current_version(spark, path),
+                            _snapshot(spark, path)))
+            expected = sorted(
+                (k, v) for p in model.values() for (k, v) in p.values()
+            )
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_table(spark, path).select("k", "v").collect()
+            )
+            assert got == expected, f"case {case} step {step} op {op}"
+        # snapshot isolation: every recorded version still reads the
+        # same rows it did when it was current
+        for version, snap in history:
+            assert sorted(
+                tuple(r) for r in read_table(spark, path, version=version)
+                .na.fill("").collect()
+            ) == snap, f"case {case} version {version} drifted"
