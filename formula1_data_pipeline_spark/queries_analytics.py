@@ -475,3 +475,46 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("value", "t"), 4).alias("covar_vt"),
         )
     )
+
+
+@register(
+    "q79_table_profile",
+    """
+    SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+           count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value,
+           true AS approx_ok
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment),
+           CAST(min(c_mktsegment) AS VARCHAR),
+           CAST(max(c_mktsegment) AS VARCHAR), true
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS VARCHAR),
+           CAST(max(c_nationkey) AS VARCHAR), true
+    FROM customer
+    """,
+    doc="One-pass per-column table profile (ANALYZE / dbt-docs "
+        "reconnaissance): n_rows, nulls, distinct, min/max for three "
+        "customer columns in a single aggregate scan. Exact stats are "
+        "hash-checked; the HyperLogLog++ approx-distinct (the 100 TB "
+        "path) is pinned by the q53 bound pattern (within 15% of "
+        "exact, asserted in-query) since sketches can't be replayed "
+        "across engines",
+)
+def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.quality import (
+        profile_table,
+    )
+
+    cust = load(spark, sf_dir, "customer")["customer"]
+    return profile_table(
+        cust, ["c_custkey", "c_mktsegment", "c_nationkey"],
+        distinct_mode="both",
+    )
