@@ -974,12 +974,25 @@ def _gate_priority_order() -> None:
         return
     changed_rank = {n: i for i, n in enumerate(CHANGED_SINCE_GATE)}
     catalog_rank = {n: i for i, n in enumerate(CATALOG)}
+    # Within each priority class, cheapest-first (recorded bench
+    # floors as the cost proxy): if the driver's budget is TIME-based
+    # rather than count-based, this maximizes how many priority rows
+    # fit before it runs out.
+    floors: dict[str, float] = {}
+    try:
+        floors = json.loads(
+            (root / "bench_baseline.json").read_text()
+        ).get("queries", {})
+    except (OSError, ValueError):
+        pass
 
     def rank(name: str):
-        # (never-gated or stalest round) > changed-since-gate > rest
+        # (never-gated or stalest round) > changed-since-gate > rest;
+        # ties broken cheapest-first, then stable catalog order
         return (
             last_gated.get(name, -1),
             0 if name in changed_rank else 1,
+            floors.get(name, float("inf")),
             changed_rank.get(name, catalog_rank[name]),
         )
 
