@@ -52,3 +52,36 @@ def stratified_keep(bucket: Column, rate_pct: Column) -> Column:
     ``rate_pct`` is a per-row column (e.g. a CASE over language), so one
     pass implements language-balanced corpus downsampling."""
     return bucket < rate_pct
+
+
+def stratified_topn(df, stratum_cols: list[str], key: Column, n: int,
+                    salt: str = "sample"):
+    """Exactly-``n``-per-stratum deterministic sample: rank rows inside
+    each stratum by the 60-bit key hash (uniform, engine-reproducible)
+    and keep the first ``n``. The fixed-size complement of
+    ``stratified_keep``'s rate-based sampling — the primitive for
+    building fixed-budget mixtures ("100k docs per language").
+
+    Scale shape: one shuffle on the stratum columns + an in-partition
+    sort (the row_number window). For strata far larger than ``n`` the
+    refinement is a two-phase threshold estimate (sample the hash
+    distribution, keep hash < t, exact-trim the remainder), which
+    replaces the full per-stratum sort with a scan + small sort; the
+    window form is exact and is the right default until a stratum's
+    sort spills.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), key.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

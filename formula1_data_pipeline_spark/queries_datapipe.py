@@ -842,3 +842,38 @@ def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bucket < F.floor(F.col("rate") * 1000000)).alias("kept"),
         )
     )
+
+
+@register(
+    "q80_stratified_topn",
+    """
+    WITH ranked AS (
+        SELECT event_type, event_id, user_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR) || '|sample'), 1, 15)
+                       AS BIGINT) ASC,
+                       event_id ASC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type, event_id, user_id
+    FROM ranked WHERE rn <= 200
+    """,
+    doc="Fixed-size stratified sample (exactly 200 events per "
+        "event_type) by deterministic 60-bit hash rank — the "
+        "fixed-budget mixture primitive complementing q38's rate-based "
+        "splits (operators/sampling.py::stratified_topn). Reproducible "
+        "across engines, runs, and layouts; oracle replays the same "
+        "hash ranking",
+)
+def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.sampling import (
+        stratified_topn,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"].select(
+        "event_type", "event_id", "user_id"
+    )
+    return stratified_topn(ev, ["event_type"], F.col("event_id"), n=200)
