@@ -518,3 +518,62 @@ def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_custkey", "c_mktsegment", "c_nationkey"],
         distinct_mode="both",
     )
+
+
+@register(
+    "q81_null_safe_join",
+    """
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_custkey % 100 END AS k,
+               o_totalprice
+        FROM orders
+    ), r AS (
+        SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                    ELSE CAST(n_nationkey AS BIGINT) END AS k,
+               n_name
+        FROM nation
+    )
+    SELECT coalesce(CAST(l.k AS VARCHAR), '<null>') AS k,
+           count(*) AS n_pairs,
+           count(DISTINCT r.n_name) AS n_names,
+           CAST(sum(CAST(l.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+    doc="Null-safe equality join (Spark `<=>` == SQL IS NOT DISTINCT "
+        "FROM): NULL keys on both sides match each other — the "
+        "dimension-join semantic for 'unknown' buckets that a plain "
+        "equi-join silently drops. Still a hash-partitionable equi "
+        "join (NULL hashes to one key), so the plan is a normal "
+        "shuffled join, not a nested loop; skewed NULL buckets are the "
+        "documented salting case",
+)
+def q81_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "nation")
+    left = t["orders"].select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100).alias("k"),
+        "o_totalprice",
+    )
+    right = t["nation"].select(
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("n_nationkey").cast("long")).alias("k"),
+        "n_name",
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]))
+        .groupBy(
+            F.coalesce(left["k"].cast("string"), F.lit("<null>"))
+            .alias("k")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("n_name").alias("n_names"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("total_price"),
+        )
+    )
