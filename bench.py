@@ -73,13 +73,33 @@ def main() -> None:
 
     _warn_regressions(times)
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+
+    # Full-name per-query detail goes to a sidecar file: the driver keeps
+    # only the LAST 2000 chars of stdout, and at 79+ queries a full-name
+    # dict blows past that (BENCH_r04.json parsed: null). stdout gets ONE
+    # compact line with the unique qNN prefixes (~1.1 KB, ample headroom).
+    full = {
         "metric": "catalog_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in times.items()}
+    if len(short) != len(times):  # qNN prefix collision — fall back
+        short = times
+    print(json.dumps({
+        "metric": "catalog_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": short,
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
