@@ -381,9 +381,19 @@ def simhash_df(docs: DataFrame, text_col: str = "text",
             f"(CASE WHEN {pos} * 2 > n THEN CAST({1 << b} AS BIGINT) "
             f"ELSE CAST(0 AS BIGINT) END)"
         )
-    sim = votes.select(
-        "id", F.expr(" + ".join(terms)).alias("simhash")
+    # Enforce the documented lane-arithmetic precondition: a document
+    # with >= 2^20 distinct tokens would overflow its 20-bit lane into
+    # the neighbor and emit a silently-corrupt simhash. n is already in
+    # the aggregate, so the guard is one comparison per doc; overflow
+    # fails the job loudly instead.
+    guarded = (
+        f"CASE WHEN n >= {1 << _LANE_BITS} THEN CAST(raise_error("
+        f"concat('simhash_df: document ', CAST(id AS STRING), ' has ', "
+        f"CAST(n AS STRING), ' distinct tokens >= 2^{_LANE_BITS}; "
+        f"lane counters would overflow — shard it upstream')) AS BIGINT) "
+        f"ELSE {' + '.join(terms)} END"
     )
+    sim = votes.select("id", F.expr(guarded).alias("simhash"))
     return base.select("id").join(sim, "id", "left").select(
         "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )

@@ -917,33 +917,27 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # gate — maintained by hand each round, checked against the round's
 # diff. Round 3 proved the hazard this closes: the Arrow LSH rewrite
 # changed q26's physical path AFTER its last driver-gated row, so the
-# driver never re-verified the code it actually graded. These sort
-# directly after the never/least-recently-gated block. Round 4 changes:
-# sinks/txn manifest protocol (q14, q36), similarity per-row degrade
-# (q24, q26, q27, q34), timestamps ns->us integer math + scaffold
-# cache (every streaming leg: q31, q32, q35, q54, q62).
+# driver never re-verified the code it actually graded. All round-4
+# entries were driver-gated green in r4, so the list resets to the
+# round-5 diff: simhash lane-overflow guard (dedup.py), openf1 Arrow
+# conf scoping, RateLimitedClient locking (rest.py), txn empty-first-
+# commit guard (q14/q36/q75/q76 ride the txn path).
 CHANGED_SINCE_GATE = [
+    "q22_simhash", "q29_simhash_neardup",
+    "q63_rest_ingest_path", "q72_session_chronology",
+    "q69_stream_rest_ingest",
     "q14_ingest_write_path", "q36_stream_merge_upsert",
-    "q24_cosine_topk", "q26_ann_lsh_topk", "q27_embedding_neardup",
-    "q34_ivf_flat_topk", "q21_minhash_lsh",
-    # dedup.py simhash expr-string rewrite (round 4):
-    "q22_simhash", "q29_simhash_neardup", "q37_neardup_clusters",
-    "q51_neardup_keep_one", "q52_corpus_prep",
-    # registry materialize_all + queries_chain/_ingest refactors and
-    # the openf1 Arrow LocalRelation landing (round 4):
-    "q41_model_chain", "q42_race_control_chain", "q43_final_f1",
-    "q63_rest_ingest_path",
-    "q31_stream_windowed_agg", "q32_sessionization",
-    "q35_stream_stateful_dedup", "q54_stream_static_join",
-    "q62_stream_stream_join",
+    "q75_time_travel", "q76_incremental_load",
 ]
 
 
 def _gate_priority_order() -> None:
     """Reorder CATALOG so the driver's bounded-budget gate re-verifies
-    the queries that most need a row: never-gated first, then stalest
-    last-gated round, then queries whose implementation changed since
-    their last gate (CHANGED_SINCE_GATE), then the rest.
+    the queries that most need a row: never-gated first, then queries
+    whose implementation changed since their last gate
+    (CHANGED_SINCE_GATE — a changed query's old green row proves
+    nothing, so it outranks every merely-stale one), then the rest by
+    stalest last-gated round.
 
     The driver's correctness gate has a bounded budget: in round 2 it
     recorded exactly the first 50 of 60 catalog entries in iteration
@@ -987,11 +981,17 @@ def _gate_priority_order() -> None:
         pass
 
     def rank(name: str):
-        # (never-gated or stalest round) > changed-since-gate > rest;
+        # never-gated (-1) > changed-since-gate (demoted to round 0,
+        # i.e. ahead of any actually-gated round) > stalest round;
         # ties broken cheapest-first, then stable catalog order
+        if name not in last_gated:
+            eff = -1
+        elif name in changed_rank:
+            eff = 0
+        else:
+            eff = last_gated[name]
         return (
-            last_gated.get(name, -1),
-            0 if name in changed_rank else 1,
+            eff,
             floors.get(name, float("inf")),
             changed_rank.get(name, catalog_rank[name]),
         )

@@ -120,13 +120,24 @@ def records_to_raw_df(
 
         # get_spark() pins this at build; only externally-supplied
         # sessions need it, and check-before-set keeps a hot ingest
-        # loop from re-writing session conf on every batch
+        # loop from re-writing session conf on every batch. The
+        # pandas->LocalRelation conversion is eager, so the setting
+        # can be scoped: restore the caller's value before returning
+        # rather than leaking a session-global mutation.
         arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        if spark.conf.get(arrow_key, None) != "true":
-            spark.conf.set(arrow_key, "true")
-        local = spark.createDataFrame(
-            pd.DataFrame(rows, columns=cols, dtype=object), schema
-        )
+        prev = spark.conf.get(arrow_key, None)
+        try:
+            if prev != "true":
+                spark.conf.set(arrow_key, "true")
+            local = spark.createDataFrame(
+                pd.DataFrame(rows, columns=cols, dtype=object), schema
+            )
+        finally:
+            if prev != "true":
+                if prev is None:
+                    spark.conf.unset(arrow_key)
+                else:
+                    spark.conf.set(arrow_key, prev)
     except ImportError:  # pandas-less fallback: same values, slower
         local = spark.createDataFrame(rows, schema)
     return scrub_dataframe(local)

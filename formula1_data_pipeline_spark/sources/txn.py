@@ -357,6 +357,15 @@ def read_table(spark: SparkSession, table: str,
             paths = [f"{base}/{key}={s['partition']}" for s in segs]
             leg = spark.read.option("basePath", base).parquet(*paths)
             legs.append(leg.withColumn(key, F.col(key).cast("string")))
+    if not legs:
+        # A zero-segment manifest carries no schema to synthesize an
+        # empty DataFrame from; _commit refuses to create one, so this
+        # only fires on a hand-built or legacy-corrupt table dir.
+        raise ValueError(
+            f"txn table {table} manifest v{v} lists no segments — "
+            "nothing to read (empty first commits are no-ops and do "
+            "not create a table)"
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg, allowMissingColumns=True)
@@ -391,6 +400,12 @@ def _commit(spark: SparkSession, table: str, key: str | None,
             old = manifest["segments"]
             next_v = v + 1
         segments = next_segments(v, old)
+        if next_v == 1 and not segments:
+            # A keyed append/replace of an empty first batch stages no
+            # partition dirs; publishing v1 with segments=[] would leave
+            # a table every reader crashes on. Appending nothing to a
+            # table that doesn't exist is a no-op: no version created.
+            return 0
         if pre_publish_hook is not None:
             pre_publish_hook()
         if _publish(spark, table, next_v, segments, key):

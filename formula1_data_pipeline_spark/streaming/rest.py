@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import pathlib
 import tempfile
+import threading
 import time
 import uuid
 from collections.abc import Iterable
@@ -66,17 +67,24 @@ class RateLimitedClient:
         self._clock = clock
         self._sleep = sleep
         self._next_allowed: float | None = None
+        # pacing state is shared-budget by contract, so concurrent
+        # callers must not both observe the same free slot and burst
+        self._lock = threading.Lock()
 
     def fetch(self, endpoint: str, **params: object) -> list[dict]:
         if self._min_interval > 0:
-            now = self._clock()
-            if self._next_allowed is not None and now < self._next_allowed:
-                self._sleep(self._next_allowed - now)
-            # schedule from the *allowed* slot, not the observed time,
-            # so long fetches don't grant burst credit
-            base = self._next_allowed if self._next_allowed is not None \
-                else now
-            self._next_allowed = max(base, now) + self._min_interval
+            with self._lock:
+                now = self._clock()
+                # schedule from the *allowed* slot, not the observed
+                # time, so long fetches don't grant burst credit
+                base = self._next_allowed if self._next_allowed is not None \
+                    else now
+                slot = max(base, now)
+                self._next_allowed = slot + self._min_interval
+            # reserve the slot under the lock, sleep outside it so a
+            # waiting caller doesn't serialize everyone behind it
+            if slot > now:
+                self._sleep(slot - now)
         return self._inner.fetch(endpoint, **params)
 
 

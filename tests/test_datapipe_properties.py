@@ -118,3 +118,29 @@ def test_hash_bucket_stable_under_repartition(spark):
 
     deciles = Counter(v // 10 for v in one.values())
     assert len(deciles) == 10
+
+
+def test_simhash_lane_overflow_fails_loudly(spark):
+    """simhash_df's packed 20-bit lane counters are only exact below
+    2^20 distinct tokens per document; beyond that a lane overflows
+    into its neighbor and pre-fix emitted a silently-corrupt simhash.
+    The guard turns that into a loud job failure."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.dedup import simhash_df
+
+    # 2^20 + 8 distinct tokens, built JVM-side (a Python string of
+    # that size would be slower to ship than to generate)
+    doc = spark.range(1).select(
+        F.lit("big").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit((1 << 20) + 8)),
+                        lambda i: F.concat(F.lit("tok"), i)),
+            " ",
+        ).alias("text"),
+    )
+    with pytest.raises(SparkRuntimeException,
+                       match="lane counters would overflow"):
+        simhash_df(doc).collect()

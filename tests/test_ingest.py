@@ -268,3 +268,21 @@ def test_stream_merge_upsert_batch_split_invariant(spark):
     # one row per key, and keys are unique
     keys = {(u, t) for u, t, _ in four}
     assert len(keys) == len(four) > 0
+
+
+def test_records_to_raw_df_restores_arrow_conf(spark):
+    """The eager pandas->LocalRelation conversion needs Arrow on, but
+    an externally supplied session must get its own conf value back —
+    pre-fix the 'true' leaked for the session's remaining lifetime."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        df = records_to_raw_df(spark, LAP_RECORDS)
+        assert df.count() > 0
+        assert spark.conf.get(key) == "false"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -106,3 +106,28 @@ def test_empty_polls_are_skipped(spark):
     )
     rows = landed.collect()
     assert len(rows) == 1 and rows[0]["poll"] == "1"
+
+
+def test_rate_limited_client_thread_safe_shared_budget():
+    """Concurrent callers each reserve a distinct slot — the shared
+    budget never grants two fetches the same interval (the pacing
+    state is mutated under a lock; pre-fix both threads could observe
+    the same free slot and burst)."""
+    import threading
+
+    sleeps: list[float] = []
+    client = RateLimitedClient(
+        RecordedClient({"laps": [{"a": 1}]}),
+        min_interval_sec=1.0,
+        clock=lambda: 0.0,          # frozen clock: slots, not wall time
+        sleep=sleeps.append,
+    )
+    threads = [threading.Thread(target=client.fetch, args=("laps",))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # 4 fetches from t=0: slots 0,1,2,3 -> three sleepers, distinct
+    assert sorted(sleeps) == [1.0, 2.0, 3.0]
+    assert client._next_allowed == 4.0

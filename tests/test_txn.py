@@ -419,3 +419,31 @@ def test_randomized_op_sequences_match_model(spark, tmp_path):
                 tuple(r) for r in read_table(spark, path, version=version)
                 .na.fill("").collect()
             ) == snap, f"case {case} version {version} drifted"
+
+
+def test_empty_first_keyed_commit_is_noop_not_corrupt(spark, tmp_path):
+    """A keyed append/replace of an EMPTY first batch stages zero
+    partition dirs; pre-fix it published a v1 manifest with
+    segments=[], after which every read_table crashed with IndexError.
+    Now it is a no-op: no version is created, and the table simply
+    does not exist yet — the next non-empty commit bootstraps v1."""
+    tbl = str(tmp_path / "t")
+    empty = _df(spark, [("1", "a")], ["k", "v"]).limit(0)
+
+    assert txn_append(spark, empty, tbl, key="k") == 0
+    assert current_version(spark, tbl) is None
+    assert txn_replace(spark, empty, tbl, key="k") == 0
+    assert current_version(spark, tbl) is None
+
+    # a real first batch still works and readers see exactly it
+    txn_append(spark, _df(spark, [("1", "a")], ["k", "v"]), tbl, key="k")
+    assert _snapshot(spark, tbl) == [("a", "1")]  # key col reads back last
+
+
+def test_zero_segment_manifest_read_raises_clearly(spark, tmp_path):
+    """A legacy/hand-built zero-segment manifest fails loudly with the
+    table path in the message, not with IndexError on legs[0]."""
+    tbl = str(tmp_path / "t")
+    assert _publish(spark, tbl, 1, [], "k")
+    with pytest.raises(ValueError, match="lists no segments"):
+        read_table(spark, tbl)
