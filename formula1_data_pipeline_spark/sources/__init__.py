@@ -3,6 +3,7 @@ from formula1_data_pipeline_spark.sources.bucketing import (
     write_bucketed,
 )
 from formula1_data_pipeline_spark.sources.openf1 import (
+    HttpClient,
     RecordedClient,
     ingest_session_endpoints,
     normalize_intervals,
@@ -28,6 +29,7 @@ from formula1_data_pipeline_spark.sources.txn import (
 )
 
 __all__ = [
+    "HttpClient",
     "RecordedClient",
     "append_raw",
     "current_version",

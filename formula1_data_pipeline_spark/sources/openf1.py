@@ -26,6 +26,8 @@ once rows are parquet.
 from __future__ import annotations
 
 import json
+import logging
+import time
 from collections.abc import Iterable, Mapping
 from typing import Protocol
 
@@ -43,6 +45,82 @@ class OpenF1Client(Protocol):
     """S1/S2 fetch surface; implementations return parsed JSON lists."""
 
     def fetch(self, endpoint: str, **params: object) -> list[dict]: ...
+
+
+class HttpClient:
+    """Live adapter for the ``OpenF1Client`` protocol — the actual
+    OpenF1 REST API (or any base URL speaking its shape).
+
+    Semantics follow the reference fetch
+    (``dags/open_f1_historical.py:48-57``): GET
+    ``{base}/{endpoint}?{params}`` with a per-request timeout; HTTP 200
+    parses as JSON, anything else logs and yields ``[]``; transport
+    errors and garbage JSON also degrade to ``[]`` rather than raising,
+    so one bad session never aborts a backfill sweep. On top of the
+    reference behavior, *transient* failures (connection/timeout
+    errors, 429/5xx) get a bounded exponential-backoff retry — at
+    cluster scale a thousand-session backfill will hit transient
+    blips, and silently recording them as empty sessions is the wrong
+    default. Non-transient statuses (4xx) never retry.
+
+    Pair with ``RateLimitedClient`` for pacing; this class holds no
+    mutable state after construction, so concurrent ``fetch`` calls
+    are safe.
+    """
+
+    _TRANSIENT = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(
+        self,
+        base_url: str = "https://api.openf1.org/v1",
+        timeout_sec: float = 30.0,
+        retries: int = 2,
+        backoff_sec: float = 0.5,
+        sleep=None,
+    ):
+        import requests  # gated: only the live adapter needs it
+
+        self._requests = requests
+        self._base = base_url.rstrip("/")
+        self._timeout = float(timeout_sec)
+        self._retries = int(retries)
+        self._backoff = float(backoff_sec)
+        self._sleep = sleep if sleep is not None else time.sleep
+        self._log = logging.getLogger(__name__)
+
+    def fetch(self, endpoint: str, **params: object) -> list[dict]:
+        url = f"{self._base}/{endpoint}"
+        for attempt in range(self._retries + 1):
+            try:
+                r = self._requests.get(url, params=params,
+                                       timeout=self._timeout)
+            except self._requests.RequestException as e:
+                if attempt < self._retries:
+                    self._sleep(self._backoff * (2 ** attempt))
+                    continue
+                self._log.warning("fetch error for %s: %s", endpoint, e)
+                return []
+            if r.status_code == 200:
+                try:
+                    payload = r.json()
+                except ValueError:
+                    self._log.warning(
+                        "fetch %s: HTTP 200 with unparseable JSON", endpoint
+                    )
+                    return []
+                if not isinstance(payload, list):
+                    self._log.warning(
+                        "fetch %s: expected JSON list, got %s",
+                        endpoint, type(payload).__name__,
+                    )
+                    return []
+                return payload
+            if r.status_code in self._TRANSIENT and attempt < self._retries:
+                self._sleep(self._backoff * (2 ** attempt))
+                continue
+            self._log.warning("fetch %s: HTTP %s", endpoint, r.status_code)
+            return []
+        return []
 
 
 class RecordedClient:
