@@ -367,7 +367,7 @@ _FCT_LAP_COLS = [
 
 
 @REGISTRY.register("fct_driver_laps", refs=("int_driver_lap_features",),
-                   materialized="table")
+                   materialized="table", partition_key="season_year")
 def fct_driver_laps(deps: Mapping[str, DataFrame]) -> DataFrame:
     """fct_driver_laps.sql: projection of the feature table (:3-33)."""
     return deps["int_driver_lap_features"].select(*_FCT_LAP_COLS)
@@ -402,7 +402,7 @@ def fct_driver_race_summary(deps: Mapping[str, DataFrame]) -> DataFrame:
 
 
 @REGISTRY.register("final_f1", refs=("int_driver_lap_features",),
-                   materialized="table")
+                   materialized="table", partition_key="season_year")
 def final_f1(deps: Mapping[str, DataFrame]) -> DataFrame:
     """final_f1.sql: per-lap detail LEFT JOIN its own session summary
     (J2, :65-83). The summary side is tiny (one row per driver-session)

@@ -36,6 +36,7 @@ class Model:
     sources: tuple[str, ...] = ()     # raw inputs (resolved externally)
     materialized: str = "view"        # 'view' | 'table' | 'incremental'
     incremental_key: str | None = None  # partition key for 'incremental'
+    partition_key: str | None = None  # storage partitioning for 'table'
 
 
 @dataclass
@@ -51,6 +52,7 @@ class ModelRegistry:
         sources: tuple[str, ...] = (),
         materialized: str = "view",
         incremental_key: str | None = None,
+        partition_key: str | None = None,
     ) -> Callable[[ModelFn], ModelFn]:
         if materialized == "incremental" and not incremental_key:
             raise ValueError(
@@ -61,7 +63,7 @@ class ModelRegistry:
             if name in self.models:
                 raise ValueError(f"duplicate model {name!r}")
             self.models[name] = Model(name, fn, refs, sources, materialized,
-                                      incremental_key)
+                                      incremental_key, partition_key)
             return fn
 
         return deco
@@ -139,8 +141,23 @@ class ModelRegistry:
                 materialize_all or model.materialized == "table"
             ):
                 path = f"{materialize_to}/{name}"
-                df.write.mode("overwrite").parquet(path)
+                cols = df.columns
+                writer = df.write.mode("overwrite")
+                pk = model.partition_key
+                if pk and pk in cols:
+                    # storage-partitioned mart (SURVEY §4: marts by
+                    # season_year): per-season consumer reads prune to
+                    # one directory instead of scanning the table —
+                    # the difference between a partition read and a
+                    # full scan once the mart is years of history
+                    writer = writer.partitionBy(pk)
+                writer.parquet(path)
                 df = spark.read.parquet(path)
+                if pk and pk in cols:
+                    # partition read-back appends the key column last;
+                    # restore the declared order so materialized and
+                    # lazy runs expose identical schemas
+                    df = df.select(*cols)
             built[name] = df
             out[name] = df
             if register_views:

@@ -921,13 +921,18 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # entries were driver-gated green in r4, so the list resets to the
 # round-5 diff: simhash lane-overflow guard (dedup.py), openf1 Arrow
 # conf scoping, RateLimitedClient locking (rest.py), txn empty-first-
-# commit guard (q14/q36/q75/q76 ride the txn path).
+# commit guard (q14/q36/q75/q76 ride the txn path), season-partitioned
+# mart materialization (registry/models: the q4x chain + materialized
+# gates).
 CHANGED_SINCE_GATE = [
     "q22_simhash", "q29_simhash_neardup",
     "q63_rest_ingest_path", "q72_session_chronology",
     "q69_stream_rest_ingest",
     "q14_ingest_write_path", "q36_stream_merge_upsert",
     "q75_time_travel", "q76_incremental_load",
+    "q41_model_chain", "q42_race_control_chain", "q43_final_f1",
+    "q70_fct_driver_laps", "q73_materialized_chain",
+    "q74_assertion_runner",
 ]
 
 

@@ -294,3 +294,39 @@ def test_incremental_model_converges_to_full_rebuild(spark, tmp_path):
     # without materialize_to the model stays lazy (test mode)
     lazy = inc.run(spark, {"src": full})["agg_inc"]
     assert {(r["part"], r["k"]): r["total"] for r in lazy.collect()} == got
+
+
+def test_table_marts_partitioned_by_season_with_pruned_reads(
+        spark, tmp_path):
+    """SURVEY §4 partitioning choice: season_year-bearing table marts
+    materialize as season-partitioned parquet, a season-filtered
+    read-back prunes to one partition (PartitionFilters in the scan,
+    not a full-table scan), and the read-back schema/values equal the
+    lazy build's (partition read-back must not reorder or retype
+    columns)."""
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+    from tests.fixtures_openf1 import build_raw_tables
+
+    raw = build_raw_tables(spark)
+    lazy = REGISTRY.run(spark, raw)
+    mat = REGISTRY.run(spark, raw, materialize_to=str(tmp_path))
+
+    for name in ("final_f1", "fct_driver_laps"):
+        years = [d.name for d in (tmp_path / name).iterdir()
+                 if d.name.startswith("season_year=")]
+        assert years, f"{name} not season-partitioned: {years}"
+        assert lazy[name].columns == mat[name].columns
+        assert dict(lazy[name].dtypes) == dict(mat[name].dtypes), name
+        a = sorted(map(tuple, lazy[name].na.fill(0).collect()))
+        b = sorted(map(tuple, mat[name].na.fill(0).collect()))
+        assert a == b, f"{name} changed through partitioned storage"
+
+    year = int(years[0].split("=")[1])
+    scan = (spark.read.parquet(str(tmp_path / "final_f1"))
+            .filter(F.col("season_year") == year))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "season_year" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # summary mart has no season column at its grain -> unpartitioned
+    assert not any(d.name.startswith("season_year=")
+                   for d in (tmp_path / "fct_driver_race_summary").iterdir())
