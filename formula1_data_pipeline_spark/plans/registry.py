@@ -20,6 +20,7 @@ Spark equivalent implemented here:
 from __future__ import annotations
 
 from collections.abc import Callable, Mapping
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
@@ -84,6 +85,62 @@ class ModelRegistry:
         )
         return list(ts.static_order())
 
+    def _build_one(
+        self,
+        spark: SparkSession,
+        name: str,
+        built: Mapping[str, DataFrame],
+        materialize_to: str | None,
+        materialize_all: bool,
+    ) -> DataFrame:
+        """Build (and optionally persist) one model from its resolved
+        parents. Reads ``built`` only — safe to call from a worker
+        thread once every ref/source entry is present."""
+        model = self.models[name]
+        missing = [s for s in model.sources if s not in built]
+        if missing:
+            raise KeyError(f"model {name!r} missing sources {missing}")
+        df = model.fn(built)
+        if materialize_to and model.materialized == "incremental":
+            # dbt-incremental semantics, delete+insert strategy: the
+            # caller feeds this run's source window; only the
+            # incremental_key partitions present in the new batch
+            # are replaced (txn_replace carries the rest forward by
+            # reference), so repeated loads converge to the
+            # full-rebuild state and re-running a window is
+            # idempotent. Committed via the manifest protocol —
+            # readers see each load atomically.
+            from formula1_data_pipeline_spark.sources.txn import (
+                read_table,
+                txn_replace,
+            )
+
+            path = f"{materialize_to}/{name}"
+            txn_replace(spark, df, path, key=model.incremental_key)
+            df = read_table(spark, path)
+        elif materialize_to and (
+            materialize_all or model.materialized == "table"
+        ):
+            path = f"{materialize_to}/{name}"
+            cols = df.columns
+            writer = df.write.mode("overwrite")
+            pk = model.partition_key
+            if pk and pk in cols:
+                # storage-partitioned mart (SURVEY §4: marts by
+                # season_year): per-season consumer reads prune to
+                # one directory instead of scanning the table —
+                # the difference between a partition read and a
+                # full scan once the mart is years of history
+                writer = writer.partitionBy(pk)
+            writer.parquet(path)
+            df = spark.read.parquet(path)
+            if pk and pk in cols:
+                # partition read-back appends the key column last;
+                # restore the declared order so materialized and
+                # lazy runs expose identical schemas
+                df = df.select(*cols)
+        return df
+
     def run(
         self,
         spark: SparkSession,
@@ -92,6 +149,7 @@ class ModelRegistry:
         materialize_to: str | None = None,
         materialize_all: bool = False,
         register_views: bool = False,
+        threads: int = 4,
     ) -> dict[str, DataFrame]:
         """Build every model (or the listed targets + upstreams).
 
@@ -111,55 +169,47 @@ class ModelRegistry:
         each built model so ``spark.sql()`` users see the DAG. Off by
         default — it mutates session-global temp-view state and would
         silently clobber same-named views.
+
+        ``threads``: concurrency for *materializing* runs, matching the
+        reference's dbt ``threads: 4`` (``dbt/profiles.yml:13``) —
+        independent DAG branches (the three staging->int legs, the
+        three marts) persist concurrently; Spark's scheduler accepts
+        jobs from multiple threads and runs them against the same
+        executor pool. Lazy runs (``materialize_to=None``) only compose
+        logical plans — no jobs to overlap — so they always take the
+        serial path and are byte-identical to previous behavior.
         """
         built: dict[str, DataFrame] = dict(sources)
-        out: dict[str, DataFrame] = {}
-        for name in self.topo_order(targets):
-            model = self.models[name]
-            missing = [s for s in model.sources if s not in built]
-            if missing:
-                raise KeyError(f"model {name!r} missing sources {missing}")
-            df = model.fn(built)
-            if materialize_to and model.materialized == "incremental":
-                # dbt-incremental semantics, delete+insert strategy: the
-                # caller feeds this run's source window; only the
-                # incremental_key partitions present in the new batch
-                # are replaced (txn_replace carries the rest forward by
-                # reference), so repeated loads converge to the
-                # full-rebuild state and re-running a window is
-                # idempotent. Committed via the manifest protocol —
-                # readers see each load atomically.
-                from formula1_data_pipeline_spark.sources.txn import (
-                    read_table,
-                    txn_replace,
-                )
+        order = self.topo_order(targets)
 
-                path = f"{materialize_to}/{name}"
-                txn_replace(spark, df, path, key=model.incremental_key)
-                df = read_table(spark, path)
-            elif materialize_to and (
-                materialize_all or model.materialized == "table"
-            ):
-                path = f"{materialize_to}/{name}"
-                cols = df.columns
-                writer = df.write.mode("overwrite")
-                pk = model.partition_key
-                if pk and pk in cols:
-                    # storage-partitioned mart (SURVEY §4: marts by
-                    # season_year): per-season consumer reads prune to
-                    # one directory instead of scanning the table —
-                    # the difference between a partition read and a
-                    # full scan once the mart is years of history
-                    writer = writer.partitionBy(pk)
-                writer.parquet(path)
-                df = spark.read.parquet(path)
-                if pk and pk in cols:
-                    # partition read-back appends the key column last;
-                    # restore the declared order so materialized and
-                    # lazy runs expose identical schemas
-                    df = df.select(*cols)
-            built[name] = df
-            out[name] = df
-            if register_views:
-                df.createOrReplaceTempView(name)
-        return out
+        if materialize_to is None or threads <= 1:
+            for name in order:
+                df = self._build_one(spark, name, built,
+                                     materialize_to, materialize_all)
+                built[name] = df
+                if register_views:
+                    df.createOrReplaceTempView(name)
+            return {n: built[n] for n in order}
+
+        ts = TopologicalSorter({n: set(self.models[n].refs) for n in order})
+        ts.prepare()
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            running = {}
+            while ts.is_active():
+                for name in ts.get_ready():
+                    running[pool.submit(
+                        self._build_one, spark, name, built,
+                        materialize_to, materialize_all,
+                    )] = name
+                done, _ = wait(running, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    name = running.pop(fut)
+                    df = fut.result()  # first failure propagates here
+                    # only this coordinator thread mutates `built`;
+                    # workers see their parents' entries via the
+                    # happens-before of submit()
+                    built[name] = df
+                    if register_views:
+                        df.createOrReplaceTempView(name)
+                    ts.done(name)
+        return {n: built[n] for n in order}

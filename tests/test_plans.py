@@ -125,3 +125,46 @@ def test_scd2_single_shuffle(spark):
     partitioning — exactly one hash exchange in the whole plan."""
     plan = plan_of(spark, "q67_scd2_history")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_concurrent_materialization_overlaps_independent_branches(
+        spark, tmp_path):
+    """dbt threads:4 parity (reference dbt/profiles.yml:13): with a
+    materializing run, independent models build concurrently — their
+    (start, end) wall-time intervals overlap — and results match the
+    serial build. Lazy runs stay serial by construction."""
+    import time
+
+    from formula1_data_pipeline_spark.plans.registry import ModelRegistry
+
+    reg = ModelRegistry()
+    spans: dict[str, tuple[float, float]] = {}
+
+    def slow_model(name):
+        def fn(deps):
+            t0 = time.monotonic()
+            time.sleep(0.6)  # long enough to observe overlap reliably
+            df = deps["src"].withColumnRenamed("v", f"v_{name}")
+            spans[name] = (t0, time.monotonic())
+            return df
+        return fn
+
+    for n in ("left_mart", "right_mart"):
+        reg.register(n, sources=("src",), materialized="table")(
+            slow_model(n))
+
+    src = spark.range(10).withColumnRenamed("id", "v")
+    out = reg.run(spark, {"src": src}, materialize_to=str(tmp_path),
+                  threads=2)
+    (a0, a1), (b0, b1) = spans["left_mart"], spans["right_mart"]
+    assert max(a0, b0) < min(a1, b1), f"no overlap: {spans}"
+    assert sorted(r[0] for r in out["left_mart"].collect()) == list(range(10))
+
+    # serial run (threads=1) produces the same tables
+    spans.clear()
+    out1 = reg.run(spark, {"src": src},
+                   materialize_to=str(tmp_path / "serial"), threads=1)
+    assert max(spans["left_mart"][0], spans["right_mart"][0]) >= min(
+        spans["left_mart"][1], spans["right_mart"][1]), "serial overlapped"
+    assert sorted(map(tuple, out1["right_mart"].collect())) == \
+        sorted(map(tuple, out["right_mart"].collect()))
