@@ -23,6 +23,7 @@ from formula1_data_pipeline_spark.sources.txn import (
     is_txn_table,
     read_table,
     txn_append,
+    txn_compact,
     txn_merge,
     txn_replace,
     vacuum,
@@ -36,6 +37,7 @@ __all__ = [
     "is_txn_table",
     "read_table",
     "txn_append",
+    "txn_compact",
     "txn_merge",
     "txn_replace",
     "vacuum",

@@ -415,29 +415,108 @@ def _commit(spark: SparkSession, table: str, key: str | None,
     )
 
 
+# Auto-compaction trigger: read_table unions one leg per distinct data
+# dir, and append/replace each add one dir, so read cost grows linearly
+# with commit count. When a commit leaves this many live dirs, the
+# committer compacts the table back to one. The bound makes read plans
+# O(1) in commit count while costing one full rewrite per ~threshold
+# commits (amortized ~1/threshold extra writes).
+AUTO_COMPACT_DIRS = 16
+
+
+def _live_dirs(segments: list[dict]) -> int:
+    return len({s["dir"] for s in segments})
+
+
 def txn_append(spark: SparkSession, df: DataFrame, table: str,
-               key: str | None = None) -> int:
+               key: str | None = None,
+               compact_threshold: int | None = AUTO_COMPACT_DIRS) -> int:
     """Atomic append: new data dir + manifest carrying old segments
     forward. Readers see the batch entirely or not at all (plain
     ``mode("append")`` exposes a partially-listed batch mid-write).
-    The staged dir is state-independent, so a conflict retry reuses it."""
+    The staged dir is state-independent, so a conflict retry reuses it.
+
+    When the committed manifest references ``compact_threshold`` or
+    more data dirs, the table is compacted afterwards (``None``
+    disables). The returned version is always the append's own."""
     staged = _stage(spark, df, table, key)
-    return _commit(spark, table, key, lambda v, old: old + staged)
+    published: dict = {}
+
+    def nxt(v, old):
+        published["segments"] = old + staged
+        return published["segments"]
+
+    ver = _commit(spark, table, key, nxt)
+    if ver and compact_threshold and \
+            _live_dirs(published["segments"]) >= compact_threshold:
+        txn_compact(spark, table)
+    return ver
 
 
 def txn_replace(spark: SparkSession, df: DataFrame, table: str,
-                key: str, pre_publish_hook=None) -> int:
+                key: str, pre_publish_hook=None,
+                compact_threshold: int | None = AUTO_COMPACT_DIRS) -> int:
     """Atomic delete+reload of exactly the ``key`` partitions present
     in ``df`` (the reference's realtime upsert,
     ``dags/open_f1_realtime.py:153-170``). Untouched partitions' files
-    are carried forward by reference — zero data movement."""
+    are carried forward by reference — zero data movement.
+
+    Auto-compacts past ``compact_threshold`` live dirs, like
+    ``txn_append``."""
     staged = _stage(spark, df, table, key)
     touched = {s["partition"] for s in staged}
+    published: dict = {}
 
     def nxt(v, old):
-        return [s for s in old if s["partition"] not in touched] + staged
+        published["segments"] = \
+            [s for s in old if s["partition"] not in touched] + staged
+        return published["segments"]
 
-    return _commit(spark, table, key, nxt, pre_publish_hook)
+    ver = _commit(spark, table, key, nxt, pre_publish_hook)
+    if ver and compact_threshold and \
+            _live_dirs(published["segments"]) >= compact_threshold:
+        txn_compact(spark, table)
+    return ver
+
+
+def txn_compact(spark: SparkSession, table: str,
+                pre_publish_hook=None) -> int | None:
+    """Key-preserving compaction: rewrite the current snapshot into ONE
+    fresh data dir (one segment per partition for keyed tables) and
+    publish it as the next version. Collapses the read plan from
+    O(live dirs) union legs back to one, without changing the table's
+    key the way ``txn_merge``'s unkeyed full rewrite does. Superseded
+    versions keep their dirs until ``vacuum``, so time travel across
+    the compaction boundary still resolves.
+
+    Same optimistic loop as ``txn_merge``: a conflict re-reads and
+    re-stages from the NEW snapshot, so no concurrent append/replace
+    is ever lost. Returns the new version, the current version if the
+    table is already compact, or None for nonexistent/plain tables."""
+    staged_dirs: list[str] = []
+    try:
+        for _ in range(_MAX_RETRIES):
+            v = current_version(spark, table)
+            if v is None:
+                return None
+            manifest = _read_manifest(spark, table, v)
+            if _live_dirs(manifest["segments"]) <= 1:
+                return v
+            key = manifest["key"]
+            df = read_table(spark, table, version=v)
+            segments = _stage(spark, df, table, key)
+            staged_dirs.append(segments[0]["dir"])
+            if pre_publish_hook is not None:
+                pre_publish_hook()
+            if _publish(spark, table, v + 1, segments, key):
+                staged_dirs.pop()  # committed — don't clean it up
+                return v + 1
+        raise RuntimeError(
+            f"txn compact on {table}: lost {_MAX_RETRIES} optimistic races"
+        )
+    finally:
+        for d in staged_dirs:
+            _delete(spark, f"{table}/{d}")
 
 
 def txn_merge(spark: SparkSession, table: str, merge_fn,
