@@ -330,3 +330,54 @@ def test_table_marts_partitioned_by_season_with_pruned_reads(
     # summary mart has no season column at its grain -> unpartitioned
     assert not any(d.name.startswith("season_year=")
                    for d in (tmp_path / "fct_driver_race_summary").iterdir())
+
+
+def test_assertion_runner_failure_paths_flip_report_rows(spark):
+    """q74 gates the all-pass report; this guards the failure
+    semantics the reference's dbt-test stage relies on
+    (dags/formula1_elt_dag.py:46-50): a planted null-grain row flips
+    the model's not_null report row to failed, and a planted duplicate
+    grain flips its unique row — both in assertions_report AND
+    run_assertions, which must agree."""
+    from formula1_data_pipeline_spark.plans.assertions import (
+        assertions_report,
+        run_assertions,
+    )
+
+    clean = spark.createDataFrame(
+        [(1219, 9165, 44, 1), (1219, 9165, 44, 2)],
+        ["meeting_key", "session_key", "driver_number", "lap_number"],
+    )
+    # null lap_number breaks not_null; grain still unique
+    nulled = clean.unionByName(spark.createDataFrame(
+        [(1219, 9165, 44, None)], clean.schema))
+    # duplicated (meeting, session, driver, lap) breaks unique only
+    duped = clean.unionByName(clean.limit(1))
+
+    built = {"int_session_driver_laps": nulled, "fct_driver_laps": duped}
+    report = {(r["model"], r["kind"]): r["passed"]
+              for r in assertions_report(built).collect()}
+    assert report[("int_session_driver_laps", "not_null")] is False
+    assert report[("int_session_driver_laps", "unique")] is True
+    assert report[("fct_driver_laps", "not_null")] is True
+    # fct_driver_laps has no unique assertion declared; the planted dup
+    # must surface via its not_null-only rows staying green while the
+    # grain model catches its own failure kind:
+    assert ("fct_driver_laps", "unique") not in report
+
+    failures = run_assertions(built)
+    assert {(f.model, f.kind) for f in failures} == {
+        ("int_session_driver_laps", "not_null"),
+    }
+
+    # duplicate-grain failure on a model that declares uniqueness
+    built2 = {"int_session_driver_laps": duped}
+    report2 = {(r["model"], r["kind"]): r["passed"]
+               for r in assertions_report(built2).collect()}
+    assert report2[("int_session_driver_laps", "unique")] is False
+    assert report2[("int_session_driver_laps", "not_null")] is True
+    failures2 = run_assertions(built2)
+    assert {(f.model, f.kind) for f in failures2} == {
+        ("int_session_driver_laps", "unique"),
+    }
+    assert "duplicate grain" in failures2[0].detail
