@@ -925,6 +925,7 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # mart materialization (registry/models: the q4x chain + materialized
 # gates).
 CHANGED_SINCE_GATE = [
+    "q21_minhash_lsh",
     "q37_neardup_clusters", "q51_neardup_keep_one",
     "q22_simhash", "q29_simhash_neardup",
     "q63_rest_ingest_path", "q72_session_chronology",

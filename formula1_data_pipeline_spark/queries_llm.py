@@ -51,25 +51,34 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
 
 
-@register(
-    "q21_minhash_lsh",
-    f"""
+def _q21_oracle() -> str:
+    """Oracle generated from the SAME `_mix_sql`/`_band_sql` helpers the
+    Spark operator uses — the integer minhash family (one md5 per token,
+    16 universal-hash mins, 62-bit Horner band keys) is pure BIGINT
+    arithmetic below 2^62, so both engines agree bit-for-bit."""
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _band_sql, _mix_sql,
+    )
+
+    mins = ",\n               ".join(
+        f"min({_mix_sql(i, 'h')}) AS h{i}" for i in range(16)
+    )
+    bands = ",\n            ".join(
+        _band_sql(b, [f"h{b * 4 + i}" for i in range(4)]) for b in range(4)
+    )
+    return f"""
     WITH base AS (
-        SELECT doc_id AS id, list_distinct({_SQL_TOKS}) AS toks,
-               {_SQL_HTOKS} AS htoks
+        SELECT doc_id AS id, {_SQL_HTOKS} AS htoks
         FROM documents
+    ), tokrows AS (
+        SELECT id, unnest(htoks) AS h FROM base
     ), sig AS (
-        SELECT id, toks,
-               list_transform(range(0, 16), i ->
-                   list_min(list_transform(toks, t -> md5(CAST(i AS VARCHAR)||t)))
-               ) AS sig
-        FROM base
+        SELECT id,
+               {mins}
+        FROM tokrows GROUP BY id
     ), banded AS (
         SELECT id, unnest([
-            md5('0'||sig[1]||sig[2]||sig[3]||sig[4]),
-            md5('1'||sig[5]||sig[6]||sig[7]||sig[8]),
-            md5('2'||sig[9]||sig[10]||sig[11]||sig[12]),
-            md5('3'||sig[13]||sig[14]||sig[15]||sig[16])
+            {bands}
         ]) AS band
         FROM sig
     ), pairs AS (
@@ -84,10 +93,15 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN base ta ON ta.id = p.a_id
     JOIN base tb ON tb.id = p.b_id
-    """,
-    doc="MinHash(8)+LSH(4 bands) near-dup candidates with exact jaccard "
-        "verify (§2.12): signatures are per-row JVM expressions, shuffle "
-        "ships only (band, id) pairs, jaccard only on candidates",
+    """
+
+
+@register(
+    "q21_minhash_lsh",
+    _q21_oracle(),
+    doc="MinHash(16)+LSH(4 bands) near-dup candidates with exact jaccard "
+        "verify (§2.12): integer-mix signatures (one md5 per token), "
+        "shuffle ships only (band, id) pairs, jaccard only on candidates",
 )
 def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.dedup import (
