@@ -236,14 +236,24 @@ def minhash_signatures_df(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         token_set(F.col(text_col)).alias("toks"),
     )
-    toks = base.select("id", F.explode("toks").alias("t")).select(
-        "id", F.expr(_TOKEN_HASH_SQL.format(t="t")).alias("h")
-    )
-    sig = toks.groupBy("id").agg(*[
+    return base.join(_sig_agg(docs, text_col, id_col, n_hashes),
+                     "id", "left")
+
+
+def _sig_agg(docs: DataFrame, text_col: str, id_col: str,
+             n_hashes: int = N_HASHES) -> DataFrame:
+    """(id, sig) aggregate only — no token arrays, no join back to the
+    doc set, so callers that need just signatures (the LSH band path)
+    skip a join stage. Docs with zero tokens are absent (they have no
+    signature and can never band-collide)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_set(F.col(text_col))).alias("t"),
+    ).select("id", F.expr(_TOKEN_HASH_SQL.format(t="t")).alias("h"))
+    return toks.groupBy("id").agg(*[
         F.expr(f"min({_mix_sql(i, 'h')})").alias(f"h{i}")
         for i in range(n_hashes)
     ]).select("id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
-    return base.join(sig, "id", "left")
 
 
 def minhash_bands(sig: Column, n_hashes: int = N_HASHES,
@@ -281,7 +291,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     candidates only. AQE handles hot bands (boilerplate texts).
     """
     n_bands = n_hashes // band_size
-    sig = minhash_signatures_df(docs, text_col, id_col, n_hashes).select(
+    sig = _sig_agg(docs, text_col, id_col, n_hashes).select(
         "id",
         minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
     )
@@ -336,9 +346,7 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     # explode+codegen shape; attached via _attach_toks so the two
     # joins share one BroadcastExchange (ReusedExchange).
     toks = hashed_token_sets_df(docs, text_col, id_col)
-    return _attach_toks(pairs, toks).select(
-        "a_id", "b_id", _jaccard("a_toks", "b_toks")
-    )
+    return jaccard_verified(_attach_toks(pairs, toks))
 
 
 # ---------------------------------------------------------------------------
@@ -584,10 +592,17 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
     )
     toks = hashed_token_sets_df(docs, text_col, id_col)
-    return (
-        _attach_toks(pairs, toks)
-        .select("a_id", "b_id", _jaccard("a_toks", "b_toks"))
-        .filter(F.col("jaccard") >= threshold)
+    # Positional length filter (PPJoin family): jaccard >= t implies
+    # |A∩B| >= t/(1+t) * (|A|+|B|) and |A∩B| <= min(|A|,|B|), hence
+    # min(|A|,|B|) >= t * max(|A|,|B|). Sizes are O(1) array headers,
+    # so failing pairs never pay the per-pair intersect — provably
+    # lossless for the >= threshold output, no oracle change needed.
+    sa, sb = F.size("a_toks"), F.size("b_toks")
+    return jaccard_verified(
+        _attach_toks(pairs, toks).filter(
+            F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
+        ),
+        threshold=threshold,
     )
 
 
@@ -615,6 +630,42 @@ def _jaccard(a: str, b: str):
     """|A∩B| / (|A|+|B|−|A∩B|) — one array op per pair instead of two
     (array_intersect/array_union evaluate interpreted, so halving the
     array work ~halves verify cost); divisor is integer-identical to
-    size(array_union), so oracle SQL using len(union) matches exactly."""
+    size(array_union), so oracle SQL using len(union) matches exactly.
+
+    Column form — composable, but the intersect subtree appears twice
+    (numerator + denominator) and a downstream threshold filter gets
+    alias-substituted through the projection, re-evaluating it again.
+    For bulk pair verification use ``jaccard_verified`` below, which
+    pins exactly one intersect per pair behind a generator barrier.
+    """
     i = F.size(F.array_intersect(a, b))
     return (i.cast("double") / (F.size(a) + F.size(b) - i)).alias("jaccard")
+
+
+def jaccard_verified(attached: DataFrame,
+                     threshold: float | None = None) -> DataFrame:
+    """(a_id, b_id, jaccard) from a pair stream with attached
+    ``a_toks``/``b_toks`` — EXACTLY ONE ``array_intersect`` evaluated
+    per pair, filter or no filter.
+
+    The intersect size is emitted through ``explode(array(...))``: a
+    one-element generator is a no-op row-wise, but predicates cannot
+    push through Generate, so a ``jaccard >= t`` filter lands on the
+    generator OUTPUT instead of being alias-substituted back into the
+    projection (which re-evaluates the intersect — measured +50% on
+    the q23 verify). The jaccard arithmetic above the barrier is
+    integer-cheap; only the set op is pinned."""
+    sa, sb, isz = F.col("__sa"), F.col("__sb"), F.col("__i")
+    out = attached.select(
+        "a_id", "b_id",
+        F.size("a_toks").alias("__sa"), F.size("b_toks").alias("__sb"),
+        F.explode(
+            F.array(F.size(F.array_intersect("a_toks", "b_toks")))
+        ).alias("__i"),
+    ).select(
+        "a_id", "b_id",
+        (isz.cast("double") / (sa + sb - isz)).alias("jaccard"),
+    )
+    if threshold is not None:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out

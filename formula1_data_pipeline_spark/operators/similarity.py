@@ -502,14 +502,20 @@ def embedding_neardup_pairs(
                  F.col("nrm").alias("a_norm"), "bucket")
     b = v.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
                  F.col("nrm").alias("b_norm"), "bucket")
+    # cos_sim is emitted through a one-element explode: predicates do
+    # not push through Generate, so the >= threshold filter lands on
+    # the generator output instead of being alias-substituted back
+    # into the projection — which would re-evaluate the (interpreted
+    # HOF) dot-product fold once per pair in the Filter AND once in
+    # the Project (same fix as dedup.jaccard_verified).
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id",
-            F.round(
+            F.explode(F.array(F.round(
                 cosine_from_norms(F.col("a_vec"), F.col("b_vec"),
-                                  F.col("a_norm"), F.col("b_norm")), 6)
+                                  F.col("a_norm"), F.col("b_norm")), 6)))
             .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

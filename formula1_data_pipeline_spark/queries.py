@@ -925,7 +925,8 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # mart materialization (registry/models: the q4x chain + materialized
 # gates).
 CHANGED_SINCE_GATE = [
-    "q21_minhash_lsh",
+    "q21_minhash_lsh", "q23_ngram_jaccard", "q27_embedding_neardup",
+    "q60_levenshtein_pairs", "q71_ann_recall",
     "q37_neardup_clusters", "q51_neardup_keep_one",
     "q22_simhash", "q29_simhash_neardup",
     "q63_rest_ingest_path", "q72_session_chronology",

@@ -486,13 +486,16 @@ def q60_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = base.alias("a"), base.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"), 8)
+    # one-element explode barrier: keeps the >= 0 filter from being
+    # alias-substituted through the projection, which would run the
+    # banded DP twice per pair (see dedup.jaccard_verified)
     return (
         a.join(b, "block")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            dist.cast("int").alias("edit_dist"),
+            F.explode(F.array(dist.cast("int"))).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") >= 0)
     )

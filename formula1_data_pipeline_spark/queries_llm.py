@@ -672,33 +672,33 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_flat_topk,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
     # Each index's top-k output is <= n_queries x k = 50 rows — collect
     # the three pair sets and intersect driver-side, so each index plan
     # (incl. the exact cross-join, the most expensive) executes exactly
     # once; the DataFrame-join formulation re-ran the exact plan under
-    # every gate leg (~5x the dominant cost — r4 review finding).
-    exact = {
-        (r.q_id, r.n_id)
-        for r in cosine_topk(emb, queries, k=5, id_col="vec_id",
-                             vec_col="embedding", dim=64)
-        .select("q_id", "n_id").collect()
-    }
-    lsh = {
-        (r.q_id, r.n_id)
-        for r in ann_lsh_topk(emb, queries, dim=64, k=5, n_tables=16,
-                              n_planes=5, id_col="vec_id",
-                              vec_col="embedding")
-        .select("q_id", "n_id").collect()
-    }
-    ivf = {
-        (r.q_id, r.n_id)
-        for r in ivf_flat_topk(emb, queries, dim=64, k=5, n_centroids=16,
-                               n_probe=4, id_col="vec_id",
-                               vec_col="embedding")
-        .select("q_id", "n_id").collect()
-    }
+    # every gate leg (~5x the dominant cost — r4 review finding). The
+    # three plans are independent, so their jobs are submitted from
+    # three driver threads (Spark's scheduler is thread-safe) — wall
+    # is the max of the three pipelines instead of their sum.
+    def pairs(df):
+        return {(r.q_id, r.n_id) for r in df.select("q_id", "n_id")
+                .collect()}
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(pairs, cosine_topk(
+            emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+            dim=64))
+        f_lsh = pool.submit(pairs, ann_lsh_topk(
+            emb, queries, dim=64, k=5, n_tables=16, n_planes=5,
+            id_col="vec_id", vec_col="embedding"))
+        f_ivf = pool.submit(pairs, ivf_flat_topk(
+            emb, queries, dim=64, k=5, n_centroids=16, n_probe=4,
+            id_col="vec_id", vec_col="embedding"))
+        exact, lsh, ivf = f_exact.result(), f_lsh.result(), f_ivf.result()
     rows = [
         ("ivf", len(exact), len(exact & ivf) >= 0.80 * len(exact)),
         ("lsh", len(exact), len(exact & lsh) >= 0.60 * len(exact)),
