@@ -503,6 +503,67 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q82_stats_pruned_read",
+    """
+    WITH b AS (
+        SELECT CAST(floor(max(o_orderkey) * 3.0 / 4.0) AS BIGINT) AS lo
+        FROM orders
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+    FROM orders o, b
+    WHERE o.o_orderkey >= b.lo
+    GROUP BY 1
+    """,
+    doc="Manifest-level data skipping under the gate (sources/txn.py "
+        "stats): orders lands in two txn commits (low/high o_orderkey "
+        "halves) with per-segment min/max stats; "
+        "read_table(prune={o_orderkey: (3/4*max, inf)}) must plan "
+        "strictly fewer input files than the full read (asserted "
+        "in-query — the low half's segments are skipped from the "
+        "manifest alone, before Spark lists a file), and the pruned "
+        "scan + real filter must agree with the oracle's plain "
+        "WHERE over the source table (superset contract: pruning "
+        "drops only segments that cannot match)",
+)
+def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_append,
+    )
+
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, half = mx * 3 // 4, mx // 2
+    path = tempfile.mkdtemp(prefix="q82_stats_") + "/t"
+    txn_append(spark, orders.filter(F.col("o_orderkey") <= half), path,
+               key="o_orderstatus", stats_cols=["o_orderkey"],
+               compact_threshold=None)
+    # second commit inherits the table's recorded stats columns
+    txn_append(spark, orders.filter(F.col("o_orderkey") > half), path,
+               key="o_orderstatus", compact_threshold=None)
+    full = read_table(spark, path)
+    pruned = read_table(spark, path, prune={"o_orderkey": (lo, None)})
+    if not len(pruned.inputFiles()) < len(full.inputFiles()):
+        raise AssertionError(
+            "manifest stats pruned no segments — data skipping regressed"
+        )
+    return (
+        pruned.filter(F.col("o_orderkey") >= lo)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
     "q77_bucketed_join",
     """
     SELECT o.o_custkey,

@@ -46,6 +46,17 @@ partition count (a commit's partitions share one read leg via
 ``vacuum`` + the full-rewrite ``txn_merge`` (compaction). The
 manifest is a single small object — listing ``_txn/`` is the only
 metadata operation, no directory walks over data.
+
+Data skipping: manifests optionally record per-segment min/max
+column statistics (``txn_append(stats_cols=[...])``, inherited by
+later commits and recomputed by compaction/merge rewrites), and
+``read_table(prune={col: (lo, hi)})`` drops segments that cannot
+intersect the range BEFORE Spark ever lists their files — the
+manifest-level tier of the same stats pyramid parquet row groups
+provide inside each file (Delta/Iceberg file stats, at segment
+granularity). Pruning is fail-open (missing stats, incomparable
+types, undecodable partition names all keep the segment) so a
+pruned read is always a superset of the matching rows.
 """
 
 from __future__ import annotations
@@ -201,17 +212,18 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> dict:
 
 
 def _publish(spark: SparkSession, table: str, version: int,
-             segments: list[dict], key: str | None) -> bool:
+             segments: list[dict], key: str | None,
+             stats_cols: list[str] | None = None) -> bool:
     """Put-if-absent the manifest for ``version``; False on conflict."""
     if _is_local(table):
         os.makedirs(_local(f"{table}/{_TXN_DIR}"), exist_ok=True)
     else:
         fs, hdir = _fs(spark, f"{table}/{_TXN_DIR}")
         fs.mkdirs(hdir)
-    payload = json.dumps(
-        {"version": version, "key": key, "segments": segments},
-        sort_keys=True,
-    ).encode()
+    doc = {"version": version, "key": key, "segments": segments}
+    if stats_cols:
+        doc["stats_cols"] = sorted(stats_cols)
+    payload = json.dumps(doc, sort_keys=True).encode()
     return _put_if_absent(spark, _manifest_path(table, version), payload)
 
 
@@ -230,8 +242,111 @@ def _data_files(spark: SparkSession, base: str,
     )
 
 
+# ------------------------------------------------- segment statistics --
+#
+# Per-segment min/max column stats — the manifest-level half of data
+# skipping (Delta/Iceberg file stats, at this protocol's granularity).
+# Stats are computed from a columnar read-back of the freshly staged
+# dir (scans only the stats columns, never re-runs the writer's plan)
+# and stored as plain JSON values; ``read_table(prune=...)`` drops
+# segments whose [min, max] cannot intersect the requested range.
+# Everything is fail-open: a segment with missing/unknown stats, a
+# type mismatch between a stored stat and a prune bound, or a
+# partition-dir name that does not round-trip (escaped chars, float
+# rendering) simply declines to prune. Pruned reads are a SUPERSET
+# contract: every row matching the range is present, the caller still
+# applies its own filter.
+
+
+def _stat_val(v):
+    """JSON-portable stat value, or None when a faithful, comparison-
+    safe representation doesn't exist (Decimal would round, NaN doesn't
+    order, exotic types don't serialize). Timestamps/dates become ISO
+    strings — lexicographic order on them is chronological, so string
+    bounds prune correctly."""
+    import datetime
+    import math
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int) or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return v if math.isfinite(v) else None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    return None
+
+
+def _segment_stats(spark: SparkSession, staged: str, key: str | None,
+                   stats_cols: list[str]) -> dict:
+    """{partition_dir_value_or_None: {col: [min, max]}} for a staged
+    data dir, from one aggregate over a read-back of only the stats
+    columns (plus the partition key). Partition rows are matched to
+    their encoded dir names via ``unquote``; values whose string render
+    doesn't round-trip get no stats (fail-open)."""
+    df = spark.read.parquet(staged)
+    cols = [c for c in stats_cols if c in df.columns and c != key]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    if key is None:
+        rows = [(None, df.agg(*aggs).collect()[0])]
+    else:
+        rows = [(str(r[key]), r)
+                for r in df.groupBy(key).agg(*aggs).collect()]
+    out = {}
+    for part, r in rows:
+        st = {}
+        for c in cols:
+            mn, mx = _stat_val(r[f"__mn_{c}"]), _stat_val(r[f"__mx_{c}"])
+            if mn is not None and mx is not None:
+                st[c] = [mn, mx]
+        if st:
+            out[part] = st
+    return out
+
+
+def _comparable(a, b) -> bool:
+    def num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    return (num(a) and num(b)) or \
+        (isinstance(a, str) and isinstance(b, str))
+
+
+def _range_may_match(mn, mx, lo, hi) -> bool:
+    """Could a value in [mn, mx] fall inside [lo, hi]? True on any
+    uncertainty (unbounded side, incomparable types)."""
+    if lo is not None and _comparable(mx, lo) and mx < lo:
+        return False
+    if hi is not None and _comparable(mn, hi) and mn > hi:
+        return False
+    return True
+
+
+def _segment_may_match(seg: dict, key: str | None, prune: dict) -> bool:
+    from urllib.parse import unquote
+
+    for col, (lo, hi) in prune.items():
+        if key is not None and col == key and seg.get("partition"):
+            if not _range_may_match(unquote(seg["partition"]),
+                                    unquote(seg["partition"]), lo, hi):
+                return False
+            continue
+        st = (seg.get("stats") or {}).get(col)
+        if st and not _range_may_match(st[0], st[1], lo, hi):
+            return False
+    return True
+
+
 def _stage(spark: SparkSession, df: DataFrame, table: str,
-           key: str | None) -> list[dict]:
+           key: str | None,
+           stats_cols: list[str] | None = None) -> list[dict]:
     """Write ``df`` into a fresh uniquely-named data dir under the
     table root and return its segment entries. Data here is invisible
     to every reader until a manifest referencing it is published."""
@@ -240,19 +355,32 @@ def _stage(spark: SparkSession, df: DataFrame, table: str,
     if key is not None:
         writer = writer.partitionBy(key)
     writer.parquet(f"{table}/{d}")
+    stats = (
+        _segment_stats(spark, f"{table}/{d}", key, stats_cols)
+        if stats_cols else {}
+    )
     if key is None:
-        return [{"dir": d, "partition": None,
-                 "files": _data_files(spark, f"{table}/{d}")}]
+        seg = {"dir": d, "partition": None,
+               "files": _data_files(spark, f"{table}/{d}")}
+        if None in stats:
+            seg["stats"] = stats[None]
+        return [seg]
+    from urllib.parse import unquote
+
     segments = []
     for name, is_dir in sorted(_ls(spark, f"{table}/{d}")):
         if is_dir and name.startswith(f"{key}="):
-            segments.append({
+            part = name[len(key) + 1:]
+            seg = {
                 "dir": d,
                 # store the *encoded* dir-name value so replace/compare
                 # needs no escaping logic; basePath reads decode it
-                "partition": name[len(key) + 1:],
+                "partition": part,
                 "files": _data_files(spark, f"{table}/{d}", name),
-            })
+            }
+            if unquote(part) in stats:
+                seg["stats"] = stats[unquote(part)]
+            segments.append(seg)
     return segments
 
 
@@ -322,7 +450,8 @@ def is_txn_table(spark: SparkSession, table: str) -> bool:
 
 
 def read_table(spark: SparkSession, table: str,
-               version: int | None = None) -> DataFrame:
+               version: int | None = None,
+               prune: dict[str, tuple] | None = None) -> DataFrame:
     """Resolve a table to a DataFrame.
 
     Manifest tables read exactly the files the (latest or pinned)
@@ -333,16 +462,41 @@ def read_table(spark: SparkSession, table: str,
     overwrite leaked inferred types instead). Plain parquet layouts
     fall back to a normal read, so call sites can use this uniformly.
     Pinning ``version`` gives snapshot reads (time travel).
+
+    ``prune``: {col: (lo, hi)} range hints for manifest-level data
+    skipping — segments whose recorded [min, max] for ``col`` (see
+    ``txn_append(stats_cols=...)``) cannot intersect [lo, hi] are
+    dropped from the scan, as is the partition key itself. ``None``
+    on either side means unbounded. The result is a SUPERSET of the
+    matching rows (pruning is fail-open on missing stats or type
+    mismatches) — callers apply their own filter on top, exactly as
+    with parquet row-group stats.
     """
     v = version if version is not None else current_version(spark, table)
     if v is None:
         return spark.read.parquet(table)
     manifest = _read_manifest(spark, table, v)
     key = manifest["key"]
+    segments = manifest["segments"]
+    if prune and segments:
+        kept = [s for s in segments
+                if _segment_may_match(s, key, prune)]
+        if not kept:
+            # everything pruned: preserve the schema by reading one
+            # segment's files and filtering to zero rows
+            return _segments_df(
+                spark, table, key, segments[:1]
+            ).filter(F.lit(False))
+        segments = kept
+    return _segments_df(spark, table, key, segments, v)
+
+
+def _segments_df(spark: SparkSession, table: str, key: str | None,
+                 segments: list[dict], v: int | None = None) -> DataFrame:
     legs: list[DataFrame] = []
     seen: dict[str, list[dict]] = {}
     order: list[str] = []
-    for seg in manifest["segments"]:
+    for seg in segments:
         if seg["dir"] not in seen:
             seen[seg["dir"]] = []
             order.append(seg["dir"])
@@ -378,8 +532,20 @@ def read_table(spark: SparkSession, table: str,
 _MAX_RETRIES = 20
 
 
+def _manifest_stats_cols(spark: SparkSession,
+                         table: str) -> list[str] | None:
+    """The table's recorded stats columns (None for plain/new tables or
+    pre-stats manifests) — so maintenance rewrites keep collecting the
+    same stats without the caller restating them."""
+    v = current_version(spark, table)
+    if v is None:
+        return None
+    return _read_manifest(spark, table, v).get("stats_cols")
+
+
 def _commit(spark: SparkSession, table: str, key: str | None,
-            next_segments, pre_publish_hook=None) -> int:
+            next_segments, pre_publish_hook=None,
+            stats_cols: list[str] | None = None) -> int:
     """Optimistic-concurrency commit loop: read current state, compute
     the next segment list, publish put-if-absent; on conflict re-read
     and retry. ``next_segments(version, old_segments) -> list[dict]``.
@@ -408,7 +574,7 @@ def _commit(spark: SparkSession, table: str, key: str | None,
             return 0
         if pre_publish_hook is not None:
             pre_publish_hook()
-        if _publish(spark, table, next_v, segments, key):
+        if _publish(spark, table, next_v, segments, key, stats_cols):
             return next_v
     raise RuntimeError(
         f"txn commit on {table}: lost {_MAX_RETRIES} optimistic races"
@@ -430,7 +596,8 @@ def _live_dirs(segments: list[dict]) -> int:
 
 def txn_append(spark: SparkSession, df: DataFrame, table: str,
                key: str | None = None,
-               compact_threshold: int | None = AUTO_COMPACT_DIRS) -> int:
+               compact_threshold: int | None = AUTO_COMPACT_DIRS,
+               stats_cols: list[str] | None = None) -> int:
     """Atomic append: new data dir + manifest carrying old segments
     forward. Readers see the batch entirely or not at all (plain
     ``mode("append")`` exposes a partially-listed batch mid-write).
@@ -438,15 +605,22 @@ def txn_append(spark: SparkSession, df: DataFrame, table: str,
 
     When the committed manifest references ``compact_threshold`` or
     more data dirs, the table is compacted afterwards (``None``
-    disables). The returned version is always the append's own."""
-    staged = _stage(spark, df, table, key)
+    disables). The returned version is always the append's own.
+
+    ``stats_cols``: record per-segment min/max for these columns in
+    the manifest (see ``read_table(prune=...)``); ``None`` keeps the
+    table's previously recorded stats columns, so one writer opting in
+    makes every later append/replace/compaction maintain the stats."""
+    effective = stats_cols if stats_cols is not None \
+        else _manifest_stats_cols(spark, table)
+    staged = _stage(spark, df, table, key, effective)
     published: dict = {}
 
     def nxt(v, old):
         published["segments"] = old + staged
         return published["segments"]
 
-    ver = _commit(spark, table, key, nxt)
+    ver = _commit(spark, table, key, nxt, stats_cols=effective)
     if ver and compact_threshold and \
             _live_dirs(published["segments"]) >= compact_threshold:
         txn_compact(spark, table)
@@ -455,15 +629,19 @@ def txn_append(spark: SparkSession, df: DataFrame, table: str,
 
 def txn_replace(spark: SparkSession, df: DataFrame, table: str,
                 key: str, pre_publish_hook=None,
-                compact_threshold: int | None = AUTO_COMPACT_DIRS) -> int:
+                compact_threshold: int | None = AUTO_COMPACT_DIRS,
+                stats_cols: list[str] | None = None) -> int:
     """Atomic delete+reload of exactly the ``key`` partitions present
     in ``df`` (the reference's realtime upsert,
     ``dags/open_f1_realtime.py:153-170``). Untouched partitions' files
     are carried forward by reference — zero data movement.
 
     Auto-compacts past ``compact_threshold`` live dirs, like
-    ``txn_append``."""
-    staged = _stage(spark, df, table, key)
+    ``txn_append``; ``stats_cols`` behaves as there (None inherits the
+    table's recorded stats columns)."""
+    effective = stats_cols if stats_cols is not None \
+        else _manifest_stats_cols(spark, table)
+    staged = _stage(spark, df, table, key, effective)
     touched = {s["partition"] for s in staged}
     published: dict = {}
 
@@ -472,7 +650,8 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
             [s for s in old if s["partition"] not in touched] + staged
         return published["segments"]
 
-    ver = _commit(spark, table, key, nxt, pre_publish_hook)
+    ver = _commit(spark, table, key, nxt, pre_publish_hook,
+                  stats_cols=effective)
     if ver and compact_threshold and \
             _live_dirs(published["segments"]) >= compact_threshold:
         txn_compact(spark, table)
@@ -504,11 +683,15 @@ def txn_compact(spark: SparkSession, table: str,
                 return v
             key = manifest["key"]
             df = read_table(spark, table, version=v)
-            segments = _stage(spark, df, table, key)
+            # the rewrite recomputes the table's recorded column stats
+            # for the fresh segments (carried forward in the manifest)
+            segments = _stage(spark, df, table, key,
+                              manifest.get("stats_cols"))
             staged_dirs.append(segments[0]["dir"])
             if pre_publish_hook is not None:
                 pre_publish_hook()
-            if _publish(spark, table, v + 1, segments, key):
+            if _publish(spark, table, v + 1, segments, key,
+                        manifest.get("stats_cols")):
                 staged_dirs.pop()  # committed — don't clean it up
                 return v + 1
         raise RuntimeError(
@@ -561,12 +744,13 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
             else:
                 existing = read_table(spark, table, version=v)
                 next_v = v + 1
+            scols = _manifest_stats_cols(spark, table)
             merged = merge_fn(existing)
-            segments = _stage(spark, merged, table, None)
+            segments = _stage(spark, merged, table, None, scols)
             staged_dirs.append(segments[0]["dir"])
             if pre_publish_hook is not None:
                 pre_publish_hook()
-            if _publish(spark, table, next_v, segments, None):
+            if _publish(spark, table, next_v, segments, None, scols):
                 staged_dirs.pop()  # committed — don't clean it up
                 return next_v
         raise RuntimeError(

@@ -508,3 +508,101 @@ def test_auto_compaction_bounds_read_legs_and_keeps_time_travel(
                 for s in _read_manifest(spark, path, v)["segments"]}) == 1
     assert sorted((r["k"], r["v"])
                   for r in read_table(spark, path).collect()) == expected
+
+
+# ---------------------------------------------- segment column stats --
+
+
+def test_stats_recorded_inherited_and_pruned(spark, tmp_path):
+    """stats_cols on the first commit records per-segment min/max,
+    later commits inherit the setting without restating it, and
+    read_table(prune=...) scans only the segments whose range can
+    match — while the pruned frame still contains every matching row
+    (superset contract)."""
+    from formula1_data_pipeline_spark.sources.txn import _read_manifest
+
+    path = str(tmp_path / "t")
+    batch1 = spark.range(0, 100).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("v"),
+    )
+    batch2 = spark.range(100, 200).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("v"),
+    )
+    txn_append(spark, batch1, path, key="part", stats_cols=["v"],
+               compact_threshold=None)
+    txn_append(spark, batch2, path, key="part",
+               compact_threshold=None)  # inherits stats_cols
+
+    m = _read_manifest(spark, path, 2)
+    assert m["stats_cols"] == ["v"]
+    assert all("stats" in s and "v" in s["stats"] for s in m["segments"])
+
+    full = read_table(spark, path)
+    pruned = read_table(spark, path, prune={"v": (150, 160)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = sorted(r.v for r in pruned.filter(
+        F.col("v").between(150, 160)).collect())
+    assert got == list(range(150, 161))
+
+    # partition-key pruning needs no stats at all
+    by_key = read_table(spark, path, prune={"part": ("2", "2")})
+    assert len(by_key.inputFiles()) < len(full.inputFiles())
+    assert by_key.count() == 50
+    assert set(r.part for r in by_key.select("part").distinct()
+               .collect()) == {"2"}
+
+
+def test_stats_survive_compaction_and_all_pruned_keeps_schema(
+        spark, tmp_path):
+    from formula1_data_pipeline_spark.sources.txn import (
+        _read_manifest,
+        txn_compact,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in (0, 50):
+        txn_append(
+            spark,
+            spark.range(lo, lo + 50).select(
+                (F.col("id") % 2).cast("string").alias("part"),
+                F.col("id").alias("v"),
+            ),
+            path, key="part", stats_cols=["v"], compact_threshold=None,
+        )
+    txn_compact(spark, path)
+    m = _read_manifest(spark, path, current_version(spark, path))
+    assert m["stats_cols"] == ["v"]
+    assert all(s["stats"]["v"] == [
+        min(i for i in range(100) if str(i % 2) == s["partition"]),
+        max(i for i in range(100) if str(i % 2) == s["partition"]),
+    ] for s in m["segments"])
+
+    # a range no segment can satisfy: zero rows, schema preserved
+    nothing = read_table(spark, path, prune={"v": (1000, 2000)})
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"part", "v"}
+
+
+def test_pruning_is_fail_open_on_missing_or_mismatched_stats(
+        spark, tmp_path):
+    """Segments without stats (pre-stats commits) and bounds of a
+    different type than the stored stat must never be pruned — data
+    skipping degrades to a full scan, not to lost rows."""
+    path = str(tmp_path / "t")
+    txn_append(spark, _df(spark, [("a", "1", "x")], ["part", "v", "p"]),
+               path, key="part", compact_threshold=None)  # no stats
+    txn_append(spark, _df(spark, [("b", "2", "y")], ["part", "v", "p"]),
+               path, key="part", stats_cols=["v"], compact_threshold=None)
+
+    # stat stored for commit 2 only; commit 1's segment must survive
+    # any prune on v
+    pruned = read_table(spark, path, prune={"v": ("0", "1")})
+    assert sorted(r.p for r in pruned.collect()) == ["x"] or \
+        sorted(r.p for r in pruned.collect()) == ["x", "y"]
+    assert "x" in {r.p for r in pruned.collect()}
+
+    # int bounds vs string stats: incomparable -> keep everything
+    mismatched = read_table(spark, path, prune={"v": (0, 0)})
+    assert {r.p for r in mismatched.collect()} == {"x", "y"}
