@@ -95,7 +95,8 @@ def append_raw(df: DataFrame, path: str,
 
 
 def replace_by_key(df: DataFrame, path: str, key: str,
-                   protocol: str = "manifest") -> None:
+                   protocol: str = "manifest",
+                   stats_cols: list[str] | None = None) -> None:
     """S6: atomically replace exactly the ``key`` partitions present in
     ``df`` — the delete+reload upsert.
 
@@ -104,11 +105,19 @@ def replace_by_key(df: DataFrame, path: str, key: str,
     reference, one atomic manifest publish — transactional on object
     stores. ``protocol="overwrite"`` is the legacy dynamic partition
     overwrite (plain parquet layout, non-transactional on S3-class
-    stores)."""
+    stores).
+
+    ``stats_cols`` (manifest protocol only): record per-segment
+    min/max for these columns so ``txn.read_table(prune=...)`` can
+    skip segments — e.g. land sessions with ``stats_cols=
+    ["date_start"]`` and season-window reads never list the other
+    seasons' files. ``None`` inherits whatever the table already
+    records."""
     if protocol == "manifest":
         from formula1_data_pipeline_spark.sources.txn import txn_replace
 
-        txn_replace(df.sparkSession, stringify_all(df), path, key)
+        txn_replace(df.sparkSession, stringify_all(df), path, key,
+                    stats_cols=stats_cols)
         return
     (
         stringify_all(df)
