@@ -379,11 +379,16 @@ def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bucketed a JOIN bucketed b USING (bucket)
         WHERE a.vec_id < b.vec_id
     )
-    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.4
     """,
     doc="Embedding-cosine near-dup pairs (§2.12): LSH-bucket blocking "
-        "(same 8-plane sketch as q26) then exact cosine >= 0.99 within "
-        "buckets — the embedding-space analogue of MinHash dedup",
+        "(same 8-plane sketch as q26) then exact cosine >= threshold "
+        "within buckets — the embedding-space analogue of MinHash "
+        "dedup. The operator's production default is 0.99; the GATE "
+        "runs at 0.4 because the synthetic embeddings top out at "
+        "cos~0.51 (no true near-dups exist), and a 0-row match proves "
+        "nothing — at 0.4 the bucket join, the generator-barrier "
+        "threshold filter, and every emitted cos_sim are value-hashed",
 )
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.similarity import (
@@ -392,7 +397,7 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return embedding_neardup_pairs(
-        emb, dim=64, n_planes=8, threshold=0.99,
+        emb, dim=64, n_planes=8, threshold=0.4,
         id_col="vec_id", vec_col="embedding",
     )
 

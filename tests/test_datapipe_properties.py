@@ -121,22 +121,25 @@ def test_hash_bucket_stable_under_repartition(spark):
 
 
 def test_simhash_lane_overflow_fails_loudly(spark):
-    """simhash_df's packed 20-bit lane counters are only exact below
-    2^20 distinct tokens per document; beyond that a lane overflows
+    """simhash_df's packed 15-bit lane counters are only exact below
+    2^15 distinct tokens per document; beyond that a lane overflows
     into its neighbor and pre-fix emitted a silently-corrupt simhash.
     The guard turns that into a loud job failure."""
     import pytest
     from pyspark.errors import SparkRuntimeException
     from pyspark.sql import functions as F
 
-    from formula1_data_pipeline_spark.operators.dedup import simhash_df
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _LANE_BITS,
+        simhash_df,
+    )
 
-    # 2^20 + 8 distinct tokens, built JVM-side (a Python string of
-    # that size would be slower to ship than to generate)
+    # 2^lane_bits + 8 distinct tokens, built JVM-side (a Python string
+    # of that size would be slower to ship than to generate)
     doc = spark.range(1).select(
         F.lit("big").alias("doc_id"),
         F.array_join(
-            F.transform(F.sequence(F.lit(1), F.lit((1 << 20) + 8)),
+            F.transform(F.sequence(F.lit(1), F.lit((1 << _LANE_BITS) + 8)),
                         lambda i: F.concat(F.lit("tok"), i)),
             " ",
         ).alias("text"),
@@ -144,3 +147,54 @@ def test_simhash_lane_overflow_fails_loudly(spark):
     with pytest.raises(SparkRuntimeException,
                        match="lane counters would overflow"):
         simhash_df(doc).collect()
+
+
+def test_minhash_forms_and_oracle_sql_agree(spark):
+    """The three expressions of the integer minhash family must stay
+    value-identical: the Column/HOF spec (minhash_signature), the
+    codegen'd aggregate path (minhash_signatures_df / the LSH band
+    path), and the SQL strings the DuckDB oracle is generated from
+    (F.expr on `_mix_sql` — the exact text q21's oracle embeds)."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _TOKEN_HASH_SQL,
+        _mix_sql,
+        minhash_signature,
+        minhash_signatures_df,
+        token_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the lazy dog"),
+         (3, "the quick brown fox"), (4, "sphinx of black quartz")],
+        ["doc_id", "text"],
+    )
+    spec = {
+        r["id"]: r["sig"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(token_set(F.col("text"))).alias("sig"),
+        ).collect()
+    }
+    bulk = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures_df(docs, "text", "doc_id")
+        .select("id", "sig").collect()
+    }
+    sql = {
+        r["id"]: [r[f"h{i}"] for i in range(16)]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(token_set(F.col("text"))).alias("t"),
+        )
+        .select("id", F.expr(_TOKEN_HASH_SQL.format(t="t")).alias("h"))
+        .groupBy("id")
+        .agg(*[F.expr(f"min({_mix_sql(i, 'h')})").alias(f"h{i}")
+               for i in range(16)])
+        .collect()
+    }
+    assert spec == bulk == sql
+    # identical text -> identical signature (dedup invariant)
+    assert spec[1] == spec[3]
+    assert spec[1] != spec[4]
