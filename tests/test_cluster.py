@@ -64,3 +64,50 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(1, 2)], "src: long, dst: long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=0)
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    """A 400-node path graph has diameter 399: plain min-label
+    propagation needs ~400 rounds, pointer jumping ~log2(400)+c. Capping
+    max_iter at 24 proves the doubling actually happens (regressing to
+    plain propagation raises the non-convergence error), and the result
+    is checked against a Python union-find on the same edges plus a
+    random-graph overlay."""
+    import random
+
+    rnd = random.Random(20260814)
+    n = 400
+    edges = [(i, i + 1) for i in range(n - 1)]  # the deep chain
+    extra = [(rnd.randrange(n, 2 * n), rnd.randrange(n, 2 * n))
+             for _ in range(300)]  # random overlay on disjoint ids
+    node_ids = list(range(2 * n))
+    all_edges = edges + extra
+
+    parent = list(range(2 * n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in all_edges:
+        union(a, b)
+    roots = {}
+    for x in node_ids:
+        roots.setdefault(find(x), []).append(x)
+    expect = {x: min(members)
+              for members in roots.values() for x in members}
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(all_edges, "src: long, dst: long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, e, max_iter=24).collect()
+    }
+    assert got == expect
