@@ -482,10 +482,11 @@ def read_table(spark: SparkSession, table: str,
         kept = [s for s in segments
                 if _segment_may_match(s, key, prune)]
         if not kept:
-            # everything pruned: preserve the schema by reading one
-            # segment's files and filtering to zero rows
+            # everything pruned: keep the FULL union schema (drifted
+            # columns included) with zero rows — filter(false) folds to
+            # an empty relation at optimization, so no file is scanned
             return _segments_df(
-                spark, table, key, segments[:1]
+                spark, table, key, segments, v
             ).filter(F.lit(False))
         segments = kept
     return _segments_df(spark, table, key, segments, v)
