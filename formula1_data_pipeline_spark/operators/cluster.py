@@ -107,29 +107,69 @@ def connected_components(
         # decreases until the fixpoint and is constant exactly there.
         # Tracking it replaces the old per-round prev-label join + changed
         # count with a plain aggregate; decimal keeps the sum exact at any
-        # node count / id magnitude. One step per driver round-trip: the
-        # step self-joins its input (pointer jump), so chaining two steps
-        # lazily would square the unresolved plan tree per trip — the
-        # Catalyst analysis cost of that dwarfs the saved driver latency
-        # (measured: 17 s vs 10 s cold for the q37 pipeline).
-        def probe_sum(lbl: DataFrame):
-            return lbl.agg(
-                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]["s"]
+        # node count / id magnitude. ONLY valid for numeric ids — under
+        # the session's non-ANSI cast policy a string comp casts to
+        # NULL, the sum is NULL every round, and NULL == NULL would
+        # declare convergence after one step with wrong labels — so
+        # non-numeric id types keep the exact changed-row count against
+        # the previous labels (one extra join per round, the
+        # pre-round-5 shape).
+        # One step per driver round-trip either way: the step self-joins
+        # its input (pointer jump), so chaining two steps lazily would
+        # square the unresolved plan tree per trip — the Catalyst
+        # analysis cost dwarfs the saved driver latency (measured: 17 s
+        # vs 10 s cold for the q37 pipeline).
+        from pyspark.sql.types import NumericType
 
-        prev_sum = probe_sum(labels)  # also materializes the checkpoint
-        for _ in range(max_iter):
-            # lazy checkpoint: the convergence probe right below is the
-            # first action, so ONE job both materializes this round's
-            # labels and computes the sum (an eager checkpoint + separate
-            # probe costs a second job launch per round)
-            labels = step(labels).localCheckpoint(eager=False)
-            cur_sum = probe_sum(labels)
-            if cur_sum == prev_sum:
-                # edge endpoints outside ``nodes`` conduct labels
-                # through the graph but are not part of the answer
-                return labels.join(node_ids, "id", "left_semi")
-            prev_sum = cur_sum
+        numeric_ids = isinstance(
+            node_ids.schema["id"].dataType, NumericType
+        )
+        if numeric_ids:
+            def probe_sum(lbl: DataFrame):
+                return lbl.agg(
+                    F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+
+            prev_sum = probe_sum(labels)  # also materializes the ckpt
+            for _ in range(max_iter):
+                # lazy checkpoint: the convergence probe right below is
+                # the first action, so ONE job both materializes this
+                # round's labels and computes the sum (an eager
+                # checkpoint + separate probe costs a second job launch
+                # per round)
+                labels = step(labels).localCheckpoint(eager=False)
+                cur_sum = probe_sum(labels)
+                if cur_sum == prev_sum:
+                    # edge endpoints outside ``nodes`` conduct labels
+                    # through the graph but are not part of the answer
+                    return labels.join(node_ids, "id", "left_semi")
+                prev_sum = cur_sum
+        else:
+            for _ in range(max_iter):
+                stepped = (
+                    step(labels)
+                    .join(
+                        labels.select(
+                            "id", F.col("comp").alias("prev_comp")
+                        ),
+                        "id", "left",
+                    )
+                    .select(
+                        "id", "comp",
+                        (
+                            F.col("prev_comp").isNull()
+                            | (F.col("comp") != F.col("prev_comp"))
+                        ).alias("chg"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                changed = (
+                    stepped.agg(F.sum(F.col("chg").cast("int")).alias("n"))
+                    .collect()[0]["n"] or 0
+                )
+                labels = stepped.drop("chg")
+                if changed == 0:
+                    return labels.join(node_ids, "id", "left_semi")
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

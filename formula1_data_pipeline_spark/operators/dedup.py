@@ -445,8 +445,9 @@ def simhash_df(docs: DataFrame, text_col: str = "text",
     )
 
     def packed_word(w: int) -> str:
-        # lanes l=0..2 hold bit positions b = w*3 + l; each contributes
-        # ((h >> b) & 1) << (20 * l) — the lane's 0/1 increment
+        # lanes l=0.._LANES_PER_WORD-1 hold bit positions
+        # b = w*_LANES_PER_WORD + l; each contributes
+        # ((h >> b) & 1) << (_LANE_BITS * l) — the lane's 0/1 increment
         terms = []
         for lane in range(_LANES_PER_WORD):
             b = w * _LANES_PER_WORD + lane
@@ -471,7 +472,7 @@ def simhash_df(docs: DataFrame, text_col: str = "text",
             f"ELSE CAST(0 AS BIGINT) END)"
         )
     # Enforce the documented lane-arithmetic precondition: a document
-    # with >= 2^20 distinct tokens would overflow its 20-bit lane into
+    # with >= 2^_LANE_BITS distinct tokens would overflow its lane into
     # the neighbor and emit a silently-corrupt simhash. n is already in
     # the aggregate, so the guard is one comparison per doc; overflow
     # fails the job loudly instead.

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 import time
 from collections.abc import Iterable, Mapping
 from typing import Protocol
@@ -39,6 +40,10 @@ from formula1_data_pipeline_spark.functions.cleaning import scrub_dataframe
 
 ENDPOINTS = ("laps", "intervals", "position", "race_control")
 SESSION_TYPES = ("Race", "Qualifying")
+
+# serializes the scoped Arrow-conf save/convert/restore in
+# records_to_raw_df — session conf is process-global
+_ARROW_CONF_LOCK = threading.Lock()
 
 
 class OpenF1Client(Protocol):
@@ -201,21 +206,27 @@ def records_to_raw_df(
         # loop from re-writing session conf on every batch. The
         # pandas->LocalRelation conversion is eager, so the setting
         # can be scoped: restore the caller's value before returning
-        # rather than leaking a session-global mutation.
+        # rather than leaking a session-global mutation. The
+        # save/convert/restore runs under a process lock — session
+        # conf is process-global, and two concurrent conversions (or
+        # the threaded registry build running alongside an ingest)
+        # could otherwise unset the flag out from under each other
+        # mid-conversion.
         arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        prev = spark.conf.get(arrow_key, None)
-        try:
-            if prev != "true":
-                spark.conf.set(arrow_key, "true")
-            local = spark.createDataFrame(
-                pd.DataFrame(rows, columns=cols, dtype=object), schema
-            )
-        finally:
-            if prev != "true":
-                if prev is None:
-                    spark.conf.unset(arrow_key)
-                else:
-                    spark.conf.set(arrow_key, prev)
+        with _ARROW_CONF_LOCK:
+            prev = spark.conf.get(arrow_key, None)
+            try:
+                if prev != "true":
+                    spark.conf.set(arrow_key, "true")
+                local = spark.createDataFrame(
+                    pd.DataFrame(rows, columns=cols, dtype=object), schema
+                )
+            finally:
+                if prev != "true":
+                    if prev is None:
+                        spark.conf.unset(arrow_key)
+                    else:
+                        spark.conf.set(arrow_key, prev)
     except ImportError:  # pandas-less fallback: same values, slower
         local = spark.createDataFrame(rows, schema)
     return scrub_dataframe(local)

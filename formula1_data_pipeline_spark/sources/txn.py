@@ -334,8 +334,17 @@ def _segment_may_match(seg: dict, key: str | None, prune: dict) -> bool:
 
     for col, (lo, hi) in prune.items():
         if key is not None and col == key and seg.get("partition"):
-            if not _range_may_match(unquote(seg["partition"]),
-                                    unquote(seg["partition"]), lo, hi):
+            # Partition dir values are strings regardless of the key
+            # column's true type, so a lexicographic RANGE compare
+            # would wrongly prune numeric partitions ('9' > '10').
+            # Only the type-agnostic point lookup (lo == hi, exact
+            # string equality) is safe; anything else falls open.
+            # Column STATS don't have this hazard: they are stored in
+            # the column's own type, so their comparison semantics
+            # match the caller's filter semantics.
+            if (lo is not None and hi is not None and lo == hi
+                    and isinstance(lo, str)
+                    and unquote(seg["partition"]) != lo):
                 return False
             continue
         st = (seg.get("stats") or {}).get(col)
@@ -344,44 +353,52 @@ def _segment_may_match(seg: dict, key: str | None, prune: dict) -> bool:
     return True
 
 
+def _attach_stats(spark: SparkSession, table: str, segments: list[dict],
+                  key: str | None, stats_cols: list[str]) -> None:
+    """Compute and attach per-segment min/max stats for freshly staged
+    segments, in place (one columnar read-back of the staged dir).
+    Called once the effective stats columns are known — inside the
+    commit loop, from the manifest it reads anyway."""
+    from urllib.parse import unquote
+
+    if not segments:
+        return
+    d = segments[0]["dir"]
+    stats = _segment_stats(spark, f"{table}/{d}", key, stats_cols)
+    for seg in segments:
+        part = seg["partition"]
+        k = None if part is None else unquote(part)
+        if k in stats:
+            seg["stats"] = stats[k]
+
+
 def _stage(spark: SparkSession, df: DataFrame, table: str,
-           key: str | None,
-           stats_cols: list[str] | None = None) -> list[dict]:
+           key: str | None) -> tuple[str, list[dict]]:
     """Write ``df`` into a fresh uniquely-named data dir under the
-    table root and return its segment entries. Data here is invisible
-    to every reader until a manifest referencing it is published."""
+    table root and return (dir name, segment entries). Data here is
+    invisible to every reader until a manifest referencing it is
+    published. The dir name is returned separately because an empty
+    keyed batch stages ZERO segments while the directory still exists
+    on disk — callers need the name to clean up no-op commits."""
     d = f"d-{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("errorifexists")
     if key is not None:
         writer = writer.partitionBy(key)
     writer.parquet(f"{table}/{d}")
-    stats = (
-        _segment_stats(spark, f"{table}/{d}", key, stats_cols)
-        if stats_cols else {}
-    )
     if key is None:
-        seg = {"dir": d, "partition": None,
-               "files": _data_files(spark, f"{table}/{d}")}
-        if None in stats:
-            seg["stats"] = stats[None]
-        return [seg]
-    from urllib.parse import unquote
-
+        return d, [{"dir": d, "partition": None,
+                    "files": _data_files(spark, f"{table}/{d}")}]
     segments = []
     for name, is_dir in sorted(_ls(spark, f"{table}/{d}")):
         if is_dir and name.startswith(f"{key}="):
-            part = name[len(key) + 1:]
-            seg = {
+            segments.append({
                 "dir": d,
                 # store the *encoded* dir-name value so replace/compare
                 # needs no escaping logic; basePath reads decode it
-                "partition": part,
+                "partition": name[len(key) + 1:],
                 "files": _data_files(spark, f"{table}/{d}", name),
-            }
-            if unquote(part) in stats:
-                seg["stats"] = stats[unquote(part)]
-            segments.append(seg)
-    return segments
+            })
+    return d, segments
 
 
 def _plain_entries(spark: SparkSession, table: str) -> list[tuple[str, bool]]:
@@ -481,14 +498,21 @@ def read_table(spark: SparkSession, table: str,
     if prune and segments:
         kept = [s for s in segments
                 if _segment_may_match(s, key, prune)]
-        if not kept:
-            # everything pruned: keep the FULL union schema (drifted
-            # columns included) with zero rows — filter(false) folds to
-            # an empty relation at optimization, so no file is scanned
-            return _segments_df(
+        if len(kept) < len(segments):
+            # A pruned read must keep the FULL union schema — columns
+            # that drifted in only since-pruned segments stay present
+            # (as they would on the unpruned read), just with no rows.
+            # The zero-row anchor leg filter(false)-folds to an empty
+            # relation at optimization, so pruned segments contribute
+            # schema metadata (footer reads) but never data scan.
+            anchor = _segments_df(
                 spark, table, key, segments, v
             ).filter(F.lit(False))
-        segments = kept
+            if not kept:
+                return anchor
+            return _segments_df(spark, table, key, kept, v).unionByName(
+                anchor, allowMissingColumns=True
+            )
     return _segments_df(spark, table, key, segments, v)
 
 
@@ -533,23 +557,15 @@ def _segments_df(spark: SparkSession, table: str, key: str | None,
 _MAX_RETRIES = 20
 
 
-def _manifest_stats_cols(spark: SparkSession,
-                         table: str) -> list[str] | None:
-    """The table's recorded stats columns (None for plain/new tables or
-    pre-stats manifests) — so maintenance rewrites keep collecting the
-    same stats without the caller restating them."""
-    v = current_version(spark, table)
-    if v is None:
-        return None
-    return _read_manifest(spark, table, v).get("stats_cols")
-
-
 def _commit(spark: SparkSession, table: str, key: str | None,
             next_segments, pre_publish_hook=None,
             stats_cols: list[str] | None = None) -> int:
     """Optimistic-concurrency commit loop: read current state, compute
     the next segment list, publish put-if-absent; on conflict re-read
-    and retry. ``next_segments(version, old_segments) -> list[dict]``.
+    and retry. ``next_segments(version, old_segments, effective_stats)
+    -> list[dict]``. ``stats_cols`` None inherits the table's recorded
+    stats columns — resolved from the manifest this loop reads anyway,
+    so the common stats-less append pays no extra metadata round-trip.
     ``pre_publish_hook`` is a test seam to deterministically interleave
     a competing commit between read and publish."""
     for _ in range(_MAX_RETRIES):
@@ -557,6 +573,7 @@ def _commit(spark: SparkSession, table: str, key: str | None,
         if v is None:
             old = _bootstrap_segments(spark, table, key)
             next_v = 1
+            inherited = None
         else:
             manifest = _read_manifest(spark, table, v)
             if manifest["key"] != key:
@@ -566,7 +583,9 @@ def _commit(spark: SparkSession, table: str, key: str | None,
                 )
             old = manifest["segments"]
             next_v = v + 1
-        segments = next_segments(v, old)
+            inherited = manifest.get("stats_cols")
+        effective = stats_cols if stats_cols is not None else inherited
+        segments = next_segments(v, old, effective)
         if next_v == 1 and not segments:
             # A keyed append/replace of an empty first batch stages no
             # partition dirs; publishing v1 with segments=[] would leave
@@ -575,7 +594,7 @@ def _commit(spark: SparkSession, table: str, key: str | None,
             return 0
         if pre_publish_hook is not None:
             pre_publish_hook()
-        if _publish(spark, table, next_v, segments, key, stats_cols):
+        if _publish(spark, table, next_v, segments, key, effective):
             return next_v
     raise RuntimeError(
         f"txn commit on {table}: lost {_MAX_RETRIES} optimistic races"
@@ -595,6 +614,37 @@ def _live_dirs(segments: list[dict]) -> int:
     return len({s["dir"] for s in segments})
 
 
+def _commit_staged(spark: SparkSession, df: DataFrame, table: str,
+                   key: str | None, merge_old, pre_publish_hook,
+                   compact_threshold: int | None,
+                   stats_cols: list[str] | None) -> int:
+    """Shared append/replace body: stage ``df``, run the optimistic
+    commit (attaching segment stats once the effective stats columns
+    are known from the manifest the loop reads), auto-compact past the
+    live-dir threshold, and clean up the staged dir when the commit
+    turns out to be a no-op (empty first batch) — otherwise the orphan
+    would sit unreclaimable until the table exists and vacuum ages it
+    out. ``merge_old(old_segments, staged) -> list[dict]``."""
+    staged_dir, staged = _stage(spark, df, table, key)
+    state: dict = {"attached": False, "segments": []}
+
+    def nxt(v, old, effective):
+        if effective and not state["attached"]:
+            _attach_stats(spark, table, staged, key, effective)
+            state["attached"] = True
+        state["segments"] = merge_old(old, staged)
+        return state["segments"]
+
+    ver = _commit(spark, table, key, nxt, pre_publish_hook, stats_cols)
+    if ver == 0:
+        _delete(spark, f"{table}/{staged_dir}")
+        return 0
+    if compact_threshold and \
+            _live_dirs(state["segments"]) >= compact_threshold:
+        txn_compact(spark, table)
+    return ver
+
+
 def txn_append(spark: SparkSession, df: DataFrame, table: str,
                key: str | None = None,
                compact_threshold: int | None = AUTO_COMPACT_DIRS,
@@ -612,20 +662,11 @@ def txn_append(spark: SparkSession, df: DataFrame, table: str,
     the manifest (see ``read_table(prune=...)``); ``None`` keeps the
     table's previously recorded stats columns, so one writer opting in
     makes every later append/replace/compaction maintain the stats."""
-    effective = stats_cols if stats_cols is not None \
-        else _manifest_stats_cols(spark, table)
-    staged = _stage(spark, df, table, key, effective)
-    published: dict = {}
-
-    def nxt(v, old):
-        published["segments"] = old + staged
-        return published["segments"]
-
-    ver = _commit(spark, table, key, nxt, stats_cols=effective)
-    if ver and compact_threshold and \
-            _live_dirs(published["segments"]) >= compact_threshold:
-        txn_compact(spark, table)
-    return ver
+    return _commit_staged(
+        spark, df, table, key,
+        lambda old, staged: old + staged,
+        None, compact_threshold, stats_cols,
+    )
 
 
 def txn_replace(spark: SparkSession, df: DataFrame, table: str,
@@ -640,23 +681,12 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
     Auto-compacts past ``compact_threshold`` live dirs, like
     ``txn_append``; ``stats_cols`` behaves as there (None inherits the
     table's recorded stats columns)."""
-    effective = stats_cols if stats_cols is not None \
-        else _manifest_stats_cols(spark, table)
-    staged = _stage(spark, df, table, key, effective)
-    touched = {s["partition"] for s in staged}
-    published: dict = {}
+    def merge(old, staged):
+        touched = {s["partition"] for s in staged}
+        return [s for s in old if s["partition"] not in touched] + staged
 
-    def nxt(v, old):
-        published["segments"] = \
-            [s for s in old if s["partition"] not in touched] + staged
-        return published["segments"]
-
-    ver = _commit(spark, table, key, nxt, pre_publish_hook,
-                  stats_cols=effective)
-    if ver and compact_threshold and \
-            _live_dirs(published["segments"]) >= compact_threshold:
-        txn_compact(spark, table)
-    return ver
+    return _commit_staged(spark, df, table, key, merge,
+                          pre_publish_hook, compact_threshold, stats_cols)
 
 
 def txn_compact(spark: SparkSession, table: str,
@@ -686,9 +716,11 @@ def txn_compact(spark: SparkSession, table: str,
             df = read_table(spark, table, version=v)
             # the rewrite recomputes the table's recorded column stats
             # for the fresh segments (carried forward in the manifest)
-            segments = _stage(spark, df, table, key,
-                              manifest.get("stats_cols"))
-            staged_dirs.append(segments[0]["dir"])
+            staged_dir, segments = _stage(spark, df, table, key)
+            if manifest.get("stats_cols"):
+                _attach_stats(spark, table, segments, key,
+                              manifest["stats_cols"])
+            staged_dirs.append(staged_dir)
             if pre_publish_hook is not None:
                 pre_publish_hook()
             if _publish(spark, table, v + 1, segments, key,
@@ -742,13 +774,16 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
                 else:
                     existing = None
                 next_v = 1
+                scols = None
             else:
                 existing = read_table(spark, table, version=v)
                 next_v = v + 1
-            scols = _manifest_stats_cols(spark, table)
+                scols = _read_manifest(spark, table, v).get("stats_cols")
             merged = merge_fn(existing)
-            segments = _stage(spark, merged, table, None, scols)
-            staged_dirs.append(segments[0]["dir"])
+            staged_dir, segments = _stage(spark, merged, table, None)
+            if scols:
+                _attach_stats(spark, table, segments, None, scols)
+            staged_dirs.append(staged_dir)
             if pre_publish_hook is not None:
                 pre_publish_hook()
             if _publish(spark, table, next_v, segments, None, scols):

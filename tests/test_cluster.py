@@ -111,3 +111,19 @@ def test_deep_chain_converges_in_log_rounds(spark):
         for r in connected_components(nodes, e, max_iter=24).collect()
     }
     assert got == expect
+
+
+def test_string_ids_converge_exactly(spark):
+    """Regression (round-5 review): the numeric label-sum convergence
+    probe is meaningless for string ids (non-ANSI cast -> NULL sum), so
+    string-keyed graphs must use the exact changed-count path. A chain
+    deep enough to need several propagation rounds proves the loop
+    doesn't stop early with half-propagated labels."""
+    ids = [f"doc-{i:02d}" for i in range(12)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id: string")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(11)], "src: string, dst: string"
+    )
+    got = {r["id"]: r["comp"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {i: "doc-00" for i in ids}

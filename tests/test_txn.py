@@ -60,8 +60,8 @@ def test_reader_never_sees_half_published_commit(spark, tmp_path):
     assert v1_snapshot == sorted(v1_rows)
 
     # --- commit v2 by hand, pausing between data-write and publish ---
-    segments = _stage(spark, _df(spark, [("a", "9")], ["k", "v"]),
-                      path, None)
+    _, segments = _stage(spark, _df(spark, [("a", "9")], ["k", "v"]),
+                         path, None)
     # data fully written, manifest NOT published: reader still sees v1
     assert current_version(spark, path) == 1
     assert _snapshot(spark, path) == v1_snapshot
@@ -321,7 +321,7 @@ def test_vacuum_retention_spares_fresh_dirs(spark, tmp_path):
     so a concurrent committer can still publish it safely."""
     path = str(tmp_path / "t")
     txn_merge(spark, path, lambda _: _df(spark, [("a", "1")], ["k", "v"]))
-    staged = _stage(spark, _df(spark, [("x", "9")], ["k", "v"]), path, None)
+    _, staged = _stage(spark, _df(spark, [("x", "9")], ["k", "v"]), path, None)
     assert vacuum(spark, path) == 0  # default retention: spared
     # the in-flight commit can still publish and be read
     assert _publish(spark, path, 2, staged, None)
@@ -434,6 +434,13 @@ def test_empty_first_keyed_commit_is_noop_not_corrupt(spark, tmp_path):
     assert current_version(spark, tbl) is None
     assert txn_replace(spark, empty, tbl, key="k") == 0
     assert current_version(spark, tbl) is None
+
+    # the no-op path must also clean up its staged dir: with no
+    # manifest yet, vacuum can't reclaim orphans, so a scheduler
+    # retrying an empty window would otherwise accumulate them
+    leftovers = [p.name for p in (tmp_path / "t").glob("d-*")] \
+        if (tmp_path / "t").exists() else []
+    assert leftovers == []
 
     # a real first batch still works and readers see exactly it
     txn_append(spark, _df(spark, [("1", "a")], ["k", "v"]), tbl, key="k")
