@@ -51,11 +51,17 @@ Data skipping: manifests optionally record per-segment min/max
 column statistics (``txn_append(stats_cols=[...])``, inherited by
 later commits and recomputed by compaction/merge rewrites), and
 ``read_table(prune={col: (lo, hi)})`` drops segments that cannot
-intersect the range BEFORE Spark ever lists their files — the
-manifest-level tier of the same stats pyramid parquet row groups
-provide inside each file (Delta/Iceberg file stats, at segment
-granularity). Pruning is fail-open (missing stats, incomparable
-types, undecodable partition names all keep the segment) so a
+intersect the range from the scan — the manifest-level tier of the
+same stats pyramid parquet row groups provide inside each file
+(Delta/Iceberg file stats, at segment granularity). Pruned
+segments still contribute a zero-row schema anchor (footer-only
+metadata, folded to an empty relation before execution) so the
+pruned read's schema equals the full read's even under schema
+drift; their data is never scanned. Pruning is fail-open (missing
+stats, incomparable types, undecodable partition names all keep
+the segment; the partition key itself prunes only on exact string
+equality — dir values are strings, so range compares on them would
+be lexicographic and could wrongly drop numeric partitions), so a
 pruned read is always a superset of the matching rows.
 """
 
