@@ -613,3 +613,44 @@ def test_pruning_is_fail_open_on_missing_or_mismatched_stats(
     # int bounds vs string stats: incomparable -> keep everything
     mismatched = read_table(spark, path, prune={"v": (0, 0)})
     assert {r.p for r in mismatched.collect()} == {"x", "y"}
+
+
+def test_stats_attachment_fail_open_on_weird_partition_values(
+        spark, tmp_path):
+    """Partition dir names are Hive-escaped; stats rows are matched
+    back by string round-trip. For every value — clean, spaced,
+    slashed, unicode, float-rendered — a segment either carries stats
+    that CORRECTLY bound its rows or carries none (fail-open): a
+    mismatched attachment would prune wrong rows, absence merely
+    disables skipping."""
+    from urllib.parse import unquote
+
+    from formula1_data_pipeline_spark.sources.txn import _read_manifest
+
+    vals = ["plain", "with space", "a/b=c", "ünïcode", "x%20y"]
+    rows = [(p, i * 10 + j) for i, p in enumerate(vals) for j in range(3)]
+    path = str(tmp_path / "t")
+    txn_append(spark, _df(spark, rows, ["part", "v"]), path, key="part",
+               stats_cols=["v"], compact_threshold=None)
+
+    by_part = {}
+    for p, v in rows:
+        by_part.setdefault(p, []).append(v)
+    m = _read_manifest(spark, path, 1)
+    n_with_stats = 0
+    for seg in m["segments"]:
+        decoded = unquote(seg["partition"])
+        if "stats" in seg:
+            n_with_stats += 1
+            lo, hi = seg["stats"]["v"]
+            assert decoded in by_part
+            assert lo == min(by_part[decoded])
+            assert hi == max(by_part[decoded])
+    assert n_with_stats >= 1  # the clean values must round-trip
+
+    # pruning with real bounds returns a superset of matching rows
+    pruned = read_table(spark, path, prune={"v": (20, 29)})
+    got = sorted(int(r.v) for r in pruned.collect()
+                 if 20 <= int(r.v) <= 29)
+    assert got == [v for v in sorted(sum(by_part.values(), []))
+                   if 20 <= v <= 29]
