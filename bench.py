@@ -50,6 +50,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Host CPU contention swings identical-code full runs by ±50%
+    # (measured 97 s vs 150 s back-to-back on a shared VM); record the
+    # 1-minute load average at start so a recorded number carries its
+    # context. Capability comparisons should use quiet-host runs.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load1 = None
 
     spark = get_spark(app_name="bench")
     # warmup: touch every table once (schema read + one scan job)
@@ -84,6 +92,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "loadavg_at_start": load1,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json")
@@ -98,6 +107,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "load": load1,
         "queries": short,
     }, separators=(",", ":")))
 
