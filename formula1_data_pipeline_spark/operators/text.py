@@ -219,3 +219,42 @@ def shingle_hashes_df(docs, text_col: str = "text",
     ).filter(F.col("full"))
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     return shingled.select("id", h.alias("h")).distinct()
+
+
+def chunk_documents(docs, chunk_tokens: int = 32, overlap: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split documents into token-budget chunks with overlap — the
+    standard pre-embedding step (the inverse of ``packing``'s
+    combine). One row per (doc, chunk): (id, chunk_idx, n_tokens,
+    chunk_text), chunk starts at multiples of ``chunk_tokens -
+    overlap`` while inside the document, slices clipped at the end.
+
+    Shuffle-free: tokens, the start sequence, and the slices are all
+    narrow per-row expressions (explode fans out rows in place), so a
+    100 TB corpus chunks in one codegen'd projection pass. Empty docs
+    yield no chunks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), n.alias("n")
+    ).filter(F.col("n") > 0)
+    return base.select(
+        "id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+        ).alias("start"),
+    ).select(
+        "id",
+        (F.col("start") / step).cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start"))
+        .cast("int").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )

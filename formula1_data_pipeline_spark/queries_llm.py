@@ -711,3 +711,35 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_exact long, recall_ok boolean"
     )
+
+
+@register(
+    "q84_document_chunking",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+    ), nn AS (
+        SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
+    ), starts AS (
+        SELECT id, toks, n, unnest(range(0, n, 24)) AS start FROM nn
+    )
+    SELECT id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(least(32, n - start) AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    doc="Document chunking (§2.12): token-budget splits (32 tokens, "
+        "8 overlap) — the pre-embedding preprocessing step, the "
+        "inverse of q64's sequence packing. Shuffle-free single "
+        "codegen'd projection pass (tokens -> start sequence -> "
+        "clipped slices, explode fans out in place); at 100 TB the "
+        "chunker is a map-only stage that feeds the embedding UDF "
+        "batches directly",
+)
+def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
