@@ -56,7 +56,7 @@ def main() -> None:
     # context. Capability comparisons should use quiet-host runs.
     try:
         load1 = round(os.getloadavg()[0], 2)
-    except OSError:  # platform without getloadavg
+    except (OSError, AttributeError):  # platform without getloadavg
         load1 = None
 
     spark = get_spark(app_name="bench")
@@ -94,10 +94,14 @@ def main() -> None:
         "sf": sf,
         "loadavg_at_start": load1,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json")
-    with open(sidecar, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    # the sidecar is the committed full-catalog record — a filtered
+    # subset run must not clobber it (it did once: a 1-query smoke
+    # replaced the 83-query baseline)
+    if not only:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json")
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
 
     short = {n.split("_", 1)[0]: round(t, 2) for n, t in times.items()}
     if len(short) != len(times):  # qNN prefix collision — fall back

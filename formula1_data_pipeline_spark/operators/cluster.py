@@ -107,24 +107,25 @@ def connected_components(
         # decreases until the fixpoint and is constant exactly there.
         # Tracking it replaces the old per-round prev-label join + changed
         # count with a plain aggregate; decimal keeps the sum exact at any
-        # node count / id magnitude. ONLY valid for numeric ids — under
-        # the session's non-ANSI cast policy a string comp casts to
-        # NULL, the sum is NULL every round, and NULL == NULL would
-        # declare convergence after one step with wrong labels — so
-        # non-numeric id types keep the exact changed-row count against
-        # the previous labels (one extra join per round, the
-        # pre-round-5 shape).
+        # node count / id magnitude. ONLY valid for INTEGRAL ids: a
+        # string comp casts to NULL under the session's non-ANSI policy
+        # (NULL == NULL would declare convergence after one step), and
+        # fractional ids ROUND into decimal(38,0), so two different
+        # label states can sum equal (observed: double ids converge one
+        # round early with wrong labels). Everything non-integral keeps
+        # the exact changed-row count against the previous labels (one
+        # extra join per round, the pre-round-5 shape).
         # One step per driver round-trip either way: the step self-joins
         # its input (pointer jump), so chaining two steps lazily would
         # square the unresolved plan tree per trip — the Catalyst
         # analysis cost dwarfs the saved driver latency (measured: 17 s
         # vs 10 s cold for the q37 pipeline).
-        from pyspark.sql.types import NumericType
+        from pyspark.sql.types import IntegralType
 
-        numeric_ids = isinstance(
-            node_ids.schema["id"].dataType, NumericType
+        integral_ids = isinstance(
+            node_ids.schema["id"].dataType, IntegralType
         )
-        if numeric_ids:
+        if integral_ids:
             def probe_sum(lbl: DataFrame):
                 return lbl.agg(
                     F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")

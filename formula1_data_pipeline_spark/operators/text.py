@@ -234,20 +234,31 @@ def chunk_documents(docs, chunk_tokens: int = 32, overlap: int = 8,
     100 TB corpus chunks in one codegen'd projection pass. Empty docs
     yield no chunks.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens: a larger "
+                         "overlap never advances, a negative one "
+                         "silently drops the gap tokens from every "
+                         "chunk")
     step = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     base = docs.select(
         F.col(id_col).alias("id"), toks.alias("toks"), n.alias("n")
     ).filter(F.col("n") > 0)
+    # last start must bring NEW tokens: stop once start + overlap >= n,
+    # else a doc with n mod step in 1..overlap gets a tail chunk that
+    # is a strict subset of the previous one (duplicate text straight
+    # into the embedding step)
     return base.select(
         "id",
         "n",
         "toks",
         F.explode(
-            F.sequence(F.lit(0), F.col("n") - 1, F.lit(step))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n") - overlap - 1, F.lit(0)),
+                F.lit(step),
+            )
         ).alias("start"),
     ).select(
         "id",

@@ -721,7 +721,12 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nn AS (
         SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) > 0
     ), starts AS (
-        SELECT id, toks, n, unnest(range(0, n, 24)) AS start FROM nn
+        -- stop once start + overlap >= n (no all-overlap tail chunks);
+        -- range end = greatest(n - 8, 1) mirrors the Spark sequence
+        -- upper bound greatest(n - overlap - 1, 0) (range is exclusive)
+        SELECT id, toks, n, unnest(range(0, greatest(n - 8, 1), 24))
+            AS start
+        FROM nn
     )
     SELECT id,
            CAST(start // 24 AS INT) AS chunk_idx,

@@ -213,20 +213,29 @@ def records_to_raw_df(
         # could otherwise unset the flag out from under each other
         # mid-conversion.
         arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-        with _ARROW_CONF_LOCK:
-            prev = spark.conf.get(arrow_key, None)
-            try:
-                if prev != "true":
-                    spark.conf.set(arrow_key, "true")
-                local = spark.createDataFrame(
-                    pd.DataFrame(rows, columns=cols, dtype=object), schema
-                )
-            finally:
-                if prev != "true":
-                    if prev is None:
-                        spark.conf.unset(arrow_key)
-                    else:
-                        spark.conf.set(arrow_key, prev)
+        if spark.conf.get(arrow_key, None) == "true":
+            # fast path (the get_spark default): no conf mutation
+            # needed, so no lock — concurrent ingest conversions and
+            # the threaded registry build stay parallel
+            local = spark.createDataFrame(
+                pd.DataFrame(rows, columns=cols, dtype=object), schema
+            )
+        else:
+            with _ARROW_CONF_LOCK:
+                prev = spark.conf.get(arrow_key, None)
+                try:
+                    if prev != "true":
+                        spark.conf.set(arrow_key, "true")
+                    local = spark.createDataFrame(
+                        pd.DataFrame(rows, columns=cols, dtype=object),
+                        schema,
+                    )
+                finally:
+                    if prev != "true":
+                        if prev is None:
+                            spark.conf.unset(arrow_key)
+                        else:
+                            spark.conf.set(arrow_key, prev)
     except ImportError:  # pandas-less fallback: same values, slower
         local = spark.createDataFrame(rows, schema)
     return scrub_dataframe(local)

@@ -508,11 +508,16 @@ def read_table(spark: SparkSession, table: str,
             # A pruned read must keep the FULL union schema — columns
             # that drifted in only since-pruned segments stay present
             # (as they would on the unpruned read), just with no rows.
-            # The zero-row anchor leg filter(false)-folds to an empty
-            # relation at optimization, so pruned segments contribute
-            # schema metadata (footer reads) but never data scan.
+            # The zero-row anchor is built from the PRUNED segments
+            # only (unionByName merges the kept leg's columns, so the
+            # union schema is identical to anchoring on everything,
+            # without re-listing the kept segments' files) and
+            # filter(false)-folds to an empty relation at optimization:
+            # pruned segments contribute schema metadata (footer
+            # reads), never data scan.
+            dropped = [s for s in segments if s not in kept]
             anchor = _segments_df(
-                spark, table, key, segments, v
+                spark, table, key, dropped, v
             ).filter(F.lit(False))
             if not kept:
                 return anchor
@@ -632,12 +637,17 @@ def _commit_staged(spark: SparkSession, df: DataFrame, table: str,
     would sit unreclaimable until the table exists and vacuum ages it
     out. ``merge_old(old_segments, staged) -> list[dict]``."""
     staged_dir, staged = _stage(spark, df, table, key)
-    state: dict = {"attached": False, "segments": []}
+    state: dict = {"attached": None, "segments": []}
 
     def nxt(v, old, effective):
-        if effective and not state["attached"]:
-            _attach_stats(spark, table, staged, key, effective)
-            state["attached"] = True
+        # re-attach when a concurrent winner changed the table's
+        # stats_cols between our read and publish: the manifest we
+        # publish advertises ``effective``, so the staged segments
+        # must carry exactly those columns' stats
+        want = sorted(effective) if effective else None
+        if want and want != state["attached"]:
+            _attach_stats(spark, table, staged, key, want)
+            state["attached"] = want
         state["segments"] = merge_old(old, staged)
         return state["segments"]
 

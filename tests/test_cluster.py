@@ -127,3 +127,19 @@ def test_string_ids_converge_exactly(spark):
     got = {r["id"]: r["comp"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {i: "doc-00" for i in ids}
+
+
+def test_fractional_ids_converge_exactly(spark):
+    """Regression (round-5 review): double ids route to the exact
+    changed-count path — the decimal(38,0) sum probe ROUNDS fractional
+    labels, and two different label states can sum equal (reproduced:
+    a 4-node double-id chain converged one round early with a wrong
+    label)."""
+    ids = [2.5, 2.8, 3.1, 3.3]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id: double")
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(3)], "src: double, dst: double"
+    )
+    got = {r["id"]: r["comp"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 2.5 for i in ids}
