@@ -960,3 +960,42 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
         F.col("doc_id").cast("long").alias("doc_id"), "fp",
         F.col("arrival_batch").cast("int").alias("arrival_batch"),
     )
+
+
+@register(
+    "q85_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_SQL_CC_CTES}
+    SELECT id AS doc_id, comp AS cluster_id,
+           CASE WHEN {_sql_bucket('comp', 'split-v1')} < 80 THEN 'train'
+                WHEN {_sql_bucket('comp', 'split-v1')} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cc
+    """,
+    doc="Leakage-safe train/val/test split (§2.12 composite): the "
+        "split key is the near-dup CLUSTER id (q37's connected "
+        "components), not the document id, so near-duplicates can "
+        "never straddle train and test — the contamination failure "
+        "q38's per-doc hash split cannot prevent. Same deterministic "
+        "md5 bucketing as q38 (reproducible across runs, engines, "
+        "partitionings); at 100 TB this is one CC pass + a "
+        "shuffle-free projection",
+)
+def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.cluster import (
+        neardup_clusters,
+    )
+    from formula1_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        hash_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    clusters = neardup_clusters(docs, text_col="text", id_col="doc_id",
+                                max_distance=3)
+    bucket = hash_bucket(F.col("cluster_id"), "split-v1")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        assign_split(bucket, train_pct=80, val_pct=10).alias("split"),
+    )
