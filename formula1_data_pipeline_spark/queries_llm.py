@@ -748,3 +748,59 @@ def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "q88_keep_best_duplicate",
+    rf"""
+    WITH base AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fp
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, fp,
+               0.3 * (CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / len(toks)
+                           ELSE 0.0 END)
+                   + 0.4 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (CASE WHEN length(text) >= 50
+                                  AND length(text) <= 5000
+                                 THEN 1.0 ELSE 0.0 END) AS quality
+        FROM base
+    )
+    SELECT doc_id, fp, quality FROM (
+        SELECT doc_id, fp, quality,
+               row_number() OVER (
+                   PARTITION BY fp ORDER BY quality DESC, doc_id ASC
+               ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Keep-BEST-duplicate dedup (§2.12 composite): exact dedup "
+        "groups (normalized fingerprint) resolved by the q25 quality "
+        "heuristic instead of min-id — the retention policy real "
+        "corpus pipelines want (W1's priority-dedup shape applied to "
+        "corpus hygiene). One shuffle on the fingerprint; quality is "
+        "a narrow pre-shuffle projection, IEEE-exact across engines",
+)
+def q88_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+    from formula1_data_pipeline_spark.operators.dedup_priority import (
+        dedup_by_priority,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        normalized_fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return dedup_by_priority(
+        scored, keys=["fp"],
+        order=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )

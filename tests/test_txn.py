@@ -654,3 +654,41 @@ def test_stats_attachment_fail_open_on_weird_partition_values(
                  if 20 <= int(r.v) <= 29)
     assert got == [v for v in sorted(sum(by_part.values(), []))
                    if 20 <= v <= 29]
+
+
+def test_retry_reattaches_stats_for_concurrently_widened_cols(
+        spark, tmp_path):
+    """A committer inheriting stats_cols can lose an optimistic race to
+    a writer that WIDENED the table's stats columns; its retry must
+    re-attach stats for the new effective set — a manifest advertising
+    stats_cols its own segments don't carry would make prune on the
+    new column silently ineffective (round-5 review finding)."""
+    from formula1_data_pipeline_spark.sources.txn import _read_manifest
+
+    path = str(tmp_path / "t")
+    txn_append(spark, _df(spark, [("a", "1", "10")], ["part", "v", "w"]),
+               path, key="part", stats_cols=["v"], compact_threshold=None)
+
+    fired = []
+
+    def widen_once():
+        if fired:
+            return
+        fired.append(True)
+        txn_append(spark,
+                   _df(spark, [("b", "2", "20")], ["part", "v", "w"]),
+                   path, key="part", stats_cols=["v", "w"],
+                   compact_threshold=None)
+
+    # inherits stats_cols (None) — first attempt resolves ["v"], the
+    # interleaved winner widens to ["v", "w"], the retry must re-attach
+    txn_replace(spark, _df(spark, [("c", "3", "30")], ["part", "v", "w"]),
+                path, key="part", pre_publish_hook=widen_once,
+                compact_threshold=None)
+
+    m = _read_manifest(spark, path, current_version(spark, path))
+    assert m["stats_cols"] == ["v", "w"]
+    c_seg = [s for s in m["segments"] if s["partition"] == "c"]
+    assert len(c_seg) == 1
+    assert set(c_seg[0]["stats"]) == {"v", "w"}
+    assert c_seg[0]["stats"]["w"] == ["30", "30"]
