@@ -751,7 +751,7 @@ def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q88_keep_best_duplicate",
+    "q86_keep_best_duplicate",
     rf"""
     WITH base AS (
         SELECT doc_id, text, {_SQL_TOKS} AS toks,
@@ -785,7 +785,7 @@ def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus hygiene). One shuffle on the fingerprint; quality is "
         "a narrow pre-shuffle projection, IEEE-exact across engines",
 )
-def q88_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.dedup import (
         normalized_fingerprint,
     )
