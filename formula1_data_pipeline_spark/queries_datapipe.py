@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from formula1_data_pipeline_spark.queries import _dec_sum, load, register
-from formula1_data_pipeline_spark.queries_llm import _SQL_SIM_CTES, _SQL_TOKS
+from formula1_data_pipeline_spark.queries_llm import (
+    _SQL_SIM_CTES,
+    _SQL_TOKS,
+    _sql_quality,
+)
 
 
 # the SimHash-edge connected-components CTE chain, shared by the q37
@@ -104,14 +108,21 @@ def _sql_bucket(key_expr: str, salt: str) -> str:
     )
 
 
+# DuckDB twin of operators.sampling.assign_split(train=80, val=10) over
+# the 'split-v1' salt — the ONE definition shared by q38/q52/q85 so the
+# split percentages or salt can't drift between oracles
+def _sql_split(key_expr: str) -> str:
+    b = _sql_bucket(key_expr, "split-v1")
+    return (f"CASE WHEN {b} < 80 THEN 'train' "
+            f"WHEN {b} < 90 THEN 'val' ELSE 'test' END")
+
+
 @register(
     "q38_hash_split",
     f"""
     SELECT doc_id, lang,
            {_sql_bucket('doc_id', 'split-v1')} AS bucket,
-           CASE WHEN {_sql_bucket('doc_id', 'split-v1')} < 80 THEN 'train'
-                WHEN {_sql_bucket('doc_id', 'split-v1')} < 90 THEN 'val'
-                ELSE 'test' END AS split,
+           {_sql_split('doc_id')} AS split,
            {_sql_bucket('doc_id', 'downsample-v1')} <
                CASE WHEN lang = 'en' THEN 50
                     WHEN lang = 'zh' THEN 40
@@ -340,7 +351,7 @@ def q51_neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # quality/lang fragments mirror q25's oracle exactly (same stopword
 # lists, same CASE priority, same arithmetic shape)
-_SQL_LANG_QUALITY = r"""
+_SQL_LANG_QUALITY = rf"""
     base AS (
         SELECT doc_id, text, list_filter(
             regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''
@@ -368,13 +379,7 @@ _SQL_LANG_QUALITY = r"""
                     WHEN de = greatest(en, es, de, fr) THEN 'de'
                     WHEN fr = greatest(en, es, de, fr) THEN 'fr'
                END AS lang_pred,
-               0.3 * (CASE WHEN len(toks) > 0
-                           THEN CAST(len(tset) AS DOUBLE) / len(toks)
-                           ELSE 0.0 END)
-                   + 0.4 * least(1.0, len(toks) / 100.0)
-                   + 0.3 * (CASE WHEN length(text) >= 50
-                                  AND length(text) <= 5000
-                                 THEN 1.0 ELSE 0.0 END) AS quality,
+               {_sql_quality('toks', 'tset')} AS quality,
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         FROM hits
     )"""
@@ -391,9 +396,7 @@ _SQL_LANG_QUALITY = r"""
         FROM filtered
     )
     SELECT doc_id, lang_pred, n_tokens, quality,
-           CASE WHEN {_sql_bucket('doc_id', 'split-v1')} < 80 THEN 'train'
-                WHEN {_sql_bucket('doc_id', 'split-v1')} < 90 THEN 'val'
-                ELSE 'test' END AS split,
+           {_sql_split('doc_id')} AS split,
            {_sql_bucket('doc_id', 'downsample-v1')} <
                CASE WHEN lang_pred = 'en' THEN 50 ELSE 25 END AS kept
     FROM keep WHERE rn = 1
@@ -967,9 +970,7 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
     f"""
     WITH RECURSIVE {_SQL_CC_CTES}
     SELECT id AS doc_id, comp AS cluster_id,
-           CASE WHEN {_sql_bucket('comp', 'split-v1')} < 80 THEN 'train'
-                WHEN {_sql_bucket('comp', 'split-v1')} < 90 THEN 'val'
-                ELSE 'test' END AS split
+           {_sql_split('comp')} AS split
     FROM cc
     """,
     doc="Leakage-safe train/val/test split (§2.12 composite): the "

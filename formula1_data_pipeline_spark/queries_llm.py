@@ -31,6 +31,22 @@ _SQL_HTOKS = (
 )
 
 
+def _sql_quality(toks: str, tset: str, text: str = "text") -> str:
+    """DuckDB twin of ``operators.text.quality_score`` — the ONE
+    definition shared by every oracle that scores quality (q25, q52,
+    q86), so a heuristic change cannot silently leave an oracle
+    behind. ``toks``/``tset`` name the token-array and distinct-set
+    expressions available in the caller's CTE."""
+    return (
+        f"0.3 * (CASE WHEN len({toks}) > 0 "
+        f"THEN CAST(len({tset}) AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END) "
+        f"+ 0.4 * least(1.0, len({toks}) / 100.0) "
+        f"+ 0.3 * (CASE WHEN length({text}) >= 50 "
+        f"AND length({text}) <= 5000 THEN 1.0 ELSE 0.0 END)"
+    )
+
+
 @register(
     "q20_exact_dedup",
     rf"""
@@ -484,12 +500,7 @@ def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN de = greatest(en, es, de, fr) THEN 'de'
                 WHEN fr = greatest(en, es, de, fr) THEN 'fr'
            END AS lang_pred,
-           0.3 * (CASE WHEN len(toks) > 0
-                       THEN CAST(len(tset) AS DOUBLE) / len(toks)
-                       ELSE 0.0 END)
-               + 0.4 * least(1.0, len(toks) / 100.0)
-               + 0.3 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000
-                             THEN 1.0 ELSE 0.0 END) AS quality
+           {_sql_quality('toks', 'tset')} AS quality
     FROM hits
     """,
     doc="Text analysis (§2.12): token counts, stopword-argmax "
@@ -760,14 +771,7 @@ def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), scored AS (
         SELECT doc_id, fp,
-               0.3 * (CASE WHEN len(toks) > 0
-                           THEN CAST(len(list_distinct(toks)) AS DOUBLE)
-                                / len(toks)
-                           ELSE 0.0 END)
-                   + 0.4 * least(1.0, len(toks) / 100.0)
-                   + 0.3 * (CASE WHEN length(text) >= 50
-                                  AND length(text) <= 5000
-                                 THEN 1.0 ELSE 0.0 END) AS quality
+               {_sql_quality('toks', 'list_distinct(toks)')} AS quality
         FROM base
     )
     SELECT doc_id, fp, quality FROM (
