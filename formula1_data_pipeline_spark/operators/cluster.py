@@ -64,8 +64,21 @@ def connected_components(
             .localCheckpoint()
         )
         node_ids = nodes.select(F.col(id_col).alias("id")).distinct()
-        labels = node_ids.withColumn("comp", F.col("id")).localCheckpoint(
-            eager=False
+        # Seed labels with node ids UNION all edge endpoints: endpoints
+        # outside ``nodes`` ("conductors") still carry labels through the
+        # graph, and seeding them up front FIXES the label set from round
+        # 0. Without this the label table grows while conductors join via
+        # the neighbor scatter, and the sum-convergence probe below is
+        # unsound — a growing set can sum equal across two non-fixpoint
+        # rounds (reproduced: chain 1-2-3-4-5 plus 7 out-of-node
+        # neighbors of node 1 declared convergence with nodes 4,5 still
+        # labeled 2,3). Conductors are dropped from the answer by the
+        # final left_semi join against ``node_ids``.
+        labels = (
+            node_ids.union(sym.select(F.col("a").alias("id")))
+            .distinct()
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint(eager=False)
         )
 
         def step(lbl: DataFrame) -> DataFrame:

@@ -39,6 +39,24 @@ def test_edges_to_unlisted_nodes_dont_add_rows(spark):
     assert comp == {1: 1, 2: 1}
 
 
+def test_conductor_fanout_does_not_fool_sum_probe(spark):
+    """Regression (round-5 advice): with edge endpoints outside
+    ``nodes`` the label table used to GROW between rounds, breaking the
+    'sum strictly decreases until fixpoint' invariant behind the
+    integral-id convergence probe — a chain 1-2-3-4-5 plus 7
+    out-of-node neighbors of node 1 summed equal across two
+    non-fixpoint rounds and returned nodes 4,5 labeled 2,3. Labels are
+    now seeded with node ids UNION all edge endpoints so the set is
+    fixed from round 0."""
+    comp = _cc(
+        spark,
+        range(1, 6),
+        [(i, i + 1) for i in range(1, 5)]
+        + [(1, 100 + k) for k in range(1, 8)],
+    )
+    assert comp == {i: 1 for i in range(1, 6)}
+
+
 def test_neardup_clusters_covers_all_docs(spark):
     docs = spark.createDataFrame(
         [
