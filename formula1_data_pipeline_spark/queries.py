@@ -917,31 +917,16 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # gate — maintained by hand each round, checked against the round's
 # diff. Round 3 proved the hazard this closes: the Arrow LSH rewrite
 # changed q26's physical path AFTER its last driver-gated row, so the
-# driver never re-verified the code it actually graded. All round-4
-# entries were driver-gated green in r4, so the list resets to the
-# round-5 diff: integer-mix minhash + generator-barrier verifies
-# (dedup/similarity/q60), 15-bit simhash lanes + CC probe rewrite
-# (q37/q51 family), txn stats + commit restructure (q14/q36/q75/q76
-# ride the txn path), season-partitioned mart materialization
-# (registry/models: the q4x chain + materialized gates), q71 threaded
-# legs, q27 gate threshold. DELIBERATELY NOT LISTED — changed but
-# behavior-preserving for the gate and re-verified green by the local
-# all-84 parity suite several times this round: q63/q72/q69 (openf1
-# Arrow conf scoping+lock and the additive HttpClient never alter the
-# RecordedClient gate path), q25/q38/q52 (oracle SQL refactored to
-# shared helpers, text-identical semantics). Listing them would push
-# 3+ of the 29 r3-stale queries out of the driver's ~50-row budget —
-# stale coverage is worth more than re-gating a no-op diff.
+# driver never re-verified the code it actually graded. All round-5
+# entries were driver-gated green in r5 (CORRECTNESS_r05: 50/50), so
+# the list resets to the round-6 diff. The stalest queries
+# (q05/q15, last gated r3; the r4 cohort) need no listing — the
+# last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    "q21_minhash_lsh", "q23_ngram_jaccard", "q27_embedding_neardup",
-    "q60_levenshtein_pairs", "q71_ann_recall",
+    # round-6 diff: CC label seeding (conductor-probe soundness fix)
+    # touches every cluster consumer; q83 lost its broadcast hint
     "q37_neardup_clusters", "q51_neardup_keep_one",
-    "q22_simhash", "q29_simhash_neardup",
-    "q14_ingest_write_path", "q36_stream_merge_upsert",
-    "q75_time_travel", "q76_incremental_load",
-    "q41_model_chain", "q42_race_control_chain", "q43_final_f1",
-    "q70_fct_driver_laps", "q73_materialized_chain",
-    "q74_assertion_runner",
+    "q85_leakage_safe_split", "q83_incremental_corpus_dedup",
 ]
 
 

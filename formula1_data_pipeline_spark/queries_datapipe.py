@@ -911,14 +911,17 @@ def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Incremental corpus dedup (§2.12 composite): documents arrive "
         "in three batches; each batch exact-dedups within itself "
-        "(normalized fingerprint, min doc_id wins), broadcast-anti-"
-        "joins its fingerprints against the ALREADY-LANDED corpus "
+        "(normalized fingerprint, min doc_id wins), anti-joins its "
+        "fingerprints against the ALREADY-LANDED corpus "
         "(S8's incremental skip at corpus scale), and txn-appends only "
         "the novel documents — the continuous-ingestion pattern that "
         "keeps a 100 TB training corpus duplicate-free without ever "
         "rescanning it (per batch: one fingerprint groupBy + one "
-        "broadcast anti-join + one append; the landed side is read as "
-        "fingerprints only, column-pruned at the scan). The oracle "
+        "anti-join + one append; the landed side is read as "
+        "fingerprints only, column-pruned at the scan; broadcast vs "
+        "shuffle anti-join is the PLANNER's size-based call — no "
+        "hint, so an unboundedly growing landed side degrades to a "
+        "fingerprint-partitioned shuffle instead of an OOM). The oracle "
         "replays the arrival order as a first-occurrence window over "
         "the whole corpus",
 )
@@ -956,8 +959,18 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
             .withColumn("arrival_batch", F.lit(batch_no))
         )
         if is_txn_table(spark, path):
+            # No broadcast hint: the landed fingerprint set grows
+            # monotonically (~16 bytes/doc, unbounded at corpus scale),
+            # and a hint would bypass autoBroadcastJoinThreshold — a
+            # guaranteed OOM on a 10B-doc corpus. Left as a planner
+            # decision, the parquet size stats on the manifest's live
+            # segments drive it: a small landed side still broadcasts
+            # (AQE re-plans on runtime size), a large one becomes a
+            # fingerprint-partitioned shuffle anti-join over columns
+            # already pruned to `fp` (tests/test_datapipe_properties.py
+            # pins the shuffle path under autoBroadcastJoinThreshold=-1).
             landed = read_table(spark, path).select("fp")
-            batch = batch.join(F.broadcast(landed), "fp", "left_anti")
+            batch = batch.join(landed, "fp", "left_anti")
         txn_append(spark, batch, path, compact_threshold=None)
     return read_table(spark, path).select(
         F.col("doc_id").cast("long").alias("doc_id"), "fp",

@@ -198,3 +198,49 @@ def test_minhash_forms_and_oracle_sql_agree(spark):
     # identical text -> identical signature (dedup invariant)
     assert spec[1] == spec[3]
     assert spec[1] != spec[4]
+
+
+def test_q83_anti_join_survives_broadcast_ban(spark):
+    """Round-6 scale fix: q83's landed-corpus anti-join must be a
+    PLANNER decision, not a hard F.broadcast hint — the landed
+    fingerprint set grows without bound, and a hint bypasses
+    autoBroadcastJoinThreshold (OOM-by-construction at 10B docs).
+    Forcing the threshold to -1 exercises the documented fallback: the
+    anti-join becomes a fingerprint-partitioned shuffle and the query
+    stays oracle-correct."""
+    from formula1_data_pipeline_spark.queries import CATALOG
+    from tests.oracle_compare import compare_query
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the landed side must still plan as an anti-join without any
+        # broadcast exchange under the ban (the shape q83 builds each
+        # batch: pruned fp column vs the incoming batch)
+        landed = spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("fp")
+        )
+        batch = spark.range(500, 1500).select(
+            F.col("id").cast("string").alias("fp")
+        )
+        plan = (
+            batch.join(landed, "fp", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        got = compare_query(
+            spark, "q83_incremental_corpus_dedup", "/root/testdata/sf0.001"
+        )
+        assert got["ok"], got["detail"]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
