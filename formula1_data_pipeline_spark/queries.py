@@ -924,9 +924,12 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
     # round-6 diff: CC label seeding (conductor-probe soundness fix)
-    # touches every cluster consumer; q83 lost its broadcast hint
+    # touches every cluster consumer; q83 lost its broadcast hint;
+    # the txn family rides the store-adapter routing of _put_if_absent
     "q37_neardup_clusters", "q51_neardup_keep_one",
     "q85_leakage_safe_split", "q83_incremental_corpus_dedup",
+    "q14_ingest_write_path", "q36_stream_merge_upsert",
+    "q75_time_travel", "q76_incremental_load", "q82_stats_pruned_read",
 ]
 
 

@@ -22,15 +22,18 @@ requirement is *put-if-absent of one small object*:
   version N+1 in full, never a mix, because the manifest appears
   atomically and data files are immutable.
 
-Put-if-absent per filesystem: local paths use ``os.link`` (POSIX hard
-link creation fails with EEXIST — atomic, and the content is fully
-written before the name appears); HDFS uses create-temp + rename
-(HDFS rename-onto-existing returns false); S3 / GCS / ABFS expose it
-natively (S3 conditional PUT ``If-None-Match: *``, GCS
-``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``) — the
-protocol needs nothing else from the store. Contrast with the rename
-protocol this replaces, which needed atomic *directory* rename, a
-primitive object stores fundamentally lack.
+Put-if-absent per filesystem (pluggable — ``sources.stores``): local
+paths use ``os.link`` (POSIX hard link creation fails with EEXIST —
+atomic, and the content is fully written before the name appears);
+HDFS uses create-temp + rename (HDFS rename-onto-existing returns
+false); S3 / GCS / ABFS expose it natively (S3 conditional PUT
+``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``, Azure
+``If-None-Match: *``) and plug in via
+``stores.register_store_adapter`` — the protocol needs nothing else
+from the store (``stores.InMemoryConditionalStore`` proves the
+conflict path against those exact semantics without a bucket).
+Contrast with the rename protocol this replaces, which needed atomic
+*directory* rename, a primitive object stores fundamentally lack.
 
 Reference parity: this is the Spark-native transactional upgrade of
 the reference's delete+reload upsert (``dags/open_f1_realtime.py:153-
@@ -75,6 +78,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from formula1_data_pipeline_spark.sources import stores
+
 _TXN_DIR = "_txn"
 _MANIFEST_RE = re.compile(r"^v(\d{20})\.json$")
 _HIDDEN = re.compile(r"^[_.]")
@@ -97,9 +102,10 @@ def _is_local(path: str) -> bool:
 # and the exists-check + rename fallback below would silently break the
 # protocol's one atomicity requirement. Each of these stores exposes a
 # native conditional PUT (S3 `If-None-Match: *`, GCS
-# `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`) — wire
-# that in before lifting this guard; degrading silently is how lost
-# updates ship.
+# `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`) —
+# register its adapter (`stores.register_store_adapter`) to route
+# commits through it; without one the guard refuses loudly, because
+# degrading silently is how lost updates ship.
 _NON_ATOMIC_RENAME_SCHEMES = frozenset(
     {"s3", "s3a", "s3n", "gs", "gcs", "abfs", "abfss", "wasb", "wasbs",
      "oss", "cos", "swift"}
@@ -126,53 +132,38 @@ def _ls(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
     ]
 
 
+_LOCAL_STORE = stores.LocalLinkStore()
+_HDFS_STORE = stores.HadoopRenameStore()
+
+
 def _put_if_absent(spark: SparkSession, path: str, data: bytes) -> bool:
     """Atomically create ``path`` with ``data`` iff it does not exist.
 
-    The ONLY atomic primitive the commit protocol needs. Local: write a
-    temp file, then ``os.link`` it to the final name — link creation
-    is atomic and fails with EEXIST, and the content exists in full
-    before the final name does, so no reader can observe a partial
-    manifest. Non-local Hadoop FS: create temp + rename (HDFS rename
-    refuses an existing destination). Object stores swap this body for
-    their native conditional PUT.
+    The ONLY atomic primitive the commit protocol needs; routed
+    through the ``sources.stores`` adapter layer. A scheme adapter
+    registered via ``stores.register_store_adapter`` always wins (this
+    is how S3-class conditional PUT plugs in); otherwise local paths
+    hard-link (atomic, EEXIST on conflict), HDFS-class filesystems
+    create-temp + rename (rename refuses an existing destination), and
+    object-store schemes without an adapter refuse loudly — their
+    rename is copy+delete, and degrading silently is how lost updates
+    ship.
     """
-    if _is_local(path):
-        final = _local(path)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
-    scheme = path.split("://", 1)[0].lower()
-    if scheme in _NON_ATOMIC_RENAME_SCHEMES:
-        raise NotImplementedError(
-            f"put-if-absent on {scheme}:// requires the store's native "
-            "conditional PUT (rename is copy+delete there, not atomic); "
-            "integrate it in txn._put_if_absent before using manifest "
-            "tables on this filesystem"
-        )
-    fs, hfinal = _fs(spark, path)
-    if fs.exists(hfinal):
-        return False
-    jvm = spark._jvm
-    htmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex[:8]}")
-    out = fs.create(htmp, False)
-    try:
-        out.write(bytearray(data))
-    finally:
-        out.close()
-    if not fs.rename(htmp, hfinal):
-        fs.delete(htmp, False)
-        return False
-    return True
+    if "://" in path and not path.startswith("file:"):
+        scheme = path.split("://", 1)[0].lower()
+        adapter = stores.adapter_for(scheme)
+        if adapter is not None:
+            return adapter.put_if_absent(spark, path, data)
+        if scheme in _NON_ATOMIC_RENAME_SCHEMES:
+            raise NotImplementedError(
+                f"put-if-absent on {scheme}:// requires the store's "
+                "native conditional PUT (rename is copy+delete there, "
+                "not atomic); register an adapter via "
+                "stores.register_store_adapter before using manifest "
+                "tables on this filesystem"
+            )
+        return _HDFS_STORE.put_if_absent(spark, path, data)
+    return _LOCAL_STORE.put_if_absent(spark, path, data)
 
 
 def _delete(spark: SparkSession, path: str) -> None:
@@ -223,7 +214,9 @@ def _publish(spark: SparkSession, table: str, version: int,
     """Put-if-absent the manifest for ``version``; False on conflict."""
     if _is_local(table):
         os.makedirs(_local(f"{table}/{_TXN_DIR}"), exist_ok=True)
-    else:
+    elif stores.adapter_for(table.split("://", 1)[0]) is None:
+        # adapter-routed schemes are object stores: keys, not
+        # directories — nothing to create
         fs, hdir = _fs(spark, f"{table}/{_TXN_DIR}")
         fs.mkdirs(hdir)
     doc = {"version": version, "key": key, "segments": segments}

@@ -352,6 +352,94 @@ def test_object_store_scheme_refuses_loudly(spark):
         _put_if_absent(spark, "s3a://bucket/table/_txn/v1.json", b"{}")
 
 
+def test_store_adapter_lifts_refusal_and_enforces_conditional_put(spark):
+    """Round-6: object-store conditional PUT plugs in via the
+    ``sources.stores`` adapter registry. With the in-memory S3-
+    semantics fake registered for s3a://, put-if-absent routes through
+    it (first writer wins, second gets the 412-analog False); after
+    unregistering, the loud refusal is back."""
+    from formula1_data_pipeline_spark.sources.stores import (
+        InMemoryConditionalStore,
+        register_store_adapter,
+        unregister_store_adapter,
+    )
+
+    fake = InMemoryConditionalStore()
+    register_store_adapter("s3a", fake)
+    try:
+        key = "s3a://bucket/table/_txn/" + _manifest_path("t", 1).split(
+            "/")[-1]
+        assert _put_if_absent(spark, key, b'{"v": 1}')
+        assert not _put_if_absent(spark, key, b'{"v": "loser"}')
+        assert fake.get(key) == b'{"v": 1}'  # loser never overwrote
+    finally:
+        unregister_store_adapter("s3a")
+    with pytest.raises(NotImplementedError, match="conditional PUT"):
+        _put_if_absent(spark, "s3a://bucket/table/_txn/v1.json", b"{}")
+
+
+def test_publish_conflict_on_fake_object_store_retries_clean(spark):
+    """The optimistic-concurrency loop on an object store: two
+    committers race _publish for version 2; exactly one wins, the
+    loser's manifest is NOT written (no torn state), and its retry at
+    version 3 lands. This is the exact protocol sequence txn's commit
+    loop runs — exercised against S3 conditional-PUT semantics."""
+    from formula1_data_pipeline_spark.sources.stores import (
+        InMemoryConditionalStore,
+        register_store_adapter,
+        unregister_store_adapter,
+    )
+
+    fake = InMemoryConditionalStore()
+    register_store_adapter("s3a", fake)
+    try:
+        tbl = "s3a://bucket/corpus"
+        seg_a = [{"dir": "d-aaa", "files": ["part-0.parquet"]}]
+        seg_b = [{"dir": "d-bbb", "files": ["part-0.parquet"]}]
+        assert _publish(spark, tbl, 1, seg_a, None)
+        # both committers resolved version 1 and target 2
+        assert _publish(spark, tbl, 2, seg_a, None)      # winner
+        assert not _publish(spark, tbl, 2, seg_b, None)  # loser: conflict
+        v2 = json.loads(fake.get(_manifest_path(tbl, 2)))
+        assert v2["segments"] == seg_a  # winner's manifest intact
+        assert _publish(spark, tbl, 3, seg_b, None)      # loser's retry
+        assert fake.get(_manifest_path(tbl, 4)) is None
+    finally:
+        unregister_store_adapter("s3a")
+
+
+def test_threaded_publish_race_exactly_one_winner(spark):
+    """16 threads race the same version's conditional PUT through the
+    fake store; exactly one observes True."""
+    from formula1_data_pipeline_spark.sources.stores import (
+        InMemoryConditionalStore,
+        register_store_adapter,
+        unregister_store_adapter,
+    )
+
+    fake = InMemoryConditionalStore()
+    register_store_adapter("s3a", fake)
+    try:
+        path = _manifest_path("s3a://bucket/t", 7)
+        wins = []
+        barrier = threading.Barrier(16)
+
+        def attempt(i):
+            barrier.wait()
+            if _put_if_absent(spark, path, b"%d" % i):
+                wins.append(i)
+
+        ts = [threading.Thread(target=attempt, args=(i,)) for i in range(16)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1
+        assert fake.get(path) == b"%d" % wins[0]
+    finally:
+        unregister_store_adapter("s3a")
+
+
 def test_randomized_op_sequences_match_model(spark, tmp_path):
     """Property: any interleaving of append/replace/merge ops leaves
     read_table equal to a trivial Python dict model — and every
