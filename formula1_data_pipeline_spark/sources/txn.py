@@ -45,8 +45,12 @@ optimistic concurrency), dependency-free.
 Scale notes: read cost is O(live segments) union legs, one per
 (data dir, partitioned?) group — bounded by commit count, not
 partition count (a commit's partitions share one read leg via
-``basePath``). Long-lived tables bound commit count with
-``vacuum`` + the full-rewrite ``txn_merge`` (compaction). The
+``basePath``). Long-lived tables stay bounded on their own: past
+``AUTO_COMPACT_DIRS`` live dirs the committer compacts, and a
+committed compaction/merge auto-vacuums superseded versions within
+the ``AUTO_VACUUM_*`` retention bounds (newest ``keep_versions``
+plus everything younger than ``min_age_sec`` stay
+time-travelable). The
 manifest is a single small object — listing ``_txn/`` is the only
 metadata operation, no directory walks over data.
 
@@ -613,6 +617,16 @@ def _commit(spark: SparkSession, table: str, key: str | None,
 # commits (amortized ~1/threshold extra writes).
 AUTO_COMPACT_DIRS = 16
 
+# Automated retention: a successful ``txn_compact``/``txn_merge``
+# commit vacuums superseded state with these bounds, so a long-lived
+# table's disk footprint is maintained by its own write path instead
+# of a caller remembering to call ``vacuum``. The age floor keeps
+# every version younger than an hour time-travelable (and protects
+# in-flight commits' staged dirs); raise KEEP_VERSIONS for longer
+# pinned history, set ``auto_vacuum=False`` per call to disable.
+AUTO_VACUUM_KEEP_VERSIONS = 1
+AUTO_VACUUM_MIN_AGE_SEC = 3600.0
+
 
 def _live_dirs(segments: list[dict]) -> int:
     return len({s["dir"] for s in segments})
@@ -699,14 +713,19 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
 
 
 def txn_compact(spark: SparkSession, table: str,
-                pre_publish_hook=None) -> int | None:
+                pre_publish_hook=None,
+                auto_vacuum: bool = True) -> int | None:
     """Key-preserving compaction: rewrite the current snapshot into ONE
     fresh data dir (one segment per partition for keyed tables) and
     publish it as the next version. Collapses the read plan from
     O(live dirs) union legs back to one, without changing the table's
-    key the way ``txn_merge``'s unkeyed full rewrite does. Superseded
-    versions keep their dirs until ``vacuum``, so time travel across
-    the compaction boundary still resolves.
+    key the way ``txn_merge``'s unkeyed full rewrite does. A committed
+    compaction auto-vacuums superseded state within the retention
+    bounds (``AUTO_VACUUM_*``; the age floor keeps every recent
+    version time-travelable across the compaction boundary), so
+    storage is reclaimed by the write path itself —
+    ``auto_vacuum=False`` keeps all superseded versions until an
+    explicit ``vacuum``.
 
     Same optimistic loop as ``txn_merge``: a conflict re-reads and
     re-stages from the NEW snapshot, so no concurrent append/replace
@@ -735,6 +754,10 @@ def txn_compact(spark: SparkSession, table: str,
             if _publish(spark, table, v + 1, segments, key,
                         manifest.get("stats_cols")):
                 staged_dirs.pop()  # committed — don't clean it up
+                if auto_vacuum:
+                    vacuum(spark, table,
+                           keep_versions=AUTO_VACUUM_KEEP_VERSIONS,
+                           min_age_sec=AUTO_VACUUM_MIN_AGE_SEC)
                 return v + 1
         raise RuntimeError(
             f"txn compact on {table}: lost {_MAX_RETRIES} optimistic races"
@@ -745,7 +768,7 @@ def txn_compact(spark: SparkSession, table: str,
 
 
 def txn_merge(spark: SparkSession, table: str, merge_fn,
-              pre_publish_hook=None) -> int:
+              pre_publish_hook=None, auto_vacuum: bool = True) -> int:
     """Full-rewrite merge: ``merge_fn(existing_df_or_None) -> DataFrame``
     computes the new table contents from the current snapshot; the
     result is staged and committed. On an optimistic-concurrency
@@ -797,6 +820,10 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
                 pre_publish_hook()
             if _publish(spark, table, next_v, segments, None, scols):
                 staged_dirs.pop()  # committed — don't clean it up
+                if auto_vacuum and next_v > 1:
+                    vacuum(spark, table,
+                           keep_versions=AUTO_VACUUM_KEEP_VERSIONS,
+                           min_age_sec=AUTO_VACUUM_MIN_AGE_SEC)
                 return next_v
         raise RuntimeError(
             f"txn merge on {table}: lost {_MAX_RETRIES} optimistic races"
@@ -806,40 +833,57 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
             _delete(spark, f"{table}/{d}")
 
 
+def _mtime_ms(spark: SparkSession, path: str) -> float | None:
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return None  # concurrently vacuumed — treat as already gone
+    return fs.getFileStatus(hpath).getModificationTime()
+
+
 def vacuum(spark: SparkSession, table: str, keep_versions: int = 1,
            min_age_sec: float = 3600.0) -> int:
-    """Drop data dirs unreferenced by the ``keep_versions`` newest
-    manifests, and the superseded manifests themselves. Returns the
-    number of data dirs removed. Safe order: old manifests first, so a
-    crash mid-vacuum never leaves a manifest pointing at deleted data.
+    """Drop data dirs unreferenced by any RETAINED manifest, and the
+    non-retained manifests themselves. Retained = the ``keep_versions``
+    newest versions, plus every version younger than ``min_age_sec``
+    (so time travel within the age window always resolves, and a
+    reader holding a version resolved up to ``min_age_sec`` ago never
+    loses its manifest mid-read). Returns the number of data dirs
+    removed. Safe order: manifests first, so a crash mid-vacuum never
+    leaves a manifest pointing at deleted data.
 
-    ``min_age_sec``: an unreferenced dir younger than this is left
-    alone — it may be the staged data of an IN-FLIGHT commit whose
-    manifest hasn't been published yet; deleting it would let that
-    committer publish a manifest pointing at deleted files (the same
-    retention guard Delta's VACUUM uses). Pass 0 only when no writer
-    can be concurrent (tests, single-writer maintenance windows).
+    ``min_age_sec`` also guards unreferenced dirs: one younger than
+    this may be the staged data of an IN-FLIGHT commit whose manifest
+    hasn't been published yet; deleting it would let that committer
+    publish a manifest pointing at deleted files (the same retention
+    guard Delta's VACUUM uses). Pass 0 only when no writer or
+    time-traveling reader can be concurrent (tests, single-writer
+    maintenance windows).
     """
     import time
 
     vs = _versions(spark, table)
     if not vs:
         return 0
-    keep = vs[-max(keep_versions, 1):]
+    cutoff_ms = (time.time() - min_age_sec) * 1000.0
+    keep = set(vs[-max(keep_versions, 1):])
+    for v in vs:
+        if v in keep:
+            continue
+        mt = _mtime_ms(spark, _manifest_path(table, v))
+        if mt is not None and mt > cutoff_ms:
+            keep.add(v)  # retained by age: still time-travelable
+        else:
+            _delete(spark, _manifest_path(table, v))
     live: set[str] = set()
     for v in keep:
         for seg in _read_manifest(spark, table, v)["segments"]:
             live.add(seg["dir"])
-    for v in vs:
-        if v not in keep:
-            _delete(spark, _manifest_path(table, v))
-    cutoff_ms = (time.time() - min_age_sec) * 1000.0
     removed = 0
     for name, is_dir in _ls(spark, table):
         if not (is_dir and name.startswith("d-") and name not in live):
             continue
-        fs, hpath = _fs(spark, f"{table}/{name}")
-        if fs.getFileStatus(hpath).getModificationTime() > cutoff_ms:
+        mt = _mtime_ms(spark, f"{table}/{name}")
+        if mt is not None and mt > cutoff_ms:
             continue  # possibly an in-flight commit's staged data
         _delete(spark, f"{table}/{name}")
         removed += 1

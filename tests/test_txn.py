@@ -352,6 +352,49 @@ def test_object_store_scheme_refuses_loudly(spark):
         _put_if_absent(spark, "s3a://bucket/table/_txn/v1.json", b"{}")
 
 
+def test_auto_vacuum_bounds_disk_and_keeps_retention_window(
+        spark, tmp_path, monkeypatch):
+    """Round-6 automated retention: with compaction auto-triggering and
+    auto-vacuum bounds tightened to (keep 3 versions, age floor 0),
+    50 appends must leave BOTH the data-dir count and the manifest
+    count bounded by constants — not by commit count — while every
+    version inside the retention window still time-travels to exactly
+    the rows it had when current."""
+    from formula1_data_pipeline_spark.sources import txn as txn_mod
+
+    monkeypatch.setattr(txn_mod, "AUTO_VACUUM_KEEP_VERSIONS", 3)
+    monkeypatch.setattr(txn_mod, "AUTO_VACUUM_MIN_AGE_SEC", 0.0)
+    path = str(tmp_path / "t")
+    snapshots: dict[int, list] = {}
+    for i in range(50):
+        v = txn_append(
+            spark, _df(spark, [(f"k{i}", str(i))], ["k", "v"]),
+            path, compact_threshold=4,
+        )
+        # auto-compaction bumps the version past the append's own
+        v = current_version(spark, path)
+        snapshots[v] = _snapshot(spark, path)
+    dirs = [p.name for p in (tmp_path / "t").iterdir()
+            if p.name.startswith("d-")]
+    manifests = list((tmp_path / "t" / "_txn").iterdir())
+    # ≤ threshold live dirs (+1 freshly appended), ≤ keep_versions + a
+    # few commits since the last compaction — nowhere near 50
+    assert len(dirs) <= 8, sorted(dirs)
+    assert len(manifests) <= 8, sorted(m.name for m in manifests)
+    # the retention window (3 newest surviving versions) time-travels
+    vs = sorted(
+        int(m.name[1:-5]) for m in manifests if m.name.endswith(".json")
+    )
+    for v in vs[-3:]:
+        if v in snapshots:  # compaction versions replay their source
+            assert sorted(
+                tuple(r) for r in read_table(spark, path, version=v)
+                .na.fill("").collect()
+            ) == snapshots[v], f"version {v} drifted after vacuum"
+    # final state is complete
+    assert len(snapshots[vs[-1]]) == 50
+
+
 def test_store_adapter_lifts_refusal_and_enforces_conditional_put(spark):
     """Round-6: object-store conditional PUT plugs in via the
     ``sources.stores`` adapter registry. With the in-memory S3-
