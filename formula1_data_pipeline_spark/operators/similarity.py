@@ -417,18 +417,38 @@ def ivf_flat_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into
-    ``n_centroids`` inverted lists (each vector joins its single
-    closest centroid), probe the ``n_probe`` closest lists per query,
+    ``n_centroids`` inverted lists (each vector joins its ``n_assign``
+    closest centroids), probe the ``n_probe`` closest lists per query,
     exact cosine on the probed lists only.
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id —
-    deterministic and oracle-replayable; a production deployment swaps
-    in offline k-means centroids (the operator only needs the
-    (cluster, d, coef) table, so that swap is a one-line change).
+    ``n_assign`` is FAISS-style soft assignment — the recall knob that
+    does NOT widen per-query probing: a corpus vector near a Voronoi
+    boundary is indexed in each of its closest lists, so the index
+    grows ``n_assign``× while query cost stays n_probe lists. On a
+    corpus with real cluster structure ``n_assign=1`` already recalls
+    well (neighbors share lists); on structure-poor (near-isotropic)
+    embeddings recall is bounded by the candidate fraction
+    ~``n_probe·n_assign/n_centroids`` no matter the quantizer — see
+    SCALE.md (round 6) for the measurement, including why the round-5
+    first-n-ids init reported an inflated 0.94 (evaluation queries
+    WERE centroids, aligning their lists by construction).
+
+    Centroids are a deterministic md5 hash-sample of the corpus: rank
+    ids by ``md5(id)`` (id tie-break) and take the first
+    ``n_centroids``. A hash order is uncorrelated with id assignment,
+    so the sample spreads across the corpus the way a uniform draw
+    does (the round-5 first-n-ids init inherited whatever locality the
+    id space had — adjacent ids from one crawl shard made near-
+    duplicate centroids and starved whole regions of lists), while
+    staying oracle-replayable: DuckDB's ``md5(CAST(id AS VARCHAR))``
+    orders identically. A production deployment swaps in offline
+    k-means centroids (the operator only needs the (cluster, d, coef)
+    table, so that swap is a one-line change).
 
     Scale shape: candidate volume is ~n_probe/n_centroids of the
     corpus per query; the corpus shuffles once on cluster keys, the
@@ -443,10 +463,11 @@ def ivf_flat_topk(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
 
+    hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
     cent = (
-        base_c.orderBy("id").limit(n_centroids)
+        base_c.orderBy(*hrank).limit(n_centroids)
         .withColumn(
-            "cluster", F.row_number().over(Window.orderBy("id")) - 1
+            "cluster", F.row_number().over(Window.orderBy(*hrank)) - 1
         )
     )
     coefs = cent.select(
@@ -454,7 +475,7 @@ def ivf_flat_topk(
         F.posexplode("vec").alias("d", "coef"),
     )
 
-    c = _ivf_assign(base_c, coefs, 1, "n_")
+    c = _ivf_assign(base_c, coefs, n_assign, "n_")
     q = _ivf_assign(base_q, coefs, n_probe, "q_")
     scored = (
         c.join(F.broadcast(q), "cluster")
@@ -467,6 +488,10 @@ def ivf_flat_topk(
             .alias("cos_sim"),
         )
     )
+    if n_assign > 1:
+        # a multi-assigned corpus vector can meet the same query in
+        # several probed lists; identical rows, deduped before ranking
+        scored = scored.distinct()
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc()
     )

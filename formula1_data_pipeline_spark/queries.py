@@ -930,6 +930,8 @@ CHANGED_SINCE_GATE = [
     "q85_leakage_safe_split", "q83_incremental_corpus_dedup",
     "q14_ingest_write_path", "q36_stream_merge_upsert",
     "q75_time_travel", "q76_incremental_load", "q82_stats_pruned_read",
+    # hash-sampled IVF centroids + 3-way soft assignment
+    "q34_ivf_flat_topk", "q71_ann_recall",
 ]
 
 

@@ -573,9 +573,12 @@ def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ), cent AS (
         SELECT vec_id, vec,
-               row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cluster,
                sqrt({_SQL_DOT.format(a='vec', b='vec')}) AS cnorm
-        FROM vecs ORDER BY vec_id LIMIT 16
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
     ), scores AS (
         SELECT v.vec_id AS id, cent.cluster,
                {_SQL_DOT.format(a='v.vec', b='cent.vec')}
@@ -586,7 +589,7 @@ def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id, cluster, row_number() OVER (
                 PARTITION BY id ORDER BY score DESC, cluster ASC
             ) AS crank FROM scores
-        ) WHERE crank = 1
+        ) WHERE crank <= 3
     ), probes AS (
         SELECT id, cluster FROM (
             SELECT id, cluster, row_number() OVER (
@@ -594,7 +597,7 @@ def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS crank FROM scores WHERE id < 10
         ) WHERE crank <= 4
     ), scored AS (
-        SELECT q.id AS q_id, c.id AS n_id,
+        SELECT DISTINCT q.id AS q_id, c.id AS n_id,
                round(
                    {_SQL_DOT.format(a='qv.vec', b='cv.vec')}
                    / nullif(sqrt({_SQL_DOT.format(a='qv.vec', b='qv.vec')})
@@ -616,11 +619,15 @@ def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """,
     doc="IVF-flat ANN (§2.12 scale path #2, next to q26's LSH): corpus "
-        "partitioned into 16 inverted lists by closest centroid "
-        "(deterministic first-16 centroids; production swaps in offline "
-        "k-means via the same (cluster, d, coef) table), queries probe "
-        "their 4 closest lists, exact cosine on probed lists only. "
-        "Candidate volume ~n_probe/n_centroids of the corpus per query; "
+        "soft-assigned into 16 inverted lists (each vector in its 3 "
+        "closest — FAISS-style multi-assign, the recall knob that "
+        "leaves per-query probe cost alone), centroids a deterministic "
+        "md5 hash-sample of the corpus (round 6: replaced first-16-ids "
+        "init, whose 0.94 recall was the evaluation queries BEING "
+        "centroids; production swaps in offline k-means via the same "
+        "(cluster, d, coef) table), queries probe their 4 closest "
+        "lists, exact cosine on probed lists only. Candidate volume "
+        "~n_probe*n_assign/n_centroids of the corpus per query; "
         "centroid table broadcasts, corpus shuffles once on cluster",
 )
 def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,7 +638,7 @@ def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_flat_topk(
         emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
-        n_centroids=16, n_probe=4,
+        n_centroids=16, n_probe=4, n_assign=3,
         id_col="vec_id", vec_col="embedding",
     )
 
@@ -673,13 +680,19 @@ def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ANN recall gate (q53 accuracy-gate pattern, VERDICT r3 item "
         "8): recall@5 of the q26 LSH index (16x5, bound 0.60) and the "
-        "q34 IVF index (16 lists / 4 probes, bound 0.80) against the "
-        "exact q24 top-5, computed inside the gated query — the oracle "
-        "replays the exact top-5 for the denominator and asserts the "
-        "bound booleans literally, so a bucketing tweak that trades "
-        "recall below the floor breaks the hash instead of shipping "
-        "silently. Bounds match tests/test_similarity.py (measured "
-        "lsh ~0.7-0.9, ivf ~0.94)",
+        "q34 IVF index (16 lists / 4 probes / 3-way soft assign, bound "
+        "0.75) against the exact q24 top-5, computed inside the gated "
+        "query — the oracle replays the exact top-5 for the "
+        "denominator and asserts the bound booleans literally, so a "
+        "bucketing tweak that trades recall below the floor breaks the "
+        "hash instead of shipping silently. Bounds match "
+        "tests/test_similarity.py. The round-5 IVF bound (0.80, "
+        "measured 0.94) was an artifact — the first-16-ids centroid "
+        "init made the evaluation queries centroids, aligning their "
+        "own lists; with the honest hash-sampled init, recall on these "
+        "STRUCTURE-FREE gaussian embeddings is candidate-fraction-"
+        "bound (measured 0.78/0.88/0.94 at sf0.01/0.001/0.1) — see "
+        "SCALE.md round 6",
 )
 def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.similarity import (
@@ -713,10 +726,10 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding"))
         f_ivf = pool.submit(pairs, ivf_flat_topk(
             emb, queries, dim=64, k=5, n_centroids=16, n_probe=4,
-            id_col="vec_id", vec_col="embedding"))
+            n_assign=3, id_col="vec_id", vec_col="embedding"))
         exact, lsh, ivf = f_exact.result(), f_lsh.result(), f_ivf.result()
     rows = [
-        ("ivf", len(exact), len(exact & ivf) >= 0.80 * len(exact)),
+        ("ivf", len(exact), len(exact & ivf) >= 0.75 * len(exact)),
         ("lsh", len(exact), len(exact & lsh) >= 0.60 * len(exact)),
     ]
     return spark.createDataFrame(

@@ -50,8 +50,13 @@ def test_ann_recall_floor(spark):
 
 
 def test_ivf_recall_floor(spark):
-    """IVF-flat at 16 lists / 4 probes must recover >= 80% of the
-    exact top-5 (measured 0.94 at n_probe=4, 0.98 at 8)."""
+    """IVF-flat at 16 lists / 4 probes / 3-way soft assignment must
+    recover >= 75% of the exact top-5. Round-6 honesty note: the old
+    floor (0.80, 'measured 0.94') rode the first-16-ids centroid init,
+    under which the evaluation queries WERE centroids — their lists
+    aligned by construction. With the hash-sampled init the test data
+    (structure-free gaussians) bounds recall by candidate fraction:
+    measured 0.78 at sf0.01, 0.88 at sf0.001, 0.94 at sf0.1."""
     from formula1_data_pipeline_spark.operators.similarity import (
         ivf_flat_topk,
     )
@@ -61,10 +66,10 @@ def test_ivf_recall_floor(spark):
     exact = _pairs(cosine_topk(emb, queries, k=5,
                                id_col="vec_id", vec_col="embedding"))
     approx = _pairs(ivf_flat_topk(emb, queries, dim=64, k=5,
-                                  n_centroids=16, n_probe=4,
+                                  n_centroids=16, n_probe=4, n_assign=3,
                                   id_col="vec_id", vec_col="embedding"))
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"IVF recall@5 regressed: {recall:.2f}"
+    assert recall >= 0.75, f"IVF recall@5 regressed: {recall:.2f}"
 
 
 def test_bulk_bucketing_matches_column_form(spark):
