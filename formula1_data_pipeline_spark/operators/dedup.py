@@ -162,6 +162,25 @@ _MIX_COEFFS = (
     (402038399, 59680731, 98814916),
     (133413028, 122709673, 206035909),
 )
+
+
+def _coeffs(i: int) -> tuple[int, int, int]:
+    """(A, B, C) for hash function ``i``. The first 16 are the frozen
+    literal table above — signatures must stay byte-stable across
+    releases. Beyond 16 (the md5-seeded family this replaced had no
+    cap, so the API shouldn't either — r5 review finding: IndexError
+    deep in _mix_sql), coefficients derive from a pure-integer seed:
+    deterministic across processes/platforms (no str hashing, so
+    PYTHONHASHSEED can't perturb it)."""
+    if i < len(_MIX_COEFFS):
+        return _MIX_COEFFS[i]
+    import random
+
+    rnd = random.Random(20260814 * 1000003 + i)
+    return (rnd.randrange(1, 1 << 30), rnd.randrange(1, 1 << 30),
+            rnd.randrange(0, 1 << 30))
+
+
 # Horner multipliers for folding a signature slice into a band key
 # (two independent 31-bit mixes packed into one 62-bit long)
 _BAND_K1 = 48271
@@ -176,7 +195,7 @@ def _mix_sql(i: int, h: str) -> str:
     """SQL for hash function i over 60-bit token hash column ``h`` —
     shared verbatim between the Spark plan and the DuckDB oracle so
     the two engines agree bit-for-bit (all intermediates < 2^62)."""
-    a, b, c = _MIX_COEFFS[i]
+    a, b, c = _coeffs(i)
     return (f"(({a} * ({h} >> 30) + {b} * ({h} & {_LO30}) + {c}) "
             f"% {_MIX_MOD})")
 
@@ -207,7 +226,7 @@ def minhash_signature(tok_set: Column, n_hashes: int = N_HASHES) -> Column:
         return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
     def mix(i: int, h: Column) -> Column:
-        a, b, c = _MIX_COEFFS[i]
+        a, b, c = _coeffs(i)
         return (
             F.lit(a) * F.shiftright(h, 30)
             + F.lit(b) * h.bitwiseAND(F.lit(_LO30))

@@ -216,7 +216,16 @@ def records_to_raw_df(
         if spark.conf.get(arrow_key, None) == "true":
             # fast path (the get_spark default): no conf mutation
             # needed, so no lock — concurrent ingest conversions and
-            # the threaded registry build stay parallel
+            # the threaded registry build stay parallel. Benign race
+            # (r5 review, accepted): this unlocked read can observe a
+            # transient "true" set by a concurrent slow-path thread
+            # that restores the conf before our createDataFrame runs;
+            # the conversion then silently skips Arrow. Values are
+            # identical either way (both paths build the same
+            # LocalRelation) — the cost is one slower conversion in a
+            # window that requires an externally-supplied session
+            # with Arrow off racing a get_spark-default one, which no
+            # in-repo caller creates.
             local = spark.createDataFrame(
                 pd.DataFrame(rows, columns=cols, dtype=object), schema
             )

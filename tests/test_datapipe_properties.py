@@ -244,3 +244,48 @@ def test_q83_anti_join_survives_broadcast_ban(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_beyond_16_hashes_works_and_is_stable(spark):
+    """Regression (round-5 advice): n_hashes > 16 used to die with a
+    bare IndexError inside _mix_sql (the md5-seeded family it replaced
+    had no cap). Coefficients past the frozen table now derive from a
+    pure-integer seed: the call works, the first 16 lanes are
+    byte-identical to the 16-hash signature, and two processes would
+    agree (no string hashing involved)."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures_df,
+        token_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "sphinx of black quartz")],
+        ["doc_id", "text"],
+    )
+    wide = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures_df(docs, "text", "doc_id",
+                                       n_hashes=24)
+        .select("id", "sig").collect()
+    }
+    narrow = {
+        r["id"]: r["sig"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(token_set(F.col("text")), n_hashes=24)
+            .alias("sig"),
+        ).collect()
+    }
+    assert wide == narrow          # bulk path == column spec at n=24
+    for doc_id, sig in wide.items():
+        assert len(sig) == 24
+    base = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures_df(docs, "text", "doc_id")
+        .select("id", "sig").collect()
+    }
+    for doc_id in base:
+        assert wide[doc_id][:16] == base[doc_id]  # frozen lanes intact
