@@ -367,7 +367,8 @@ _FCT_LAP_COLS = [
 
 
 @REGISTRY.register("fct_driver_laps", refs=("int_driver_lap_features",),
-                   materialized="table", partition_key="season_year")
+                   materialized="table", partition_key="season_year",
+                   stats_cols=("session_key",))
 def fct_driver_laps(deps: Mapping[str, DataFrame]) -> DataFrame:
     """fct_driver_laps.sql: projection of the feature table (:3-33)."""
     return deps["int_driver_lap_features"].select(*_FCT_LAP_COLS)
@@ -393,7 +394,7 @@ def _race_summary_agg(laps: DataFrame) -> DataFrame:
 
 
 @REGISTRY.register("fct_driver_race_summary", refs=("int_driver_lap_features",),
-                   materialized="table")
+                   materialized="table", stats_cols=("session_key",))
 def fct_driver_race_summary(deps: Mapping[str, DataFrame]) -> DataFrame:
     """fct_driver_race_summary.sql: per-(meeting, session, driver)
     aggregates (A1 multi-agg, A2 conditional count, A3 ordinal
@@ -402,7 +403,8 @@ def fct_driver_race_summary(deps: Mapping[str, DataFrame]) -> DataFrame:
 
 
 @REGISTRY.register("final_f1", refs=("int_driver_lap_features",),
-                   materialized="table", partition_key="season_year")
+                   materialized="table", partition_key="season_year",
+                   stats_cols=("session_key",))
 def final_f1(deps: Mapping[str, DataFrame]) -> DataFrame:
     """final_f1.sql: per-lap detail LEFT JOIN its own session summary
     (J2, :65-83). The summary side is tiny (one row per driver-session)

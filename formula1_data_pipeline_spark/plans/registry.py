@@ -12,7 +12,10 @@ Spark equivalent implemented here:
 - ``materialized='view'`` == returning the lazy DataFrame (logical-plan
   composition; Catalyst inlines exactly like Snowflake inlined views);
 - ``materialized='table'`` == the executor optionally persists the
-  DataFrame (parquet saveAsTable) and re-reads it, cutting the lineage;
+  DataFrame and re-reads it, cutting the lineage — committed through
+  the manifest protocol (``sources.txn``), so a mart rebuild publishes
+  atomically and its manifest carries per-segment stats for
+  ``read_table(prune=...)`` data skipping;
 - execution order is a topo-sort over declared refs, mirroring
   ``dbt run``; assertions (``plans.assertions``) mirror ``dbt test``.
 """
@@ -38,6 +41,7 @@ class Model:
     materialized: str = "view"        # 'view' | 'table' | 'incremental'
     incremental_key: str | None = None  # partition key for 'incremental'
     partition_key: str | None = None  # storage partitioning for 'table'
+    stats_cols: tuple[str, ...] = ()  # manifest min/max stats ('table')
 
 
 @dataclass
@@ -54,6 +58,7 @@ class ModelRegistry:
         materialized: str = "view",
         incremental_key: str | None = None,
         partition_key: str | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> Callable[[ModelFn], ModelFn]:
         if materialized == "incremental" and not incremental_key:
             raise ValueError(
@@ -64,7 +69,8 @@ class ModelRegistry:
             if name in self.models:
                 raise ValueError(f"duplicate model {name!r}")
             self.models[name] = Model(name, fn, refs, sources, materialized,
-                                      incremental_key, partition_key)
+                                      incremental_key, partition_key,
+                                      stats_cols)
             return fn
 
         return deco
@@ -121,24 +127,50 @@ class ModelRegistry:
         elif materialize_to and (
             materialize_all or model.materialized == "table"
         ):
+            # Table marts commit through the manifest protocol, like
+            # the incremental path above: publication is atomic (a
+            # dashboard reading mid-rebuild sees the old mart or the
+            # new one, never a mix — plain overwrite deletes then
+            # rewrites in place), and the manifest carries per-segment
+            # min/max stats for the model's declared ``stats_cols``,
+            # so session/date-scoped consumer reads can skip segments
+            # via ``read_table(prune=...)`` on top of the season
+            # partition pruning.
+            from formula1_data_pipeline_spark.sources.txn import (
+                read_table,
+                txn_merge,
+                txn_replace,
+            )
+
             path = f"{materialize_to}/{name}"
             cols = df.columns
-            writer = df.write.mode("overwrite")
             pk = model.partition_key
+            pk_type = dict(df.dtypes).get(pk)
+            scols = [c for c in model.stats_cols if c in cols] or None
             if pk and pk in cols:
                 # storage-partitioned mart (SURVEY §4: marts by
                 # season_year): per-season consumer reads prune to
-                # one directory instead of scanning the table —
-                # the difference between a partition read and a
-                # full scan once the mart is years of history
-                writer = writer.partitionBy(pk)
-            writer.parquet(path)
-            df = spark.read.parquet(path)
+                # one partition's segments instead of scanning the
+                # table — the difference between a partition read and
+                # a full scan once the mart is years of history. A
+                # rebuild replaces every season present in the new
+                # build atomically; read-back restores the declared
+                # column order (the partition key rides last
+                # otherwise), so materialized and lazy runs expose
+                # identical schemas.
+                txn_replace(spark, df, path, key=pk, stats_cols=scols)
+            else:
+                txn_merge(spark, path, lambda _existing: df,
+                          stats_cols=scols)
+            out = read_table(spark, path)
             if pk and pk in cols:
-                # partition read-back appends the key column last;
-                # restore the declared order so materialized and
-                # lazy runs expose identical schemas
-                df = df.select(*cols)
+                # read_table restores partition values as strings
+                # (all-VARCHAR landing policy); marts keep the model's
+                # declared type
+                from pyspark.sql import functions as F
+
+                out = out.withColumn(pk, F.col(pk).cast(pk_type))
+            df = out.select(*cols)
         return df
 
     def run(

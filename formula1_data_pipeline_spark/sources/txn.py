@@ -768,14 +768,16 @@ def txn_compact(spark: SparkSession, table: str,
 
 
 def txn_merge(spark: SparkSession, table: str, merge_fn,
-              pre_publish_hook=None, auto_vacuum: bool = True) -> int:
+              pre_publish_hook=None, auto_vacuum: bool = True,
+              stats_cols: list[str] | None = None) -> int:
     """Full-rewrite merge: ``merge_fn(existing_df_or_None) -> DataFrame``
     computes the new table contents from the current snapshot; the
     result is staged and committed. On an optimistic-concurrency
     conflict the merge re-runs against the NEW snapshot (true MERGE
     semantics — no lost updates), and the orphaned staged dir is
     dropped. Doubles as compaction: many-segment tables collapse to
-    one segment."""
+    one segment. ``stats_cols`` behaves as in ``txn_append``: None
+    inherits the table's recorded stats columns."""
     staged_dirs: list[str] = []
     try:
         for _ in range(_MAX_RETRIES):
@@ -811,6 +813,8 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
                 existing = read_table(spark, table, version=v)
                 next_v = v + 1
                 scols = _read_manifest(spark, table, v).get("stats_cols")
+            if stats_cols is not None:
+                scols = stats_cols
             merged = merge_fn(existing)
             staged_dir, segments = _stage(spark, merged, table, None)
             if scols:

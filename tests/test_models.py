@@ -298,13 +298,20 @@ def test_incremental_model_converges_to_full_rebuild(spark, tmp_path):
 
 def test_table_marts_partitioned_by_season_with_pruned_reads(
         spark, tmp_path):
-    """SURVEY §4 partitioning choice: season_year-bearing table marts
-    materialize as season-partitioned parquet, a season-filtered
-    read-back prunes to one partition (PartitionFilters in the scan,
-    not a full-table scan), and the read-back schema/values equal the
-    lazy build's (partition read-back must not reorder or retype
-    columns)."""
+    """SURVEY §4 partitioning choice + round-6 txn routing:
+    season_year-bearing table marts materialize season-partitioned
+    THROUGH the manifest protocol (atomic publish: a reader never sees
+    a half-rebuilt mart), a season-filtered read-back prunes to one
+    partition (PartitionFilters in the scan, not a full-table scan), a
+    season-bounded ``read_table(prune=...)`` drops the other seasons'
+    segments from the scan entirely (fewer input files), and the
+    read-back schema/values equal the lazy build's (read-back must not
+    reorder or retype columns)."""
     from formula1_data_pipeline_spark.plans.models import REGISTRY
+    from formula1_data_pipeline_spark.sources.txn import (
+        is_txn_table,
+        read_table,
+    )
     from tests.fixtures_openf1 import build_raw_tables
 
     raw = build_raw_tables(spark)
@@ -312,8 +319,12 @@ def test_table_marts_partitioned_by_season_with_pruned_reads(
     mat = REGISTRY.run(spark, raw, materialize_to=str(tmp_path))
 
     for name in ("final_f1", "fct_driver_laps"):
-        years = [d.name for d in (tmp_path / name).iterdir()
-                 if d.name.startswith("season_year=")]
+        assert is_txn_table(spark, str(tmp_path / name)), name
+        years = sorted({
+            d.name for staged in (tmp_path / name).glob("d-*")
+            for d in staged.iterdir()
+            if d.name.startswith("season_year=")
+        })
         assert years, f"{name} not season-partitioned: {years}"
         assert lazy[name].columns == mat[name].columns
         assert dict(lazy[name].dtypes) == dict(mat[name].dtypes), name
@@ -321,15 +332,40 @@ def test_table_marts_partitioned_by_season_with_pruned_reads(
         b = sorted(map(tuple, mat[name].na.fill(0).collect()))
         assert a == b, f"{name} changed through partitioned storage"
 
-    year = int(years[0].split("=")[1])
-    scan = (spark.read.parquet(str(tmp_path / "final_f1"))
-            .filter(F.col("season_year") == year))
+    year = years[0].split("=")[1]
+    mart = str(tmp_path / "final_f1")
+    scan = read_table(spark, mart).filter(F.col("season_year") == year)
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "season_year" in plan.split(
         "PartitionFilters", 1)[1].split("]", 1)[0], plan
+    # manifest-level data skipping: land NEXT season's rows the way
+    # production does (a season-keyed txn_replace onto the same mart),
+    # then a season-bounded read must list only that season's segments
+    # — fewer files before any filter runs
+    from formula1_data_pipeline_spark.sources.txn import txn_replace
+
+    nxt = str(int(year) + 1)
+    txn_replace(
+        spark,
+        mat["final_f1"].withColumn(
+            "season_year", F.lit(int(nxt)).cast("int")),
+        mart, key="season_year",
+    )
+    expect = sorted(map(tuple, scan.na.fill(0).collect()))
+    full_files = set(read_table(spark, mart).inputFiles())
+    pruned = read_table(spark, mart, prune={"season_year": (year, year)})
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < full_files, (len(pruned_files), len(full_files))
+    assert sorted(map(tuple, pruned.filter(
+        F.col("season_year") == year).na.fill(0).collect())) == expect
     # summary mart has no season column at its grain -> unpartitioned
-    assert not any(d.name.startswith("season_year=")
-                   for d in (tmp_path / "fct_driver_race_summary").iterdir())
+    # txn table (single unkeyed segment per rebuild)
+    assert is_txn_table(spark, str(tmp_path / "fct_driver_race_summary"))
+    assert not any(
+        d.name.startswith("season_year=")
+        for staged in (tmp_path / "fct_driver_race_summary").glob("d-*")
+        for d in staged.iterdir()
+    )
 
 
 def test_assertion_runner_failure_paths_flip_report_rows(spark):
