@@ -246,6 +246,22 @@ def test_q83_anti_join_survives_broadcast_ban(spark):
                 spark.conf.set(k, v)
 
 
+def test_q83_small_landed_side_still_broadcasts(spark):
+    """Counterpart to the broadcast-ban test: dropping the hard hint
+    must not mean ALWAYS shuffling — with default thresholds a small
+    landed fingerprint set should still plan as a broadcast anti-join
+    (the planner's size-based call, which is the whole point)."""
+    plan = (
+        spark.range(500, 1500).select(
+            F.col("id").cast("string").alias("fp"))
+        .join(spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("fp")), "fp", "left_anti")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_minhash_beyond_16_hashes_works_and_is_stable(spark):
     """Regression (round-5 advice): n_hashes > 16 used to die with a
     bare IndexError inside _mix_sql (the md5-seeded family it replaced

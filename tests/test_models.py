@@ -368,6 +368,39 @@ def test_table_marts_partitioned_by_season_with_pruned_reads(
     )
 
 
+def test_mart_rebuild_into_same_dir_is_atomic_republish(spark, tmp_path):
+    """Round-6 txn routing: re-running the DAG into the SAME
+    materialize_to (the production rebuild pattern) must republish each
+    mart as a NEW manifest version with identical values — a reader
+    resolving mid-rebuild sees old or new in full, and time travel to
+    the pre-rebuild version still reads the old snapshot."""
+    from formula1_data_pipeline_spark.plans.models import REGISTRY
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+        read_table,
+    )
+    from tests.fixtures_openf1 import build_raw_tables
+
+    raw = build_raw_tables(spark)
+    first = REGISTRY.run(spark, raw, materialize_to=str(tmp_path))
+    mart = str(tmp_path / "fct_driver_race_summary")
+    v1 = current_version(spark, mart)
+    snap1 = sorted(map(tuple,
+                       first["fct_driver_race_summary"]
+                       .na.fill(0).collect()))
+    second = REGISTRY.run(spark, raw, materialize_to=str(tmp_path))
+    v2 = current_version(spark, mart)
+    assert v2 > v1
+    snap2 = sorted(map(tuple,
+                       second["fct_driver_race_summary"]
+                       .na.fill(0).collect()))
+    assert snap1 == snap2
+    assert sorted(
+        map(tuple, read_table(spark, mart, version=v1)
+            .na.fill(0).collect())
+    ) == snap1  # pre-rebuild snapshot still resolves
+
+
 def test_assertion_runner_failure_paths_flip_report_rows(spark):
     """q74 gates the all-pass report; this guards the failure
     semantics the reference's dbt-test stage relies on
