@@ -1013,3 +1013,135 @@ def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         assign_split(bucket, train_pct=80, val_pct=10).alias("split"),
     )
+
+
+def _q87_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import (
+        _lsh_verified_pairs_ctes,
+    )
+
+    return f"""
+    WITH {_lsh_verified_pairs_ctes()},
+    b AS (
+        SELECT CAST(floor(max(doc_id) / 3.0) AS BIGINT) AS b1,
+               CAST(floor(max(doc_id) * 2.0 / 3.0) AS BIGINT) AS b2
+        FROM documents
+    ),
+    dropped AS (SELECT DISTINCT b_id FROM vp WHERE jaccard >= 0.8)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id <= b.b1 THEN 0
+                WHEN d.doc_id <= b.b2 THEN 1
+                ELSE 2 END AS arrival_batch,
+           d.doc_id NOT IN (SELECT b_id FROM dropped) AS kept
+    FROM documents d, b
+    """
+
+
+@register(
+    "q87_incremental_neardup_dedup",
+    _q87_oracle(),
+    doc="Incremental NEAR-dup corpus dedup (§2.12 composite, round 6): "
+        "q83's continuous-ingestion pattern upgraded from exact "
+        "fingerprints to MinHash-LSH similarity. Documents arrive in "
+        "three batches; each batch computes signatures/band keys for "
+        "ITS OWN docs only, finds candidates against the txn-landed "
+        "band index of every previously SEEN doc (kept or dropped — "
+        "dropping d against an unkept near-dup keeps the semantics "
+        "order-stable) plus its own earlier rows, verifies exact "
+        "token-set jaccard >= 0.8 on candidates only, and txn-appends "
+        "its band keys + token sets to the index and its keep/drop "
+        "verdicts to the result. The corpus is NEVER rescanned: per "
+        "batch the work is one banded self-join + one band-key join "
+        "against the index (shuffles carry (band, id) pairs), and "
+        "jaccard runs on candidates only. The oracle replays the "
+        "arrival order as 'dropped iff near-dup of ANY smaller id' "
+        "over the q21-shared verified-pair CTEs (batches are id "
+        "terciles, so id order == arrival order)",
+)
+def q87_incremental_neardup_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _sig_agg,
+        hashed_token_sets_df,
+        jaccard_verified,
+        minhash_bands,
+    )
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_append,
+    )
+
+    threshold = 0.8
+    docs = load(spark, sf_dir, "documents")["documents"]
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    b1, b2 = mx // 3, mx * 2 // 3
+    bounds = [(None, b1, 0), (b1, b2, 1), (b2, None, 2)]
+    root = tempfile.mkdtemp(prefix="q87_corpus_")
+    idx_path, toks_path, res_path = (
+        f"{root}/band_index", f"{root}/tok_index", f"{root}/result"
+    )
+    for lo, hi, batch_no in bounds:
+        batch = docs
+        if lo is not None:
+            batch = batch.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            batch = batch.filter(F.col("doc_id") <= hi)
+        sig = _sig_agg(batch, "text", "doc_id", 16)
+        bands_b = sig.select(
+            "id",
+            F.explode(minhash_bands(F.col("sig"))).alias("band"),
+        )
+        toks_b = hashed_token_sets_df(batch, "text", "doc_id")
+        # Index FIRST, then candidate-join against the read-back: the
+        # signature/token aggregates run exactly once (the append's
+        # write job), and the single index self-join covers both
+        # within-batch pairs and pairs against every previously seen
+        # doc — `a.id < b.id AND b in batch` IS the arrival order,
+        # because batches are id terciles and the index only ever
+        # holds ids <= this batch's. No broadcast hints anywhere on
+        # the index side (the q83 lesson): the band and token indexes
+        # grow with the corpus, so join strategy stays the planner's
+        # size-based call.
+        txn_append(spark, bands_b, idx_path, compact_threshold=None)
+        txn_append(spark, toks_b, toks_path, compact_threshold=None)
+        idx = read_table(spark, idx_path)
+        all_toks = read_table(spark, toks_path)
+        in_batch = F.col("b.id") > lo if lo is not None else F.lit(True)
+        cand = (
+            idx.alias("a")
+            .join(idx.alias("b"), "band")
+            .filter((F.col("a.id") < F.col("b.id")) & in_batch)
+            .select(F.col("a.id").alias("a_id"),
+                    F.col("b.id").alias("b_id"))
+            .distinct()
+        )
+        attached = (
+            cand.join(
+                all_toks.select(F.col("id").alias("a_id"),
+                                F.col("toks").alias("a_toks")), "a_id")
+            .join(
+                all_toks.select(F.col("id").alias("b_id"),
+                                F.col("toks").alias("b_toks")), "b_id")
+        )
+        dropped = (
+            jaccard_verified(attached, threshold=threshold)
+            .select(F.col("b_id").alias("id")).distinct()
+        )
+        verdicts = (
+            batch.select(F.col("doc_id").alias("id"))
+            .join(dropped.withColumn("__dropped", F.lit(True)),
+                  "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit(batch_no).alias("arrival_batch"),
+                F.col("__dropped").isNull().alias("kept"),
+            )
+        )
+        txn_append(spark, verdicts, res_path, compact_threshold=None)
+    return read_table(spark, res_path).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("arrival_batch").cast("int").alias("arrival_batch"),
+        F.col("kept").cast("boolean").alias("kept"),
+    )

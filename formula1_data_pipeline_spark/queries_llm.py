@@ -67,11 +67,15 @@ def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, text_col="text", id_col="doc_id")
 
 
-def _q21_oracle() -> str:
-    """Oracle generated from the SAME `_mix_sql`/`_band_sql` helpers the
-    Spark operator uses — the integer minhash family (one md5 per token,
-    16 universal-hash mins, 62-bit Horner band keys) is pure BIGINT
-    arithmetic below 2^62, so both engines agree bit-for-bit."""
+def _lsh_verified_pairs_ctes() -> str:
+    """CTE chain ending in ``vp(a_id, b_id, jaccard)`` — every LSH
+    candidate pair with its exact token-set jaccard. Generated from
+    the SAME `_mix_sql`/`_band_sql` helpers the Spark operator uses —
+    the integer minhash family (one md5 per token, 16 universal-hash
+    mins, 62-bit Horner band keys) is pure BIGINT arithmetic below
+    2^62, so both engines agree bit-for-bit. Shared by the q21 oracle
+    (pairs surface) and the q87 oracle (incremental keep/drop replay),
+    so the two can never drift apart."""
     from formula1_data_pipeline_spark.operators.dedup import (
         _band_sql, _mix_sql,
     )
@@ -82,8 +86,7 @@ def _q21_oracle() -> str:
     bands = ",\n            ".join(
         _band_sql(b, [f"h{b * 4 + i}" for i in range(4)]) for b in range(4)
     )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
         SELECT doc_id AS id, {_SQL_HTOKS} AS htoks
         FROM documents
     ), tokrows AS (
@@ -101,14 +104,21 @@ def _q21_oracle() -> str:
         SELECT DISTINCT a.id AS a_id, b.id AS b_id
         FROM banded a JOIN banded b USING (band)
         WHERE a.id < b.id
-    )
-    SELECT p.a_id, p.b_id,
-           CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE)
-               / len(list_distinct(list_concat(ta.htoks, tb.htoks)))
-               AS jaccard
-    FROM pairs p
-    JOIN base ta ON ta.id = p.a_id
-    JOIN base tb ON tb.id = p.b_id
+    ), vp AS (
+        SELECT p.a_id, p.b_id,
+               CAST(len(list_intersect(ta.htoks, tb.htoks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.htoks, tb.htoks)))
+                   AS jaccard
+        FROM pairs p
+        JOIN base ta ON ta.id = p.a_id
+        JOIN base tb ON tb.id = p.b_id
+    )"""
+
+
+def _q21_oracle() -> str:
+    return f"""
+    WITH {_lsh_verified_pairs_ctes()}
+    SELECT a_id, b_id, jaccard FROM vp
     """
 
 
