@@ -1079,9 +1079,7 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
     b1, b2 = mx // 3, mx * 2 // 3
     bounds = [(None, b1, 0), (b1, b2, 1), (b2, None, 2)]
     root = tempfile.mkdtemp(prefix="q87_corpus_")
-    idx_path, toks_path, res_path = (
-        f"{root}/band_index", f"{root}/tok_index", f"{root}/result"
-    )
+    idx_path, res_path = f"{root}/seen_index", f"{root}/result"
     for lo, hi, batch_no in bounds:
         batch = docs
         if lo is not None:
@@ -1089,11 +1087,11 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
         if hi is not None:
             batch = batch.filter(F.col("doc_id") <= hi)
         sig = _sig_agg(batch, "text", "doc_id", 16)
-        bands_b = sig.select(
-            "id",
-            F.explode(minhash_bands(F.col("sig"))).alias("band"),
-        )
         toks_b = hashed_token_sets_df(batch, "text", "doc_id")
+        # ONE seen-index table (id, bands array, token set): parquet
+        # column pruning hands each consumer leg only its column —
+        # the band self-join explodes `bands`, the verify joins read
+        # `toks` — so a single append per batch buys both indexes.
         # Index FIRST, then candidate-join against the read-back: the
         # signature/token aggregates run exactly once (the append's
         # write job), and the single index self-join covers both
@@ -1101,17 +1099,24 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
         # doc — `a.id < b.id AND b in batch` IS the arrival order,
         # because batches are id terciles and the index only ever
         # holds ids <= this batch's. No broadcast hints anywhere on
-        # the index side (the q83 lesson): the band and token indexes
-        # grow with the corpus, so join strategy stays the planner's
-        # size-based call.
-        txn_append(spark, bands_b, idx_path, compact_threshold=None)
-        txn_append(spark, toks_b, toks_path, compact_threshold=None)
-        idx = read_table(spark, idx_path)
-        all_toks = read_table(spark, toks_path)
+        # the index side (the q83 lesson): the seen index grows with
+        # the corpus, so join strategy stays the planner's size-based
+        # call.
+        txn_append(
+            spark,
+            sig.select("id", minhash_bands(F.col("sig")).alias("bands"))
+            .join(toks_b, "id"),
+            idx_path, compact_threshold=None,
+        )
+        seen = read_table(spark, idx_path)
+        banded = seen.select(
+            "id", F.explode("bands").alias("band")
+        )
+        all_toks = seen.select("id", "toks")
         in_batch = F.col("b.id") > lo if lo is not None else F.lit(True)
         cand = (
-            idx.alias("a")
-            .join(idx.alias("b"), "band")
+            banded.alias("a")
+            .join(banded.alias("b"), "band")
             .filter((F.col("a.id") < F.col("b.id")) & in_batch)
             .select(F.col("a.id").alias("a_id"),
                     F.col("b.id").alias("b_id"))
