@@ -397,3 +397,47 @@ def q55_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     media = to_media_table(docs)
     return resize_nearest(media).unionByName(frame_sample(media))
+
+
+def _q88_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import (
+        _lsh_verified_pairs_ctes,
+    )
+
+    return f"""
+    WITH {_lsh_verified_pairs_ctes()},
+    dropped AS (SELECT DISTINCT b_id FROM vp WHERE jaccard >= 0.8)
+    SELECT doc_id, doc_id NOT IN (SELECT b_id FROM dropped) AS kept
+    FROM documents
+    """
+
+
+@register(
+    "q88_stream_neardup_dedup",
+    _q88_oracle(),
+    doc="STREAMING near-dup dedup (§2.10 x §2.12 composition, round "
+        "6): documents replayed as a 3-file stream; each micro-batch "
+        "signatures only its own docs, txn-appends (id, bands, token "
+        "set) to the seen-index, band-self-joins the index restricted "
+        "to pairs touching this batch (so every near-dup pair is "
+        "discovered exactly in the batch of its later-ARRIVING "
+        "member), verifies exact jaccard >= 0.8 on candidates only, "
+        "and merge-upserts per-doc verdicts where dropped outranks "
+        "kept — a retro-discovered smaller-id near-dup flips an "
+        "earlier kept verdict, never the reverse. The converged "
+        "landed state is therefore independent of the (hash, "
+        "non-id-ordered) file split, and the oracle replays it "
+        "directly: dropped iff a verified near-dup with a smaller id "
+        "exists, over the q21-shared pair CTEs",
+)
+def q88_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.streaming import stream_neardup_dedup
+
+    landed = stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet")
+    # landing is all-string (S4 semantics); cast back for comparison
+    return landed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("kept") == "true").alias("kept"),
+    )

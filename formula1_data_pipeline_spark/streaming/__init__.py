@@ -31,3 +31,6 @@ __all__ = [
     "stream_stream_interval_join",
     "stream_windowed_agg",
 ]
+from formula1_data_pipeline_spark.streaming.neardup import (  # noqa: F401
+    stream_neardup_dedup,
+)
