@@ -692,3 +692,70 @@ def jaccard_verified(attached: DataFrame,
     if threshold is not None:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def seen_index_neardup_dropped(
+    seen: DataFrame,
+    in_batch: Column,
+    threshold: float = 0.8,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Drop verdicts for one incremental pass over a near-dup
+    *seen-index*: ``seen`` is (id, bands array<long>, toks
+    array<long>, ...) covering every doc processed so far INCLUDING
+    the current batch, ``in_batch`` a boolean over ``seen``'s columns
+    marking the batch's rows. Returns one ``id`` per doc that has a
+    verified jaccard >= ``threshold`` partner with a smaller id among
+    the pairs this pass is responsible for discovering.
+
+    The ONE implementation behind both incremental surfaces (batch
+    q87, streaming q88) — round-6 review finding: the two ~40-line
+    copies could silently drift. Candidate joins are deliberately
+    one-sided (full index x batch-restricted side) so the batch
+    predicate prunes BELOW the band self-join; a disjunctive
+    ``a-in-batch OR b-in-batch`` filter referencing both sides is only
+    evaluable post-match and degrades every pass to a full index x
+    index join (O(index²) per hot band, growing quadratically over a
+    stream).
+
+    ``symmetric=False``: arrival order == id order (id-ranged
+    batches), so every newly-discoverable pair has its LARGER id in
+    the batch — one join, b side restricted. ``symmetric=True``:
+    arrival order is independent of id order (hash-split streams), so
+    a pair is discovered in the batch of its later-ARRIVING member,
+    which can sit on either side — two one-sided joins, unioned;
+    ``distinct`` collapses pairs caught by both legs.
+    """
+    banded = seen.withColumn("__in", in_batch).select(
+        "id", "__in", F.explode("bands").alias("band")
+    )
+    batch_banded = banded.filter(F.col("__in"))
+
+    def leg(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.alias("a")
+            .join(b.alias("b"), "band")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a_id"),
+                    F.col("b.id").alias("b_id"))
+        )
+
+    cand = leg(banded, batch_banded)
+    if symmetric:
+        cand = cand.unionByName(leg(batch_banded, banded))
+    cand = cand.distinct()
+    # no broadcast hints: the index grows with the corpus, so join
+    # strategy stays the planner's size-based call (the q83 lesson)
+    all_toks = seen.select("id", "toks")
+    attached = (
+        cand.join(
+            all_toks.select(F.col("id").alias("a_id"),
+                            F.col("toks").alias("a_toks")), "a_id")
+        .join(
+            all_toks.select(F.col("id").alias("b_id"),
+                            F.col("toks").alias("b_toks")), "b_id")
+    )
+    return (
+        jaccard_verified(attached, threshold=threshold)
+        .select(F.col("b_id").alias("id")).distinct()
+    )

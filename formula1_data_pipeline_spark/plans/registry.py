@@ -138,8 +138,7 @@ class ModelRegistry:
             # partition pruning.
             from formula1_data_pipeline_spark.sources.txn import (
                 read_table,
-                txn_merge,
-                txn_replace,
+                txn_overwrite,
             )
 
             path = f"{materialize_to}/{name}"
@@ -147,21 +146,21 @@ class ModelRegistry:
             pk = model.partition_key
             pk_type = dict(df.dtypes).get(pk)
             scols = [c for c in model.stats_cols if c in cols] or None
-            if pk and pk in cols:
-                # storage-partitioned mart (SURVEY §4: marts by
-                # season_year): per-season consumer reads prune to
-                # one partition's segments instead of scanning the
-                # table — the difference between a partition read and
-                # a full scan once the mart is years of history. A
-                # rebuild replaces every season present in the new
-                # build atomically; read-back restores the declared
-                # column order (the partition key rides last
-                # otherwise), so materialized and lazy runs expose
-                # identical schemas.
-                txn_replace(spark, df, path, key=pk, stats_cols=scols)
-            else:
-                txn_merge(spark, path, lambda _existing: df,
-                          stats_cols=scols)
+            # Full overwrite, not txn_replace: a rebuild's output must
+            # equal the build exactly — replace-by-key would carry
+            # forward partitions (seasons) the new build no longer
+            # produces (round-6 review finding). Keyed marts stay
+            # storage-partitioned (SURVEY §4: marts by season_year),
+            # so per-season consumer reads prune to one partition's
+            # segments instead of scanning the table; read-back
+            # restores the declared column order (the partition key
+            # rides last otherwise), so materialized and lazy runs
+            # expose identical schemas.
+            txn_overwrite(
+                spark, df, path,
+                key=pk if pk and pk in cols else None,
+                stats_cols=scols,
+            )
             out = read_table(spark, path)
             if pk and pk in cols:
                 # read_table restores partition values as strings

@@ -1065,8 +1065,8 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
     from formula1_data_pipeline_spark.operators.dedup import (
         _sig_agg,
         hashed_token_sets_df,
-        jaccard_verified,
         minhash_bands,
+        seen_index_neardup_dropped,
     )
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
@@ -1109,30 +1109,14 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
             idx_path, compact_threshold=None,
         )
         seen = read_table(spark, idx_path)
-        banded = seen.select(
-            "id", F.explode("bands").alias("band")
-        )
-        all_toks = seen.select("id", "toks")
-        in_batch = F.col("b.id") > lo if lo is not None else F.lit(True)
-        cand = (
-            banded.alias("a")
-            .join(banded.alias("b"), "band")
-            .filter((F.col("a.id") < F.col("b.id")) & in_batch)
-            .select(F.col("a.id").alias("a_id"),
-                    F.col("b.id").alias("b_id"))
-            .distinct()
-        )
-        attached = (
-            cand.join(
-                all_toks.select(F.col("id").alias("a_id"),
-                                F.col("toks").alias("a_toks")), "a_id")
-            .join(
-                all_toks.select(F.col("id").alias("b_id"),
-                                F.col("toks").alias("b_toks")), "b_id")
-        )
-        dropped = (
-            jaccard_verified(attached, threshold=threshold)
-            .select(F.col("b_id").alias("id")).distinct()
+        # shared incremental pass (operators.dedup, also the q88
+        # streaming body): id-ranged batches mean arrival order == id
+        # order, so every new pair's LARGER id is in the batch —
+        # symmetric=False, one b-restricted join
+        dropped = seen_index_neardup_dropped(
+            seen,
+            F.col("id") > lo if lo is not None else F.lit(True),
+            threshold=threshold,
         )
         verdicts = (
             batch.select(F.col("doc_id").alias("id"))

@@ -621,11 +621,19 @@ AUTO_COMPACT_DIRS = 16
 # commit vacuums superseded state with these bounds, so a long-lived
 # table's disk footprint is maintained by its own write path instead
 # of a caller remembering to call ``vacuum``. The age floor keeps
-# every version younger than an hour time-travelable (and protects
+# every recently-SUPERSEDED version time-travelable (and protects
 # in-flight commits' staged dirs); raise KEEP_VERSIONS for longer
 # pinned history, set ``auto_vacuum=False`` per call to disable.
+# ``txn_merge`` only vacuums every EVERY-th version: a vacuum pass
+# stats one manifest per retained version, and merge is the hot path
+# of streaming foreachBatch landings — per-commit vacuuming there is
+# O(commits-in-age-window) metadata ops per micro-batch (quadratic
+# over a stream's first hour) that mostly deletes nothing. Compaction
+# is already amortized (~1/AUTO_COMPACT_DIRS commits), so it vacuums
+# every time.
 AUTO_VACUUM_KEEP_VERSIONS = 1
 AUTO_VACUUM_MIN_AGE_SEC = 3600.0
+AUTO_VACUUM_EVERY = 16
 
 
 def _live_dirs(segments: list[dict]) -> int:
@@ -710,6 +718,27 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
 
     return _commit_staged(spark, df, table, key, merge,
                           pre_publish_hook, compact_threshold, stats_cols)
+
+
+def txn_overwrite(spark: SparkSession, df: DataFrame, table: str,
+                  key: str | None = None, pre_publish_hook=None,
+                  stats_cols: list[str] | None = None) -> int:
+    """Atomic FULL overwrite: the next manifest references exactly the
+    staged segments — nothing is carried forward, so partitions absent
+    from ``df`` are gone from the new version (``mode("overwrite")``
+    semantics, but published atomically: readers see the old table or
+    the new one in full, never a deleted-then-half-written mix).
+    Unlike ``txn_replace``, which replaces only the key partitions
+    PRESENT in the batch, this is the right op for a full rebuild
+    whose output must equal the build exactly (round-6 review finding:
+    a mart rebuild through txn_replace silently kept seasons the new
+    build no longer produced). Keyed tables keep their partition
+    layout; superseded versions age out via vacuum as usual."""
+    return _commit_staged(
+        spark, df, table, key,
+        lambda old, staged: staged,
+        pre_publish_hook, None, stats_cols,
+    )
 
 
 def txn_compact(spark: SparkSession, table: str,
@@ -824,7 +853,7 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
                 pre_publish_hook()
             if _publish(spark, table, next_v, segments, None, scols):
                 staged_dirs.pop()  # committed — don't clean it up
-                if auto_vacuum and next_v > 1:
+                if auto_vacuum and next_v % AUTO_VACUUM_EVERY == 0:
                     vacuum(spark, table,
                            keep_versions=AUTO_VACUUM_KEEP_VERSIONS,
                            min_age_sec=AUTO_VACUUM_MIN_AGE_SEC)
@@ -848,12 +877,17 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1,
            min_age_sec: float = 3600.0) -> int:
     """Drop data dirs unreferenced by any RETAINED manifest, and the
     non-retained manifests themselves. Retained = the ``keep_versions``
-    newest versions, plus every version younger than ``min_age_sec``
-    (so time travel within the age window always resolves, and a
-    reader holding a version resolved up to ``min_age_sec`` ago never
-    loses its manifest mid-read). Returns the number of data dirs
-    removed. Safe order: manifests first, so a crash mid-vacuum never
-    leaves a manifest pointing at deleted data.
+    newest versions, plus every version SUPERSEDED less than
+    ``min_age_sec`` ago — a version's clock starts when its SUCCESSOR
+    manifest appears, not when it was published, because a reader can
+    only have resolved v while v was current. So a reader that
+    resolved its version up to ``min_age_sec`` before the vacuum can
+    never lose that version's manifest or data mid-read, no matter how
+    long the version had been current before being replaced (a
+    2-hour-current v5 superseded by v6 one minute ago is NOT
+    reclaimable for another 59 minutes). Returns the number of data
+    dirs removed. Safe order: manifests first, so a crash mid-vacuum
+    never leaves a manifest pointing at deleted data.
 
     ``min_age_sec`` also guards unreferenced dirs: one younger than
     this may be the staged data of an IN-FLIGHT commit whose manifest
@@ -870,12 +904,16 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1,
         return 0
     cutoff_ms = (time.time() - min_age_sec) * 1000.0
     keep = set(vs[-max(keep_versions, 1):])
+    succ = {vs[i]: vs[i + 1] for i in range(len(vs) - 1)}
     for v in vs:
         if v in keep:
             continue
-        mt = _mtime_ms(spark, _manifest_path(table, v))
+        # superseded-at ≈ successor manifest's mtime; a missing
+        # successor manifest means it was itself vacuumed long ago,
+        # so v was superseded before that — definitely past the floor
+        mt = _mtime_ms(spark, _manifest_path(table, succ[v]))
         if mt is not None and mt > cutoff_ms:
-            keep.add(v)  # retained by age: still time-travelable
+            keep.add(v)  # recently superseded: a reader may hold it
         else:
             _delete(spark, _manifest_path(table, v))
     live: set[str] = set()

@@ -4,6 +4,9 @@ from formula1_data_pipeline_spark.streaming.enrich import (
 from formula1_data_pipeline_spark.streaming.joins import (
     stream_stream_interval_join,
 )
+from formula1_data_pipeline_spark.streaming.neardup import (
+    stream_neardup_dedup,
+)
 from formula1_data_pipeline_spark.streaming.rest import (
     RateLimitedClient,
     batch_rest_ingest,
@@ -24,13 +27,11 @@ __all__ = [
     "RateLimitedClient",
     "batch_rest_ingest",
     "stateful_first_seen",
+    "stream_merge_upsert",
+    "stream_neardup_dedup",
     "stream_rest_ingest",
     "stream_static_join_agg",
-    "stream_merge_upsert",
     "stream_stateful_dedup",
     "stream_stream_interval_join",
     "stream_windowed_agg",
 ]
-from formula1_data_pipeline_spark.streaming.neardup import (  # noqa: F401
-    stream_neardup_dedup,
-)

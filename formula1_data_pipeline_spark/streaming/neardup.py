@@ -49,8 +49,8 @@ def stream_neardup_dedup(
     from formula1_data_pipeline_spark.operators.dedup import (
         _sig_agg,
         hashed_token_sets_df,
-        jaccard_verified,
         minhash_bands,
+        seen_index_neardup_dropped,
     )
     from formula1_data_pipeline_spark.sources.sinks import merge_upsert
     from formula1_data_pipeline_spark.sources.txn import (
@@ -89,34 +89,20 @@ def stream_neardup_dedup(
             idx_path, compact_threshold=None,
         )
         seen = read_table(bspark, idx_path)
-        banded = seen.select("id", "bid", F.explode("bands").alias("band"))
-        # every pair touching this batch: catches within-batch pairs
-        # AND retro-pairs whose smaller id arrived only now
-        cur = F.lit(batch_id)
-        cand = (
-            banded.alias("a")
-            .join(banded.alias("b"), "band")
-            .filter(
-                (F.col("a.id") < F.col("b.id"))
-                & ((F.col("a.bid") == cur) | (F.col("b.bid") == cur))
-            )
-            .select(F.col("a.id").alias("a_id"),
-                    F.col("b.id").alias("b_id"))
-            .distinct()
-        )
-        all_toks = seen.select("id", "toks")
-        attached = (
-            cand.join(
-                all_toks.select(F.col("id").alias("a_id"),
-                                F.col("toks").alias("a_toks")), "a_id")
-            .join(
-                all_toks.select(F.col("id").alias("b_id"),
-                                F.col("toks").alias("b_toks")), "b_id")
-        )
+        # shared incremental pass (operators.dedup, also the q87
+        # batch body): hash splits are not id-ordered, so a pair's
+        # later-arriving member can sit on either side —
+        # symmetric=True runs two one-sided (index x batch) joins,
+        # each with the batch predicate pruned BELOW the band join (a
+        # both-sides OR filter would force a full index x index join
+        # per micro-batch, O(index²) per hot band)
         dropped = (
-            jaccard_verified(attached, threshold=threshold)
-            .select(F.col("b_id").alias("doc_id")).distinct()
-            .select("doc_id", F.lit(False).alias("kept"))
+            seen_index_neardup_dropped(
+                seen, F.col("bid") == F.lit(batch_id),
+                threshold=threshold, symmetric=True,
+            )
+            .select(F.col("id").alias("doc_id"),
+                    F.lit(False).alias("kept"))
         )
         arrivals = batch_df.select("doc_id", F.lit(True).alias("kept"))
         # dropped outranks kept: landing is all-string (S4), and
@@ -135,5 +121,13 @@ def stream_neardup_dedup(
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(timeout_sec)
+        # r6 review finding: an unchecked timeout would silently
+        # return a partially-landed verdict table and leak the
+        # still-running query (same guard as streaming/rest.py)
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(
+                f"stream_neardup_dedup did not finish within "
+                f"{timeout_sec}s"
+            )
     return read_table(spark, landing)

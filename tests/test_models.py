@@ -400,6 +400,34 @@ def test_mart_rebuild_into_same_dir_is_atomic_republish(spark, tmp_path):
             .na.fill(0).collect())
     ) == snap1  # pre-rebuild snapshot still resolves
 
+    # round-6 review finding: a rebuild must equal the build EXACTLY —
+    # partitions the new build no longer produces must not survive
+    # from prior versions (txn_replace semantics would keep them).
+    # Plant a bogus extra season on the keyed mart, re-run, assert gone.
+    from formula1_data_pipeline_spark.sources.txn import txn_replace
+
+    keyed = str(tmp_path / "final_f1")
+    bogus = second["final_f1"].withColumn(
+        "season_year",
+        (F.col("season_year").cast("int") + 99).cast("int"))
+    txn_replace(spark, bogus, keyed, key="season_year")
+    assert read_table(spark, keyed).filter(
+        F.col("season_year").cast("int")
+        >= bogus.select(F.min("season_year")).collect()[0][0]
+    ).count() > 0  # planted season is live before the rebuild
+    third = REGISTRY.run(spark, raw, materialize_to=str(tmp_path))
+    years_after = {
+        r["season_year"]
+        for r in read_table(spark, keyed)
+        .select("season_year").distinct().collect()
+    }
+    real_years = {
+        str(r["season_year"])
+        for r in third["final_f1"].select("season_year")
+        .distinct().collect()
+    }
+    assert {str(y) for y in years_after} == real_years, years_after
+
 
 def test_assertion_runner_failure_paths_flip_report_rows(spark):
     """q74 gates the all-pass report; this guards the failure
