@@ -395,6 +395,44 @@ def test_auto_vacuum_bounds_disk_and_keeps_retention_window(
     assert len(snapshots[vs[-1]]) == 50
 
 
+def test_vacuum_retention_keyed_to_supersession_not_publish(
+        spark, tmp_path):
+    """Round-6 review finding: retention must clock from when a
+    version was SUPERSEDED, not when it was published — a version
+    current for hours can be resolved by a reader right up to the
+    moment its successor lands, so 'v1 is old' says nothing about
+    whether a reader still holds it. Backdate v1's manifest and data
+    far past the age floor, commit v2 just now, vacuum: v1 must
+    survive (its successor is young). Backdate v2's manifest too
+    (simulating time passing) and vacuum again: v1 is reclaimed."""
+    import os
+
+    path = str(tmp_path / "t")
+    txn_merge(spark, path, lambda _: _df(spark, [("a", "1")], ["k", "v"]),
+              auto_vacuum=False)
+    old = 1.0  # epoch 1970: far past any age floor
+    os.utime(_manifest_path(path, 1), (old, old))
+    for d in (tmp_path / "t").glob("d-*"):
+        os.utime(d, (old, old))
+    txn_merge(spark, path, lambda _: _df(spark, [("a", "2")], ["k", "v"]),
+              auto_vacuum=False)
+
+    removed = vacuum(spark, path, keep_versions=1, min_age_sec=3600)
+    assert removed == 0
+    # v1 still fully time-travelable: manifest AND data intact
+    assert sorted(map(tuple, read_table(spark, path, version=1)
+                      .collect())) == [("a", "1")]
+
+    # now v2 (the successor) is also old -> v1's supersession is old
+    os.utime(_manifest_path(path, 2), (old, old))
+    for d in (tmp_path / "t").glob("d-*"):
+        os.utime(d, (old, old))
+    removed = vacuum(spark, path, keep_versions=1, min_age_sec=3600)
+    assert removed == 1
+    assert sorted(map(tuple, read_table(spark, path).collect())) \
+        == [("a", "2")]
+
+
 def test_store_adapter_lifts_refusal_and_enforces_conditional_put(spark):
     """Round-6: object-store conditional PUT plugs in via the
     ``sources.stores`` adapter registry. With the in-memory S3-
