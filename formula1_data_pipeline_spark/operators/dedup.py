@@ -699,6 +699,7 @@ def seen_index_neardup_dropped(
     in_batch: Column,
     threshold: float = 0.8,
     symmetric: bool = False,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Drop verdicts for one incremental pass over a near-dup
     *seen-index*: ``seen`` is (id, bands array<long>, toks
@@ -725,24 +726,43 @@ def seen_index_neardup_dropped(
     a pair is discovered in the batch of its later-ARRIVING member,
     which can sit on either side — two one-sided joins, unioned;
     ``distinct`` collapses pairs caught by both legs.
+
+    ``n_salts`` parallelizes the band joins the same way
+    ``minhash_lsh_candidates`` does: the shuffled (band, id) rows are
+    tiny, so AQE coalesces the exchange to ~1 partition — but the
+    pair blowup happens INSIDE the join, which then runs single-task.
+    The full-index side gets ``salt = hash(id) % S``, the batch side
+    replicates across all S salts, so every pair meets in exactly one
+    (band, salt) bucket and a hot band spreads over S tasks (measured
+    ~1.5x on the warm sf0.1 three-batch pass at S=32; S=8 trailed by
+    ~13% — the pair blowup wants the full core count).
     """
     banded = seen.withColumn("__in", in_batch).select(
         "id", "__in", F.explode("bands").alias("band")
     )
     batch_banded = banded.filter(F.col("__in"))
+    all_salts = F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
 
-    def leg(a: DataFrame, b: DataFrame) -> DataFrame:
+    def leg(a: DataFrame, b: DataFrame, batch_is_a: bool) -> DataFrame:
+        # replicate the (smaller) batch side, hash-salt the full side
+        if batch_is_a:
+            a = a.withColumn("salt", all_salts)
+            b = b.withColumn("salt", F.pmod(F.hash("id"), F.lit(n_salts)))
+        else:
+            a = a.withColumn("salt", F.pmod(F.hash("id"), F.lit(n_salts)))
+            b = b.withColumn("salt", all_salts)
         return (
-            a.alias("a")
-            .join(b.alias("b"), "band")
+            a.repartition(n_salts, "band", "salt").alias("a")
+            .join(b.repartition(n_salts, "band", "salt").alias("b"),
+                  ["band", "salt"])
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("a_id"),
                     F.col("b.id").alias("b_id"))
         )
 
-    cand = leg(banded, batch_banded)
+    cand = leg(banded, batch_banded, batch_is_a=False)
     if symmetric:
-        cand = cand.unionByName(leg(batch_banded, banded))
+        cand = cand.unionByName(leg(batch_banded, banded, batch_is_a=True))
     cand = cand.distinct()
     # no broadcast hints: the index grows with the corpus, so join
     # strategy stays the planner's size-based call (the q83 lesson)
