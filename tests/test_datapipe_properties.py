@@ -393,3 +393,71 @@ def test_chunk_then_pack_roundtrip(spark, lens, chunk, overlap_frac,
     for gid, (_, _, nt) in enumerate(chunks):
         assert packed[gid] == (cum // budget, cum % budget), gid
         cum += nt
+
+
+def _seen_index_reference(rows, in_batch_ids, threshold, symmetric):
+    """Driver-side model of seen_index_neardup_dropped: all band-
+    colliding pairs (a < b) where the discovery side is in the batch
+    (b for asymmetric; either member for symmetric), jaccard-verified
+    on token sets; returns the set of dropped (larger) ids."""
+    dropped = set()
+    for i, (a_id, a_bands, a_toks) in enumerate(rows):
+        for b_id, b_bands, b_toks in rows[i + 1:]:
+            a, b = (a_id, a_toks), (b_id, b_toks)
+            if a_id > b_id:
+                a, b = b, a
+            if not set(a_bands) & set(b_bands):
+                continue
+            if symmetric:
+                if a[0] not in in_batch_ids and b[0] not in in_batch_ids:
+                    continue
+            elif b[0] not in in_batch_ids:
+                continue
+            sa, sb = set(a[1]), set(b[1])
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
+                dropped.add(b[0])
+    return dropped
+
+
+def test_seen_index_salting_preserves_verdicts(spark):
+    """The hot-band salting of seen_index_neardup_dropped (hash-salt
+    the full-index side, replicate the batch side) is a pure physical
+    rewrite: every band-colliding pair must meet in exactly one
+    (band, salt) bucket, so the dropped set is identical for
+    n_salts=1 (the unsalted join), the default 32, and a non-divisor
+    salt count — on a corpus where ONE band is hot (every doc shares
+    band 100, the exact pathology the salting spreads) plus disjoint
+    per-pair bands."""
+    from formula1_data_pipeline_spark.operators.dedup import (
+        seen_index_neardup_dropped,
+    )
+
+    rows = []
+    for k in range(20):
+        a_id, b_id = 2 * k, 2 * k + 1
+        shared = list(range(100 * k, 100 * k + 9))
+        # pair members share 9 of 10 tokens (jaccard 9/11 >= 0.8);
+        # docs from different pairs are token-disjoint but ALL share
+        # hot band 100, so every cross pair is a candidate that the
+        # verify must reject
+        rows.append((a_id, [100, 200 + k], shared + [100 * k + 90]))
+        rows.append((b_id, [100, 200 + k], shared + [100 * k + 91]))
+    seen = spark.createDataFrame(
+        rows, "id: long, bands: array<long>, toks: array<long>"
+    )
+    for symmetric in (False, True):
+        in_batch = F.col("id") > 13  # mid-corpus batch boundary
+        expect = _seen_index_reference(
+            rows, {i for i, _, _ in rows if i > 13}, 0.8, symmetric)
+        assert expect, "degenerate fixture: no verified pair in batch"
+        got = {}
+        for n_salts in (1, 5, 32):
+            got[n_salts] = {
+                r["id"]
+                for r in seen_index_neardup_dropped(
+                    seen, in_batch, threshold=0.8,
+                    symmetric=symmetric, n_salts=n_salts,
+                ).collect()
+            }
+            assert got[n_salts] == expect, (symmetric, n_salts)
