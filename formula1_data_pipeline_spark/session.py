@@ -77,6 +77,18 @@ def get_spark(
                 os.path.join(tempfile.gettempdir(), "spark-warehouse"),
             ),
         )
+        # --- heap: local-mode default is 1g for the WHOLE JVM, which
+        #     starves 32 concurrent tasks into spills + GC churn
+        #     (bench runs log MemoryManager >95% warnings). Sized to
+        #     the local worst case (hot-band pair blowups, stream
+        #     state); cluster deployments set executor/driver memory
+        #     per node, so this only governs local[N]. Honored at
+        #     first JVM launch only (launch_gateway passes it to
+        #     spark-submit); a pre-existing session keeps its heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # --- quiet non-interactive runs.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
