@@ -296,6 +296,55 @@ def minhash_bands(sig: Column, n_hashes: int = N_HASHES,
     ])
 
 
+def _salted_band_join(a: DataFrame, b: DataFrame, n_salts: int,
+                      replicate: str = "b") -> DataFrame:
+    """Salted equi-join of two (id, band, ...) frames on ``band`` with
+    ``a.id < b.id`` applied — THE band-join shape for every LSH
+    consumer (the q21 self-join and the q87/q88 seen-index legs share
+    this one implementation so a tuning fix cannot drift).
+
+    Why salt: the shuffled (band, id) rows are tiny, so AQE coalesces
+    the exchange to ~1 partition — but the pair blowup happens INSIDE
+    the join, which then runs single-task. The ``replicate`` side
+    copies each row across all S salts, the other side gets
+    ``salt = hash(id) % S``, so every pair meets in exactly one
+    (band, salt) bucket and a hot band spreads over S tasks.
+    Replication costs S x the tiny banded side, nothing at any scale.
+
+    Partition count: ``max(n_salts, spark.sql.shuffle.partitions)`` —
+    an explicit count is required (a user repartition is what defeats
+    the AQE coalesce), but pinning it to ``n_salts`` alone would cap a
+    64-core/cluster run at 32 tasks; riding the session's shuffle
+    sizing keeps the deliberate opt-out of AQE (including skew-split —
+    the salting itself is the skew mitigation) without capping
+    parallelism below the deployment's own setting.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if replicate not in ("a", "b"):
+        raise ValueError(f"replicate must be 'a' or 'b', got {replicate!r}")
+    try:
+        n_part = max(n_salts, int(
+            a.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):  # non-numeric conf value
+        n_part = n_salts
+    hash_salt = F.pmod(F.hash("id"), F.lit(n_salts))
+    all_salts = F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    salt_a, salt_b = (
+        (all_salts, hash_salt) if replicate == "a" else (hash_salt, all_salts)
+    )
+    return (
+        a.withColumn("salt", salt_a)
+        .repartition(n_part, "band", "salt").alias("a")
+        .join(
+            b.withColumn("salt", salt_b)
+            .repartition(n_part, "band", "salt").alias("b"),
+            ["band", "salt"],
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            n_hashes: int = N_HASHES,
@@ -315,30 +364,11 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
         minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
     )
     banded = sig.select("id", F.posexplode("bands").alias("bidx", "band"))
-    # Salt the band key to parallelize the expansion join: the shuffled
-    # (band, id) rows are tiny, so AQE coalesces the exchange to ~1
-    # partition — but the pair blowup happens INSIDE the join, which
-    # then runs (with the jaccard verify downstream) single-task.
-    # a-side gets salt = hash(id) % S; b-side replicates each row
-    # across all S salts, so every (a, b) pair meets in exactly one
-    # (band, salt) bucket and a hot band spreads over S tasks. The
-    # explicit repartition pins the partitioning (user repartition is
-    # exempt from AQE coalescing); replication costs S x the tiny
-    # banded side, nothing at any scale.
-    a_side = banded.withColumn(
-        "salt", F.pmod(F.hash("id"), F.lit(n_salts))
-    ).repartition(n_salts, "band", "salt")
-    b_side = banded.withColumn(
-        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
-    ).repartition(n_salts, "band", "salt")
-    cand = (
-        a_side.alias("a")
-        .join(b_side.alias("b"), ["band", "salt"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.bidx").alias("bidx"),
-        )
+    # Salted self-join (shared _salted_band_join shape, see its
+    # docstring for the hot-band rationale).
+    cand = _salted_band_join(banded, banded, n_salts).select(
+        F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+        F.col("a.bidx").alias("bidx"),
     )
     # Min-band dedup instead of a global distinct: a pair colliding in
     # k bands appears k times in `cand`; keep only the copy from the
@@ -727,42 +757,26 @@ def seen_index_neardup_dropped(
     which can sit on either side — two one-sided joins, unioned;
     ``distinct`` collapses pairs caught by both legs.
 
-    ``n_salts`` parallelizes the band joins the same way
-    ``minhash_lsh_candidates`` does: the shuffled (band, id) rows are
-    tiny, so AQE coalesces the exchange to ~1 partition — but the
-    pair blowup happens INSIDE the join, which then runs single-task.
-    The full-index side gets ``salt = hash(id) % S``, the batch side
-    replicates across all S salts, so every pair meets in exactly one
-    (band, salt) bucket and a hot band spreads over S tasks (measured
-    ~1.5x on the warm sf0.1 three-batch pass at S=32; S=8 trailed by
-    ~13% — the pair blowup wants the full core count).
+    ``n_salts`` parallelizes the band joins via the shared
+    ``_salted_band_join`` (hash-salt the full-index side, replicate
+    the smaller batch side — measured ~1.5x on the warm sf0.1
+    three-batch pass at S=32; S=8 trailed by ~13%, the pair blowup
+    wants the full core count).
     """
     banded = seen.withColumn("__in", in_batch).select(
         "id", "__in", F.explode("bands").alias("band")
     )
     batch_banded = banded.filter(F.col("__in"))
-    all_salts = F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
 
-    def leg(a: DataFrame, b: DataFrame, batch_is_a: bool) -> DataFrame:
-        # replicate the (smaller) batch side, hash-salt the full side
-        if batch_is_a:
-            a = a.withColumn("salt", all_salts)
-            b = b.withColumn("salt", F.pmod(F.hash("id"), F.lit(n_salts)))
-        else:
-            a = a.withColumn("salt", F.pmod(F.hash("id"), F.lit(n_salts)))
-            b = b.withColumn("salt", all_salts)
-        return (
-            a.repartition(n_salts, "band", "salt").alias("a")
-            .join(b.repartition(n_salts, "band", "salt").alias("b"),
-                  ["band", "salt"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("a_id"),
-                    F.col("b.id").alias("b_id"))
-        )
+    def pair_ids(joined: DataFrame) -> DataFrame:
+        return joined.select(F.col("a.id").alias("a_id"),
+                             F.col("b.id").alias("b_id"))
 
-    cand = leg(banded, batch_banded, batch_is_a=False)
+    cand = pair_ids(_salted_band_join(banded, batch_banded, n_salts))
     if symmetric:
-        cand = cand.unionByName(leg(batch_banded, banded, batch_is_a=True))
+        cand = cand.unionByName(pair_ids(
+            _salted_band_join(batch_banded, banded, n_salts,
+                              replicate="a")))
     cand = cand.distinct()
     # no broadcast hints: the index grows with the corpus, so join
     # strategy stays the planner's size-based call (the q83 lesson)

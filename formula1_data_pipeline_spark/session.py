@@ -23,6 +23,37 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _local_heap_default() -> str:
+    """Heap for a local[N] JVM: half the visible memory limit, capped
+    at 16 GiB, floored at the 1 GiB Spark default. Checks the cgroup
+    v2/v1 limit before /proc/meminfo so a container-limited run never
+    sets -Xmx past what the kernel will actually grant (an -Xmx above
+    the cgroup cap turns graceful spills into an OOM-kill)."""
+    limit_bytes = None
+    for p in ("/sys/fs/cgroup/memory.max",
+              "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+            if raw.isdigit():
+                limit_bytes = int(raw)
+            break
+        except OSError:
+            continue
+    if limit_bytes is None or limit_bytes > 1 << 50:  # "max" / no cap
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        limit_bytes = int(line.split()[1]) * 1024
+                        break
+        except OSError:
+            pass
+    if limit_bytes is None:
+        return "1g"
+    return f"{max(1, min(16, limit_bytes // 2 // (1 << 30)))}g"
+
+
 def get_spark(
     app_name: str = "formula1_data_pipeline_spark",
     master: str | None = None,
@@ -77,22 +108,25 @@ def get_spark(
                 os.path.join(tempfile.gettempdir(), "spark-warehouse"),
             ),
         )
-        # --- heap: local-mode default is 1g for the WHOLE JVM, which
-        #     starves 32 concurrent tasks into spills + GC churn
-        #     (bench runs log MemoryManager >95% warnings). Sized to
-        #     the local worst case (hot-band pair blowups, stream
-        #     state); cluster deployments set executor/driver memory
-        #     per node, so this only governs local[N]. Honored at
-        #     first JVM launch only (launch_gateway passes it to
-        #     spark-submit); a pre-existing session keeps its heap.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
         # --- quiet non-interactive runs.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
+    # --- heap (LOCAL masters only): local-mode defaults to 1g for the
+    #     WHOLE JVM, which starves 32 concurrent tasks into spills +
+    #     GC churn (bench runs log MemoryManager >95% warnings).
+    #     Sized to half the visible cgroup/host memory, capped 16 GiB
+    #     (matched-load A/B: heavy dedup subset 40.8 s vs 48.7 s,
+    #     light queries unchanged); SPARK_GRAFT_DRIVER_MEM overrides.
+    #     Non-local masters are untouched — cluster deployments size
+    #     driver/executor memory per node. Honored at first JVM launch
+    #     only (launch_gateway passes it to spark-submit); a
+    #     pre-existing session keeps its heap.
+    if master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _local_heap_default(),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 

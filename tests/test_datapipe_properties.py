@@ -461,3 +461,24 @@ def test_seen_index_salting_preserves_verdicts(spark):
                 ).collect()
             }
             assert got[n_salts] == expect, (symmetric, n_salts)
+
+
+def test_salted_band_join_rejects_bad_salt_counts(spark):
+    """n_salts=0 would silently produce an EMPTY candidate set (zero
+    replicated rows, NULL pmod salts under non-ANSI) — every near-dup
+    kept, no error. The shared helper must fail fast instead."""
+    import pytest
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        seen_index_neardup_dropped,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, [5], [1, 2]), (2, [5], [1, 2])],
+        "id: long, bands: array<long>, toks: array<long>",
+    )
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_salts"):
+            seen_index_neardup_dropped(
+                seen, F.lit(True), n_salts=bad
+            ).collect()
