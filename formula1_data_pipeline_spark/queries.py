@@ -932,6 +932,9 @@ CHANGED_SINCE_GATE = [
     "q75_time_travel", "q76_incremental_load", "q82_stats_pruned_read",
     # hash-sampled IVF centroids + 3-way soft assignment
     "q34_ivf_flat_topk", "q71_ann_recall",
+    # band self-join rides the shared _salted_band_join (partition
+    # sizing now follows shuffle.partitions)
+    "q21_minhash_lsh",
     # table marts commit through the manifest protocol (stats_cols)
     "q73_materialized_chain", "q74_assertion_runner",
 ]
