@@ -168,3 +168,31 @@ def test_concurrent_materialization_overlaps_independent_branches(
         spans["left_mart"][1], spans["right_mart"][1]), "serial overlapped"
     assert sorted(map(tuple, out1["right_mart"].collect())) == \
         sorted(map(tuple, out["right_mart"].collect()))
+
+
+def test_salted_band_join_partitioning_follows_shuffle_conf(spark):
+    """The salted band join must partition at max(n_salts,
+    spark.sql.shuffle.partitions) — pinning the review fix that a
+    64-core or cluster deployment is not capped at the 32-salt count
+    (the explicit repartition deliberately opts out of AQE coalescing,
+    so the count has to ride the session's own shuffle sizing)."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _salted_band_join,
+    )
+
+    banded = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "id: long, band: long")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for conf_parts, expect in (("64", 64), ("4", 32)):
+            spark.conf.set("spark.sql.shuffle.partitions", conf_parts)
+            plan = (
+                _salted_band_join(banded, banded, n_salts=32)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert f"hashpartitioning(band#" in plan, plan
+            assert f", {expect})" in plan, (conf_parts, plan)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
