@@ -545,3 +545,95 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): hard-assign every embedding to its closest centroid
+    by cosine, then prune within clusters — a doc is dropped iff it
+    has a verified cosine >= ``threshold`` partner with a SMALLER id
+    in its cluster (the repo-wide dedup convention; the paper keeps
+    one representative per epsilon-ball, which this rule implements
+    with a deterministic, oracle-replayable tie-break). Returns
+    (id, cluster, kept).
+
+    vs ``embedding_neardup_pairs`` (q27): LSH buckets block on sign
+    sketches — high precision at 0.99, but recall decays fast at
+    moderate thresholds (a cos ~0.5 pair flips sketch bits). Centroid
+    clustering is the SemDeDup answer for "semantically redundant",
+    not "byte-near" — candidates are every pair in a Voronoi cell, so
+    moderate-threshold pairs are found as long as they co-cluster.
+
+    Scale shape (the paper's own cost model): per-cluster pairwise
+    cosine is O(sum c_i^2) — n_centroids grows with the corpus
+    (~sqrt(N), offline k-means at scale; the deterministic md5
+    hash-sample here mirrors q34's quantizer and swaps out the same
+    way) so cluster size, and with it the quadratic term, stays
+    bounded. The centroid table broadcasts; assignment is map-side
+    plus one skinny (id, cluster) shuffle; the candidate pair join
+    rides the shared ``_salted_band_join`` (cluster key = band key) so
+    a hot cell spreads across the core count; the verify attaches
+    vectors to CANDIDATE pairs only via two id-joins — the corpus
+    never replicates and never broadcasts.
+    """
+    from pyspark.sql import Window
+
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _salted_band_join,
+    )
+
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
+    cent = (
+        base.orderBy(*hrank).limit(n_centroids)
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy(*hrank)) - 1
+        )
+    )
+    coefs = cent.select(
+        "cluster", F.col("nrm").alias("cnorm"),
+        F.posexplode("vec").alias("d", "coef"),
+    )
+    assigned = _ivf_assign(base, coefs, 1, "")
+
+    banded = assigned.select("id", F.col("cluster").alias("band"))
+    cand = _salted_band_join(banded, banded, n_salts=32).select(
+        F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
+    )
+    vecs = assigned.select("id", "vec", "norm")
+    attached = (
+        cand.join(vecs.select(F.col("id").alias("a_id"),
+                              F.col("vec").alias("a_vec"),
+                              F.col("norm").alias("a_norm")), "a_id")
+        .join(vecs.select(F.col("id").alias("b_id"),
+                          F.col("vec").alias("b_vec"),
+                          F.col("norm").alias("b_norm")), "b_id")
+    )
+    # same generator-barrier shape as embedding_neardup_pairs: one
+    # dot-product fold per pair, threshold filter on the Generate
+    # output
+    dropped = (
+        attached.select(
+            "b_id",
+            F.explode(F.array(F.round(
+                cosine_from_norms(F.col("a_vec"), F.col("b_vec"),
+                                  F.col("a_norm"), F.col("b_norm")), 6)))
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("b_id").alias("id")).distinct()
+    )
+    return (
+        assigned.select("id", "cluster")
+        .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select("id", "cluster", F.col("__dropped").isNull().alias("kept"))
+    )

@@ -831,3 +831,75 @@ def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, keys=["fp"],
         order=[F.col("quality").desc(), F.col("doc_id").asc()],
     )
+
+
+@register(
+    "q89_semantic_dedup",
+    f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id, vec,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cluster,
+               sqrt({_SQL_DOT.format(a='vec', b='vec')}) AS cnorm
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), scores AS (
+        SELECT v.vec_id AS id, cent.cluster,
+               {_SQL_DOT.format(a='v.vec', b='cent.vec')}
+               / nullif(cent.cnorm, 0.0) AS score
+        FROM vecs v CROSS JOIN cent
+    ), assign_c AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM scores
+        ) WHERE crank = 1
+    ), dropped AS (
+        SELECT DISTINCT b.id AS id
+        FROM assign_c a
+        JOIN assign_c b USING (cluster)
+        JOIN vecs av ON av.vec_id = a.id
+        JOIN vecs bv ON bv.vec_id = b.id
+        WHERE a.id < b.id
+          AND round(
+                  {_SQL_DOT.format(a='av.vec', b='bv.vec')}
+                  / nullif(sqrt({_SQL_DOT.format(a='av.vec', b='av.vec')})
+                           * sqrt({_SQL_DOT.format(a='bv.vec', b='bv.vec')}),
+                           0.0),
+              6) >= 0.4
+    )
+    SELECT a.id AS vec_id, a.cluster,
+           a.id NOT IN (SELECT id FROM dropped) AS kept
+    FROM assign_c a
+    """,
+    doc="SemDeDup-style semantic dedup (§2.12 composite; Abbas et al. "
+        "2023): hard-assign embeddings to their closest md5-sampled "
+        "centroid (q34's quantizer), pairwise cosine WITHIN clusters "
+        "only, drop a doc iff a verified >= tau partner has a smaller "
+        "id in its cell. Candidates are Voronoi cells, not sign-sketch "
+        "buckets, so moderate-threshold semantic redundancy is found "
+        "where q27's LSH blocking loses recall. The production default "
+        "is tau=0.99; the GATE runs tau=0.4 (synthetic embeddings top "
+        "out at cos~0.51 — 19 docs dropped at sf0.01, non-vacuous). "
+        "Pair cost is the paper's own model: O(sum c_i^2), bounded by "
+        "growing n_centroids ~sqrt(N); the cell pair join rides the "
+        "shared salted band join, verify attaches vectors to "
+        "candidates only",
+)
+def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_dedup(
+        emb, dim=64, n_centroids=16, threshold=0.4,
+        id_col="vec_id", vec_col="embedding",
+    ).select(
+        F.col("id").alias("vec_id"), "cluster", "kept",
+    )
