@@ -145,3 +145,43 @@ def test_arrow_bucketing_matches_column_form(spark):
     assert set(arrow) == set(bulk)
     for key, nrm in arrow.items():
         assert nrm == bulk[key], f"norm mismatch at {key}"
+
+
+def test_semantic_dedup_drops_within_cell_only(spark):
+    """Hand-crafted geometry pinning BOTH semantic-dedup behaviors:
+    ids 0/1 are identical vectors, id 2 a near-dup (cos ~0.995), id 3
+    orthogonal. The md5 sample picks docs 1 and 2 as the two
+    centroids, so 0/1/3 land in cell 0 (3 by the tie-to-lowest rule —
+    it scores 0 against both centroids) and 2 sits alone in cell 1.
+    Expected at tau=0.9: id 1 dropped (identical to smaller-id 0 in
+    its cell), id 0 kept, id 3 kept (cos 0 to its cellmates), and —
+    the documented recall boundary — id 2 KEPT despite being a
+    near-dup of 0/1, because a pair split across Voronoi cells is
+    never a candidate (SemDeDup's accepted miss, mitigated in
+    production by k-means centroids rather than a 2-point sample)."""
+    import pyspark.sql.functions as F
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            emb, dim=4, n_centroids=2, threshold=0.9
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0][0] == out[1][0] == out[3][0]  # cell 0
+    assert out[2][0] != out[0][0]               # own cell (centroid)
+    assert out[0][1] is True          # smallest id of the dup pair kept
+    assert out[1][1] is False         # identical to 0, same cell
+    assert out[2][1] is True          # cross-cell near-dup: the miss
+    assert out[3][1] is True          # orthogonal doc untouched
