@@ -562,7 +562,14 @@ def semantic_dedup(
     in its cluster (the repo-wide dedup convention; the paper keeps
     one representative per epsilon-ball, which this rule implements
     with a deterministic, oracle-replayable tie-break). Returns
-    (id, cluster, kept).
+    (id, cluster, kept) — exactly ONE row per input doc: a NULL or
+    empty embedding has no defined similarity to anything, so such
+    rows come back with ``cluster = -1, kept = true`` instead of
+    silently vanishing through the assignment explode (a vanished
+    verdict row is indistinguishable from "dropped as duplicate"
+    downstream). ``dim`` is accepted for API symmetry with the other
+    embedding operators and ignored (the fold-based dot needs no
+    width; see ``dot``).
 
     vs ``embedding_neardup_pairs`` (q27): LSH buckets block on sign
     sketches — high precision at 0.99, but recall decays fast at
@@ -589,9 +596,11 @@ def semantic_dedup(
         _salted_band_join,
     )
 
-    base = corpus.select(
+    raw = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-    ).withColumn("nrm", norm(F.col("vec")))
+    )
+    degenerate = F.col("vec").isNull() | (F.size("vec") == 0)
+    base = raw.filter(~degenerate).withColumn("nrm", norm(F.col("vec")))
     hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
     cent = (
         base.orderBy(*hrank).limit(n_centroids)
@@ -609,7 +618,11 @@ def semantic_dedup(
     cand = _salted_band_join(banded, banded, n_salts=32).select(
         F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
     )
-    vecs = assigned.select("id", "vec", "norm")
+    # attach from base, NOT from `assigned`: a join side recomputes
+    # its whole subtree, and assigned carries the centroid-assignment
+    # pipeline (the dedup.py lesson — toks from docs, not from sig);
+    # candidates are a subset of base ids, so this is result-identical
+    vecs = base.select("id", "vec", F.col("nrm").alias("norm"))
     attached = (
         cand.join(vecs.select(F.col("id").alias("a_id"),
                               F.col("vec").alias("a_vec"),
@@ -632,8 +645,12 @@ def semantic_dedup(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("b_id").alias("id")).distinct()
     )
-    return (
+    verdicts = (
         assigned.select("id", "cluster")
         .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
         .select("id", "cluster", F.col("__dropped").isNull().alias("kept"))
     )
+    unassignable = raw.filter(degenerate).select(
+        "id", F.lit(-1).alias("cluster"), F.lit(True).alias("kept")
+    )
+    return verdicts.unionByName(unassignable)

@@ -836,10 +836,13 @@ def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q89_semantic_dedup",
     f"""
-    WITH vecs AS (
+    WITH raw0 AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
+    ), vecs AS (
+        SELECT vec_id, vec FROM raw0
+        WHERE vec IS NOT NULL AND len(vec) > 0
     ), cent AS (
         SELECT vec_id, vec,
                row_number() OVER (
@@ -876,6 +879,9 @@ def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.id AS vec_id, a.cluster,
            a.id NOT IN (SELECT id FROM dropped) AS kept
     FROM assign_c a
+    UNION ALL
+    SELECT vec_id, -1 AS cluster, TRUE AS kept
+    FROM raw0 WHERE vec IS NULL OR len(vec) = 0
     """,
     doc="SemDeDup-style semantic dedup (§2.12 composite; Abbas et al. "
         "2023): hard-assign embeddings to their closest md5-sampled "

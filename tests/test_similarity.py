@@ -170,6 +170,8 @@ def test_semantic_dedup_drops_within_cell_only(spark):
         (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [1.0, 0.1, 0.0, 0.0]),
         (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, None),                   # degenerate: NULL embedding
+        (5, []),                     # degenerate: empty embedding
     ]
     emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     out = {
@@ -178,10 +180,14 @@ def test_semantic_dedup_drops_within_cell_only(spark):
             emb, dim=4, n_centroids=2, threshold=0.9
         ).collect()
     }
-    assert sorted(out) == [0, 1, 2, 3]
+    assert sorted(out) == [0, 1, 2, 3, 4, 5]  # ONE row per input doc
     assert out[0][0] == out[1][0] == out[3][0]  # cell 0
     assert out[2][0] != out[0][0]               # own cell (centroid)
     assert out[0][1] is True          # smallest id of the dup pair kept
     assert out[1][1] is False         # identical to 0, same cell
     assert out[2][1] is True          # cross-cell near-dup: the miss
     assert out[3][1] is True          # orthogonal doc untouched
+    # NULL/empty embeddings have no defined similarity: sentinel cell,
+    # kept — they must not vanish (a missing verdict row reads as
+    # "dropped as duplicate" downstream)
+    assert out[4] == (-1, True) and out[5] == (-1, True)
