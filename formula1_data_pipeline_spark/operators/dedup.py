@@ -164,21 +164,41 @@ _MIX_COEFFS = (
 )
 
 
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 mixer (Steele et al., public domain constants) —
+    explicit integer arithmetic, so derived coefficients are stable
+    across Python versions (round-6 ADVICE: ``random.Random.randrange``
+    only guarantees cross-version stability for ``random()``, not the
+    integer methods, so a Python upgrade could silently change
+    signatures the docstring promises are byte-stable)."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
 def _coeffs(i: int) -> tuple[int, int, int]:
     """(A, B, C) for hash function ``i``. The first 16 are the frozen
     literal table above — signatures must stay byte-stable across
     releases. Beyond 16 (the md5-seeded family this replaced had no
     cap, so the API shouldn't either — r5 review finding: IndexError
-    deep in _mix_sql), coefficients derive from a pure-integer seed:
-    deterministic across processes/platforms (no str hashing, so
-    PYTHONHASHSEED can't perturb it)."""
+    deep in _mix_sql), coefficients derive from SplitMix64 over a
+    pure-integer seed: deterministic across processes, platforms, AND
+    Python releases (no str hashing, so PYTHONHASHSEED can't perturb
+    it; no random-module integer methods, whose cross-version
+    stability CPython does not promise)."""
     if i < len(_MIX_COEFFS):
         return _MIX_COEFFS[i]
-    import random
-
-    rnd = random.Random(20260814 * 1000003 + i)
-    return (rnd.randrange(1, 1 << 30), rnd.randrange(1, 1 << 30),
-            rnd.randrange(0, 1 << 30))
+    # 3 draws per function, seeds spaced by 3 so no draw is shared
+    # between adjacent hash functions (A_{i+1} must not equal B_i)
+    seed = 20260814 * 1000003 + 3 * i
+    a = _splitmix64(seed) % ((1 << 30) - 1) + 1
+    b = _splitmix64(seed + 1) % ((1 << 30) - 1) + 1
+    c = _splitmix64(seed + 2) % (1 << 30)
+    return (a, b, c)
 
 
 # Horner multipliers for folding a signature slice into a band key

@@ -156,10 +156,16 @@ class ModelRegistry:
             # restores the declared column order (the partition key
             # rides last otherwise), so materialized and lazy runs
             # expose identical schemas.
+            # auto_vacuum: every rebuild supersedes the whole previous
+            # mart, so without reclamation each REGISTRY.run leaves a
+            # full extra copy on disk forever (round-6 ADVICE); the
+            # AUTO_VACUUM_* age floor still protects concurrent
+            # readers and recent time-travel.
             txn_overwrite(
                 spark, df, path,
                 key=pk if pk and pk in cols else None,
                 stats_cols=scols,
+                auto_vacuum=True,
             )
             out = read_table(spark, path)
             if pk and pk in cols:

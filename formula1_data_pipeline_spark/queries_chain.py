@@ -675,14 +675,14 @@ def q70_fct_driver_laps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "S-row (ref dbt_project.yml:16-19 mart materialization)",
 )
 def q73_materialized_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     from formula1_data_pipeline_spark.plans.models import REGISTRY
 
     raw = synth_raw_tables(spark, sf_dir)
     built = REGISTRY.run(
         spark, raw, targets=["fct_driver_race_summary"],
-        materialize_to=tempfile.mkdtemp(prefix="q73_marts_"),
+        materialize_to=scratch_dir(prefix="q73_marts_"),
     )
     s = built["fct_driver_race_summary"]
     return s.select(
@@ -780,7 +780,7 @@ def q74_assertion_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "every aggregate group lives inside one session partition",
 )
 def q76_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     from formula1_data_pipeline_spark.plans.models import (
         REGISTRY,
@@ -802,7 +802,7 @@ def q76_incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     def race_summary_inc(deps):
         return _race_summary_agg(deps["features"])
 
-    target = tempfile.mkdtemp(prefix="q76_inc_")
+    target = scratch_dir(prefix="q76_inc_")
     for window in ([100, 101, 102], [102, 103, 104, 105]):
         load_feats = feats.filter(F.col("session_key").isin(window))
         final = inc.run(spark, {"features": load_feats},

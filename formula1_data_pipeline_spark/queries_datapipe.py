@@ -927,7 +927,7 @@ def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q83_incremental_corpus_dedup(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    import tempfile
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     from formula1_data_pipeline_spark.operators.dedup import (
         normalized_fingerprint,
@@ -942,7 +942,7 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     b1, b2 = mx // 3, mx * 2 // 3
     bounds = [(None, b1, 0), (b1, b2, 1), (b2, None, 2)]
-    path = tempfile.mkdtemp(prefix="q83_corpus_") + "/t"
+    path = scratch_dir(prefix="q83_corpus_") + "/t"
     for lo, hi, batch_no in bounds:
         batch = docs
         if lo is not None:
@@ -1060,7 +1060,7 @@ def _q87_oracle() -> str:
 )
 def q87_incremental_neardup_dedup(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    import tempfile
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     from formula1_data_pipeline_spark.operators.dedup import (
         _sig_agg,
@@ -1078,7 +1078,7 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     b1, b2 = mx // 3, mx * 2 // 3
     bounds = [(None, b1, 0), (b1, b2, 1), (b2, None, 2)]
-    root = tempfile.mkdtemp(prefix="q87_corpus_")
+    root = scratch_dir(prefix="q87_corpus_")
     idx_path, res_path = f"{root}/seen_index", f"{root}/result"
     for lo, hi, batch_no in bounds:
         batch = docs

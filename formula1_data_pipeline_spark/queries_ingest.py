@@ -32,7 +32,7 @@ DataFrame reads them lazily).
 
 from __future__ import annotations
 
-import tempfile
+from formula1_data_pipeline_spark.scratch import scratch_dir
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,7 +98,7 @@ def q14_ingest_write_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "customer", "supplier")
     cust, supp = t["customer"], t["supplier"]
-    base = tempfile.mkdtemp(prefix="q14_ingest_")
+    base = scratch_dir(prefix="q14_ingest_")
 
     # 1. S4/S5: two disjoint append-only batches into the landing table
     hist = f"{base}/raw_customer"
@@ -184,7 +184,7 @@ def q15_csv_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    base = tempfile.mkdtemp(prefix="q15_roundtrip_")
+    base = scratch_dir(prefix="q15_roundtrip_")
     write_csv(li, f"{base}/csv")
     write_jsonl(li, f"{base}/jsonl")
 
@@ -359,7 +359,7 @@ def q63_rest_ingest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, client, session_key=skey, year=2024
     )
 
-    base = tempfile.mkdtemp(prefix="q63_rest_")
+    base = scratch_dir(prefix="q63_rest_")
     append_raw(raw["laps"], f"{base}/raw_laps")
     append_raw(raw["intervals"], f"{base}/raw_intervals")
     laps = spark.read.parquet(f"{base}/raw_laps")
@@ -480,7 +480,7 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_suppkey") <= 30)
         .select("s_suppkey", "s_acctbal")
     )
-    path = tempfile.mkdtemp(prefix="q75_travel_") + "/t"
+    path = scratch_dir(prefix="q75_travel_") + "/t"
     merge_upsert(spark, sup, path, keys=["s_suppkey"],
                  order=[F.col("s_acctbal").desc_nulls_last()])
     update = sup.filter(F.col("s_suppkey") % 3 == 0).withColumn(
@@ -539,7 +539,7 @@ def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
     lo, half = mx * 3 // 4, mx // 2
-    path = tempfile.mkdtemp(prefix="q82_stats_") + "/t"
+    path = scratch_dir(prefix="q82_stats_") + "/t"
     txn_append(spark, orders.filter(F.col("o_orderkey") <= half), path,
                key="o_orderstatus", stats_cols=["o_orderkey"],
                compact_threshold=None)

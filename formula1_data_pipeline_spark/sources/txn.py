@@ -722,7 +722,8 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
 
 def txn_overwrite(spark: SparkSession, df: DataFrame, table: str,
                   key: str | None = None, pre_publish_hook=None,
-                  stats_cols: list[str] | None = None) -> int:
+                  stats_cols: list[str] | None = None,
+                  auto_vacuum: bool = False) -> int:
     """Atomic FULL overwrite: the next manifest references exactly the
     staged segments — nothing is carried forward, so partitions absent
     from ``df`` are gone from the new version (``mode("overwrite")``
@@ -733,12 +734,26 @@ def txn_overwrite(spark: SparkSession, df: DataFrame, table: str,
     whose output must equal the build exactly (round-6 review finding:
     a mart rebuild through txn_replace silently kept seasons the new
     build no longer produced). Keyed tables keep their partition
-    layout; superseded versions age out via vacuum as usual."""
-    return _commit_staged(
+    layout.
+
+    ``auto_vacuum=True`` reclaims superseded state after a committed
+    overwrite within the ``AUTO_VACUUM_*`` retention bounds (as
+    ``txn_compact`` does — the age floor keeps recent versions
+    time-travelable and in-flight readers safe). An overwrite
+    supersedes EVERY previous segment, so without it a periodically
+    rebuilt mart keeps one full superseded copy per rebuild forever
+    (round-6 ADVICE); callers that want full history keep the
+    default."""
+    ver = _commit_staged(
         spark, df, table, key,
         lambda old, staged: staged,
         pre_publish_hook, None, stats_cols,
     )
+    if auto_vacuum and ver > 0:
+        vacuum(spark, table,
+               keep_versions=AUTO_VACUUM_KEEP_VERSIONS,
+               min_age_sec=AUTO_VACUUM_MIN_AGE_SEC)
+    return ver
 
 
 def txn_compact(spark: SparkSession, table: str,
@@ -868,9 +883,20 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
 
 def _mtime_ms(spark: SparkSession, path: str) -> float | None:
     fs, hpath = _fs(spark, path)
-    if not fs.exists(hpath):
-        return None  # concurrently vacuumed — treat as already gone
-    return fs.getFileStatus(hpath).getModificationTime()
+    # getFileStatus directly and catch the JVM's FileNotFoundException
+    # instead of exists-then-stat: a concurrent vacuum deleting the
+    # path between the two calls would surface the race as an error
+    # (round-6 ADVICE — TOCTOU) where "already gone" is the intended
+    # answer either way.
+    try:
+        return fs.getFileStatus(hpath).getModificationTime()
+    except Exception as e:  # py4j Py4JJavaError wrapping java.io.FNFE
+        jexc = getattr(e, "java_exception", None)
+        if jexc is not None and "FileNotFoundException" in (
+            jexc.getClass().getName()
+        ):
+            return None  # concurrently vacuumed — treat as already gone
+        raise
 
 
 def vacuum(spark: SparkSession, table: str, keep_versions: int = 1,

@@ -29,7 +29,7 @@ call (the q83 lesson).
 from __future__ import annotations
 
 import pathlib
-import tempfile
+from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +62,7 @@ def stream_neardup_dedup(
     )
 
     docs = spark.read.parquet(documents_path).select("doc_id", "text")
-    base = pathlib.Path(tempfile.mkdtemp(prefix="stream_neardup_"))
+    base = pathlib.Path(scratch_dir(prefix="stream_neardup_"))
     src_dir = str(base / "src")
     idx_path = str(base / "seen_index")
     landing = str(base / "verdicts")

@@ -33,7 +33,7 @@ session's dimension-sized latest-state table.
 from __future__ import annotations
 
 import pathlib
-import tempfile
+from formula1_data_pipeline_spark.scratch import scratch_dir
 import threading
 import time
 import uuid
@@ -126,7 +126,7 @@ def stream_rest_ingest(
         order = [F.col("poll").cast("int").desc()]
         order_cols = list(set(order_cols or []) | {"poll"})
 
-    base = pathlib.Path(tempfile.mkdtemp(prefix="stream_rest_"))
+    base = pathlib.Path(scratch_dir(prefix="stream_rest_"))
     schedule_dir = base / "schedule"
     landing = str(base / "landing")
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 import pathlib
-import tempfile
+from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +71,7 @@ def _staged_dir(path: str) -> str:
     per process."""
     key = _cache_key(path)
     if key not in _SRC_DIR_CACHE:
-        src_dir = tempfile.mkdtemp(prefix="stream_src_")
+        src_dir = scratch_dir(prefix="stream_src_")
         p = pathlib.Path(path)
         os.symlink(p, pathlib.Path(src_dir) / p.name)
         _SRC_DIR_CACHE[key] = src_dir
@@ -116,7 +116,7 @@ def run_available_now(
             df.writeStream.format("memory")
             .queryName(qname)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_dir(prefix="ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

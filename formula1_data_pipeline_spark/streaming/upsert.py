@@ -31,7 +31,7 @@ transactional format's MERGE does the same via file-level pruning).
 from __future__ import annotations
 
 import pathlib
-import tempfile
+from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,7 +62,7 @@ def stream_merge_upsert(
     ev = normalize_event_ts(spark.read.parquet(events_path))
     ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
 
-    base = pathlib.Path(tempfile.mkdtemp(prefix="stream_upsert_"))
+    base = pathlib.Path(scratch_dir(prefix="stream_upsert_"))
     src_dir = str(base / "src")
     landing = str(base / "latest_events")
     # split the bounded input into several files so AvailableNow +

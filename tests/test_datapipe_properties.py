@@ -305,6 +305,16 @@ def test_minhash_beyond_16_hashes_works_and_is_stable(spark):
     }
     for doc_id in base:
         assert wide[doc_id][:16] == base[doc_id]  # frozen lanes intact
+    # round-6 ADVICE: derived coefficients now come from an explicit
+    # SplitMix64 mixer (random.Random's integer methods carry no
+    # cross-Python-version stability promise). Pin the first derived
+    # values so any future change to the mixer fails HERE instead of
+    # silently rewriting every >16-hash signature in a landed corpus.
+    from formula1_data_pipeline_spark.operators.dedup import _coeffs
+
+    assert _coeffs(16) == (243511085, 868840971, 1026154000)
+    assert _coeffs(17) == (1008574254, 1044070099, 468571144)
+    assert _coeffs(23) == (899913711, 42412658, 614063727)
 
 
 @settings(max_examples=6, deadline=None)

@@ -861,3 +861,35 @@ def test_retry_reattaches_stats_for_concurrently_widened_cols(
     assert len(c_seg) == 1
     assert set(c_seg[0]["stats"]) == {"v", "w"}
     assert c_seg[0]["stats"]["w"] == ["30", "30"]
+
+
+def test_overwrite_auto_vacuum_reclaims_superseded_copies(
+        spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE (medium): a mart rebuilt via txn_overwrite
+    supersedes EVERY previous segment, so without reclamation each
+    rebuild leaves a full extra copy on disk forever. With
+    auto_vacuum=True the data-dir count stays bounded across many
+    rebuilds (under a zeroed age floor), while auto_vacuum=False
+    keeps all history."""
+    from formula1_data_pipeline_spark.sources import txn as txn_mod
+    from formula1_data_pipeline_spark.sources.txn import txn_overwrite
+
+    monkeypatch.setattr(txn_mod, "AUTO_VACUUM_MIN_AGE_SEC", 0.0)
+
+    def dirs(p):
+        return [d.name for d in p.iterdir() if d.name.startswith("d-")]
+
+    keep = str(tmp_path / "keep")
+    for i in range(5):
+        txn_overwrite(spark, _df(spark, [(f"k{i}", str(i))], ["k", "v"]),
+                      keep)
+    assert len(dirs(tmp_path / "keep")) == 5  # default: full history
+
+    path = str(tmp_path / "t")
+    for i in range(5):
+        txn_overwrite(spark, _df(spark, [(f"k{i}", str(i))], ["k", "v"]),
+                      path, auto_vacuum=True)
+    # keep_versions=1 + the age floor at 0 → only the newest version's
+    # single dir survives each rebuild
+    assert len(dirs(tmp_path / "t")) <= 2, dirs(tmp_path / "t")
+    assert _snapshot(spark, path) == [("k4", "4")]
