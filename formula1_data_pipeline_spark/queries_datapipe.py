@@ -1134,3 +1134,128 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
         F.col("arrival_batch").cast("int").alias("arrival_batch"),
         F.col("kept").cast("boolean").alias("kept"),
     )
+
+
+def _span_ctes(k: int) -> str:
+    """DuckDB CTE chain ending in ``spans(id, span_start, span_end)``
+    — the oracle twin of ``operators.substring.duplicate_spans``
+    (same tokenizer, same 60-bit md5 shingle hash, same min-id
+    cross-doc test, same gaps-and-islands merge), shared by the q90
+    span-list and q91 cleaned-text oracles so they cannot drift."""
+    return f"""toklist AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+    ), sh AS (
+        SELECT id, pos,
+               CAST(('0x' || substr(md5(
+                   array_to_string(toks[pos + 1 : pos + {k}], ' ')
+               ), 1, 15)) AS BIGINT) AS h
+        FROM (
+            SELECT id, toks, unnest(range(0, len(toks) - {k} + 1)) AS pos
+            FROM toklist WHERE len(toks) >= {k}
+        )
+    ), m AS (
+        SELECT id, pos FROM (
+            SELECT id, pos, min(id) OVER (PARTITION BY h) AS first_id
+            FROM sh
+        ) WHERE id > first_id
+    ), isl AS (
+        SELECT id, pos,
+               sum(CASE WHEN prev IS NULL OR pos > prev + {k}
+                   THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY pos) AS island
+        FROM (
+            SELECT id, pos,
+                   lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+            FROM m
+        )
+    ), spans AS (
+        SELECT id, min(pos) AS span_start, max(pos) + {k} - 1 AS span_end
+        FROM isl GROUP BY id, island
+    )"""
+
+
+@register(
+    "q90_crossdoc_span_dedup",
+    f"""
+    WITH {_span_ctes(8)}
+    SELECT id AS doc_id, span_start, span_end,
+           span_end - span_start + 1 AS n_tokens
+    FROM spans
+    """,
+    doc="Cross-document exact-substring (span-level) dedup (§2.12, "
+        "round 7; Lee et al. 2021, arXiv 2107.06499): find byte-"
+        "identical token spans >= 8 tokens shared across documents "
+        "(boilerplate, licenses, quotes) and emit the per-doc cut "
+        "list — the substring-granularity companion every production "
+        "corpus pipeline runs alongside doc-level dedup. A span of "
+        ">= L tokens shared by two docs contains a matching L-gram "
+        "and is fully covered by matching L-grams, so k = L "
+        "positional shingles recover exactly the shared spans; the "
+        "min-id doc keeps its copy (the repo dedup convention — the "
+        "pass is idempotent). Three shuffles total on a 3-int-wide "
+        "shingle stream (doc-id window, hash-min window, island "
+        "merge) — no doc-pair candidates, no quadratic term anywhere; "
+        "a hot boilerplate shingle costs one linear streaming-min "
+        "task, the lower bound for enumerating its occurrences",
+)
+def q90_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.substring import (
+        duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return duplicate_spans(docs, min_span_tokens=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q91_span_cut_corpus",
+    f"""
+    WITH {_span_ctes(8)},
+    tokrows AS (
+        SELECT id, unnest(toks) AS t,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM toklist
+    ), keptagg AS (
+        SELECT tr.id, string_agg(tr.t, ' ' ORDER BY tr.pos) AS clean_text,
+               count(*) AS n_kept
+        FROM tokrows tr
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.id = tr.id
+              AND tr.pos BETWEEN sp.span_start AND sp.span_end
+        )
+        GROUP BY tr.id
+    )
+    SELECT t.id AS doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.n_kept, 0) AS n_kept,
+           len(t.toks) - coalesce(k.n_kept, 0) AS n_cut
+    FROM toklist t LEFT JOIN keptagg k ON k.id = t.id
+    """,
+    doc="Cleaned-corpus projection of q90 (§2.12, round 7): every "
+        "duplicated cross-doc span >= 8 tokens removed from every doc "
+        "except the min-id holder; output is one row per input doc "
+        "with the surviving tokens (tokenizer normal form: lower-"
+        "cased, single-space-joined), '' when the whole doc was cut "
+        "(an exact duplicate). On top of q90's three shuffles this "
+        "adds only linear work: spans explode to their (disjoint) cut "
+        "positions and anti-join the token stream on (id, pos) — no "
+        "pair blowup",
+)
+def q91_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.substring import (
+        cut_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cut_duplicate_spans(docs, min_span_tokens=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_kept",
+        "n_cut",
+    )

@@ -1,0 +1,134 @@
+"""Cross-document exact-substring (span-level) dedup — semantics.
+
+The round-7 verdict's top item: planted-boilerplate fixtures proving
+shared spans are found and cut while non-duplicated text survives,
+plus the covering-shingle identities the operator's correctness rests
+on (sub-L runs survive; within-doc repeats are NOT cross-doc; the
+pass is idempotent on its own output).
+"""
+
+from __future__ import annotations
+
+from formula1_data_pipeline_spark.operators.substring import (
+    cut_duplicate_spans,
+    duplicate_spans,
+)
+
+LICENSE = ("permission is hereby granted free of charge to any person "
+           "obtaining a copy of this software")  # 16 tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _spans(spark, rows, k=8):
+    return {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(_docs(spark, rows),
+                                 min_span_tokens=k).collect()
+    }
+
+
+def test_planted_boilerplate_is_cut_unique_text_survives(spark):
+    """Three docs share a 16-token license paragraph at different
+    offsets; each doc's other tokens are unique. The min-id doc keeps
+    its copy; the later two lose exactly the license span, nothing
+    else."""
+    rows = [
+        (1, f"alpha beta gamma {LICENSE} delta epsilon"),
+        (2, f"{LICENSE} zeta eta theta iota kappa lam mu nu xi"),
+        (3, f"one two three four five six seven eight nine {LICENSE}"),
+    ]
+    # doc 1: license at tokens 3..18; doc 2: 0..15; doc 3: 9..24
+    assert _spans(spark, rows) == {(2, 0, 15), (3, 9, 24)}
+
+    got = {r.doc_id: r for r in
+           cut_duplicate_spans(_docs(spark, rows),
+                               min_span_tokens=8).collect()}
+    assert got[1].clean_text == f"alpha beta gamma {LICENSE} delta epsilon"
+    assert got[1].n_cut == 0
+    assert got[2].clean_text == "zeta eta theta iota kappa lam mu nu xi"
+    assert got[2].n_kept == 9 and got[2].n_cut == 16
+    assert got[3].clean_text == ("one two three four five six seven "
+                                 "eight nine")
+    assert got[3].n_kept == 9 and got[3].n_cut == 16
+
+
+def test_exact_duplicate_doc_is_fully_cut(spark):
+    rows = [(1, LICENSE), (2, LICENSE)]
+    got = {r.doc_id: r for r in
+           cut_duplicate_spans(_docs(spark, rows),
+                               min_span_tokens=8).collect()}
+    assert got[1].clean_text == LICENSE.lower() and got[1].n_cut == 0
+    assert got[2].clean_text == "" and got[2].n_kept == 0
+    assert got[2].n_cut == 16
+
+
+def test_shared_runs_shorter_than_L_survive(spark):
+    """The k = L covering-shingle identity's no-false-positive half: a
+    shared run of L-1 tokens produces no matching L-gram and must not
+    be cut."""
+    seven = "red orange yellow green blue indigo violet"  # 7 tokens
+    rows = [
+        (1, f"{seven} anchor1 one two three four five six seven eight"),
+        (2, f"{seven} anchor2 nine ten eleven twelve thirteen "
+            "fourteen fifteen sixteen"),
+    ]
+    assert _spans(spark, rows, k=8) == set()
+    got = {r.doc_id: r for r in
+           cut_duplicate_spans(_docs(spark, rows),
+                               min_span_tokens=8).collect()}
+    assert got[2].n_cut == 0 and seven in got[2].clean_text
+
+
+def test_within_doc_repetition_is_not_cross_doc(spark):
+    """A doc repeating ITS OWN 8-token phrase twice is q65's
+    repetition signal, not cross-document duplication — no other doc
+    has the phrase, so nothing is cut."""
+    phrase = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, f"{phrase} dog and then again {phrase} dog"),
+        (2, "completely different words with no overlap at all here"),
+    ]
+    assert _spans(spark, rows, k=8) == set()
+
+
+def test_overlapping_and_adjacent_matches_merge_to_maximal_spans(spark):
+    """A 20-token shared region yields 13 matching 8-gram starts; they
+    must merge into ONE maximal span, not 13 overlapping ones."""
+    twenty = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, f"{twenty} uniqueone uniquetwo"),
+        (2, f"prefixa prefixb prefixc {twenty} tailone"),
+    ]
+    assert _spans(spark, rows) == {(2, 3, 22)}
+
+
+def test_two_separate_shared_spans_stay_separate(spark):
+    """Two shared 8-token regions separated by a >k unique gap in the
+    later doc must come out as two spans."""
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    gap = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, f"{a} filler1 filler2 {b}"),
+        (2, f"{a} {gap} {b}"),
+    ]
+    assert _spans(spark, rows) == {(2, 0, 7), (2, 18, 25)}
+
+
+def test_idempotent_on_own_output(spark):
+    """Re-running the pass on the cleaned corpus finds nothing: every
+    duplicated span survives in exactly one (min-id) place."""
+    rows = [
+        (1, f"alpha beta gamma {LICENSE} delta epsilon"),
+        (2, f"{LICENSE} zeta eta theta iota kappa lam mu nu xi"),
+        (3, f"one two three four five six seven eight nine {LICENSE}"),
+        (4, LICENSE),
+    ]
+    cleaned = cut_duplicate_spans(
+        _docs(spark, rows), min_span_tokens=8
+    ).selectExpr("doc_id", "clean_text AS text")
+    assert duplicate_spans(cleaned, min_span_tokens=8,
+                           id_col="doc_id").count() == 0
