@@ -372,7 +372,7 @@ def ann_lsh_topk(
 
 
 def _ivf_assign(base: DataFrame, coefs: DataFrame, n_best: int,
-                out_prefix: str) -> DataFrame:
+                out_prefix: str, with_rank: bool = False) -> DataFrame:
     """Assign each (id, vec, nrm) row to its ``n_best`` closest
     centroids by cosine (constant |x| dropped from the argmax).
 
@@ -380,7 +380,10 @@ def _ivf_assign(base: DataFrame, coefs: DataFrame, n_best: int,
     (d, cluster, coef, cnorm) centroid table, one codegen'd SUM per
     (id, cluster) — the centroid set stays tiny (offline k-means at
     scale), so assignment is map-side work plus one skinny shuffle.
-    Ties break to the lowest cluster id, mirrored in the oracle."""
+    Ties break to the lowest cluster id, mirrored in the oracle.
+    ``with_rank`` keeps the closeness rank (1 = primary cell) so
+    consumers that soft-assign can still report one primary cell per
+    vector without a second scoring pass."""
     from pyspark.sql import Window
 
     ex = base.select("id", F.posexplode("vec").alias("d", "val"))
@@ -400,14 +403,17 @@ def _ivf_assign(base: DataFrame, coefs: DataFrame, n_best: int,
     assigned = (
         scores.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_best)
-        .select("id", "cluster")
+        .select("id", "cluster", "crank")
     )
-    return base.join(assigned, "id").select(
+    cols = [
         F.col("id").alias(f"{out_prefix}id"),
         F.col("vec").alias(f"{out_prefix}vec"),
         F.col("nrm").alias(f"{out_prefix}norm"),
-        "cluster",
-    )
+        F.col("cluster"),
+    ]
+    if with_rank:
+        cols.append(F.col("crank"))
+    return base.join(assigned, "id").select(*cols)
 
 
 def ivf_flat_topk(
@@ -552,6 +558,7 @@ def semantic_dedup(
     dim: int,
     n_centroids: int = 16,
     threshold: float = 0.99,
+    n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -577,6 +584,16 @@ def semantic_dedup(
     clustering is the SemDeDup answer for "semantically redundant",
     not "byte-near" — candidates are every pair in a Voronoi cell, so
     moderate-threshold pairs are found as long as they co-cluster.
+
+    ``n_assign`` (round 7) is the FAISS-style soft-assignment recall
+    knob q34 already uses for queries: each vector is indexed in its
+    ``n_assign`` closest cells, so a pair straddling a Voronoi
+    boundary (the paper's own documented miss) becomes a candidate as
+    long as the two vectors share ANY of their cells. Candidate cost
+    grows ~``n_assign``x per cell (pairs found in several shared
+    cells are deduped before verification); the reported ``cluster``
+    stays the PRIMARY (closest) cell, and verdicts stay one row per
+    doc.
 
     Scale shape (the paper's own cost model): per-cluster pairwise
     cosine is O(sum c_i^2) — n_centroids grows with the corpus
@@ -612,12 +629,16 @@ def semantic_dedup(
         "cluster", F.col("nrm").alias("cnorm"),
         F.posexplode("vec").alias("d", "coef"),
     )
-    assigned = _ivf_assign(base, coefs, 1, "")
+    assigned = _ivf_assign(base, coefs, n_assign, "", with_rank=True)
 
     banded = assigned.select("id", F.col("cluster").alias("band"))
     cand = _salted_band_join(banded, banded, n_salts=32).select(
         F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")
     )
+    if n_assign > 1:
+        # a pair sharing several of its soft-assigned cells surfaces
+        # once per shared cell — dedup before the (expensive) verify
+        cand = cand.distinct()
     # attach from base, NOT from `assigned`: a join side recomputes
     # its whole subtree, and assigned carries the centroid-assignment
     # pipeline (the dedup.py lesson — toks from docs, not from sig);
@@ -646,7 +667,7 @@ def semantic_dedup(
         .select(F.col("b_id").alias("id")).distinct()
     )
     verdicts = (
-        assigned.select("id", "cluster")
+        assigned.filter(F.col("crank") == 1).select("id", "cluster")
         .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
         .select("id", "cluster", F.col("__dropped").isNull().alias("kept"))
     )

@@ -856,12 +856,14 @@ def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_SQL_DOT.format(a='v.vec', b='cent.vec')}
                / nullif(cent.cnorm, 0.0) AS score
         FROM vecs v CROSS JOIN cent
+    ), ranked_a AS (
+        SELECT id, cluster, row_number() OVER (
+            PARTITION BY id ORDER BY score DESC, cluster ASC
+        ) AS crank FROM scores
     ), assign_c AS (
-        SELECT id, cluster FROM (
-            SELECT id, cluster, row_number() OVER (
-                PARTITION BY id ORDER BY score DESC, cluster ASC
-            ) AS crank FROM scores
-        ) WHERE crank = 1
+        SELECT id, cluster FROM ranked_a WHERE crank <= 2
+    ), pri AS (
+        SELECT id, cluster FROM ranked_a WHERE crank = 1
     ), dropped AS (
         SELECT DISTINCT b.id AS id
         FROM assign_c a
@@ -876,26 +878,31 @@ def q86_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                            0.0),
               6) >= 0.4
     )
-    SELECT a.id AS vec_id, a.cluster,
-           a.id NOT IN (SELECT id FROM dropped) AS kept
-    FROM assign_c a
+    SELECT p.id AS vec_id, p.cluster,
+           p.id NOT IN (SELECT id FROM dropped) AS kept
+    FROM pri p
     UNION ALL
     SELECT vec_id, -1 AS cluster, TRUE AS kept
     FROM raw0 WHERE vec IS NULL OR len(vec) = 0
     """,
     doc="SemDeDup-style semantic dedup (§2.12 composite; Abbas et al. "
-        "2023): hard-assign embeddings to their closest md5-sampled "
-        "centroid (q34's quantizer), pairwise cosine WITHIN clusters "
-        "only, drop a doc iff a verified >= tau partner has a smaller "
-        "id in its cell. Candidates are Voronoi cells, not sign-sketch "
+        "2023): assign embeddings to their md5-sampled centroids "
+        "(q34's quantizer), pairwise cosine WITHIN cells only, drop a "
+        "doc iff a verified >= tau partner has a smaller id in a "
+        "shared cell. Candidates are Voronoi cells, not sign-sketch "
         "buckets, so moderate-threshold semantic redundancy is found "
-        "where q27's LSH blocking loses recall. The production default "
-        "is tau=0.99; the GATE runs tau=0.4 (synthetic embeddings top "
-        "out at cos~0.51 — 19 docs dropped at sf0.01, non-vacuous). "
-        "Pair cost is the paper's own model: O(sum c_i^2), bounded by "
-        "growing n_centroids ~sqrt(N); the cell pair join rides the "
-        "shared salted band join, verify attaches vectors to "
-        "candidates only",
+        "where q27's LSH blocking loses recall. Round 7: the gate "
+        "runs n_assign=2 soft assignment (FAISS-style, as q34 already "
+        "did for probes) — each vector is indexed in its 2 closest "
+        "cells, so boundary-straddling pairs (the paper's documented "
+        "miss, unit-tested at n_assign=1) become candidates when they "
+        "share either cell; the reported cluster stays the primary "
+        "cell. The production default is tau=0.99; the GATE runs "
+        "tau=0.4 (synthetic embeddings top out at cos~0.51 — "
+        "non-vacuous). Pair cost stays the paper's own model: "
+        "O(n_assign * sum c_i^2), bounded by growing n_centroids "
+        "~sqrt(N); the cell pair join rides the shared salted band "
+        "join, verify attaches vectors to candidates only",
 )
 def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.similarity import (
@@ -904,7 +911,7 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return semantic_dedup(
-        emb, dim=64, n_centroids=16, threshold=0.4,
+        emb, dim=64, n_centroids=16, threshold=0.4, n_assign=2,
         id_col="vec_id", vec_col="embedding",
     ).select(
         F.col("id").alias("vec_id"), "cluster", "kept",

@@ -191,3 +191,21 @@ def test_semantic_dedup_drops_within_cell_only(spark):
     # kept — they must not vanish (a missing verdict row reads as
     # "dropped as duplicate" downstream)
     assert out[4] == (-1, True) and out[5] == (-1, True)
+
+    # round 7: n_assign=2 soft assignment closes exactly that miss —
+    # id 2's second-closest cell is cell 0, so the straddling pairs
+    # (0,2)/(1,2) become candidates and id 2 IS dropped (cos ~0.995
+    # to smaller-id 0), while its reported cluster stays the primary
+    # cell and everything else is unchanged
+    soft = {
+        r["id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            emb, dim=4, n_centroids=2, threshold=0.9, n_assign=2
+        ).collect()
+    }
+    assert sorted(soft) == [0, 1, 2, 3, 4, 5]   # still one row per doc
+    assert soft[2][0] == out[2][0]              # primary cell reported
+    assert soft[2][1] is False                  # straddling pair found
+    assert soft[0][1] is True and soft[1][1] is False
+    assert soft[3][1] is True
+    assert soft[4] == (-1, True) and soft[5] == (-1, True)
