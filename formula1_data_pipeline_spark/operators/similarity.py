@@ -416,6 +416,98 @@ def _ivf_assign(base: DataFrame, coefs: DataFrame, n_best: int,
     return base.join(assigned, "id").select(*cols)
 
 
+def _hash_sample_coefs(base: DataFrame, n_centroids: int) -> DataFrame:
+    """(cluster, cnorm, d, coef) centroid table from the deterministic
+    md5 hash-sample of ``base`` (id, vec, nrm) — the shared quantizer
+    init of q34/q89 (see ``ivf_flat_topk``'s docstring for why a hash
+    order, not first-n ids). ``train_ivf_centroids`` refines it with
+    Lloyd iterations; any (cluster, cnorm, d, coef) table plugs into
+    the same consumers."""
+    from pyspark.sql import Window
+
+    hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
+    cent = (
+        base.orderBy(*hrank).limit(n_centroids)
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy(*hrank)) - 1
+        )
+    )
+    return cent.select(
+        "cluster", F.col("nrm").alias("cnorm"),
+        F.posexplode("vec").alias("d", "coef"),
+    )
+
+
+def train_ivf_centroids(
+    vecs: DataFrame,
+    n_centroids: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd (k-means) quantizer training: md5 hash-sample
+    init, then ``n_iter`` rounds of cosine-assign + per-cluster mean.
+    Returns the (cluster, cnorm, d, coef) coefficient table that
+    ``ivf_flat_topk(centroid_coefs=...)`` and ``semantic_dedup``'s
+    assignment consume — the "production swaps in offline k-means"
+    one-line change those docstrings promise, as an operator.
+
+    Scale shape (the MLlib KMeans pattern): per iteration ONE
+    assignment pass over the corpus (explode + broadcast centroid
+    join + codegen'd SUM per (id, cluster) — map-side work plus a
+    skinny shuffle) and ONE per-cluster mean aggregation (map-side
+    partial agg; ships n_centroids x dim partial sums). Centroids
+    live on the driver between iterations — n_centroids x dim doubles,
+    a bounded scalar at any corpus size since n_centroids ~ sqrt(N)
+    stays quantizer-sized — so the lazy plan never deepens with
+    iterations. Clusters that lose every member carry their previous
+    centroid forward (no vanishing cells). n_iter is a fixed bound,
+    not a convergence loop.
+
+    Determinism: mean aggregation is IEEE-double and partial-sum
+    order depends on partitioning, so trained centroids can differ in
+    final ulps between runs. Consumers must gate on RECALL BOUNDS
+    (q92), never value-hash a trained quantizer's output — unlike the
+    hash-sample init, which is exactly reproducible (q34's oracle
+    replays it).
+    """
+    spark = vecs.sparkSession
+    base = vecs.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+
+    # centroids: {cluster: [coef per dim]} — driver-resident, tiny
+    cent: dict[int, list[float]] = {}
+    for r in _hash_sample_coefs(base, n_centroids).collect():
+        cent.setdefault(r["cluster"], {})[r["d"]] = r["coef"]
+    cent = {c: [dd[d] for d in sorted(dd)] for c, dd in cent.items()}
+
+    def coefs_df() -> DataFrame:
+        rows = []
+        for c, vec in sorted(cent.items()):
+            cn = sum(x * x for x in vec) ** 0.5
+            rows.extend((c, cn, d, x) for d, x in enumerate(vec))
+        return spark.createDataFrame(
+            rows, "cluster int, cnorm double, d int, coef double"
+        )
+
+    for _ in range(n_iter):
+        assigned = _ivf_assign(base, coefs_df(), 1, "")
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("d", "val")
+            )
+            .groupBy("cluster", "d")
+            .agg(F.avg("val").alias("coef"))
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in means.collect():  # <= n_centroids x dim rows
+            new.setdefault(r["cluster"], {})[r["d"]] = r["coef"]
+        for c, dd in new.items():  # empty clusters keep previous
+            cent[c] = [dd[d] for d in sorted(dd)]
+    return coefs_df()
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -426,6 +518,7 @@ def ivf_flat_topk(
     n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_coefs: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into
     ``n_centroids`` inverted lists (each vector joins its ``n_assign``
@@ -459,6 +552,10 @@ def ivf_flat_topk(
     Scale shape: candidate volume is ~n_probe/n_centroids of the
     corpus per query; the corpus shuffles once on cluster keys, the
     probed query side broadcasts. Output schema matches cosine_topk.
+
+    ``centroid_coefs``: optional pre-trained (cluster, cnorm, d, coef)
+    quantizer table (``train_ivf_centroids``, or any offline k-means)
+    — replaces the hash-sample init; ``n_centroids`` is then ignored.
     """
     from pyspark.sql import Window
 
@@ -469,16 +566,9 @@ def ivf_flat_topk(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
 
-    hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
-    cent = (
-        base_c.orderBy(*hrank).limit(n_centroids)
-        .withColumn(
-            "cluster", F.row_number().over(Window.orderBy(*hrank)) - 1
-        )
-    )
-    coefs = cent.select(
-        "cluster", F.col("nrm").alias("cnorm"),
-        F.posexplode("vec").alias("d", "coef"),
+    coefs = (
+        centroid_coefs if centroid_coefs is not None
+        else _hash_sample_coefs(base_c, n_centroids)
     )
 
     c = _ivf_assign(base_c, coefs, n_assign, "n_")
@@ -607,8 +697,6 @@ def semantic_dedup(
     vectors to CANDIDATE pairs only via two id-joins — the corpus
     never replicates and never broadcasts.
     """
-    from pyspark.sql import Window
-
     from formula1_data_pipeline_spark.operators.dedup import (
         _salted_band_join,
     )
@@ -618,17 +706,7 @@ def semantic_dedup(
     )
     degenerate = F.col("vec").isNull() | (F.size("vec") == 0)
     base = raw.filter(~degenerate).withColumn("nrm", norm(F.col("vec")))
-    hrank = [F.md5(F.col("id").cast("string")), F.col("id")]
-    cent = (
-        base.orderBy(*hrank).limit(n_centroids)
-        .withColumn(
-            "cluster", F.row_number().over(Window.orderBy(*hrank)) - 1
-        )
-    )
-    coefs = cent.select(
-        "cluster", F.col("nrm").alias("cnorm"),
-        F.posexplode("vec").alias("d", "coef"),
-    )
+    coefs = _hash_sample_coefs(base, n_centroids)
     assigned = _ivf_assign(base, coefs, n_assign, "", with_rank=True)
 
     banded = assigned.select("id", F.col("cluster").alias("band"))

@@ -916,3 +916,89 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id").alias("vec_id"), "cluster", "kept",
     )
+
+
+@register(
+    "q92_ann_recall_clustered",
+    """
+    SELECT 'ivf_hash' AS method, 100 AS n_exact, true AS recall_ok
+    UNION ALL
+    SELECT 'ivf_lloyd', 100, true
+    UNION ALL
+    SELECT 'ivf_lloyd_beats_hash', 100, true
+    UNION ALL
+    SELECT 'lsh', 100, true
+    """,
+    doc="ANN recall gate on CLUSTERED embeddings (round 7; closes the "
+        "round-6 finding that the driver-shipped structure-free "
+        "gaussian table cannot distinguish a working quantizer from a "
+        "broken one — recall there is candidate-fraction-bound, "
+        "SCALE.md r6). The fixture is evalsets.clustered_embeddings: "
+        "a seeded 20-component gaussian mixture (2000 x 16, std 0.6) "
+        "where neighbors co-cluster, so cell quality IS recall. Four "
+        "assertions, all computed in-query against the exact top-5 "
+        "denominator and replayed literally by the oracle: the "
+        "hash-sample-init IVF (20 cells, 1 probe) >= 0.55 (measured "
+        "0.71 — a regression to random assignment measures ~0.10 and "
+        "FAILS), the Lloyd-trained IVF (train_ivf_centroids, 5 "
+        "iterations, same probe budget) >= 0.85 (measured 0.95), "
+        "Lloyd >= hash-sample (training must not hurt), and the 16x5 "
+        "LSH >= 0.90. Lloyd centroids are float means (partial-sum "
+        "order varies), so the gate asserts BOUNDS, never value-"
+        "hashes — the reason trained quantizers are gated here and "
+        "not in q34's exact-replay oracle",
+)
+def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from formula1_data_pipeline_spark.evalsets import clustered_embeddings
+    from formula1_data_pipeline_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+        ivf_flat_topk,
+        train_ivf_centroids,
+    )
+
+    emb = clustered_embeddings(spark, n=2000, dim=16, n_clusters=20,
+                               std=0.6, seed=7)
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def pairs(df):
+        return {(r.q_id, r.n_id)
+                for r in df.select("q_id", "n_id").collect()}
+
+    def lloyd_pairs():
+        # training is sequential (5 bounded Lloyd rounds), then the
+        # probe pipeline — one thread, same pattern as the other legs
+        coefs = train_ivf_centroids(emb, n_centroids=20, n_iter=5,
+                                    id_col="vec_id",
+                                    vec_col="embedding")
+        return pairs(ivf_flat_topk(
+            emb, queries, dim=16, k=5, n_probe=1,
+            id_col="vec_id", vec_col="embedding",
+            centroid_coefs=coefs))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_exact = pool.submit(pairs, cosine_topk(
+            emb, queries, k=5, id_col="vec_id", vec_col="embedding"))
+        f_lsh = pool.submit(pairs, ann_lsh_topk(
+            emb, queries, dim=16, k=5, n_tables=16, n_planes=5,
+            id_col="vec_id", vec_col="embedding"))
+        f_hash = pool.submit(pairs, ivf_flat_topk(
+            emb, queries, dim=16, k=5, n_centroids=20, n_probe=1,
+            id_col="vec_id", vec_col="embedding"))
+        f_lloyd = pool.submit(lloyd_pairs)
+        exact = f_exact.result()
+        lsh, hash_p, lloyd_p = (f_lsh.result(), f_hash.result(),
+                                f_lloyd.result())
+    r_hash = len(exact & hash_p) / len(exact)
+    r_lloyd = len(exact & lloyd_p) / len(exact)
+    rows = [
+        ("ivf_hash", len(exact), r_hash >= 0.55),
+        ("ivf_lloyd", len(exact), r_lloyd >= 0.85),
+        ("ivf_lloyd_beats_hash", len(exact), r_lloyd >= r_hash),
+        ("lsh", len(exact), len(exact & lsh) >= 0.90 * len(exact)),
+    ]
+    return spark.createDataFrame(
+        rows, "method string, n_exact long, recall_ok boolean"
+    )
