@@ -971,7 +971,11 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
             # pins the shuffle path under autoBroadcastJoinThreshold=-1).
             landed = read_table(spark, path).select("fp")
             batch = batch.join(landed, "fp", "left_anti")
-        txn_append(spark, batch, path, compact_threshold=None)
+        # default compact_threshold: a long-running deployment
+        # appends one segment per batch forever — auto-compaction
+        # (amortized ~1/AUTO_COMPACT_DIRS commits, vacuum inside
+        # retention) bounds the live-dir count (round-6 verdict #6)
+        txn_append(spark, batch, path)
     return read_table(spark, path).select(
         F.col("doc_id").cast("long").alias("doc_id"), "fp",
         F.col("arrival_batch").cast("int").alias("arrival_batch"),
@@ -1106,7 +1110,9 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
             spark,
             sig.select("id", minhash_bands(F.col("sig")).alias("bands"))
             .join(toks_b, "id"),
-            idx_path, compact_threshold=None,
+            idx_path,  # default compact_threshold: the seen-index
+            # grows one segment per batch forever without compaction
+            # (round-6 verdict #6); auto-compact + vacuum bound it
         )
         seen = read_table(spark, idx_path)
         # shared incremental pass (operators.dedup, also the q88
@@ -1128,7 +1134,7 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
                 F.col("__dropped").isNull().alias("kept"),
             )
         )
-        txn_append(spark, verdicts, res_path, compact_threshold=None)
+        txn_append(spark, verdicts, res_path)
     return read_table(spark, res_path).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("arrival_batch").cast("int").alias("arrival_batch"),

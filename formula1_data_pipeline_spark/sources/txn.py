@@ -676,9 +676,20 @@ def _commit_staged(spark: SparkSession, df: DataFrame, table: str,
     return ver
 
 
+# sentinel: "use AUTO_COMPACT_DIRS, resolved at CALL time" — a plain
+# default would freeze the module constant at def time, so tests (and
+# deployments) tuning the threshold via the module global would
+# silently not affect the write path
+_DEFAULT_COMPACT = object()
+
+
+def _compact_threshold(value) -> int | None:
+    return AUTO_COMPACT_DIRS if value is _DEFAULT_COMPACT else value
+
+
 def txn_append(spark: SparkSession, df: DataFrame, table: str,
                key: str | None = None,
-               compact_threshold: int | None = AUTO_COMPACT_DIRS,
+               compact_threshold: int | None = _DEFAULT_COMPACT,
                stats_cols: list[str] | None = None) -> int:
     """Atomic append: new data dir + manifest carrying old segments
     forward. Readers see the batch entirely or not at all (plain
@@ -687,7 +698,8 @@ def txn_append(spark: SparkSession, df: DataFrame, table: str,
 
     When the committed manifest references ``compact_threshold`` or
     more data dirs, the table is compacted afterwards (``None``
-    disables). The returned version is always the append's own.
+    disables; the default tracks ``AUTO_COMPACT_DIRS`` at call time).
+    The returned version is always the append's own.
 
     ``stats_cols``: record per-segment min/max for these columns in
     the manifest (see ``read_table(prune=...)``); ``None`` keeps the
@@ -696,13 +708,13 @@ def txn_append(spark: SparkSession, df: DataFrame, table: str,
     return _commit_staged(
         spark, df, table, key,
         lambda old, staged: old + staged,
-        None, compact_threshold, stats_cols,
+        None, _compact_threshold(compact_threshold), stats_cols,
     )
 
 
 def txn_replace(spark: SparkSession, df: DataFrame, table: str,
                 key: str, pre_publish_hook=None,
-                compact_threshold: int | None = AUTO_COMPACT_DIRS,
+                compact_threshold: int | None = _DEFAULT_COMPACT,
                 stats_cols: list[str] | None = None) -> int:
     """Atomic delete+reload of exactly the ``key`` partitions present
     in ``df`` (the reference's realtime upsert,
@@ -716,8 +728,8 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
         touched = {s["partition"] for s in staged}
         return [s for s in old if s["partition"] not in touched] + staged
 
-    return _commit_staged(spark, df, table, key, merge,
-                          pre_publish_hook, compact_threshold, stats_cols)
+    return _commit_staged(spark, df, table, key, merge, pre_publish_hook,
+                          _compact_threshold(compact_threshold), stats_cols)
 
 
 def txn_overwrite(spark: SparkSession, df: DataFrame, table: str,

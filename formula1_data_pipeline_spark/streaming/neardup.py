@@ -43,9 +43,14 @@ def stream_neardup_dedup(
     n_source_files: int = 3,
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Replay ``documents`` as a file stream of ``n_source_files``
-    micro-batches; return the landed verdict table (doc_id, kept)."""
+    micro-batches; return the landed verdict table (doc_id, kept).
+
+    ``work_dir``: where the seen-index, verdict table, and checkpoint
+    live — a deployment passes durable storage here; ``None`` uses a
+    process-lifetime scratch dir (gates/tests)."""
     from formula1_data_pipeline_spark.operators.dedup import (
         _sig_agg,
         hashed_token_sets_df,
@@ -62,7 +67,8 @@ def stream_neardup_dedup(
     )
 
     docs = spark.read.parquet(documents_path).select("doc_id", "text")
-    base = pathlib.Path(scratch_dir(prefix="stream_neardup_"))
+    base = pathlib.Path(work_dir if work_dir is not None
+                        else scratch_dir(prefix="stream_neardup_"))
     src_dir = str(base / "src")
     idx_path = str(base / "seen_index")
     landing = str(base / "verdicts")
@@ -86,7 +92,9 @@ def stream_neardup_dedup(
             sig.select(
                 "id", minhash_bands(F.col("sig")).alias("bands")
             ).join(toks_b, "id").withColumn("bid", F.lit(batch_id)),
-            idx_path, compact_threshold=None,
+            idx_path,  # default compact_threshold: unbounded
+            # streams append one index segment per micro-batch;
+            # auto-compaction bounds live dirs (round-6 verdict #6)
         )
         seen = read_table(bspark, idx_path)
         # shared incremental pass (operators.dedup, also the q87
