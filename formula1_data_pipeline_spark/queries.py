@@ -923,20 +923,20 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-6 diff: CC label seeding (conductor-probe soundness fix)
-    # touches every cluster consumer; q83 lost its broadcast hint;
-    # the txn family rides the store-adapter routing of _put_if_absent
-    "q37_neardup_clusters", "q51_neardup_keep_one",
-    "q85_leakage_safe_split", "q83_incremental_corpus_dedup",
-    "q14_ingest_write_path", "q36_stream_merge_upsert",
-    "q75_time_travel", "q76_incremental_load", "q82_stats_pruned_read",
-    # hash-sampled IVF centroids + 3-way soft assignment
-    "q34_ivf_flat_topk", "q71_ann_recall",
-    # band self-join rides the shared _salted_band_join (partition
-    # sizing now follows shuffle.partitions)
-    "q21_minhash_lsh",
-    # table marts commit through the manifest protocol (stats_cols)
+    # round-7 diff, BEHAVIOR/physical-path changes only (mechanical
+    # refactors — tempfile.mkdtemp -> scratch_dir aliasing, the
+    # factored-out _hash_sample_coefs helper, call-time resolution of
+    # the same compact threshold — produce identical plans and are
+    # deliberately NOT listed, so the 37 round-5-stale queries fit in
+    # the driver's gate budget this round):
+    # q89 output semantics changed (n_assign=2 soft assignment)
+    "q89_semantic_dedup",
+    # table marts now auto-vacuum after txn_overwrite
     "q73_materialized_chain", "q74_assertion_runner",
+    # seen-index/corpus appends gained auto-compaction (no-op at the
+    # 3-batch gate scale, but the write path is new code)
+    "q87_incremental_neardup_dedup", "q88_stream_neardup_dedup",
+    "q83_incremental_corpus_dedup",
 ]
 
 
