@@ -940,7 +940,7 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "denominator and replayed literally by the oracle: the "
         "hash-sample-init IVF (20 cells, 1 probe) >= 0.55 (measured "
         "0.71 — a regression to random assignment measures ~0.10 and "
-        "FAILS), the Lloyd-trained IVF (train_ivf_centroids, 5 "
+        "FAILS), the Lloyd-trained IVF (train_ivf_centroids, 3 "
         "iterations, same probe budget) >= 0.85 (measured 0.95), "
         "Lloyd >= hash-sample (training must not hurt), and the 16x5 "
         "LSH >= 0.90. Lloyd centroids are float means (partial-sum "
@@ -970,7 +970,10 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lloyd_pairs():
         # training is sequential (5 bounded Lloyd rounds), then the
         # probe pipeline — one thread, same pattern as the other legs
-        coefs = train_ivf_centroids(emb, n_centroids=20, n_iter=5,
+        # 3 iterations: recall on this fixture saturates at 0.95
+        # by iteration 2 (measured; 5 iters identical) — each extra
+        # iteration costs two driver-synchronized jobs
+        coefs = train_ivf_centroids(emb, n_centroids=20, n_iter=3,
                                     id_col="vec_id",
                                     vec_col="embedding")
         return pairs(ivf_flat_topk(
