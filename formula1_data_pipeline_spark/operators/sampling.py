@@ -85,3 +85,87 @@ def stratified_topn(df, stratum_cols: list[str], key: Column, n: int,
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def importance_weights(docs, is_target: Column, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """DSIR-style data selection (Xie et al. 2023, arXiv 2302.03169):
+    score every document by how much its token distribution resembles
+    a TARGET subset of the corpus, so a pipeline can up-sample
+    target-like data without a trained classifier. ``is_target`` is a
+    boolean column over ``docs`` (e.g. a quality/domain predicate —
+    the "few exemplary docs" side of importance resampling).
+
+    Estimator: per token occurrence t, the smoothed target-likelihood
+    ratio numerator ``n_t(target) + 1`` against denominator
+    ``n_t(corpus) + 1``; per document,
+    ``importance = sum(num) / sum(den)`` over its occurrences — the
+    ratio-of-sums surrogate for the paper's mean log-ratio. Chosen
+    deliberately: the aggregation is pure INTEGER sums (exact,
+    order-independent, bit-identical across engines) with ONE IEEE
+    divide per document at the end, the same libm-free discipline as
+    q39's linear idf. (The log-weight form needs ln(), whose last-ulp
+    behavior differs between JVM Math.log and C libm — a value-hash
+    oracle cannot tolerate that; a deployment free of the cross-engine
+    constraint can swap the final projection for log weights without
+    touching the counting pipeline, which is the expensive part.)
+
+    Scale shape: explode tokens once; both per-term counts come from
+    ONE hash-partitioned window pass (count(*) and a conditional sum
+    over the term partition — the q90 trick: a window min/sum over the
+    key beats groupBy + self-join by a full shuffle of the stream);
+    then one integer-sum aggregation per doc. Two shuffles of a
+    skinny (id, term-hash, flag) stream, no joins against the token
+    stream, no float accumulation anywhere.
+    """
+    from pyspark.sql import Window
+
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+
+    # The target flag is evaluated behind a one-element generator
+    # barrier: projections substitute through a plain select into the
+    # post-explode projection (CollapseProject), which would re-run
+    # ``is_target`` — typically a multi-pass expression over the FULL
+    # document text — once per TOKEN occurrence instead of once per
+    # doc (measured 9 s -> 1.3 s at sf0.1 with the q25 quality flag;
+    # same fix as dedup.jaccard_verified).
+    flagged = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.explode(F.array(is_target)).alias("__tgt"),
+    )
+    toks = flagged.select(
+        "id",
+        "__tgt",
+        F.explode(tokens(F.col("__text"))).alias("term"),
+    )
+    wt = Window.partitionBy("term")
+    counted = toks.select(
+        "id",
+        (F.count("*").over(wt) + 1).alias("den"),
+        (F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).over(wt) + 1)
+        .alias("num"),
+    )
+    agg = counted.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("num").alias("imp_num"),
+        F.sum("den").alias("imp_den"),
+    )
+    # one row per INPUT doc (the q89 contract: a vanished row is
+    # indistinguishable from a filtered one downstream) — token-less
+    # docs come back with n_tokens 0 and NULL importance
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.col("imp_num").cast("long").alias("imp_num"),
+            F.col("imp_den").cast("long").alias("imp_den"),
+            F.round(
+                F.col("imp_num").cast("double")
+                / F.col("imp_den").cast("double"), 6
+            ).alias("importance"),
+        )
+    )

@@ -1265,3 +1265,65 @@ def q91_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         "n_cut",
     )
+
+
+@register(
+    "q93_importance_weights",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks, text FROM documents
+    ), flagged AS (
+        SELECT id,
+               ({_sql_quality('toks', 'list_distinct(toks)', 'text')})
+                   >= 0.7 AS tgt,
+               toks
+        FROM base
+    ), tokrows AS (
+        SELECT id, tgt, unnest(toks) AS term FROM flagged
+    ), counted AS (
+        SELECT id,
+               count(*) OVER (PARTITION BY term) + 1 AS den,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY term) + 1 AS num
+        FROM tokrows
+    ), agg AS (
+        -- sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float);
+        -- cast back so the value hash sees integers on both engines
+        SELECT id, count(*) AS n_tokens,
+               CAST(sum(num) AS BIGINT) AS imp_num,
+               CAST(sum(den) AS BIGINT) AS imp_den
+        FROM counted GROUP BY id
+    )
+    SELECT b.id AS doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           a.imp_num, a.imp_den,
+           round(CAST(a.imp_num AS DOUBLE) / CAST(a.imp_den AS DOUBLE), 6)
+               AS importance
+    FROM base b LEFT JOIN agg a ON a.id = b.id
+    """,
+    doc="DSIR-style importance weights for data selection (§2.12, "
+        "round 7; Xie et al. 2023, arXiv 2302.03169): score every doc "
+        "by how target-like its token distribution is — target = the "
+        "q25 quality heuristic >= 0.7 (~30% of the corpus), the "
+        "'resemble the exemplary subset' selection pattern a corpus "
+        "pipeline runs between quality filtering and mixture "
+        "sampling. Estimator is the integer-exact ratio-of-smoothed-"
+        "counts surrogate for the paper's mean log-ratio (libm-free "
+        "by the q39 rule; see operators/sampling.py docstring — the "
+        "counting pipeline is the scale cost and is unchanged under a "
+        "log final projection). Two shuffles of a skinny stream: one "
+        "term-partitioned window pass computes BOTH per-term counts "
+        "(no groupBy + self-join re-shuffle), one integer-sum "
+        "aggregate per doc; one row per input doc, token-less docs "
+        "get NULL importance",
+)
+def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.sampling import (
+        importance_weights,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return importance_weights(
+        docs, quality_score(F.col("text")) >= 0.7,
+    )

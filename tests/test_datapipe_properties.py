@@ -492,3 +492,36 @@ def test_salted_band_join_rejects_bad_salt_counts(spark):
             seen_index_neardup_dropped(
                 seen, F.lit(True), n_salts=bad
             ).collect()
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    """DSIR-style selection semantics (round 7): a doc written in the
+    target subset's vocabulary must outscore one written in the
+    background vocabulary; scores live in (0, 1] (ratio of smoothed
+    counts); a token-less doc still gets its row, with NULL
+    importance."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta", True),    # target
+        (1, "alpha gamma delta beta gamma", True),         # target
+        (2, "zork quux blarg frob zork", False),
+        (3, "alpha beta gamma delta", False),              # target-like
+        (4, "zork quux frob blarg", False),                # background
+        (5, "   ", False),                                 # token-less
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    got = {
+        r["doc_id"]: r
+        for r in importance_weights(docs, F.col("tgt")).collect()
+    }
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]   # one row per input doc
+    assert got[3]["importance"] > got[4]["importance"]
+    for d in (0, 1, 2, 3, 4):
+        assert 0.0 < got[d]["importance"] <= 1.0
+    assert got[5]["n_tokens"] == 0
+    assert got[5]["importance"] is None
