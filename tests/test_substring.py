@@ -132,3 +132,62 @@ def test_idempotent_on_own_output(spark):
     ).selectExpr("doc_id", "clean_text AS text")
     assert duplicate_spans(cleaned, min_span_tokens=8,
                            id_col="doc_id").count() == 0
+
+
+def _reference_spans(texts: dict[int, list[str]], k: int):
+    """Brute-force oracle: for every doc, positions covered by a
+    k-gram that also occurs in a smaller-id doc, merged into maximal
+    spans."""
+    first: dict[tuple, int] = {}
+    for i in sorted(texts):
+        toks = texts[i]
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            first.setdefault(g, i)
+    out = set()
+    for i in sorted(texts):
+        toks = texts[i]
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if first[tuple(toks[p:p + k])] < i:
+                covered.update(range(p, p + k))
+        for p in sorted(covered):
+            if p - 1 in covered:
+                continue
+            q = p
+            while q + 1 in covered:
+                q += 1
+            out.add((i, p, q))
+    return out
+
+
+def test_spans_match_bruteforce_reference(spark):
+    """Property check over a tiny alphabet (dense cross-doc k-gram
+    collisions, repeats within docs, empty docs, short docs): the
+    3-shuffle operator must agree exactly with the quadratic
+    brute-force definition."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = ["aa", "bb", "cc", "dd"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(alphabet), max_size=14),
+            min_size=1, max_size=6,
+        ),
+        k=st.sampled_from([2, 3]),
+    )
+    def check(docs, k):
+        texts = {i: toks for i, toks in enumerate(docs)}
+        rows = [(i, " ".join(toks)) for i, toks in texts.items()]
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans(
+                _docs(spark, rows), min_span_tokens=k
+            ).collect()
+        }
+        assert got == _reference_spans(texts, k)
+
+    check()
