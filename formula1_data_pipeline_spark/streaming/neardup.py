@@ -29,11 +29,12 @@ call (the q83 lesson).
 from __future__ import annotations
 
 import pathlib
-from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.scratch import scratch_dir
 
 
 def stream_neardup_dedup(

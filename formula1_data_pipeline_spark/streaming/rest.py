@@ -33,7 +33,6 @@ session's dimension-sized latest-state table.
 from __future__ import annotations
 
 import pathlib
-from formula1_data_pipeline_spark.scratch import scratch_dir
 import threading
 import time
 import uuid
@@ -42,6 +41,7 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from formula1_data_pipeline_spark.scratch import scratch_dir
 from formula1_data_pipeline_spark.sources.openf1 import OpenF1Client
 
 

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import pathlib
-from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +37,7 @@ from pyspark.sql.types import StructType
 from formula1_data_pipeline_spark.functions.timestamps import (
     normalize_event_ts,
 )
+from formula1_data_pipeline_spark.scratch import scratch_dir
 from formula1_data_pipeline_spark.streaming.confs import (
     scoped_shuffle_partitions,
 )

@@ -31,11 +31,12 @@ transactional format's MERGE does the same via file-level pruning).
 from __future__ import annotations
 
 import pathlib
-from formula1_data_pipeline_spark.scratch import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.scratch import scratch_dir
 
 
 def stream_merge_upsert(
