@@ -110,16 +110,21 @@ def importance_weights(docs, is_target: Column, text_col: str = "text",
     constraint can swap the final projection for log weights without
     touching the counting pipeline, which is the expensive part.)
 
-    Scale shape: explode tokens once; both per-term counts come from
-    ONE hash-partitioned window pass (count(*) and a conditional sum
-    over the term partition — the q90 trick: a window min/sum over the
-    key beats groupBy + self-join by a full shuffle of the stream);
-    then one integer-sum aggregation per doc. Two shuffles of a
-    skinny (id, term-hash, flag) stream, no joins against the token
-    stream, no float accumulation anywhere.
+    Scale shape: both per-term counts come from one map-side
+    partial-aggregated ``groupBy("term")`` (count(*) plus a
+    conditional sum in the same aggregate — each map task ships one
+    partial row per term it holds, so the term exchange moves partial
+    rows, not occurrences), joined back onto the (id, term) stream,
+    then one integer-sum aggregation per doc. A stopword-grade hot
+    term STREAMS through its sort-merge-join task (one build row per
+    term) — the round-7 window formulation instead buffered the hot
+    term's entire occurrence list in one spilling WindowExec frame
+    (the q90 window-min trick is safe for streaming min over
+    near-unique shingle hashes; a Zipf-distributed term column is
+    exactly where it straggles). Two full shuffles of a skinny
+    stream (by term for the join, by id for the doc sums), one small
+    partial-count shuffle, no float accumulation anywhere.
     """
-    from pyspark.sql import Window
-
     from formula1_data_pipeline_spark.operators.dedup import tokens
 
     # The target flag is evaluated behind a one-element generator
@@ -139,13 +144,11 @@ def importance_weights(docs, is_target: Column, text_col: str = "text",
         "__tgt",
         F.explode(tokens(F.col("__text"))).alias("term"),
     )
-    wt = Window.partitionBy("term")
-    counted = toks.select(
-        "id",
-        (F.count("*").over(wt) + 1).alias("den"),
-        (F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).over(wt) + 1)
-        .alias("num"),
+    counts = toks.groupBy("term").agg(
+        (F.count("*") + 1).alias("den"),
+        (F.sum(F.when(F.col("__tgt"), 1).otherwise(0)) + 1).alias("num"),
     )
+    counted = toks.select("id", "term").join(counts, "term")
     agg = counted.groupBy("id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("num").alias("imp_num"),

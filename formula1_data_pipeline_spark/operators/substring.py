@@ -27,15 +27,26 @@ p' <= p + k cover the contiguous token range [p, p'+k-1].
 
 Scale shape (100 TB): the positional shingle table is ~one row per
 corpus token, each row three integers wide after hashing; it moves
-through exactly three shuffles — (1) by doc id for the lead-window
-shingling, (2) by shingle hash for the global min-id window (partial
-pass, streaming min per key), (3) by doc id for the island merge
-(per-doc row counts bound the window partitions). Hot shingles
-(boilerplate shared by millions of docs) cost a linear single-task
-streaming pass over that hash's occurrence list in shuffle (2) — the
-same lower bound any formulation pays to enumerate the occurrences;
-there is no pairwise blowup anywhere (the operator never builds
-doc-pair candidates at all).
+through three full shuffles — (1) by doc id for the lead-window
+shingling, (2) by shingle hash for the first-occurrence join, (3) by
+doc id for the island merge (per-doc row counts bound the window
+partitions) — plus one small shuffle of map-side-reduced partial
+minima. The global min(id) per shingle is a two-stage aggregate
+(round-8 hardening): each map task emits at most one (h, min_id)
+partial per shingle it sees (HashAggregate partial_min BEFORE the
+exchange), the final agg per shingle receives at most one row per
+upstream partition, and the per-row "is this the first doc?" test is
+a sort-merge join of the stream against that one-row-per-shingle
+table — which STREAMS through a hot key. A planet-scale hot shingle
+(a license header shared by millions of docs) therefore costs a
+linear streaming pass in the join task — the enumeration lower bound
+— but never buffers its occurrence list the way the previous
+Window.partitionBy(h) min did (WindowExec materializes each partition
+frame before emitting; a million-row frame buffers and spills). The
+shingle subtree feeds both the aggregate and the probe side; its
+exchange-(1) output is reused (ReusedExchange), so the corpus is
+shingled once. There is no pairwise blowup anywhere (the operator
+never builds doc-pair candidates at all).
 
 Reference parity note: /root/reference has no text operators; this is
 part of the SURVEY §2.12 training-data-pipeline mandate.
@@ -58,8 +69,13 @@ def positional_shingles(docs: DataFrame, k: int,
     0-based token offset ``pos``, one row per start position — the
     position-KEEPING sibling of ``text.shingle_hashes_df`` (same
     lead-window shingling, same hash, but no distinct: span recovery
-    needs every occurrence, including repeats within one doc)."""
-    ex = docs.select(
+    needs every occurrence, including repeats within one doc). Null
+    ids are dropped up front: a null id belongs to no document, and
+    filtering HERE (rather than letting the consumer's join condition
+    push the same isnotnull onto one branch only) keeps the two
+    shingle subtrees of ``duplicate_spans`` canonically identical so
+    AQE reuses the exchange instead of shingling the corpus twice."""
+    ex = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
@@ -87,17 +103,27 @@ def duplicate_spans(docs: DataFrame,
     text — so every duplicated span survives in exactly one place and
     the operator is idempotent on its own output.
 
-    The cross-doc test is a single window min over the shingle hash
-    (one full shuffle of the 3-int-wide shingle stream) — NOT a
-    groupBy + self-join, which would move the stream twice. See the
-    module docstring for the 3-shuffle cost model and the hot-shingle
-    bound.
+    The cross-doc test is a two-stage min over the shingle hash: a
+    map-side partial-aggregated ``groupBy(h).min(id)`` (each map task
+    ships one partial row per shingle it holds; the final aggregate
+    per shingle sees at most one row per upstream partition) joined
+    back onto the shingle stream. A hot shingle streams through its
+    join task instead of buffering a WindowExec frame — see the
+    module docstring for the cost model and hot-shingle bound.
     """
     k = min_span_tokens
     sh = positional_shingles(docs, k, text_col, id_col)
-    first_id = F.min("id").over(Window.partitionBy("h"))
+    # min over struct(id, pos) == min(id) (ids are non-null), chosen so
+    # the aggregate branch reads the SAME columns as the probe branch:
+    # with equal column sets the two shingle subtrees canonicalize
+    # identically and AQE reuses the by-id window exchange (verified in
+    # tests/test_substring.py) — plain min(id) lets column pruning drop
+    # `pos` from this branch and the corpus shingles twice.
+    first = sh.groupBy("h").agg(
+        F.min(F.struct("id", "pos"))["id"].alias("first_id")
+    )
     starts = (
-        sh.withColumn("first_id", first_id)
+        sh.join(first, "h")
         .filter(F.col("id") > F.col("first_id"))
         .select("id", "pos")
     )

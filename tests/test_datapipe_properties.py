@@ -525,3 +525,31 @@ def test_importance_weights_prefer_target_like_docs(spark):
         assert 0.0 < got[d]["importance"] <= 1.0
     assert got[5]["n_tokens"] == 0
     assert got[5]["importance"] is None
+
+
+def test_importance_weights_counts_are_grouped_not_windowed(spark):
+    """Round-8 skew hardening (ADVICE r7): the per-term (den, num)
+    counts must come from a map-side partial-aggregated groupBy
+    joined back — a stopword-grade hot term then STREAMS through its
+    join task — never from a Window.partitionBy(term), which buffers
+    the hot term's whole occurrence list in one spilling frame."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the the the quick fox", i % 2 == 0) for i in range(6)],
+        ["doc_id", "text", "tgt"],
+    )
+    df = importance_weights(docs, F.col("tgt"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    import re
+    assert not re.search(r"(count|sum)\(.*\) windowspecdefinition", plan), \
+        plan
+    # hot term ('the' in every doc) still yields exact integer counts:
+    # den = 18 occurrences + 1 per 'the' occurrence
+    row = {r["doc_id"]: r for r in df.collect()}
+    assert all(row[i]["n_tokens"] == 5 for i in range(6))

@@ -191,3 +191,32 @@ def test_spans_match_bruteforce_reference(spark):
         assert got == _reference_spans(texts, k)
 
     check()
+
+
+def test_first_occurrence_is_two_stage_partial_min(spark):
+    """Round-8 hot-shingle hardening: the global min(id) per shingle
+    must be a map-side partial aggregate (each task ships one partial
+    row per shingle) joined back onto the stream — never a
+    Window.partitionBy(h) min, which buffers a hot shingle's entire
+    occurrence list in one WindowExec frame. Also pins the exchange
+    reuse that keeps the corpus shingled once: with identical column
+    sets on both branches AQE reuses the by-id window exchange."""
+    rows = [
+        (1, f"alpha beta gamma {LICENSE} delta epsilon"),
+        (2, f"{LICENSE} zeta eta theta iota kappa lam mu nu xi"),
+    ]
+    df = duplicate_spans(_docs(spark, rows), min_span_tokens=8)
+    static = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in static, static
+    # the only windows left are the lead-shingling and island-merge
+    # ones — no min(...) runs inside a window frame
+    assert "min(id" not in static.split("windowspecdefinition")[0] or \
+        "Aggregate" in static
+    import re
+    assert not re.search(r"min\(\w+#\d+L?\) windowspecdefinition", static), \
+        static
+    got = {(r.doc_id, r.span_start, r.span_end) for r in df.collect()}
+    assert got == {(2, 0, 15)}
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
