@@ -651,6 +651,7 @@ def semantic_dedup(
     n_assign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_coefs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): hard-assign every embedding to its closest centroid
@@ -696,6 +697,15 @@ def semantic_dedup(
     a hot cell spreads across the core count; the verify attaches
     vectors to CANDIDATE pairs only via two id-joins — the corpus
     never replicates and never broadcasts.
+
+    ``centroid_coefs`` (round 8): optional pre-trained (cluster,
+    cnorm, d, coef) quantizer table — ``train_ivf_centroids`` output
+    or any offline k-means — replacing the hash-sample init
+    (``n_centroids`` is then ignored), exactly as ``ivf_flat_topk``
+    accepts. Trained cells follow the data's real cluster structure,
+    so fewer true pairs straddle a Voronoi boundary at equal
+    ``n_assign`` — gated with bounds on the clustered fixture (q96);
+    trained-float outputs are never value-hashed (q92 rule).
     """
     from formula1_data_pipeline_spark.operators.dedup import (
         _salted_band_join,
@@ -706,7 +716,10 @@ def semantic_dedup(
     )
     degenerate = F.col("vec").isNull() | (F.size("vec") == 0)
     base = raw.filter(~degenerate).withColumn("nrm", norm(F.col("vec")))
-    coefs = _hash_sample_coefs(base, n_centroids)
+    coefs = (
+        centroid_coefs if centroid_coefs is not None
+        else _hash_sample_coefs(base, n_centroids)
+    )
     assigned = _ivf_assign(base, coefs, n_assign, "", with_rank=True)
 
     banded = assigned.select("id", F.col("cluster").alias("band"))

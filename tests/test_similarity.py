@@ -271,3 +271,35 @@ def test_lloyd_training_carries_empty_clusters_forward(spark):
     got = coefs.groupBy("cluster").count().collect()
     assert sorted(r["cluster"] for r in got) == [0, 1, 2]
     assert all(r["count"] == 2 for r in got)  # dim rows per cluster
+
+
+def test_semantic_dedup_accepts_pretrained_quantizer(spark):
+    """Round 8: semantic_dedup(centroid_coefs=...) must route the
+    assignment through the supplied quantizer. Passing the SAME
+    hash-sample table the default builds internally is verdict-
+    identical (exact plumbing check, no trained floats involved);
+    the trained-beats-hash recall bound lives in the q96 gate."""
+    from formula1_data_pipeline_spark.evalsets import clustered_embeddings
+    from formula1_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _hash_sample_coefs,
+        norm,
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    emb = clustered_embeddings(spark, n=120, dim=8, n_clusters=4,
+                               std=0.5, seed=3)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    coefs = _hash_sample_coefs(base, 4)
+    default = semantic_dedup(emb, dim=8, n_centroids=4, threshold=0.8,
+                             id_col="vec_id", vec_col="embedding")
+    explicit = semantic_dedup(emb, dim=8, n_centroids=999, threshold=0.8,
+                              id_col="vec_id", vec_col="embedding",
+                              centroid_coefs=coefs)
+    as_set = lambda df: {(r["id"], r["cluster"], r["kept"])
+                         for r in df.collect()}
+    assert as_set(explicit) == as_set(default)
