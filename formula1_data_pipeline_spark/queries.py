@@ -923,20 +923,20 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-7 diff, BEHAVIOR/physical-path changes only (mechanical
-    # refactors — tempfile.mkdtemp -> scratch_dir aliasing, the
-    # factored-out _hash_sample_coefs helper, call-time resolution of
-    # the same compact threshold — produce identical plans and are
-    # deliberately NOT listed, so the 37 round-5-stale queries fit in
-    # the driver's gate budget this round):
-    # q89 output semantics changed (n_assign=2 soft assignment)
-    "q89_semantic_dedup",
-    # table marts now auto-vacuum after txn_overwrite
-    "q73_materialized_chain", "q74_assertion_runner",
-    # seen-index/corpus appends gained auto-compaction (no-op at the
-    # 3-batch gate scale, but the write path is new code)
-    "q87_incremental_neardup_dedup", "q88_stream_neardup_dedup",
-    "q83_incremental_corpus_dedup",
+    # round-8 diff, BEHAVIOR/physical-path changes only (mechanical
+    # refactors — import regrouping, docstring updates, the
+    # centroid_coefs=None default added to semantic_dedup (q89's
+    # default plan is unchanged) — are deliberately NOT listed, so
+    # the 41 round-6-stale queries fit in the driver's gate budget
+    # this round; the three new queries q94/q95/q96 rank first as
+    # never-gated without needing a listing):
+    # span dedup's first-occurrence id moved from a window min to a
+    # two-stage partial-aggregated groupBy + join (hot-shingle
+    # hardening) — new physical path for both consumers
+    "q90_crossdoc_span_dedup", "q91_span_cut_corpus",
+    # importance_weights' per-term counts moved from a term window to
+    # a partial-aggregated groupBy + join (hot-term hardening)
+    "q93_importance_weights",
 ]
 
 

@@ -1142,14 +1142,15 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
     )
 
 
-def _span_ctes(k: int) -> str:
+def _span_ctes(k: int, src: str = "documents") -> str:
     """DuckDB CTE chain ending in ``spans(id, span_start, span_end)``
     — the oracle twin of ``operators.substring.duplicate_spans``
     (same tokenizer, same 60-bit md5 shingle hash, same min-id
     cross-doc test, same gaps-and-islands merge), shared by the q90
-    span-list and q91 cleaned-text oracles so they cannot drift."""
+    span-list and q91 cleaned-text oracles (and, with ``src``, the
+    q97 flagship's quality-filtered corpus) so they cannot drift."""
     return f"""toklist AS (
-        SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM {src}
     ), sh AS (
         SELECT id, pos,
                CAST(('0x' || substr(md5(
@@ -1400,6 +1401,145 @@ def q94_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("bin_tokens"))
+    )
+    return epoch_shuffle(
+        bins, epoch_salt="epoch-1", rows_per_shard=16, id_col="bin_id",
+    ).select(
+        "bin_id", "n_docs", "bin_tokens", "epoch_rank", "shard",
+        "row_in_shard",
+    )
+
+
+def _q97_sql(n_merges: int = 10) -> str:
+    """q97's oracle: the ENTIRE corpus-to-trainer chain replayed in
+    one DuckDB statement — quality filter, cross-doc span cut, BPE
+    merge training on the cleaned corpus, trained-vocab token counts,
+    packing, epoch shuffle, shard slices. Every stage reuses the
+    exact CTE builder its standalone gate uses (_sql_quality,
+    _span_ctes, _bpe_train_ctes, the q64 packing window, the q94
+    rank), so the composition cannot drift from the pieces."""
+    from formula1_data_pipeline_spark.queries_llm import (
+        _bpe_sql_pattern,
+        _bpe_train_ctes,
+    )
+
+    pat = _bpe_sql_pattern()
+    bpe = ",\n    ".join(_bpe_train_ctes(n_merges, "cleaned"))
+    q = _sql_quality(_SQL_TOKS, f"list_distinct({_SQL_TOKS})", "text")
+    return f"""
+    WITH src97 AS (
+        SELECT doc_id, text FROM documents WHERE ({q}) >= 0.5
+    ), {_span_ctes(8, 'src97')},
+    tokrows AS (
+        SELECT id, unnest(toks) AS t,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM toklist
+    ), keptagg AS (
+        SELECT tr.id, string_agg(tr.t, ' ' ORDER BY tr.pos) AS clean_text
+        FROM tokrows tr
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.id = tr.id
+              AND tr.pos BETWEEN sp.span_start AND sp.span_end
+        )
+        GROUP BY tr.id
+    ), cleaned AS MATERIALIZED (
+        SELECT t.id AS doc_id, coalesce(k.clean_text, '') AS text
+        FROM toklist t LEFT JOIN keptagg k ON k.id = t.id
+    ), {bpe},
+    docw AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS w
+        FROM cleaned
+    ), tokc AS (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN contains(d.w, '|') THEN length(d.w)
+                    ELSE len(list_filter(string_split(wv.repr, '|'),
+                                         x -> x <> '')) END)
+                    AS BIGINT) AS n_tok
+        FROM docw d LEFT JOIN w{n_merges} wv ON wv.w = d.w
+        GROUP BY d.doc_id
+    ), counts AS (
+        SELECT c.doc_id, coalesce(tc.n_tok, 0) AS n_tokens
+        FROM cleaned c LEFT JOIN tokc tc USING (doc_id)
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM counts
+    ), bins AS (
+        SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM cum GROUP BY 1
+    ), hh AS (
+        SELECT *,
+               CAST(('0x' || substr(md5(CAST(bin_id AS VARCHAR)
+                    || '|' || 'epoch-1'), 1, 15)) AS BIGINT) AS _h
+        FROM bins
+    ), rr AS (
+        SELECT bin_id, n_docs, bin_tokens,
+               row_number() OVER (ORDER BY _h, bin_id) - 1 AS epoch_rank
+        FROM hh
+    )
+    SELECT bin_id, n_docs, bin_tokens, epoch_rank,
+           CAST(epoch_rank // 16 AS BIGINT) AS shard,
+           CAST(epoch_rank % 16 AS BIGINT) AS row_in_shard
+    FROM rr
+    """
+
+
+@register(
+    "q97_corpus_to_trainer_flagship",
+    _q97_sql(10),
+    doc="Corpus-to-trainer FLAGSHIP (round 8): the complete "
+        "training-data pipeline composed end-to-end in one gated "
+        "query — quality filter (q25 heuristic >= 0.5) -> cross-doc "
+        "span dedup cut (q90/q91, k=8) -> BPE merge training ON the "
+        "cleaned corpus (q95, 10 merges) -> trained-vocab token "
+        "counts (bpe_encode_count) -> 512-token sequence packing "
+        "(q64) -> seeded epoch shuffle + fixed-16-row shard slices "
+        "(q94). Every stage is the standalone operator, and the "
+        "oracle reuses each stage's exact CTE builder, so the "
+        "composition is replayed step-for-step and cannot drift from "
+        "the pieces. The one scale-relevant composition decision: "
+        "the cleaned corpus is LANDED to parquet before training "
+        "(the production shape — a cleaned corpus is an artifact), "
+        "because the BPE trainer iterates over its input and would "
+        "otherwise recompute the span-dedup subtree once per merge "
+        "round",
+)
+def q97_corpus_to_trainer_flagship(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_encode_count,
+        train_bpe_merges,
+    )
+    from formula1_data_pipeline_spark.operators.packing import pack_sequences
+    from formula1_data_pipeline_spark.operators.shards import epoch_shuffle
+    from formula1_data_pipeline_spark.operators.substring import (
+        cut_duplicate_spans,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
+    from formula1_data_pipeline_spark.scratch import scratch_dir
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    filtered = docs.filter(quality_score(F.col("text")) >= 0.5) \
+                   .select("doc_id", "text")
+    cleaned = cut_duplicate_spans(filtered, min_span_tokens=8).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    path = scratch_dir("q97-") + "/cleaned"
+    cleaned.write.mode("overwrite").parquet(path)
+    landed = spark.read.parquet(path)
+    merges = [(a, b) for a, b, _ in train_bpe_merges(landed, 10)]
+    packed = pack_sequences(
+        landed, bpe_encode_count(F.col("text"), merges), budget=512,
+        id_col="doc_id", bucket_size=1000,
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
     )
     return epoch_shuffle(
         bins, epoch_salt="epoch-1", rows_per_shard=16, id_col="bin_id",

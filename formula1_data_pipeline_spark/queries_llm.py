@@ -1007,22 +1007,24 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_sql(n_merges: int) -> str:
-    """Unrolled-CTE DuckDB replay of ``bpe.train_bpe_merges``: one
-    (pair-count -> lexicographic argmax -> literal replace) CTE trio
-    per merge round. The oracle is the SINGLE-NODE formulation — the
-    operator's per-round aggregation passes distribute; training is
-    replayed exactly because every step is integer counting, binary
-    ASCII ordering, or non-overlapping left-to-right replace (see
-    operators/bpe.py docstring)."""
+def _bpe_train_ctes(n_merges: int, src: str = "documents") -> list[str]:
+    """Unrolled DuckDB CTE replay of ``bpe.train_bpe_merges`` over
+    ``src(doc_id, text)``: one (pair-count -> lexicographic argmax ->
+    literal replace) CTE trio per merge round, ending at
+    ``w{n_merges}(w, freq, repr)`` with the chosen pairs in
+    ``best0..best{n_merges-1}``. Training replays exactly because
+    every step is integer counting, binary ASCII ordering, or
+    non-overlapping left-to-right replace (see operators/bpe.py
+    docstring). Shared by the q95 merge-table oracle and the q97
+    flagship so they cannot drift."""
     pat = _bpe_sql_pattern()
-    ctes = [f"""w0 AS (
+    ctes = [f"""w0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS freq,
                array_to_string(list_transform(
                    regexp_extract_all(w, '.'),
                    c -> '|' || c || '|'), '') AS repr
         FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS w
-              FROM documents)
+              FROM {src})
         WHERE NOT contains(w, '|')
         GROUP BY w
     )"""]
@@ -1041,12 +1043,18 @@ def _bpe_train_sql(n_merges: int) -> str:
         GROUP BY 1, 2
     ), best{k} AS (
         SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
-    ), w{k + 1} AS (
+    ), w{k + 1} AS MATERIALIZED (
         SELECT w, freq,
                replace(repr, '|' || a || '||' || b || '|',
                        '|' || a || b || '|') AS repr
         FROM w{k} CROSS JOIN best{k}
     )""")
+    return ctes
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """q95's full oracle: the training CTE chain + the merge table."""
+    ctes = _bpe_train_ctes(n_merges)
     unions = "\n    UNION ALL ".join(
         f"SELECT {k} AS merge_rank, a AS lhs, b AS rhs, "
         f"a || b AS merged, cnt AS pair_count FROM best{k}"
