@@ -171,3 +171,81 @@ def bpe_encode_count(text: Column,
         F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x),
         F.lit(0),
     )
+
+
+def build_vocab(spark, docs: DataFrame,
+                trained: list[tuple[str, str, int]],
+                text_col: str = "text") -> DataFrame:
+    """(sym, token_id): GPT-style id assignment — the training
+    corpus's base alphabet first (dense ids in binary char order),
+    then one id per merge in training order. The alphabet is
+    collected to the driver (bounded: distinct characters of the
+    corpus — a few hundred entries at any corpus size, the same
+    bounded-scalar argument as k-means centroids), so the vocab table
+    is driver-built and broadcast-joinable."""
+    chars = (
+        docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("w"))
+        .filter(~F.col("w").contains(DELIM))
+        .select(F.explode(
+            F.filter(F.split("w", ""), lambda c: c != F.lit(""))
+        ).alias("c"))
+        .distinct()
+    )
+    alphabet = sorted(r["c"] for r in chars.collect())
+    rows = [(s, i) for i, s in enumerate(alphabet)] + [
+        (a + b, len(alphabet) + k)
+        for k, (a, b, _) in enumerate(trained)
+    ]
+    return spark.createDataFrame(rows, "sym string, token_id int")
+
+
+def bpe_tokenize(docs: DataFrame,
+                 trained: list[tuple[str, str, int]],
+                 vocab: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Encode every document with the trained vocabulary: one row per
+    token — (id_col, pos, sym, token_id), ``pos`` the dense 0-based
+    position in the document's token stream. The shippable form of
+    the tokenizer story (train q95 -> encode here -> pack q64 ->
+    shard q94): exploded rather than array-valued, because at corpus
+    scale the token stream IS the dataset — downstream packing,
+    statistics, and shard writes all consume it relationally.
+
+    Symbols outside the vocab map to token_id -1; words containing
+    the training delimiter (excluded from training) degrade to their
+    raw characters rather than lying. Pure codegen'd expressions +
+    one broadcast vocab join + one per-doc window for ``pos``.
+    """
+    merges = [(a, b) for a, b, _ in trained]
+    from pyspark.sql import Window
+
+    w = F.col("w")
+    syms = F.when(
+        w.contains(DELIM),
+        F.filter(F.split(w, ""), lambda c: c != F.lit("")),
+    ).otherwise(repr_symbols(merged_repr(w, merges)))
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(bpe_tokens(F.col(text_col))).alias("widx", "w"),
+        )
+        .select(
+            id_col, "widx",
+            F.posexplode(syms).alias("sidx", "sym"),
+        )
+    )
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("widx", "sidx")
+    ) - 1
+    return (
+        tok.withColumn("pos", pos)
+        .join(F.broadcast(vocab), "sym", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            "sym",
+            F.coalesce("token_id", F.lit(-1)).cast("int")
+            .alias("token_id"),
+        )
+    )

@@ -1166,3 +1166,93 @@ def q96_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_exact_in_range", 150 <= len(exact) <= 400),
     ]
     return spark.createDataFrame(rows, "method string, recall_ok boolean")
+
+
+def _bpe_tokenize_sql(n_merges: int = 10) -> str:
+    """q98's oracle: replay training (shared CTE chain), rebuild the
+    GPT-style vocab (base alphabet in binary char order, then one id
+    per merge in training order), and emit the positioned token
+    stream with ids."""
+    pat = _bpe_sql_pattern()
+    ctes = ",\n    ".join(_bpe_train_ctes(n_merges, "documents"))
+    merge_rows = "\n        UNION ALL ".join(
+        f"SELECT {k} AS k, a, b FROM best{k}" for k in range(n_merges)
+    )
+    return f"""
+    WITH {ctes},
+    chars AS (
+        SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS sym
+        FROM w0
+    ), vc AS (
+        SELECT sym,
+               CAST(row_number() OVER (ORDER BY sym) - 1 AS INT)
+                   AS token_id
+        FROM chars
+    ), nch AS (SELECT count(*) AS n FROM vc),
+    vm AS (
+        SELECT m.a || m.b AS sym, CAST(nch.n + m.k AS INT) AS token_id
+        FROM nch, ({merge_rows}) m
+    ), vocab AS (
+        SELECT sym, token_id FROM vc
+        UNION ALL SELECT sym, token_id FROM vm
+    ), docw AS (
+        SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+               unnest(ws) AS w
+        FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS ws
+              FROM documents)
+    ), wsyms AS (
+        SELECT d.doc_id, d.widx,
+               CASE WHEN contains(d.w, '|')
+                    THEN regexp_extract_all(d.w, '.')
+                    ELSE list_filter(string_split(wv.repr, '|'),
+                                     x -> x <> '') END AS syms
+        FROM docw d LEFT JOIN w{n_merges} wv ON wv.w = d.w
+    ), toks AS (
+        SELECT doc_id, widx, generate_subscripts(syms, 1) AS sidx,
+               unnest(syms) AS sym
+        FROM wsyms
+    ), positioned AS (
+        SELECT doc_id, sym,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY widx, sidx
+               ) - 1 AS BIGINT) AS pos
+        FROM toks
+    )
+    SELECT p.doc_id, p.pos, p.sym,
+           CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+    FROM positioned p LEFT JOIN vocab v ON v.sym = p.sym
+    """
+
+
+@register(
+    "q98_bpe_tokenize",
+    _bpe_tokenize_sql(10),
+    doc="Trained-vocab corpus tokenization (round 8): encode every "
+        "document with the q95-trained merges into the positioned "
+        "token-id stream — (doc_id, pos, sym, token_id), ids "
+        "GPT-style (base alphabet in binary char order, then one id "
+        "per merge in training order; the alphabet is a "
+        "driver-bounded scalar like the k-means centroids). The "
+        "shippable form of the tokenizer story: train (q95) -> "
+        "encode (here) -> pack (q64) -> shard (q94); exploded rather "
+        "than array-valued because at corpus scale the token stream "
+        "IS the dataset and downstream packing/stats/shard-writes "
+        "consume it relationally. Pure codegen'd string expressions "
+        "+ one broadcast vocab join + one per-doc window for pos; "
+        "out-of-vocab symbols -1, delimiter words degrade to raw "
+        "chars rather than lying. The oracle replays training via "
+        "the shared CTE chain and the encoding exactly",
+)
+def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        build_vocab,
+        train_bpe_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    trained = train_bpe_merges(docs, n_merges=10)
+    vocab = build_vocab(spark, docs, trained)
+    return bpe_tokenize(docs, trained, vocab).select(
+        "doc_id", "pos", "sym", "token_id",
+    )

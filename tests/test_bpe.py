@@ -159,3 +159,58 @@ def test_early_stop_and_delimiter_exclusion(spark):
     # 3x 'x|y' (3 chars) + ' x|y' leading-space handling aside,
     # zz merged to one symbol each
     assert n > 0
+
+
+def test_tokenize_roundtrip_and_ids(spark):
+    """Decoding the token stream reconstructs the document exactly
+    (concat of symbols in pos order == concat of pre-tokens), ids are
+    dense GPT-style (alphabet first, merges after), and nothing maps
+    to -1 on a delimiter-free corpus."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        build_vocab,
+    )
+
+    texts = ["the merge table the merge table", "spark join the table"]
+    docs = _docs(spark, texts)
+    trained = train_bpe_merges(docs, 6)
+    vocab = build_vocab(spark, docs, trained)
+    toks = bpe_tokenize(docs, trained, vocab).collect()
+
+    import re
+
+    from formula1_data_pipeline_spark.operators.text import BPE_REGEX
+    by_doc = {}
+    for r in sorted(toks, key=lambda r: (r["doc_id"], r["pos"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        rows = by_doc[i]
+        assert [r["pos"] for r in rows] == list(range(len(rows)))
+        assert "".join(r["sym"] for r in rows) == \
+            "".join(re.findall(BPE_REGEX, text))
+        assert all(r["token_id"] >= 0 for r in rows)
+
+    v = {r["sym"]: r["token_id"] for r in vocab.collect()}
+    alpha = sorted(s for s in v if s not in
+                   {a + b for a, b, _ in trained})
+    assert [v[s] for s in alpha] == list(range(len(alpha)))
+    for k, (a, b, _) in enumerate(trained):
+        assert v[a + b] == len(alpha) + k
+
+
+def test_tokenize_delimiter_word_degrades_to_chars(spark):
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        build_vocab,
+    )
+
+    docs = _docs(spark, ["x|y zz zz"])
+    trained = train_bpe_merges(docs, 2)
+    vocab = build_vocab(spark, docs, trained)
+    rows = sorted(bpe_tokenize(docs, trained, vocab).collect(),
+                  key=lambda r: r["pos"])
+    # 'x|y' was excluded from training: it tokenizes to raw chars,
+    # and '|' (absent from the vocab) maps to -1
+    assert [r["sym"] for r in rows[:3]] == ["x", "|", "y"]
+    assert rows[1]["token_id"] == -1
+    assert rows[0]["token_id"] >= 0 and rows[2]["token_id"] >= 0
