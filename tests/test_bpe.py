@@ -214,3 +214,21 @@ def test_tokenize_delimiter_word_degrades_to_chars(spark):
     assert [r["sym"] for r in rows[:3]] == ["x", "|", "y"]
     assert rows[1]["token_id"] == -1
     assert rows[0]["token_id"] >= 0 and rows[2]["token_id"] >= 0
+
+
+def test_tokenize_plan_broadcasts_vocab(spark):
+    """Scoring-path plan claim: the vocab attach is a broadcast join
+    (the vocab is alphabet + merges — bounded), and tokenization has
+    no range partitioning anywhere."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        build_vocab,
+    )
+
+    docs = _docs(spark, ["the merge table the merge", "spark join"])
+    trained = train_bpe_merges(docs, 3)
+    vocab = build_vocab(spark, docs, trained)
+    plan = bpe_tokenize(docs, trained, vocab) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -110,3 +110,16 @@ def test_export_roundtrip_and_resume_pruning(spark):
     matching = resumed.filter(F.col("epoch_rank") >= 35)
     assert matching.count() == 57 - 35
     assert {r.epoch_rank for r in matching.collect()} == set(range(35, 57))
+
+
+def test_rank_plan_has_no_global_sort_and_broadcasts_offsets(spark):
+    """The 100 TB plan claims, pinned: per-bucket counts partial-
+    aggregate map-side, bucket offsets come back as a BROADCAST join
+    (never a shuffled one), and no range partitioning (global sort)
+    appears anywhere — the whole point of the two-level prefix sum."""
+    df = epoch_shuffle(_docs(spark, n=200), "epoch-1", rows_per_shard=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+        plan
+    assert "Exchange rangepartitioning" not in plan, plan
