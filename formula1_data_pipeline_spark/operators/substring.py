@@ -122,6 +122,14 @@ def duplicate_spans(docs: DataFrame,
     first = sh.groupBy("h").agg(
         F.min(F.struct("id", "pos"))["id"].alias("first_id")
     )
+    # Deliberately NOT hinted SHUFFLE_HASH, though it measures ~1.5x
+    # faster at sf0.1 (skips sorting the positional stream): the
+    # build side is one row per DISTINCT shingle — stream-sized at
+    # corpus scale — and Spark's shuffled-hash build must fit each
+    # partition's map in executor memory. Sort-merge spills both
+    # sides and streams hot keys; that robustness is the point of
+    # this operator. AQE may still locally pick SHJ where a runtime
+    # partition is genuinely small.
     starts = (
         sh.join(first, "h")
         .filter(F.col("id") > F.col("first_id"))
