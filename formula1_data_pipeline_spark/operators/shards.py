@@ -77,7 +77,16 @@ def epoch_shuffle(
     (md5-hash, id), dense from 0 — and its fixed-row shard slice.
     Deterministic: depends only on the id set and ``epoch_salt``,
     never on physical partitioning (property-tested). ``id_col`` must
-    be unique and non-null (it is the shuffle key's tie-break)."""
+    be unique and non-null (it is the shuffle key's tie-break).
+
+    Cost note: like the packing operator's prefix sum, the bucket-
+    count branch re-derives ``df`` (an extra column-pruned scan +
+    map-side partial agg — no extra shuffle of the stream). When
+    ``df`` is itself an expensive pipeline rather than a landed
+    table, land it first and shuffle the artifact — exactly what the
+    q97 flagship does with its cleaned corpus and what
+    ``export_epoch_shards`` consumers get for free from the txn
+    table."""
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard must be >= 1: {rows_per_shard}")
     if n_rank_buckets < 1:
