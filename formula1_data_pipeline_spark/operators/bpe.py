@@ -104,13 +104,23 @@ def train_bpe_merges(
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
+    words: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns
     [(left, right, pair_count), ...] in training order. Stops early
     when no pair reaches ``min_count`` (or none exists). One corpus
     pass + one word-table aggregation per round; merge state is
-    driver-resident (bounded)."""
-    words = word_freqs(docs, text_col)
+    driver-resident (bounded).
+
+    The (word, freq) table is persisted across rounds (it is the
+    vocabulary-sized artifact the module docstring's "corpus is
+    touched ONCE" contract rests on — without it every round's
+    collect re-executes the corpus scan). Pass ``words`` (a
+    ``word_freqs`` output you manage yourself, e.g. shared with
+    ``build_vocab``) to skip the internal persist."""
+    own_words = words is None
+    if own_words:
+        words = word_freqs(docs, text_col).persist()
     merges: list[tuple[str, str]] = []
     out: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -139,6 +149,8 @@ def train_bpe_merges(
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         merges.append((a, b))
         out.append((a, b, cnt))
+    if own_words:
+        words.unpersist()
     return out
 
 
@@ -175,18 +187,21 @@ def bpe_encode_count(text: Column,
 
 def build_vocab(spark, docs: DataFrame,
                 trained: list[tuple[str, str, int]],
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                words: DataFrame | None = None) -> DataFrame:
     """(sym, token_id): GPT-style id assignment — the training
     corpus's base alphabet first (dense ids in binary char order),
     then one id per merge in training order. The alphabet is
     collected to the driver (bounded: distinct characters of the
     corpus — a few hundred entries at any corpus size, the same
     bounded-scalar argument as k-means centroids), so the vocab table
-    is driver-built and broadcast-joinable."""
+    is driver-built and broadcast-joinable. Chars derive from the
+    vocabulary-sized word table — pass the same ``words`` frame the
+    trainer used to share one corpus pass across both."""
+    if words is None:
+        words = word_freqs(docs, text_col)
     chars = (
-        docs.select(F.explode(bpe_tokens(F.col(text_col))).alias("w"))
-        .filter(~F.col("w").contains(DELIM))
-        .select(F.explode(
+        words.select(F.explode(
             F.filter(F.split("w", ""), lambda c: c != F.lit(""))
         ).alias("c"))
         .distinct()

@@ -32,8 +32,6 @@ scoring, trained tier).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -69,10 +67,13 @@ def train_logreg(
         aggs.append(F.sum(err).alias("gb"))
         aggs.append(F.count(F.lit(1)).alias("n"))
         row = df.agg(*aggs).collect()[0]
+        # sum() over zero rows is NULL — an empty training frame
+        # (e.g. a split bucket that landed no docs) degrades to a
+        # zero gradient, not a float(None) TypeError
         n = max(int(row["n"]), 1)
-        w = [wi - lr * float(row[f"g{j}"]) / n
+        w = [wi - lr * float(row[f"g{j}"] or 0.0) / n
              for j, wi in enumerate(w)]
-        b = b - lr * float(row["gb"]) / n
+        b = b - lr * float(row["gb"] or 0.0) / n
     return w, b
 
 

@@ -21,18 +21,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key: Column, salt: str, n_buckets: int = 100) -> Column:
-    """Uniform bucket in [0, n_buckets) from md5(key || '|' || salt).
-    Different salts give independent bucketings, so a split salt and a
-    downsample salt don't correlate."""
-    h = F.conv(
+def md5_hash60(key: Column, salt: str) -> Column:
+    """The repo's ONE 60-bit keyed hash: the first 15 hex chars of
+    md5(key || '|' || salt) as a bigint — exactly reproducible in
+    DuckDB as ``CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT)``.
+    Every hash-keyed operator (bucketing, stratified sampling, epoch
+    shuffle) derives from this single definition so the hash family
+    cannot drift between call sites and their oracles."""
+    return F.conv(
         F.substring(
             F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 15
         ),
         16,
         10,
     ).cast("bigint")
-    return F.pmod(h, F.lit(n_buckets))
+
+
+def hash_bucket(key: Column, salt: str, n_buckets: int = 100) -> Column:
+    """Uniform bucket in [0, n_buckets) from md5(key || '|' || salt).
+    Different salts give independent bucketings, so a split salt and a
+    downsample salt don't correlate."""
+    return F.pmod(md5_hash60(key, salt), F.lit(n_buckets))
 
 
 def assign_split(bucket: Column, train_pct: int = 80,
@@ -72,13 +81,7 @@ def stratified_topn(df, stratum_cols: list[str], key: Column, n: int,
     """
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = md5_hash60(key, salt)
     w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), key.asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -51,18 +51,13 @@ _HASH_SPACE = 1 << 60
 
 
 def epoch_hash(key: Column, epoch_salt: str) -> Column:
-    """60-bit shuffle key: md5(key || '|' || epoch_salt), the same
-    hash family as ``sampling.hash_bucket`` (and exactly reproducible
-    in DuckDB), so epoch orders are independent across salts and
-    uncorrelated with the split/downsample salts."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", key.cast("string"),
-                              F.lit(epoch_salt))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    """60-bit shuffle key — ``sampling.md5_hash60``, the repo's one
+    keyed-hash definition (exactly reproducible in DuckDB), so epoch
+    orders are independent across salts and uncorrelated with the
+    split/downsample salts."""
+    from formula1_data_pipeline_spark.operators.sampling import md5_hash60
+
+    return md5_hash60(key, epoch_salt)
 
 
 def epoch_shuffle(

@@ -928,8 +928,9 @@ CHANGED_SINCE_GATE = [
     # centroid_coefs=None default added to semantic_dedup (q89's
     # default plan is unchanged) — are deliberately NOT listed, so
     # the 41 round-6-stale queries fit in the driver's gate budget
-    # this round; the three new queries q94/q95/q96 rank first as
-    # never-gated without needing a listing):
+    # this round; the six new queries q94-q99 rank first as
+    # never-gated without needing a listing — priority set exactly
+    # fills the 50-row budget, so round 8 adds no further queries):
     # span dedup's first-occurrence id moved from a window min to a
     # two-stage partial-aggregated groupBy + join (hot-shingle
     # hardening) — new physical path for both consumers

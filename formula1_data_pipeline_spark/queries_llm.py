@@ -1044,10 +1044,15 @@ def _bpe_train_ctes(n_merges: int, src: str = "documents") -> list[str]:
     ), best{k} AS (
         SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
     ), w{k + 1} AS MATERIALIZED (
+        -- LEFT JOIN (not CROSS): when training stops early best{k}
+        -- is EMPTY, and a cross join would zero every later round
+        -- while the Spark trainer correctly returns the short merge
+        -- list; the null-pattern replace coalesces to the unchanged
+        -- repr instead
         SELECT w, freq,
-               replace(repr, '|' || a || '||' || b || '|',
-                       '|' || a || b || '|') AS repr
-        FROM w{k} CROSS JOIN best{k}
+               coalesce(replace(repr, '|' || a || '||' || b || '|',
+                                '|' || a || b || '|'), repr) AS repr
+        FROM w{k} LEFT JOIN best{k} ON TRUE
     )""")
     return ctes
 
@@ -1248,11 +1253,19 @@ def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_tokenize,
         build_vocab,
         train_bpe_merges,
+        word_freqs,
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    trained = train_bpe_merges(docs, n_merges=10)
-    vocab = build_vocab(spark, docs, trained)
+    # one persisted vocabulary-sized word table shared by the trainer
+    # (10 pair-count rounds) and the alphabet collection — the corpus
+    # is pre-tokenized once
+    words = word_freqs(docs).persist()
+    try:
+        trained = train_bpe_merges(docs, n_merges=10, words=words)
+        vocab = build_vocab(spark, docs, trained, words=words)
+    finally:
+        words.unpersist()
     return bpe_tokenize(docs, trained, vocab).select(
         "doc_id", "pos", "sym", "token_id",
     )

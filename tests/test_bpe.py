@@ -232,3 +232,28 @@ def test_tokenize_plan_broadcasts_vocab(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_oracle_replays_early_stopped_training(spark):
+    """Round-8 review finding: when training exhausts its pairs before
+    n_merges, the Spark trainer returns the short merge list — the
+    unrolled-SQL oracle must NOT zero later rounds (its per-round
+    replace now LEFT-joins the possibly-empty argmax). Replay a
+    degenerate corpus through both and compare."""
+    import duckdb
+    import pandas as pd
+
+    import formula1_data_pipeline_spark.queries  # noqa: F401 (import order)
+    from formula1_data_pipeline_spark.queries_llm import _bpe_train_sql
+
+    texts = ["ab ab ab"]  # 'ab' + 2x ' ab': exhausts after ~3 merges
+    trained = train_bpe_merges(_docs(spark, texts), 6)
+    assert 0 < len(trained) < 6  # genuinely early-stopped
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": range(len(texts)),
+                               "text": texts}))
+    got = con.execute(_bpe_train_sql(6)).fetchall()
+    assert [(r[1], r[2], r[4]) for r in
+            sorted(got, key=lambda r: r[0])] == trained
