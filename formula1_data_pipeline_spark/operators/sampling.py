@@ -175,3 +175,50 @@ def importance_weights(docs, is_target: Column, text_col: str = "text",
             ).alias("importance"),
         )
     )
+
+
+def resample_by_weight(df, weight: Column, target_fraction: float,
+                       id_col: str = "doc_id",
+                       salt: str = "resample-v1"):
+    """Deterministic importance resampling — the second half of DSIR
+    (Xie et al. 2023): keep each row with probability proportional to
+    its ``weight``, scaled so the expected kept fraction is
+    ``target_fraction``. The acceptance test is
+    ``hash_uniform(id) < weight * k`` with ``k = target_fraction /
+    mean(weight)`` — no per-row RNG, so membership is a pure function
+    of (id, salt, weights): reproducible across runs, engines, and
+    partitionings, exactly like the split/downsample family above.
+
+    Built round 8, catalog gate deferred to round 9 (the round-8 gate
+    budget was exactly filled by the 41-stale re-verification + the
+    six new q94-q99 gates; an extra entry would have pushed a stale
+    query out of the driver's 50-row budget). The intended gate
+    composes ``importance_weights`` -> this, with the oracle
+    replaying the decimal mean and the hash comparison.
+
+    Scale shape: one map-side decimal aggregation for the mean (exact
+    and order-independent — the repo's _dec_sum discipline, so an
+    oracle can replay the scalar bit-for-bit), then a shuffle-free
+    filter projection. Weighted rows cap at probability 1 (a weight
+    large enough that weight*k >= 1 is always kept — the standard
+    truncated-importance-sampling behavior).
+
+    Returns ``df`` plus a boolean ``kept`` column (callers filter, so
+    the decision stays inspectable — the q38 pattern)."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1]: {target_fraction}")
+    stats = df.agg(
+        F.sum(weight.cast("decimal(28,10)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = int(stats["n"])
+    mean_w = (float(stats["s"]) / n) if n and stats["s"] is not None else 0.0
+    if mean_w <= 0.0:
+        return df.withColumn("kept", F.lit(False))
+    k = target_fraction / mean_w
+    # hash_uniform in [0, 1): the 60-bit keyed hash over 2^60
+    u = md5_hash60(F.col(id_col), salt).cast("double") / float(1 << 60)
+    return df.withColumn("kept", u < weight.cast("double") * F.lit(k))

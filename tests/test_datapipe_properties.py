@@ -553,3 +553,65 @@ def test_importance_weights_counts_are_grouped_not_windowed(spark):
     # den = 18 occurrences + 1 per 'the' occurrence
     row = {r["doc_id"]: r for r in df.collect()}
     assert all(row[i]["n_tokens"] == 5 for i in range(6))
+
+
+def test_resample_by_weight_semantics(spark):
+    """DSIR resampling (round 8, gate lands round 9): membership is a
+    pure function of (id, salt, weights) — invariant to partitioning;
+    the kept fraction tracks the target; acceptance is monotone in
+    weight at fixed id-hash; zero weight is never kept; weights big
+    enough to saturate are always kept."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.sampling import (
+        resample_by_weight,
+    )
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # deterministic skewed weights in {0.25, 0.5, ..., 2.0}, plus
+        # a zero-weight stratum
+        (F.when(F.col("id") % 10 == 0, 0.0)
+         .otherwise(((F.col("id") % 8) + 1) * 0.25)).alias("w"),
+    )
+    kept = resample_by_weight(docs, F.col("w"), 0.5).filter("kept")
+    frac = kept.count() / n
+    assert 0.40 <= frac <= 0.60, frac  # expectation 0.5, binomial-ish
+
+    # partitioning invariance
+    again = resample_by_weight(docs.repartition(13), F.col("w"), 0.5) \
+        .filter("kept")
+    assert {r.doc_id for r in again.collect()} == \
+        {r.doc_id for r in kept.collect()}
+
+    # zero weight never kept
+    assert kept.filter(F.col("w") == 0.0).count() == 0
+
+    # higher weight => higher kept rate (monotone in expectation)
+    rates = {
+        r["w"]: r["rate"]
+        for r in resample_by_weight(docs, F.col("w"), 0.5)
+        .filter(F.col("w") > 0)
+        .groupBy("w")
+        .agg(F.avg(F.col("kept").cast("double")).alias("rate"))
+        .collect()
+    }
+    ws = sorted(rates)
+    assert rates[ws[-1]] > rates[ws[0]]
+
+    # saturation: constant weights at target 1.0 give w*k == 1 and
+    # u in [0, 1) always accepts — everything kept; and a single
+    # far-above-mean weight saturates its own acceptance
+    sat = resample_by_weight(docs, F.lit(1.0), 1.0)
+    assert sat.filter(~F.col("kept")).count() == 0
+    spiked = docs.withColumn(
+        "w2", F.when(F.col("doc_id") == 7, 1e6).otherwise(1.0))
+    got = resample_by_weight(spiked, F.col("w2"), 0.5) \
+        .filter(F.col("doc_id") == 7).collect()[0]
+    assert got["kept"] is True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_fraction"):
+        resample_by_weight(docs, F.col("w"), 0.0)
