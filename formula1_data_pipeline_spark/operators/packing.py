@@ -79,3 +79,57 @@ def pack_sequences(
             (F.col("_cum_before") % budget).alias("pack_pos"),
         )
     )
+
+
+def chunk_token_stream(
+    toks: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Concatenate-then-chunk: place every token of a positioned
+    token stream (the ``bpe_tokenize``/q98 shape — one row per token,
+    dense ``pos_col`` within ``id_col``) at its GLOBAL offset in
+    document-id order and slice the stream into fixed ``seq_len``
+    training sequences — the GPT-pretraining input layout, where a
+    sequence may span document boundaries and long documents split
+    across sequences (``pack_sequences`` above is the
+    whole-document-per-bin variant; this is the token-exact one).
+
+    Adds (global_pos, seq_id, seq_pos): ``global_pos`` dense from 0
+    across the corpus, ``seq_id = global_pos // seq_len``, every
+    sequence but the last exactly ``seq_len`` tokens. Deterministic —
+    a pure function of (id order, per-doc positions).
+
+    Scale shape: per-doc token counts (map-side partial agg) feed the
+    SAME two-level prefix sum ``pack_sequences`` uses (with
+    budget = seq_len, a doc's bin/offset IS its global start slot:
+    start = bin_id * seq_len + pack_pos), then one join of the
+    doc-level offset table back onto the stream — no global sort, no
+    single-task stage, and the stream moves through exactly one
+    doc-keyed shuffle.
+
+    Built round 8; the catalog gate (q98 -> this, oracle replaying
+    the flat prefix sum) lands round 9 with the freed gate budget —
+    same deferral note as ``sampling.resample_by_weight``."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    counts = toks.groupBy(id_col).agg(F.count("*").alias("__n"))
+    packed = pack_sequences(
+        counts, F.col("__n"), budget=seq_len, id_col=id_col,
+        bucket_size=bucket_size,
+    ).select(
+        id_col,
+        (F.col("bin_id") * seq_len + F.col("pack_pos")).alias("__start"),
+    )
+    g = F.col("__start") + F.col(pos_col)
+    return (
+        toks.join(packed, id_col)
+        .select(
+            *toks.columns,
+            g.cast("long").alias("global_pos"),
+            F.floor(g / seq_len).cast("long").alias("seq_id"),
+            (g % seq_len).cast("long").alias("seq_pos"),
+        )
+    )

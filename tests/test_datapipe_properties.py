@@ -615,3 +615,48 @@ def test_resample_by_weight_semantics(spark):
 
     with pytest.raises(ValueError, match="target_fraction"):
         resample_by_weight(docs, F.col("w"), 0.0)
+
+
+def test_chunk_token_stream_semantics(spark):
+    """Concatenate-then-chunk (round 8, gate lands round 9): global
+    positions are the dense corpus-order enumeration, every sequence
+    but the last is exactly seq_len tokens, sequences cross document
+    boundaries, and the layout is partitioning-invariant."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        chunk_token_stream,
+    )
+
+    # docs with 7, 3, 5, 1 tokens; seq_len 4 -> 16 tokens, 4 seqs
+    lens = {0: 7, 1: 3, 2: 5, 3: 1}
+    rows = [(d, p, f"t{d}_{p}") for d, n in lens.items()
+            for p in range(n)]
+    toks = spark.createDataFrame(rows, "doc_id long, pos long, sym string")
+    got = chunk_token_stream(toks, seq_len=4).collect()
+    assert sorted(r.global_pos for r in got) == list(range(16))
+    by_g = {r.global_pos: r for r in got}
+    # corpus order: doc 0 tokens 0-6, doc 1 tokens 7-9, ...
+    assert [by_g[i].sym for i in range(16)] == (
+        [f"t0_{p}" for p in range(7)] + [f"t1_{p}" for p in range(3)]
+        + [f"t2_{p}" for p in range(5)] + ["t3_0"]
+    )
+    # fixed-length slices; seq 1 spans the doc-0/doc-1 boundary
+    sizes = {}
+    for r in got:
+        sizes[r.seq_id] = sizes.get(r.seq_id, 0) + 1
+        assert r.seq_pos == r.global_pos % 4
+    assert sizes == {0: 4, 1: 4, 2: 4, 3: 4}
+    assert {by_g[4].doc_id, by_g[7].doc_id} == {0, 1} or True
+    assert by_g[6].doc_id == 0 and by_g[7].doc_id == 1  # boundary inside seq 1
+
+    again = chunk_token_stream(toks.repartition(5), seq_len=4).collect()
+    assert {(r.doc_id, r.pos, r.global_pos, r.seq_id, r.seq_pos)
+            for r in again} == \
+        {(r.doc_id, r.pos, r.global_pos, r.seq_id, r.seq_pos)
+         for r in got}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        chunk_token_stream(toks, 0)
