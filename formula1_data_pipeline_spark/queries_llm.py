@@ -13,7 +13,7 @@ driver's value-hash comparison is exact — see the determinism notes in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula1_data_pipeline_spark.queries import load, register
