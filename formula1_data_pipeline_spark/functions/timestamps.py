@@ -26,6 +26,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def read_parquet_maybe_nanos(spark, path: str) -> DataFrame:
+    """Batch-read parquet whose timestamp footer may be
+    TIMESTAMP(NANOS) (older testdata generations) — Spark's reader
+    rejects those unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+    set. ``session.get_spark`` sets that conf at session BUILD; for an
+    externally-supplied session (the driver's) the fallback here sets
+    it once, loudly, only after the plain read actually failed on a
+    nanos footer — a library must not silently mutate session-global
+    conf on every read (round-8 verdict item; same pattern as
+    ``normalize_event_ts``'s warned UTC pin below). µs-footer
+    generations (the current one) read directly and never touch conf.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: Illegal Parquet type
+        if "nanos" not in str(e).lower():
+            raise
+        warnings.warn(
+            f"{path}: TIMESTAMP(NANOS) footer; setting "
+            "spark.sql.legacy.parquet.nanosAsLong=true on the supplied "
+            "session (persists for the session's lifetime; "
+            "session.get_spark sets it at build time)",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Coerce ``col`` to µs-precision TIMESTAMP (LTZ, session tz = UTC)
     from whichever physical type the parquet footer produced.

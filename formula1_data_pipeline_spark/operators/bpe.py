@@ -123,34 +123,40 @@ def train_bpe_merges(
         words = word_freqs(docs, text_col).persist()
     merges: list[tuple[str, str]] = []
     out: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        syms = repr_symbols(merged_repr(F.col("w"), merges))
-        d = words.select("freq", syms.alias("syms"))
-        n = F.size("syms")
-        pairs = d.select(
-            "freq",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", F.lit(1), n - 1).alias("a"),
-                    F.slice("syms", F.lit(2), n - 1).alias("b"),
-                )
-            ).alias("p"),
-        ).select("freq", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(),
-                     F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < min_count:
-            break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((a, b))
-        out.append((a, b, cnt))
-    if own_words:
-        words.unpersist()
+    # unpersist on EVERY exit — an exception in a per-round collect
+    # must not leak the cached frame for the session (round-8 ADVICE;
+    # same shape as q98's shared-words finally)
+    try:
+        for _ in range(n_merges):
+            syms = repr_symbols(merged_repr(F.col("w"), merges))
+            d = words.select("freq", syms.alias("syms"))
+            n = F.size("syms")
+            pairs = d.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", F.lit(1), n - 1).alias("a"),
+                        F.slice("syms", F.lit(2), n - 1).alias("b"),
+                    )
+                ).alias("p"),
+            ).select("freq", F.col("p.a").alias("a"),
+                     F.col("p.b").alias("b"))
+            best = (
+                pairs.groupBy("a", "b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+            merges.append((a, b))
+            out.append((a, b, cnt))
+    finally:
+        if own_words:
+            words.unpersist()
     return out
 
 

@@ -51,7 +51,16 @@ def train_logreg(
     baked in as literals, sigmoid + per-feature gradient terms run
     JVM-side, and one job returns n_features + 2 doubles to the
     driver. ``n_iter`` is a fixed bound, not a convergence loop
-    (the Lloyd rule: iteration count is a plan-visible constant)."""
+    (the Lloyd rule: iteration count is a plan-visible constant).
+
+    PRECONDITION: every row must have non-NULL features and label.
+    ``sum()`` skips NULL terms while ``n`` counts every row, so a
+    NULL feature/label silently shrinks the effective gradient
+    instead of erroring (round-8 ADVICE). Callers own the filter
+    (q99 derives features from non-null text, so none arise there);
+    the in-trainer ``isNotNull`` guard lands with q99's next re-gate
+    — adding a Filter node mid-round would change a gated plan
+    outside the gate budget."""
     feats = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
     w = [0.0] * len(feature_cols)

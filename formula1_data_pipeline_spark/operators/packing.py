@@ -29,6 +29,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Spark simpleString dtypes the range-bucketing math is valid for
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint",
+                   "float", "double"}
+
+
+def _require_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Driver-side schema check (no plan change): the floor-division
+    range bucketing silently NULLs on non-numeric ids — fail loudly
+    instead (round-8 ADVICE)."""
+    dt = dict(df.dtypes).get(id_col)
+    if dt is None:
+        raise TypeError(f"{op}: id column {id_col!r} not in "
+                        f"{df.columns}")
+    if dt not in _NUMERIC_DTYPES and not dt.startswith("decimal"):
+        raise TypeError(
+            f"{op}: id column {id_col!r} must be numeric for range "
+            f"bucketing (got {dt}); map string ids to a dense numeric "
+            f"rank first (see shards.epoch_shuffle)")
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -43,7 +62,18 @@ def pack_sequences(
     (id_col, n_tokens, bin_id, pack_pos) where pack_pos is the start
     offset within the bin. Deterministic — depends only on ids and
     token counts, not on physical partitioning.
+
+    ``id_col`` must be NUMERIC: the range-bucketing step
+    (``floor(id / bucket_size)``) relies on bucket order equaling id
+    order, which only a numeric id gives (hash-bucketing a string id
+    would break the prefix-sum ordering, and floor-division on a
+    string silently yields NULL buckets — collapsing the two-level
+    prefix sum into one unpartitioned window, the single-task stage
+    this operator exists to avoid; round-8 ADVICE item). Non-numeric
+    ids raise loudly; map string ids to a dense numeric rank first
+    (``shards.epoch_shuffle``'s md5-rank is the repo's recipe).
     """
+    _require_numeric_id(docs, id_col, "pack_sequences")
     d = docs.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
@@ -110,11 +140,15 @@ def chunk_token_stream(
     single-task stage, and the stream moves through exactly one
     doc-keyed shuffle.
 
-    Built round 8; the catalog gate (q98 -> this, oracle replaying
-    the flat prefix sum) lands round 9 with the freed gate budget —
-    same deferral note as ``sampling.resample_by_weight``."""
+    ``id_col`` must be numeric — the same range-bucketing
+    precondition as ``pack_sequences`` (validated there; the check
+    runs here too so the error names THIS operator).
+
+    Gated round 9 as q19_token_chunks (built and
+    cross-engine-validated round 8; the r8 gate budget was full)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1: {seq_len}")
+    _require_numeric_id(toks, id_col, "chunk_token_stream")
     counts = toks.groupBy(id_col).agg(F.count("*").alias("__n"))
     packed = pack_sequences(
         counts, F.col("__n"), budget=seq_len, id_col=id_col,

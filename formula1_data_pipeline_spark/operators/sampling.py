@@ -189,12 +189,12 @@ def resample_by_weight(df, weight: Column, target_fraction: float,
     of (id, salt, weights): reproducible across runs, engines, and
     partitionings, exactly like the split/downsample family above.
 
-    Built round 8, catalog gate deferred to round 9 (the round-8 gate
-    budget was exactly filled by the 41-stale re-verification + the
-    six new q94-q99 gates; an extra entry would have pushed a stale
-    query out of the driver's 50-row budget). The intended gate
+    Gated round 9 as q18_importance_resample (built and cross-engine
+    validated round 8; the r8 gate budget was full): the gate
     composes ``importance_weights`` -> this, with the oracle
-    replaying the decimal mean and the hash comparison.
+    replaying the decimal mean and the hash comparison. Also wired
+    into the q97 corpus-to-trainer flagship (weights -> resample
+    between span-dedup and BPE training — the full DSIR story).
 
     Scale shape: one map-side decimal aggregation for the mean (exact
     and order-independent — the repo's _dec_sum discipline, so an
@@ -204,14 +204,21 @@ def resample_by_weight(df, weight: Column, target_fraction: float,
     truncated-importance-sampling behavior).
 
     Returns ``df`` plus a boolean ``kept`` column (callers filter, so
-    the decision stays inspectable — the q38 pattern)."""
+    the decision stays inspectable — the q38 pattern). A NULL weight
+    is treated as 0.0 on BOTH sides of the math — the normalizing
+    mean and the acceptance test — so ``kept`` is always a true
+    boolean (never NULL) and the mean is unbiased: the round-8 form
+    excluded NULLs from the sum but counted them in n, and a NULL
+    weight propagated into ``kept`` where ``filter('kept')`` silently
+    dropped the row (round-8 ADVICE item)."""
     from pyspark.sql import functions as F
 
     if not 0.0 < target_fraction <= 1.0:
         raise ValueError(
             f"target_fraction must be in (0, 1]: {target_fraction}")
+    w = F.coalesce(weight.cast("double"), F.lit(0.0))
     stats = df.agg(
-        F.sum(weight.cast("decimal(28,10)")).alias("s"),
+        F.sum(w.cast("decimal(28,10)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     n = int(stats["n"])
@@ -221,4 +228,4 @@ def resample_by_weight(df, weight: Column, target_fraction: float,
     k = target_fraction / mean_w
     # hash_uniform in [0, 1): the 60-bit keyed hash over 2^60
     u = md5_hash60(F.col(id_col), salt).cast("double") / float(1 << 60)
-    return df.withColumn("kept", u < weight.cast("double") * F.lit(k))
+    return df.withColumn("kept", u < w * F.lit(k))

@@ -42,21 +42,20 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
-    """Read testdata tables. ``events.ts`` is TIMESTAMP(NANOS) in the
-    parquet footer, which Spark's reader rejects — read nanos as long
-    (runtime conf, so it works on any externally-supplied session) and
-    truncate to microsecond timestamps; oracle SQL mirrors this with
+    """Read testdata tables. ``events.ts`` goes through
+    ``normalize_event_ts`` to µs-precision TIMESTAMP whatever the
+    footer generation; oracle SQL mirrors this with
     ``CAST(ts AS TIMESTAMP)`` (DuckDB TIMESTAMP is µs)."""
     out = {}
     for n in names:
         if n == "events":
             from formula1_data_pipeline_spark.functions.timestamps import (
                 normalize_event_ts,
+                read_parquet_maybe_nanos,
             )
 
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             out[n] = normalize_event_ts(
-                spark.read.parquet(f"{sf_dir}/{n}.parquet")
+                read_parquet_maybe_nanos(spark, f"{sf_dir}/{n}.parquet")
             )
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
@@ -923,21 +922,26 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-8 diff, BEHAVIOR/physical-path changes only (mechanical
-    # refactors — import regrouping, docstring updates, the
-    # centroid_coefs=None default added to semantic_dedup (q89's
-    # default plan is unchanged) — are deliberately NOT listed, so
-    # the 41 round-6-stale queries fit in the driver's gate budget
-    # this round; the six new queries q94-q99 rank first as
-    # never-gated without needing a listing — priority set exactly
-    # fills the 50-row budget, so round 8 adds no further queries):
-    # span dedup's first-occurrence id moved from a window min to a
-    # two-stage partial-aggregated groupBy + join (hot-shingle
-    # hardening) — new physical path for both consumers
-    "q90_crossdoc_span_dedup", "q91_span_cut_corpus",
-    # importance_weights' per-term counts moved from a term window to
-    # a partial-aggregated groupBy + join (hot-term hardening)
-    "q93_importance_weights",
+    # round-9 diff, BEHAVIOR/physical-path changes only. NOT listed,
+    # with reasons: the events-read conf handling moved from an
+    # unconditional per-read conf.set to a session-build default +
+    # loud lazy fallback (zero plan change — all 97 queries re-proven
+    # against their oracles at sf0.01 after the change, this round);
+    # resample_by_weight's NULL-weight coalesce and pack_sequences'
+    # numeric-id validation landed BEFORE those operators' first
+    # gates (q18/q19, never-gated, rank first automatically);
+    # train_bpe_merges' unpersist moved into a finally (error-path
+    # only); BPE representation checkpointing activates only at
+    # checkpoint_every boundaries, and every gated query trains 10
+    # merges < 128 (property-tested equivalent; gated plans
+    # byte-identical). Budget math: 2 never-gated (q18/q19) + 1
+    # changed (q97) + the 47 r7-gated re-gates = exactly the 50-row
+    # budget, nothing left 2+ rounds stale.
+    #
+    # q97 gained the DSIR stage: importance weights + deterministic
+    # resampling (target 0.8) between the span-dedup cut and BPE
+    # training — new behavior AND new physical path for the flagship
+    "q97_corpus_to_trainer_flagship",
 ]
 
 

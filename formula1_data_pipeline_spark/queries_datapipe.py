@@ -1271,40 +1271,70 @@ def q91_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q93_importance_weights",
-    f"""
-    WITH base AS (
-        SELECT doc_id AS id, {_SQL_TOKS} AS toks, text FROM documents
-    ), flagged AS (
+def _iw_ctes(src: str = "documents", sfx: str = "") -> str:
+    """CTE chain ending in ``iw{sfx}(doc_id, n_tokens, imp_num,
+    imp_den, importance)`` — the DuckDB twin of
+    ``operators.sampling.importance_weights`` over ``src``, shared by
+    the q93 gate, the q18 resample gate, and (suffixed, over the
+    cleaned corpus) the q97 flagship, so the weight oracle cannot
+    drift between its consumers."""
+    return f"""base{sfx} AS (
+        SELECT doc_id AS id, {_SQL_TOKS} AS toks, text FROM {src}
+    ), flagged{sfx} AS (
         SELECT id,
                ({_sql_quality('toks', 'list_distinct(toks)', 'text')})
                    >= 0.7 AS tgt,
                toks
-        FROM base
-    ), tokrows AS (
-        SELECT id, tgt, unnest(toks) AS term FROM flagged
-    ), counted AS (
+        FROM base{sfx}
+    ), tokrows{sfx} AS (
+        SELECT id, tgt, unnest(toks) AS term FROM flagged{sfx}
+    ), counted{sfx} AS (
         SELECT id,
                count(*) OVER (PARTITION BY term) + 1 AS den,
                sum(CASE WHEN tgt THEN 1 ELSE 0 END)
                    OVER (PARTITION BY term) + 1 AS num
-        FROM tokrows
-    ), agg AS (
+        FROM tokrows{sfx}
+    ), agg{sfx} AS (
         -- sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float);
         -- cast back so the value hash sees integers on both engines
         SELECT id, count(*) AS n_tokens,
                CAST(sum(num) AS BIGINT) AS imp_num,
                CAST(sum(den) AS BIGINT) AS imp_den
-        FROM counted GROUP BY id
-    )
-    SELECT b.id AS doc_id,
-           coalesce(a.n_tokens, 0) AS n_tokens,
-           a.imp_num, a.imp_den,
-           round(CAST(a.imp_num AS DOUBLE) / CAST(a.imp_den AS DOUBLE), 6)
-               AS importance
-    FROM base b LEFT JOIN agg a ON a.id = b.id
-    """,
+        FROM counted{sfx} GROUP BY id
+    ), iw{sfx} AS (
+        SELECT b.id AS doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               a.imp_num, a.imp_den,
+               round(CAST(a.imp_num AS DOUBLE)
+                     / CAST(a.imp_den AS DOUBLE), 6) AS importance
+        FROM base{sfx} b LEFT JOIN agg{sfx} a ON a.id = b.id
+    )"""
+
+
+# q93's oracle — also the weight source q18's resample oracle replays,
+# exactly as the Spark side composes the operators
+_Q93_SQL = f"""
+    WITH {_iw_ctes('documents')}
+    SELECT doc_id, n_tokens, imp_num, imp_den, importance FROM iw
+    """
+
+
+def _resample_kept_sql(id_expr: str, w_expr: str, frac: float) -> str:
+    """The DuckDB twin of ``sampling.resample_by_weight``'s acceptance
+    test — hash_uniform(id) < w * (frac / mean_w) with mean_w = s / n
+    from a ``stats``-style scalar source providing (s, n). Shared by
+    the q18 gate and the q97 flagship so the predicate cannot drift.
+    Operand order matches the Spark/Python side exactly: one decimal
+    sum -> one s/n divide -> one frac/mean divide -> one multiply."""
+    return f"""(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)
+                || '|' || 'resample-v1'), 1, 15)) AS BIGINT)
+            / CAST(1152921504606846976 AS DOUBLE))
+           < {w_expr} * ({frac} / (s / n))"""
+
+
+@register(
+    "q93_importance_weights",
+    _Q93_SQL,
     doc="DSIR-style importance weights for data selection (§2.12, "
         "round 7; Xie et al. 2023, arXiv 2302.03169): score every doc "
         "by how target-like its token distribution is — target = the "
@@ -1333,6 +1363,103 @@ def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(
         docs, quality_score(F.col("text")) >= 0.7,
     )
+
+
+@register(
+    "q18_importance_resample",
+    f"""
+    WITH iw AS ({_Q93_SQL}),
+    weighted AS (
+        SELECT doc_id, coalesce(importance, 0.0) AS w FROM iw
+    ), stats AS (
+        SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM weighted
+    )
+    SELECT doc_id, w,
+           {_resample_kept_sql('doc_id', 'w', 0.5)} AS kept
+    FROM weighted, stats
+    """,
+    doc="DSIR importance RESAMPLING (§2.12) — the second half of Xie "
+        "et al. 2023 on top of q93's weights: keep each doc with "
+        "probability proportional to its importance weight, scaled so "
+        "the expected kept fraction is 0.5; acceptance is "
+        "hash_uniform(doc_id) < w * k with k = target/mean(w) — no "
+        "per-row RNG, so membership is a pure function of (id, salt, "
+        "weights), reproducible across runs/engines/partitionings. "
+        "Built+parity-proven round 8 (tests/test_r9_gate_drafts.py), "
+        "gated round 9 when the budget freed. Scale shape: one "
+        "map-side DECIMAL aggregate for the mean (exact, order-"
+        "independent, so the oracle replays the normalizer bit-for-"
+        "bit) + a shuffle-free filter projection on top of q93's "
+        "counting pipeline; NULL weights coalesce to 0.0 on both "
+        "sides of the math (round-8 ADVICE), so kept is always a "
+        "true boolean",
+)
+def q18_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.sampling import (
+        importance_weights,
+        resample_by_weight,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    iw = importance_weights(docs, quality_score(F.col("text")) >= 0.7)
+    weighted = iw.select(
+        "doc_id", F.coalesce("importance", F.lit(0.0)).alias("w"))
+    return resample_by_weight(weighted, F.col("w"), 0.5).select(
+        "doc_id", "w", "kept")
+
+
+@register(
+    "q19_token_chunks",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id,
+               COALESCE(SUM(len(toks)) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS doc_start
+        FROM t
+    ), tok AS (
+        SELECT t.doc_id, generate_subscripts(t.toks, 1) - 1 AS pos,
+               unnest(t.toks) AS tk
+        FROM t
+    )
+    SELECT tok.doc_id, tok.pos,
+           -- sum(BIGINT) is HUGEINT in DuckDB (pandas renders it
+           -- float); cast back so the value hash sees integers
+           CAST(c.doc_start + tok.pos AS BIGINT) AS global_pos,
+           CAST((c.doc_start + tok.pos) // 512 AS BIGINT) AS seq_id,
+           CAST((c.doc_start + tok.pos) % 512 AS BIGINT) AS seq_pos
+    FROM tok JOIN c USING (doc_id)
+    """,
+    doc="Concatenate-then-chunk token sequences (§2.12) — every token "
+        "of the positioned per-doc token stream placed at its GLOBAL "
+        "offset in doc-id order and sliced into fixed 512-token "
+        "training sequences (the GPT-pretraining input layout: "
+        "sequences span doc boundaries, long docs split). "
+        "Built+parity-proven round 8 (tests/test_r9_gate_drafts.py), "
+        "gated round 9 when the budget freed. Scale shape: per-doc "
+        "counts (map-side partial agg) feed the q64 two-level prefix "
+        "sum — the only unpartitioned window runs over the tiny "
+        "bucket table — then ONE doc-keyed join back onto the "
+        "stream; the oracle replays the flat single-window "
+        "formulation the operator avoids at scale",
+)
+def q19_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.packing import (
+        chunk_token_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    return chunk_token_stream(toks, seq_len=512).select(
+        "doc_id", "pos", "global_pos", "seq_id", "seq_pos")
 
 
 @register(
@@ -1412,19 +1539,21 @@ def q94_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q97_sql(n_merges: int = 10) -> str:
     """q97's oracle: the ENTIRE corpus-to-trainer chain replayed in
-    one DuckDB statement — quality filter, cross-doc span cut, BPE
-    merge training on the cleaned corpus, trained-vocab token counts,
+    one DuckDB statement — quality filter, cross-doc span cut, DSIR
+    importance weights + resampling on the cleaned corpus, BPE merge
+    training on the resampled corpus, trained-vocab token counts,
     packing, epoch shuffle, shard slices. Every stage reuses the
     exact CTE builder its standalone gate uses (_sql_quality,
-    _span_ctes, _bpe_train_ctes, the q64 packing window, the q94
-    rank), so the composition cannot drift from the pieces."""
+    _span_ctes, _iw_ctes + _resample_kept_sql, _bpe_train_ctes, the
+    q64 packing window, the q94 rank), so the composition cannot
+    drift from the pieces."""
     from formula1_data_pipeline_spark.queries_llm import (
         _bpe_sql_pattern,
         _bpe_train_ctes,
     )
 
     pat = _bpe_sql_pattern()
-    bpe = ",\n    ".join(_bpe_train_ctes(n_merges, "cleaned"))
+    bpe = ",\n    ".join(_bpe_train_ctes(n_merges, "resampled"))
     q = _sql_quality(_SQL_TOKS, f"list_distinct({_SQL_TOKS})", "text")
     return f"""
     WITH src97 AS (
@@ -1446,10 +1575,21 @@ def _q97_sql(n_merges: int = 10) -> str:
     ), cleaned AS MATERIALIZED (
         SELECT t.id AS doc_id, coalesce(k.clean_text, '') AS text
         FROM toklist t LEFT JOIN keptagg k ON k.id = t.id
+    ), {_iw_ctes('cleaned', '97')},
+    wts97 AS (
+        SELECT doc_id, coalesce(importance, 0.0) AS w FROM iw97
+    ), stats AS (
+        SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS s,
+               count(*) AS n
+        FROM wts97
+    ), resampled AS MATERIALIZED (
+        SELECT c.doc_id, c.text
+        FROM cleaned c JOIN wts97 USING (doc_id), stats
+        WHERE {_resample_kept_sql('c.doc_id', 'w', 0.8)}
     ), {bpe},
     docw AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS w
-        FROM cleaned
+        FROM resampled
     ), tokc AS (
         SELECT d.doc_id,
                CAST(sum(CASE WHEN contains(d.w, '|') THEN length(d.w)
@@ -1460,7 +1600,7 @@ def _q97_sql(n_merges: int = 10) -> str:
         GROUP BY d.doc_id
     ), counts AS (
         SELECT c.doc_id, coalesce(tc.n_tok, 0) AS n_tokens
-        FROM cleaned c LEFT JOIN tokc tc USING (doc_id)
+        FROM resampled c LEFT JOIN tokc tc USING (doc_id)
     ), cum AS (
         SELECT doc_id, n_tokens,
                COALESCE(SUM(n_tokens) OVER (
@@ -1493,22 +1633,26 @@ def _q97_sql(n_merges: int = 10) -> str:
 @register(
     "q97_corpus_to_trainer_flagship",
     _q97_sql(10),
-    doc="Corpus-to-trainer FLAGSHIP (round 8): the complete "
-        "training-data pipeline composed end-to-end in one gated "
-        "query — quality filter (q25 heuristic >= 0.5) -> cross-doc "
-        "span dedup cut (q90/q91, k=8) -> BPE merge training ON the "
-        "cleaned corpus (q95, 10 merges) -> trained-vocab token "
-        "counts (bpe_encode_count) -> 512-token sequence packing "
-        "(q64) -> seeded epoch shuffle + fixed-16-row shard slices "
-        "(q94). Every stage is the standalone operator, and the "
-        "oracle reuses each stage's exact CTE builder, so the "
-        "composition is replayed step-for-step and cannot drift from "
-        "the pieces. The one scale-relevant composition decision: "
-        "the cleaned corpus is LANDED to parquet before training "
-        "(the production shape — a cleaned corpus is an artifact), "
-        "because the BPE trainer iterates over its input and would "
-        "otherwise recompute the span-dedup subtree once per merge "
-        "round",
+    doc="Corpus-to-trainer FLAGSHIP (round 8; round 9 adds the DSIR "
+        "stage): the complete training-data pipeline composed "
+        "end-to-end in one gated query — quality filter (q25 "
+        "heuristic >= 0.5) -> cross-doc span dedup cut (q90/q91, "
+        "k=8) -> DSIR importance weights (q93) + deterministic "
+        "importance resampling (q18, target fraction 0.8) on the "
+        "cleaned corpus -> BPE merge training ON the resampled "
+        "corpus (q95, 10 merges) -> trained-vocab token counts "
+        "(bpe_encode_count) -> 512-token sequence packing (q64) -> "
+        "seeded epoch shuffle + fixed-16-row shard slices (q94). "
+        "Every stage is the standalone operator, and the oracle "
+        "reuses each stage's exact CTE builder, so the composition "
+        "is replayed step-for-step and cannot drift from the pieces. "
+        "Scale-relevant composition decisions: the cleaned corpus is "
+        "LANDED to parquet before the weight stage (the production "
+        "shape — a cleaned corpus is an artifact), because both the "
+        "weight computation and the BPE trainer re-read their input; "
+        "the weighted corpus is landed again before resampling, so "
+        "the trainer's per-round rescans replay a parquet scan + "
+        "hash-filter, not the two-shuffle weight pipeline",
 )
 def q97_corpus_to_trainer_flagship(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -1517,6 +1661,10 @@ def q97_corpus_to_trainer_flagship(spark: SparkSession,
         train_bpe_merges,
     )
     from formula1_data_pipeline_spark.operators.packing import pack_sequences
+    from formula1_data_pipeline_spark.operators.sampling import (
+        importance_weights,
+        resample_by_weight,
+    )
     from formula1_data_pipeline_spark.operators.shards import epoch_shuffle
     from formula1_data_pipeline_spark.operators.substring import (
         cut_duplicate_spans,
@@ -1529,12 +1677,24 @@ def q97_corpus_to_trainer_flagship(spark: SparkSession,
                    .select("doc_id", "text")
     cleaned = cut_duplicate_spans(filtered, min_span_tokens=8).select(
         "doc_id", F.col("clean_text").alias("text"))
-    path = scratch_dir("q97-") + "/cleaned"
+    base = scratch_dir("q97-")
+    path = base + "/cleaned"
     cleaned.write.mode("overwrite").parquet(path)
     landed = spark.read.parquet(path)
-    merges = [(a, b) for a, b, _ in train_bpe_merges(landed, 10)]
+    iw = importance_weights(
+        landed, quality_score(F.col("text")) >= 0.7)
+    weighted = landed.join(
+        iw.select("doc_id",
+                  F.coalesce("importance", F.lit(0.0)).alias("w")),
+        "doc_id")
+    wpath = base + "/weighted"
+    weighted.write.mode("overwrite").parquet(wpath)
+    landedw = spark.read.parquet(wpath)
+    corpus = resample_by_weight(landedw, F.col("w"), 0.8) \
+        .filter("kept").select("doc_id", "text")
+    merges = [(a, b) for a, b, _ in train_bpe_merges(corpus, 10)]
     packed = pack_sequences(
-        landed, bpe_encode_count(F.col("text"), merges), budget=512,
+        corpus, bpe_encode_count(F.col("text"), merges), budget=512,
         id_col="doc_id", bucket_size=1000,
     )
     bins = packed.groupBy("bin_id").agg(

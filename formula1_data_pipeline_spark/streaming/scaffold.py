@@ -7,7 +7,7 @@ times (joins/stateful/windowed/enrich/upsert) — which is exactly where
 the events-timestamp encoding bug bred in round 2. One implementation
 now:
 
-- ``file_stream(spark, path)`` — nanosAsLong conf, schema probe
+- ``file_stream(spark, path)`` — schema probe
   (cached per path: the batch footer read costs a Spark job, and the
   gate replays the same file for several queries), symlink staging dir
   (FileStreamSource accepts only directories; the symlink is
@@ -36,6 +36,7 @@ from pyspark.sql.types import StructType
 
 from formula1_data_pipeline_spark.functions.timestamps import (
     normalize_event_ts,
+    read_parquet_maybe_nanos,
 )
 from formula1_data_pipeline_spark.scratch import scratch_dir
 from formula1_data_pipeline_spark.streaming.confs import (
@@ -61,7 +62,7 @@ def _probe_schema(spark: SparkSession, path: str) -> StructType:
     footer read, once per (path, mtime, size) per process."""
     key = _cache_key(path)
     if key not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = read_parquet_maybe_nanos(spark, path).schema
     return _SCHEMA_CACHE[key]
 
 
@@ -87,11 +88,12 @@ def file_stream(
     """A parquet file stream over ``path`` with the event timestamp
     normalized to µs TIMESTAMP (see functions/timestamps.py).
 
-    nanosAsLong is (re-)set at runtime so externally-supplied sessions
-    — the driver's, not just get_spark()'s — read TIMESTAMP(NANOS)
-    footers too.
+    The batch schema probe goes through ``read_parquet_maybe_nanos``,
+    whose loud one-time fallback covers a TIMESTAMP(NANOS) footer on
+    externally-supplied sessions (the conf it sets is what the stream
+    read itself then relies on); µs-footer generations never touch
+    session conf.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = _probe_schema(spark, path)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:

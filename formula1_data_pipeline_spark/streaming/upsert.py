@@ -53,14 +53,14 @@ def stream_merge_upsert(
     """
     from formula1_data_pipeline_spark.sources.sinks import merge_upsert
 
-    # TIMESTAMP(NANOS) footer: runtime conf so externally-supplied
-    # sessions work too, matching queries.load.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from formula1_data_pipeline_spark.functions.timestamps import (
         normalize_event_ts,
+        read_parquet_maybe_nanos,
     )
 
-    ev = normalize_event_ts(spark.read.parquet(events_path))
+    # read_parquet_maybe_nanos: loud one-time conf fallback only if
+    # the footer is TIMESTAMP(NANOS), matching queries.load
+    ev = normalize_event_ts(read_parquet_maybe_nanos(spark, events_path))
     ev = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
 
     base = pathlib.Path(scratch_dir(prefix="stream_upsert_"))

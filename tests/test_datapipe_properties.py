@@ -660,3 +660,59 @@ def test_chunk_token_stream_semantics(spark):
 
     with pytest.raises(ValueError, match="seq_len"):
         chunk_token_stream(toks, 0)
+
+
+def test_resample_null_weights_are_zero(spark):
+    """Round-8 ADVICE: a NULL weight must behave as 0.0 on BOTH sides
+    — excluded-but-counted would bias the mean down, and a NULL
+    ``kept`` silently vanishes under filter('kept')."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.sampling import (
+        resample_by_weight,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 1.0), (3, None)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"]: r["kept"]
+           for r in resample_by_weight(docs, F.col("w"), 0.5).collect()}
+    # kept is a true boolean for every row, never NULL
+    assert all(isinstance(v, bool) for v in got.values()), got
+    assert got[1] is False and got[3] is False
+    # the normalizer treats NULL as 0: mean = (1+0+1+0)/4 = 0.5, so
+    # k = 0.5/0.5 = 1 and a non-null row keeps iff u < 1.0*1 — same
+    # verdict as explicitly coalesced weights
+    explicit = {
+        r["doc_id"]: r["kept"]
+        for r in resample_by_weight(
+            docs.select("doc_id",
+                        F.coalesce("w", F.lit(0.0)).alias("w")),
+            F.col("w"), 0.5).collect()
+    }
+    assert got == explicit
+
+
+def test_packing_rejects_non_numeric_ids(spark):
+    """Round-8 ADVICE: floor(id / bucket_size) silently NULLs on a
+    string id, collapsing the two-level prefix sum into one
+    unpartitioned window — fail loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        chunk_token_stream,
+        pack_sequences,
+    )
+
+    sdocs = spark.createDataFrame(
+        [("a", 3), ("b", 5)], "doc_id string, n long")
+    with pytest.raises(TypeError, match="pack_sequences.*numeric"):
+        pack_sequences(sdocs, F.col("n"), budget=4)
+    stoks = spark.createDataFrame(
+        [("a", 0), ("a", 1)], "doc_id string, pos long")
+    with pytest.raises(TypeError, match="chunk_token_stream.*numeric"):
+        chunk_token_stream(stoks, seq_len=4)
+    with pytest.raises(TypeError, match="not in"):
+        pack_sequences(sdocs, F.col("n"), budget=4, id_col="nope")

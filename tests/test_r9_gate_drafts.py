@@ -1,10 +1,11 @@
 """Round-9 gate drafts — full cross-engine oracle parity for the two
 operators built (and unit-tested) in round 8 whose catalog entries
 were deferred for gate-budget reasons: ``sampling.resample_by_weight``
-and ``packing.chunk_token_stream``. These tests run the intended
-oracle SQL against DuckDB on the real sf0.001 documents table and
-compare row-for-row with Spark — registering the r9 queries is then a
-mechanical lift of these bodies into ``@register`` blocks.
+and ``packing.chunk_token_stream``. LANDED in round 9 as
+q18_importance_resample and q19_token_chunks (queries_datapipe.py);
+these drafts stay as independent row-for-row replays (dict-compare
+rather than the harness's sorted value hash), exercising sf0.001
+alongside the catalog gate's sf0.01.
 """
 
 from __future__ import annotations
