@@ -8,6 +8,18 @@ ONE JSON line:
 Each query is executed to completion with the noop sink (full plan
 execution, no driver collect — what a cluster run would do). A warmup
 action first so JVM/codegen startup isn't billed to the first query.
+
+Regime (round-9 verdict item 1): every recorded run is a FRESH
+PROCESS. ``SPARK_GRAFT_BENCH_REPEATS=N`` (N>1) re-invokes this script
+N times as subprocesses — fresh JVM, fresh plan cache, fresh Janino —
+and reports the best run. The round-8 in-JVM repeat loop is GONE: its
+runs 2..N re-built every plan inside a warm session, so sub-second
+queries measured their cached-plan cost (q03: 0.42 s warm vs 1.1-1.2 s
+in every fresh process on record) and floors derived from them armed a
+2x tripwire no fresh run could pass. One regime, the driver's regime:
+fresh process, full catalog, warmup actions only for process-global
+machinery (JVM, Arrow workers, JVM-wide lazy singletons) — per-plan
+construction + compile stays billed to each query.
 """
 
 from __future__ import annotations
@@ -15,11 +27,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
+import tempfile
 import time
-
-from formula1_data_pipeline_spark.queries import CATALOG, load
-from formula1_data_pipeline_spark.session import get_spark
 
 
 def run_one(spark, spec, sf_dir: str) -> float:
@@ -46,7 +57,71 @@ def _warn_regressions(times: dict[str, float], factor: float = 2.0) -> None:
                   f"{b:.2f}s (> {factor}x)", file=sys.stderr)
 
 
+def _best_of_fresh_processes(repeats: int) -> None:
+    """Run the whole bench ``repeats`` times, each in a FRESH python +
+    JVM process, and emit the best run (stdout one-liner + sidecar
+    with every run's per-query times — the floor-provenance record)."""
+    runs: list[dict] = []
+    for i in range(repeats):
+        with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", prefix="bench_child_") as out:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_REPEATS="1",
+                SPARK_GRAFT_BENCH_CHILD_OUT=out.name,
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 *sys.argv[1:]],
+                env=env, stdout=subprocess.DEVNULL)
+            if proc.returncode != 0:
+                print(f"bench: child run {i} failed "
+                      f"(rc={proc.returncode})", file=sys.stderr)
+                sys.exit(proc.returncode)
+            runs.append(json.load(out))
+    best = min(runs, key=lambda r: r["value"])
+    full = dict(
+        best,
+        regime="fresh_process",
+        runs=[{"value": r["value"],
+               "loadavg_at_start": r["loadavg_at_start"],
+               "queries": r["queries"]} for r in runs],
+    )
+    only = set(sys.argv[1:])
+    if not only:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json")
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    _print_summary(best["queries"], best["value"], full.get("sf"),
+                   best["loadavg_at_start"])
+
+
+def _print_summary(times: dict[str, float], total: float, sf,
+                   load1) -> None:
+    # Full-name per-query detail lives in the sidecar: the driver keeps
+    # only the LAST 2000 chars of stdout, and at 79+ queries a full-name
+    # dict blows past that (BENCH_r04.json parsed: null). stdout gets ONE
+    # compact line with the unique qNN prefixes (~1.1 KB, ample headroom).
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in times.items()}
+    if len(short) != len(times):  # qNN prefix collision — fall back
+        short = times
+    print(json.dumps({
+        "metric": "catalog_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "load": load1,
+        "queries": short,
+    }, separators=(",", ":")))
+
+
 def main() -> None:
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+    if repeats > 1:
+        _best_of_fresh_processes(repeats)
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -58,6 +133,12 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except (OSError, AttributeError):  # platform without getloadavg
         load1 = None
+
+    # imported here, not at module top: the best-of-N parent is a pure
+    # subprocess orchestrator and must not pay (or skew) the package
+    # import that belongs inside each measured child
+    from formula1_data_pipeline_spark.queries import CATALOG, load
+    from formula1_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     # warmup: touch every table once (schema read + one scan job)
@@ -97,53 +178,39 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     only = set(sys.argv[1:])
-    # Best-of-N (round-6 judge item: don't let a contended-host run
-    # become the committed record): SPARK_GRAFT_BENCH_REPEATS > 1 runs
-    # the whole catalog N times and reports the minimum-total run, with
-    # every run's total + start loadavg kept as context. The driver's
-    # per-round single run is unchanged (default 1).
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
-    runs: list[dict] = []
-    for _ in range(repeats):
-        try:
-            run_load = round(os.getloadavg()[0], 2)
-        except (OSError, AttributeError):
-            run_load = None
-        t: dict[str, float] = {}
-        for name, spec in sorted(CATALOG.items()):
-            if only and name not in only:
-                continue
-            t[name] = round(run_one(spark, spec, sf_dir), 3)
-        runs.append({
-            "value": round(sum(t.values()), 3),
-            "loadavg_at_start": run_load,
-            "queries": t,
-        })
-    best = min(runs, key=lambda r: r["value"])
-    times = best["queries"]
+    t: dict[str, float] = {}
+    for name, spec in sorted(CATALOG.items()):
+        if only and name not in only:
+            continue
+        t[name] = round(run_one(spark, spec, sf_dir), 3)
+    total = round(sum(t.values()), 3)
 
-    _warn_regressions(times)
-    total = best["value"]
+    _warn_regressions(t)
 
-    # Full-name per-query detail goes to a sidecar file: the driver keeps
-    # only the LAST 2000 chars of stdout, and at 79+ queries a full-name
-    # dict blows past that (BENCH_r04.json parsed: null). stdout gets ONE
-    # compact line with the unique qNN prefixes (~1.1 KB, ample headroom).
     full = {
         "metric": "catalog_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": t,
         "sf": sf,
-        "loadavg_at_start": best["loadavg_at_start"],
-        # per-run per-query times: every floor refresh must be
-        # auditable back to the exact run that produced it (round-7
-        # judge: a floor from an unauditable single sample armed a
-        # false 2x tripwire)
-        "runs": [{"value": r["value"],
-                  "loadavg_at_start": r["loadavg_at_start"],
-                  "queries": r["queries"]} for r in runs],
+        "loadavg_at_start": load1,
+        # one fresh-process run == one provenance record: every floor
+        # refresh must be auditable back to the exact run that
+        # produced it (round-7 judge: a floor from an unauditable
+        # single sample armed a false 2x tripwire), and every
+        # recorded run must be a REGIME a fresh driver run can
+        # reproduce (round-8 judge: warm-JVM repeat minima cannot be)
+        "regime": "fresh_process",
+        "runs": [{"value": total, "loadavg_at_start": load1,
+                  "queries": t}],
     }
+    child_out = os.environ.get("SPARK_GRAFT_BENCH_CHILD_OUT")
+    if child_out:
+        # best-of-N child: hand the full record to the parent; the
+        # parent owns the sidecar and the stdout line
+        with open(child_out, "w") as f:
+            json.dump(full, f)
+        return
     # the sidecar is the committed full-catalog record — a filtered
     # subset run must not clobber it (it did once: a 1-query smoke
     # replaced the 83-query baseline)
@@ -152,18 +219,7 @@ def main() -> None:
                                "bench_full.json")
         with open(sidecar, "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
-
-    short = {n.split("_", 1)[0]: round(t, 2) for n, t in times.items()}
-    if len(short) != len(times):  # qNN prefix collision — fall back
-        short = times
-    print(json.dumps({
-        "metric": "catalog_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "sf": sf,
-        "load": load1,
-        "queries": short,
-    }, separators=(",", ":")))
+    _print_summary(t, total, sf, load1)
 
 
 if __name__ == "__main__":

@@ -15,11 +15,12 @@ at 100 TB, fully distributed, map-side partial agg). Every merge
 round then runs ONE aggregation pass over that word table (pair
 explode -> partial-agg count -> TakeOrdered argmax to the driver) —
 no corpus rescans, plan depth constant per round (the symbol
-representation is re-derived from the base table by a chain of
-literal ``replace`` expressions, one per learned merge — pure
-codegen'd string ops; a production run training tens of thousands of
-merges materializes the representation every few hundred rounds the
-way MLlib checkpoints iterative lineage). The merge table itself
+representation is re-derived by a chain of literal ``replace``
+expressions, one per merge SINCE THE LAST CHECKPOINT — pure codegen'd
+string ops; every ``checkpoint_every`` merges the trainer
+rematerializes the word table with the representation applied, the
+way MLlib checkpoints iterative lineage, so a 32k-merge production
+vocab never builds a 32k-deep expression). The merge table itself
 lives on the driver: ``n_merges`` rows of a few short strings — the
 same bounded-scalar argument as the k-means centroids.
 
@@ -80,11 +81,9 @@ def _initial_repr(w: Column) -> Column:
     )
 
 
-def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:
-    """The symbol representation of ``w`` after applying ``merges`` in
-    order — a chain of literal replaces over the char-split base (see
-    module docstring for why plan depth per round stays constant)."""
-    r = _initial_repr(w)
+def apply_merges(r: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply ``merges`` in order to an existing pipe-wrapped symbol
+    representation — a chain of literal replaces, one per merge."""
     for a, b in merges:
         r = F.replace(
             r,
@@ -92,6 +91,13 @@ def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:
             F.lit(f"{DELIM}{a}{b}{DELIM}"),
         )
     return r
+
+
+def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:
+    """The symbol representation of ``w`` after applying ``merges`` in
+    order — a chain of literal replaces over the char-split base (see
+    module docstring for why plan depth per round stays constant)."""
+    return apply_merges(_initial_repr(w), merges)
 
 
 def repr_symbols(r: Column) -> Column:
@@ -105,6 +111,8 @@ def train_bpe_merges(
     text_col: str = "text",
     min_count: int = 1,
     words: DataFrame | None = None,
+    checkpoint_every: int = 128,
+    plan_inspector=None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns
     [(left, right, pair_count), ...] in training order. Stops early
@@ -117,19 +125,48 @@ def train_bpe_merges(
     touched ONCE" contract rests on — without it every round's
     collect re-executes the corpus scan). Pass ``words`` (a
     ``word_freqs`` output you manage yourself, e.g. shared with
-    ``build_vocab``) to skip the internal persist."""
+    ``build_vocab``) to skip the internal persist.
+
+    Representation checkpointing (round-9 verdict item): the symbol
+    representation is a chain of literal ``replace`` expressions, one
+    per learned merge — at production vocab sizes (32k merges) an
+    unbounded chain is a plan-size and Catalyst-analysis hazard
+    (every round re-analyzes O(merges) expressions: quadratic total).
+    Every ``checkpoint_every`` merges the word table is REMATERIALIZED
+    with the accumulated representation applied and landed to scratch
+    parquet (lineage truncation — persist alone leaves the logical
+    plan growing), so the per-round replace chain is bounded by
+    ``checkpoint_every`` and per-round analysis cost is constant.
+    Training below ``checkpoint_every`` merges (every gated query:
+    10) never checkpoints and runs the exact pre-checkpoint plan.
+    Equivalence at small checkpoint intervals is property-tested
+    (test_bpe.py); the 1,000-merge probe is recorded in SCALE.md.
+
+    ``plan_inspector`` (tests/diagnostics only): called with each
+    round's pair-source DataFrame before it executes, so a test can
+    assert the actual analyzed-plan expression depth stays bounded.
+    """
     own_words = words is None
     if own_words:
         words = word_freqs(docs, text_col).persist()
     merges: list[tuple[str, str]] = []
     out: list[tuple[str, str, int]] = []
+    ckpt: DataFrame | None = None  # (freq, repr) at last checkpoint
+    n_ckpt = 0  # merges already baked into ckpt's repr
     # unpersist on EVERY exit — an exception in a per-round collect
-    # must not leak the cached frame for the session (round-8 ADVICE;
+    # must not leak the cached frames for the session (round-8 ADVICE;
     # same shape as q98's shared-words finally)
     try:
         for _ in range(n_merges):
-            syms = repr_symbols(merged_repr(F.col("w"), merges))
-            d = words.select("freq", syms.alias("syms"))
+            if ckpt is None:
+                syms = repr_symbols(merged_repr(F.col("w"), merges))
+                d = words.select("freq", syms.alias("syms"))
+            else:
+                syms = repr_symbols(
+                    apply_merges(F.col("repr"), merges[n_ckpt:]))
+                d = ckpt.select("freq", syms.alias("syms"))
+            if plan_inspector is not None:
+                plan_inspector(d)
             n = F.size("syms")
             pairs = d.select(
                 "freq",
@@ -154,10 +191,33 @@ def train_bpe_merges(
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((a, b))
             out.append((a, b, cnt))
+            if checkpoint_every and len(merges) % checkpoint_every == 0:
+                ckpt = _checkpoint_repr(
+                    words if ckpt is None else ckpt,
+                    merges[n_ckpt:], base_is_words=ckpt is None)
+                n_ckpt = len(merges)
     finally:
         if own_words:
             words.unpersist()
     return out
+
+
+def _checkpoint_repr(base: DataFrame,
+                     pending: list[tuple[str, str]],
+                     base_is_words: bool) -> DataFrame:
+    """Land the word table's current symbol representation to scratch
+    parquet and read it back — full lineage truncation, so the next
+    training round's plan starts from a flat (freq, repr) scan. The
+    checkpoint is the production artifact shape too: a crashed 32k-
+    merge training run resumes from the last checkpoint + the merge
+    list instead of replaying every round."""
+    from formula1_data_pipeline_spark.scratch import scratch_dir
+
+    r = _initial_repr(F.col("w")) if base_is_words else F.col("repr")
+    path = scratch_dir("bpe-ckpt-") + "/words_repr"
+    base.select("freq", apply_merges(r, pending).alias("repr")) \
+        .write.mode("overwrite").parquet(path)
+    return base.sparkSession.read.parquet(path)
 
 
 def merges_df(spark, trained: list[tuple[str, str, int]]) -> DataFrame:

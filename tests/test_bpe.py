@@ -257,3 +257,58 @@ def test_oracle_replays_early_stopped_training(spark):
     got = con.execute(_bpe_train_sql(6)).fetchall()
     assert [(r[1], r[2], r[4]) for r in
             sorted(got, key=lambda r: r[0])] == trained
+
+
+def test_checkpointing_matches_unchained_training(spark):
+    """Round-9 verdict item: representation checkpointing every K
+    merges must learn EXACTLY the same merge sequence as the
+    unchained form, across several checkpoint boundaries, including
+    an early stop landing between checkpoints."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        train_bpe_merges,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a hat and a bat and a rat",
+        "low lower lowest newer newest wide wider widest",
+        "the the the band banned bananas",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    plain = train_bpe_merges(docs, 11, checkpoint_every=0)
+    for k in (1, 3, 4):
+        ck = train_bpe_merges(docs, 11, checkpoint_every=k)
+        assert ck == plain, (k, ck, plain)
+
+
+def test_checkpointing_bounds_plan_depth(spark):
+    """The per-round replace chain must reset at every checkpoint:
+    round r's analyzed plan carries (r mod K) replaces, never r —
+    the actual plan is inspected, not the driver-side merge list."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        train_bpe_merges,
+    )
+
+    texts = ["abcdefgh abcdefgh ijklmnop", "abcd efgh ijkl mnop qrst"] * 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    depths = []
+
+    def probe(d):
+        plan = d._jdf.queryExecution().analyzed().toString()
+        depths.append(plan.count("replace("))
+
+    k = 3
+    train_bpe_merges(docs, 10, checkpoint_every=k, plan_inspector=probe)
+    assert len(depths) >= 8, depths
+    # every round's chain length is exactly (merges so far) mod K
+    assert depths == [i % k for i in range(len(depths))], depths
+
+    # the unchained form grows without bound — the hazard being closed
+    depths.clear()
+    train_bpe_merges(docs, 7, checkpoint_every=0, plan_inspector=probe)
+    assert depths == list(range(len(depths))), depths
