@@ -65,3 +65,66 @@ def test_backticked_column_name(spark):
         out.select(F.unix_micros(F.col("`event ts`")).alias("us")).first()["us"]
         == 1_723_500_000_000_000
     )
+
+
+def test_read_parquet_maybe_nanos_fallback(spark, tmp_path):
+    """Round-9 conf-hygiene fix: a µs footer reads without touching
+    session conf; a TIMESTAMP(NANOS) footer triggers the loud one-time
+    nanosAsLong fallback and then reads as epoch-ns longs that
+    normalize_event_ts floors to µs."""
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from formula1_data_pipeline_spark.functions.timestamps import (
+        read_parquet_maybe_nanos,
+    )
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    old = spark.conf.get(key, None)
+    ns_val = 1_723_500_000_000_000_999
+    try:
+        # µs footer: plain read, conf untouched even when unset
+        spark.conf.unset(key)
+        us = tmp_path / "us.parquet"
+        pq.write_table(pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([ns_val // 1000], pa.timestamp("us")),
+        }), us)
+        df = read_parquet_maybe_nanos(spark, str(us))
+        assert dict(df.dtypes)["ts"] in ("timestamp_ntz", "timestamp")
+        assert df.count() == 1
+        assert spark.conf.get(key, None) in (None, "false")
+
+        # NANOS footer: plain read fails -> warned fallback sets the
+        # conf once and the column arrives as epoch-ns bigint
+        nsp = tmp_path / "ns.parquet"
+        pq.write_table(pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([ns_val], pa.timestamp("ns")),
+        }), nsp)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            df2 = read_parquet_maybe_nanos(spark, str(nsp))
+            rows = df2.collect()
+        assert dict(df2.dtypes)["ts"] == "bigint"
+        assert rows[0]["ts"] == ns_val
+        assert spark.conf.get(key) == "true"
+        assert any("nanosAsLong" in str(x.message) for x in w)
+
+        # ... and normalize_event_ts floors it to exact µs
+        from pyspark.sql import functions as F
+
+        from formula1_data_pipeline_spark.functions.timestamps import (
+            normalize_event_ts,
+        )
+
+        got = (normalize_event_ts(read_parquet_maybe_nanos(spark, str(nsp)))
+               .select(F.unix_micros("ts").alias("us")).first()["us"])
+        assert got == ns_val // 1000
+    finally:
+        if old is None:
+            spark.conf.set(key, "true")  # restore session default
+        else:
+            spark.conf.set(key, old)
