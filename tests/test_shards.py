@@ -123,3 +123,45 @@ def test_rank_plan_has_no_global_sort_and_broadcasts_offsets(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
         plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_string_ids_rank_then_pack_recipe(spark):
+    """The recipe pack_sequences' numeric-id error message points at:
+    string doc ids get a dense numeric rank from epoch_shuffle's
+    md5-rank, and packing runs on the rank — deterministic,
+    partitioning-invariant, no global sort."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from formula1_data_pipeline_spark.operators.shards import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:04d}", (i % 7) + 1) for i in range(200)],
+        "doc_id string, n_tokens long",
+    )
+    ranked = epoch_shuffle(docs, epoch_salt="order-v1", rows_per_shard=50,
+                           id_col="doc_id")
+    packed = pack_sequences(
+        ranked, F.col("n_tokens"), budget=16, id_col="epoch_rank",
+        bucket_size=64,
+    )
+    rows = packed.collect()
+    assert len(rows) == 200
+    # the prefix-sum layout is exact over the rank order
+    by_rank = {r["epoch_rank"]: r for r in rows}
+    cum = 0
+    for rank in sorted(by_rank):
+        r = by_rank[rank]
+        assert r["bin_id"] == cum // 16 and r["pack_pos"] == cum % 16
+        cum += r["n_tokens"]
+    # and invariant to physical partitioning
+    again = pack_sequences(
+        epoch_shuffle(docs.repartition(7), "order-v1", 50,
+                      id_col="doc_id"),
+        F.col("n_tokens"), budget=16, id_col="epoch_rank",
+        bucket_size=64,
+    ).collect()
+    assert {(r["epoch_rank"], r["bin_id"], r["pack_pos"]) for r in again} \
+        == {(r["epoch_rank"], r["bin_id"], r["pack_pos"]) for r in rows}
