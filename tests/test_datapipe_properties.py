@@ -716,3 +716,43 @@ def test_packing_rejects_non_numeric_ids(spark):
         chunk_token_stream(stoks, seq_len=4)
     with pytest.raises(TypeError, match="not in"):
         pack_sequences(sdocs, F.col("n"), budget=4, id_col="nope")
+
+
+def test_chunk_token_stream_plan_shape(spark):
+    """Pin q19's scale contract in the physical plan: exactly two
+    windows — the in-bucket prefix sum PARTITIONED by _bkt, and one
+    unpartitioned window that runs ONLY over the tiny per-bucket sum
+    table (sum(_bsum)) — with the bucket-offset table broadcast back.
+    A regression to a single global window (the naive formulation)
+    would show an unpartitioned window over the token stream."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        chunk_token_stream,
+    )
+
+    toks = spark.range(500).select(
+        (F.col("id") % 50).alias("doc_id"),
+        (F.col("id") / 50).cast("long").alias("pos"))
+    plan = chunk_token_stream(toks, seq_len=7) \
+        ._jdf.queryExecution().executedPlan().toString()
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2, plan
+    unpartitioned = [s for s in specs if s.startswith("_bkt#")
+                     and "ASC" in s.split(",")[0]]
+    partitioned = [s for s in specs if not (s.startswith("_bkt#")
+                   and "ASC" in s.split(",")[0])]
+    assert len(unpartitioned) == 1 and len(partitioned) == 1, specs
+    # the unpartitioned window's aggregate is the bucket-sum table,
+    # never the stream
+    win_lines = [ln for ln in plan.splitlines() if "Window [sum(" in ln]
+    unp_line = [ln for ln in win_lines if "_bsum" in ln]
+    assert len(unp_line) == 1 and "windowspecdefinition(_bkt#" in unp_line[0]
+    # the partitioned window partitions by _bkt
+    part_line = [ln for ln in win_lines if "sum(n_tokens" in ln][0]
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L?,", part_line)
+    # bucket offsets come back via a broadcast join on _bkt
+    assert re.search(r"BroadcastHashJoin \[_bkt#", plan), plan
