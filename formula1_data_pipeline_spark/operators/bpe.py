@@ -106,13 +106,14 @@ def repr_symbols(r: Column) -> Column:
 
 
 def train_bpe_merges(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 1,
     words: DataFrame | None = None,
     checkpoint_every: int = 128,
     plan_inspector=None,
+    resume: tuple[DataFrame, list[tuple[str, str]]] | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns
     [(left, right, pair_count), ...] in training order. Stops early
@@ -145,14 +146,29 @@ def train_bpe_merges(
     ``plan_inspector`` (tests/diagnostics only): called with each
     round's pair-source DataFrame before it executes, so a test can
     assert the actual analyzed-plan expression depth stays bounded.
+
+    ``resume=(words_repr, prior_merges)``: continue a previous run
+    from its checkpoint — ``words_repr`` is a (freq, repr) frame
+    (``checkpoint_words_repr``'s output, or the scratch parquet a
+    crashed run left behind) whose repr has ``prior_merges`` already
+    applied. The return value contains only the NEW merges; training
+    is provably identical to an uninterrupted run (tested). With
+    ``resume`` set, ``docs``/``words`` are unused and may be None —
+    resuming never rescans the corpus.
     """
-    own_words = words is None
-    if own_words:
-        words = word_freqs(docs, text_col).persist()
-    merges: list[tuple[str, str]] = []
+    if resume is not None:
+        ckpt, prior = resume
+        merges: list[tuple[str, str]] = list(prior)
+        n_ckpt = len(merges)
+        own_words = False
+    else:
+        own_words = words is None
+        if own_words:
+            words = word_freqs(docs, text_col).persist()
+        merges = []
+        ckpt = None  # (freq, repr) at last checkpoint
+        n_ckpt = 0  # merges already baked into ckpt's repr
     out: list[tuple[str, str, int]] = []
-    ckpt: DataFrame | None = None  # (freq, repr) at last checkpoint
-    n_ckpt = 0  # merges already baked into ckpt's repr
     # unpersist on EVERY exit — an exception in a per-round collect
     # must not leak the cached frames for the session (round-8 ADVICE;
     # same shape as q98's shared-words finally)
@@ -200,6 +216,17 @@ def train_bpe_merges(
         if own_words:
             words.unpersist()
     return out
+
+
+def checkpoint_words_repr(
+        words: DataFrame,
+        merges: list[tuple[str, str]]) -> DataFrame:
+    """Materialize the (freq, repr) resume artifact from a
+    ``word_freqs`` table with ``merges`` applied — what
+    ``train_bpe_merges(resume=...)`` consumes. Landed to scratch
+    parquet (lineage truncated), so the returned frame is a flat scan
+    however deep the training history."""
+    return _checkpoint_repr(words, merges, base_is_words=True)
 
 
 def _checkpoint_repr(base: DataFrame,

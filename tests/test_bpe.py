@@ -312,3 +312,33 @@ def test_checkpointing_bounds_plan_depth(spark):
     depths.clear()
     train_bpe_merges(docs, 7, checkpoint_every=0, plan_inspector=probe)
     assert depths == list(range(len(depths))), depths
+
+
+def test_resume_from_checkpoint_matches_uninterrupted(spark):
+    """Crash-resume contract: training 6 merges, checkpointing, and
+    resuming for 5 more must produce exactly the merges an
+    uninterrupted 11-merge run learns — without touching the corpus
+    (docs=None on resume). Resume also composes with further
+    checkpointing (K=2 crosses boundaries mid-resume)."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        checkpoint_words_repr,
+        train_bpe_merges,
+        word_freqs,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "low lower lowest newer newest wide wider widest",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    plain = train_bpe_merges(docs, 11, checkpoint_every=0)
+    first = train_bpe_merges(docs, 6, checkpoint_every=0)
+    ck = checkpoint_words_repr(
+        word_freqs(docs), [(a, b) for a, b, _ in first])
+    more = train_bpe_merges(
+        None, 5, checkpoint_every=2,
+        resume=(ck, [(a, b) for a, b, _ in first]))
+    assert first + more == plain, (first, more, plain)
