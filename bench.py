@@ -39,6 +39,48 @@ def run_one(spark, spec, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb PROCESS-GLOBAL first-use costs so they aren't billed to
+    whichever query happens to run first; per-plan construction +
+    Janino compile stays billed to each query (honest per-query cold
+    cost). THE canonical warmup — scripts/profile_small_queries.py
+    imports this same function, so the profiling regime can't drift
+    from the recorded one (round-9 review finding)."""
+    from formula1_data_pipeline_spark.queries import load
+
+    # every table once (schema read + one scan job)
+    names = ("region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings")
+    for n, df in load(spark, sf_dir, *names).items():
+        df.write.format("noop").mode("overwrite").save()
+    # ... and spin up the Arrow/Python workers so the first mapInPandas
+    # query isn't billed the interpreter fork
+    spark.range(64).repartition(4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    # ... and the JVM-wide lazy singletons the first expression-heavy
+    # query otherwise pays for (round-6 verdict item 8: ~1.2 s of
+    # first-date_format DateTimeFormatter/locale loading — process-
+    # wide, nothing to do with any one query's plan)
+    from pyspark.sql import functions as _F
+
+    spark.range(4).select(
+        _F.date_format(_F.lit("2024-01-01").cast("timestamp"),
+                       "yyyy-MM-dd").alias("d"),
+        _F.upper(_F.lit("x")).alias("u"),
+    ).write.format("noop").mode("overwrite").save()
+    # ... and one NON-catalog query of catalog-like shape (scan ->
+    # distinct -> aggregate), untimed, to absorb the remaining generic
+    # first-query machinery (broadcast thread pools, shuffle tracker).
+    # Round-7 ADVICE: warming with catalog q11 pre-compiled q11's own
+    # plan, uniquely exempting its timed run from the per-plan cost
+    # every other query pays; this plan shares no catalog signature.
+    load(spark, sf_dir, "nation")["nation"] \
+        .select("n_regionkey").distinct() \
+        .groupBy().count() \
+        .write.format("noop").mode("overwrite").save()
+
+
 def _warn_regressions(times: dict[str, float], factor: float = 2.0) -> None:
     """Compare against bench_baseline.json and shout (stderr only — the
     driver parses stdout as one JSON line) when a query regresses more
@@ -137,45 +179,11 @@ def main() -> None:
     # imported here, not at module top: the best-of-N parent is a pure
     # subprocess orchestrator and must not pay (or skew) the package
     # import that belongs inside each measured child
-    from formula1_data_pipeline_spark.queries import CATALOG, load
+    from formula1_data_pipeline_spark.queries import CATALOG
     from formula1_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    # warmup: touch every table once (schema read + one scan job)
-    names = ("region", "nation", "customer", "supplier", "part",
-             "orders", "lineitem", "events", "documents", "embeddings")
-    for n, df in load(spark, sf_dir, *names).items():
-        df.write.format("noop").mode("overwrite").save()
-    # ... and spin up the Arrow/Python workers so the first mapInPandas
-    # query isn't billed the interpreter fork (same rationale as the
-    # JVM/codegen warmup above)
-    spark.range(64).repartition(4).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.format("noop").mode("overwrite").save()
-    # ... and the JVM-wide lazy singletons the first expression-heavy
-    # query otherwise pays for (round-6 verdict item 8: q01 ran 2.8x
-    # its floor purely from first-slot cost; profiled, ~1.2 s of it is
-    # the first date_format loading the DateTimeFormatter/locale
-    # machinery — process-wide, nothing to do with q01's plan):
-    from pyspark.sql import functions as _F
-
-    spark.range(4).select(
-        _F.date_format(_F.lit("2024-01-01").cast("timestamp"),
-                       "yyyy-MM-dd").alias("d"),
-        _F.upper(_F.lit("x")).alias("u"),
-    ).write.format("noop").mode("overwrite").save()
-    # ... and one NON-catalog query of catalog-like shape (scan ->
-    # distinct -> aggregate), untimed, to absorb the remaining generic
-    # first-query machinery (broadcast thread pools, shuffle tracker).
-    # Per-plan Janino compile stays billed to each query — that's
-    # honest per-query cold cost, not a first-slot tax. Round-7 ADVICE:
-    # warming with catalog q11 pre-compiled q11's own plan, uniquely
-    # exempting its timed run from the per-plan cost every other query
-    # pays; this plan shares no catalog plan's signature.
-    load(spark, sf_dir, "nation")["nation"] \
-        .select("n_regionkey").distinct() \
-        .groupBy().count() \
-        .write.format("noop").mode("overwrite").save()
+    warmup(spark, sf_dir)
 
     only = set(sys.argv[1:])
     t: dict[str, float] = {}

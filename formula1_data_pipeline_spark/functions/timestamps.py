@@ -41,7 +41,11 @@ def read_parquet_maybe_nanos(spark, path: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except Exception as e:  # AnalysisException: Illegal Parquet type
-        if "nanos" not in str(e).lower():
+        # match the specific rejection ("Illegal Parquet type: INT64
+        # (TIMESTAMP(NANOS,...))"), not any message that happens to
+        # contain "nanos" (e.g. a path in a not-found error) — a loose
+        # match would mutate session conf on unrelated failures
+        if "timestamp(nanos" not in str(e).lower():
             raise
         warnings.warn(
             f"{path}: TIMESTAMP(NANOS) footer; setting "
@@ -52,6 +56,42 @@ def read_parquet_maybe_nanos(spark, path: str) -> DataFrame:
         )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
+
+
+def footer_has_nanos(path: str) -> bool:
+    """True when the parquet footer carries a TIMESTAMP(NANOS) column
+    — read via pyarrow (no Spark job, no session conf dependence).
+    Used by the streaming scaffold to decide, per FILE rather than per
+    session, whether a supplied session needs the nanosAsLong conf:
+    a session-state probe would go stale across sessions sharing the
+    process-global schema cache."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return any(
+            pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            for f in schema
+        )
+    except Exception:
+        return False  # unreadable/odd footer: let Spark's reader decide
+
+
+def ensure_nanos_conf(spark) -> None:
+    """Idempotently set nanosAsLong on ``spark`` for a known
+    TIMESTAMP(NANOS) input, with the same loud warning as the read
+    fallback (only when actually changing the session)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) != "true":
+        warnings.warn(
+            "TIMESTAMP(NANOS) parquet footer; setting "
+            f"{key}=true on the supplied session (persists for the "
+            "session's lifetime; session.get_spark sets it at build "
+            "time)",
+            stacklevel=3,
+        )
+        spark.conf.set(key, "true")
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

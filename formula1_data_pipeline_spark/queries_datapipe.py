@@ -1369,7 +1369,10 @@ def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_importance_resample",
     f"""
     WITH iw AS ({_Q93_SQL}),
-    weighted AS (
+    -- MATERIALIZED: referenced by both stats and the final select;
+    -- inlining would run the whole weight pipeline twice (repo CTE
+    -- convention)
+    weighted AS MATERIALIZED (
         SELECT doc_id, coalesce(importance, 0.0) AS w FROM iw
     ), stats AS (
         SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS s,
@@ -1576,7 +1579,9 @@ def _q97_sql(n_merges: int = 10) -> str:
         SELECT t.id AS doc_id, coalesce(k.clean_text, '') AS text
         FROM toklist t LEFT JOIN keptagg k ON k.id = t.id
     ), {_iw_ctes('cleaned', '97')},
-    wts97 AS (
+    -- MATERIALIZED: referenced by both stats and resampled (repo CTE
+    -- convention for double-referenced chains)
+    wts97 AS MATERIALIZED (
         SELECT doc_id, coalesce(importance, 0.0) AS w FROM iw97
     ), stats AS (
         SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS s,

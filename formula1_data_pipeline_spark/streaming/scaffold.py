@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from formula1_data_pipeline_spark.functions.timestamps import (
+    ensure_nanos_conf,
+    footer_has_nanos,
     normalize_event_ts,
     read_parquet_maybe_nanos,
 )
@@ -88,12 +90,17 @@ def file_stream(
     """A parquet file stream over ``path`` with the event timestamp
     normalized to µs TIMESTAMP (see functions/timestamps.py).
 
-    The batch schema probe goes through ``read_parquet_maybe_nanos``,
-    whose loud one-time fallback covers a TIMESTAMP(NANOS) footer on
-    externally-supplied sessions (the conf it sets is what the stream
-    read itself then relies on); µs-footer generations never touch
-    session conf.
+    A TIMESTAMP(NANOS) footer needs nanosAsLong on THIS session — and
+    the decision must be per FILE, not a side effect of the schema
+    probe: the schema cache is process-global, so a second session in
+    the same process gets a cache hit and the probe's read fallback
+    would never fire on it (review finding, round 9). ``footer_has_
+    nanos`` checks the footer via pyarrow (no Spark job) and the conf
+    is set loudly, idempotently, only for nanos footers; µs-footer
+    generations never touch session conf.
     """
+    if footer_has_nanos(path):
+        ensure_nanos_conf(spark)
     schema = _probe_schema(spark, path)
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger is not None:

@@ -9,11 +9,15 @@ q31 1.88->2.52 s) into
   exec2   — second noop execution of a FRESH identical plan (warm
             JVM: codegen cache hits, interned plan machinery)
 
-run under the EXACT bench.py warmup, in a fresh process. exec1-exec2
-approximates the per-plan cold cost (compile); exec2 approximates
-steady-state execution. Usage:
+run under THE bench.py warmup (the function itself is imported from
+bench.py, so the regimes cannot drift), in a fresh process.
+exec1-exec2 approximates the per-plan cold cost (compile); exec2
+approximates steady-state execution. Usage:
 
     python scripts/profile_small_queries.py [qNN ...]
+
+DEFAULT = the queries the round-8 verdict flagged as drifted
+(q02/q03/q09/q14/q31) plus q12 as a small always-fast control.
 """
 from __future__ import annotations
 
@@ -24,35 +28,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from formula1_data_pipeline_spark.queries import CATALOG, load  # noqa: E402
+from bench import warmup  # noqa: E402
+from formula1_data_pipeline_spark.queries import CATALOG  # noqa: E402
 from formula1_data_pipeline_spark.session import get_spark  # noqa: E402
 
 DEFAULT = ["q02_union_dedup_priority", "q03_asof_join",
            "q09_sentinel_parse", "q12_window_filter",
            "q14_ingest_write_path", "q31_stream_windowed_agg"]
-
-
-def warmup(spark, sf_dir):
-    """bench.py's warmup, verbatim in spirit: tables, Arrow workers,
-    JVM lazy singletons, one non-catalog query shape."""
-    names = ("region", "nation", "customer", "supplier", "part",
-             "orders", "lineitem", "events", "documents", "embeddings")
-    for n, df in load(spark, sf_dir, *names).items():
-        df.write.format("noop").mode("overwrite").save()
-    spark.range(64).repartition(4).mapInPandas(
-        lambda it: it, schema="id long"
-    ).write.format("noop").mode("overwrite").save()
-    from pyspark.sql import functions as _F
-
-    spark.range(4).select(
-        _F.date_format(_F.lit("2024-01-01").cast("timestamp"),
-                       "yyyy-MM-dd").alias("d"),
-        _F.upper(_F.lit("x")).alias("u"),
-    ).write.format("noop").mode("overwrite").save()
-    load(spark, sf_dir, "nation")["nation"] \
-        .select("n_regionkey").distinct() \
-        .groupBy().count() \
-        .write.format("noop").mode("overwrite").save()
 
 
 def main():
