@@ -1,0 +1,263 @@
+"""Round-10 gate drafts — full cross-engine oracle parity for the two
+operators pre-staged this round whose catalog entries are deferred
+for gate-budget reasons (the r8→r9 pattern: the 50-row budget is
+exactly consumed by the 47 r7-stale re-gates + q18/q19/q97, and the
+catalog at 99 entries only fits the budget as a strict alternation —
+so new operators ship parity-proven here and take their catalog rows,
+or ride a composite gate, in round 10):
+
+  * ``operators/lm.py``        — stupid-backoff bigram LM quality
+                                 scoring (CCNet-style filter)
+  * ``operators/retrieval.py`` — BM25 top-k ranked retrieval
+
+Row-for-row dict compares (stricter than the harness's sorted value
+hash) at sf0.001; the catalog gates will run the same SQL at sf0.01.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_SQL_TOKS = (
+    r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+    r"x -> x <> '')"
+)
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+def test_ngram_lm_oracle_parity(spark):
+    """The intended r10 gate: train the bigram LM on the clean
+    reference slice, score EVERY doc. The synthetic corpus draws from
+    a ~30-word vocabulary whose bigram space the reference slice
+    covers completely, so (the q44 pattern) the gate input augments
+    documents deterministically to make the buckets discriminative:
+    doc_id%3==0 -> every token suffixed with the doc_id (fully OOV,
+    the 'tail' probe), %3==1 -> original text + its OOV twin + an
+    in-vocab coda (the 'middle' + backoff probe), %3==2 -> untouched
+    (the reference slice and 'head' probe). All aggregation is
+    integer sums; each score is one IEEE divide rounded to 6 dp, so
+    rows replay bit-for-bit in DuckDB."""
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.lm import (
+        score_ngram_lm,
+        train_ngram_lm,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
+    from formula1_data_pipeline_spark.queries import load
+    from formula1_data_pipeline_spark.queries_llm import _sql_quality
+
+    raw = load(spark, SF_DIR, "documents")["documents"]
+    oov = F.array_join(
+        F.transform(
+            tokens(F.col("text")),
+            lambda x: F.concat(x, F.lit("-"), F.col("doc_id").cast("string")),
+        ),
+        " ",
+    )
+    docs = raw.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, oov)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" "), oov, F.lit(" scan merge")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    is_ref = (F.col("doc_id") % 3 == 2) & (
+        quality_score(F.col("text")) >= 0.7
+    )
+    model = train_ngram_lm(docs, is_ref)
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["n_hits"], r["n_oov"], r["hit_rate"],
+            r["cond_score"], r["backoff_score"], r["quality_bucket"],
+        )
+        for r in score_ngram_lm(docs, model).collect()
+    }
+
+    quality = _sql_quality("toks", "list_distinct(toks)")
+    aug_oov = (
+        "array_to_string(list_transform(toks, "
+        "x -> x || '-' || CAST(doc_id AS VARCHAR)), ' ')"
+    )
+    oracle = f"""
+    WITH t0 AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN {aug_oov}
+                    WHEN doc_id % 3 = 1 THEN
+                        text || ' ' || {aug_oov} || ' scan merge'
+                    ELSE text END AS text
+        FROM t0
+    ), t AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM aug
+    ), flagged AS (
+        SELECT doc_id, toks,
+               doc_id % 3 = 2 AND ({quality}) >= 0.7 AS is_ref
+        FROM t
+    ), ref_tok AS (
+        SELECT unnest(toks) AS w FROM flagged WHERE is_ref
+    ), uni AS (
+        SELECT w, count(*) AS c1 FROM ref_tok GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n_ref_tokens FROM ref_tok
+    ), idx AS (
+        SELECT doc_id, is_ref, toks,
+               unnest(range(2, len(toks) + 1)) AS i
+        FROM flagged
+    ), pairs AS (
+        SELECT doc_id, is_ref, toks[i - 1] AS w1, toks[i] AS w2 FROM idx
+    ), big AS (
+        SELECT w1, w2, count(*) AS c2 FROM pairs WHERE is_ref GROUP BY 1, 2
+    ), joined AS (
+        SELECT p.doc_id, b.c2, u1.c1 AS c1_prefix, u2.c1 AS c1_cont
+        FROM pairs p
+        LEFT JOIN big b USING (w1, w2)
+        LEFT JOIN uni u1 ON u1.w = p.w1
+        LEFT JOIN uni u2 ON u2.w = p.w2
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+               sum(CASE WHEN c1_cont IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               sum(CASE WHEN c2 IS NOT NULL THEN c2 ELSE 0 END) AS hit_num,
+               sum(CASE WHEN c2 IS NOT NULL THEN c1_prefix ELSE 0 END)
+                   AS hit_den,
+               sum(CASE WHEN c2 IS NULL THEN coalesce(c1_cont, 0)
+                   ELSE 0 END) AS miss_num
+        FROM joined GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.n_hits, 0) AS n_hits,
+           coalesce(a.n_oov, 0) AS n_oov,
+           round(CAST(a.n_hits AS DOUBLE)
+                 / CAST(nullif(a.n_bigrams, 0) AS DOUBLE), 6) AS hit_rate,
+           round(CAST(a.hit_num AS DOUBLE)
+                 / CAST(nullif(a.hit_den, 0) AS DOUBLE), 6) AS cond_score,
+           round(CAST(2 * a.miss_num AS DOUBLE)
+                 / CAST(5 * t.n_ref_tokens
+                        * nullif(a.n_bigrams - a.n_hits, 0) AS DOUBLE), 6)
+               AS backoff_score,
+           CASE WHEN a.n_bigrams IS NULL OR a.n_bigrams = 0 THEN NULL
+                WHEN a.n_hits * 2 >= a.n_bigrams THEN 'head'
+                WHEN a.n_hits * 5 >= a.n_bigrams THEN 'middle'
+                ELSE 'tail' END AS quality_bucket
+    FROM documents d LEFT JOIN agg a USING (doc_id) CROSS JOIN tot t
+    """
+    want = {
+        r[0]: tuple(r[1:]) for r in _con().execute(oracle).fetchall()
+    }
+    assert got == want
+    # non-degenerate: every bucket is populated, hits and OOV both
+    # occur, and the stupid-backoff leg fires with mass
+    buckets = {v[6] for v in got.values()}
+    assert {"head", "middle", "tail"} <= buckets
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
+    assert any(v[5] is not None and v[5] > 0 for v in got.values())
+
+
+BM25_QUERIES = [
+    ("q_scan", "scan column window"),
+    ("q_join", "join merge hash sort"),
+    ("q_miss", "zzznotaterm"),
+]
+
+
+def test_bm25_topk_oracle_parity(spark):
+    """The intended r10 gate: BM25 top-10 per query over documents.
+    Term scores are one IEEE divide of exact integer products,
+    rounded to 6 dp, summed as DECIMAL(18,6) — order-independent, so
+    both engines rank identically with the (score desc, doc_id)
+    tie-break."""
+    from formula1_data_pipeline_spark.operators.retrieval import bm25_topk
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["n_terms_matched"], r["score"], r["rank"]
+        )
+        for r in bm25_topk(docs, qdf, k=10).collect()
+    }
+
+    values = ", ".join(
+        f"('{qid}', '{qtext}')" for qid, qtext in BM25_QUERIES
+    )
+    oracle = f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(toks) AS term FROM t
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dl
+    ), q(query_id, query_text) AS (
+        VALUES {values}
+    ), qt AS (
+        SELECT query_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(query_text)), '\\s+'),
+                   x -> x <> ''))) AS term
+        FROM q
+    ), cand AS (
+        SELECT qt.query_id, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+               s.n_docs, s.n_tokens
+        FROM tf
+        JOIN qt USING (term)
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ), scored AS (
+        SELECT query_id, doc_id, count(*) AS n_terms_matched,
+               sum(CAST(round(
+                   (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)
+                    * CAST(44 * tf * n_tokens AS DOUBLE))
+                   / (CAST(2 * df + 1 AS DOUBLE)
+                      * CAST(20 * tf * n_tokens + 18 * dl * n_docs
+                             + 6 * n_tokens AS DOUBLE)),
+                   6) AS DECIMAL(18,6))) AS score_dec
+        FROM cand GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, doc_id, n_terms_matched,
+               CAST(score_dec AS DOUBLE) AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_dec DESC, doc_id
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    """
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _con().execute(oracle).fetchall()
+    }
+    assert got == want
+    # non-degenerate: both real queries return a full page; the
+    # no-posting query returns nothing
+    from collections import Counter
+
+    per_q = Counter(qid for qid, _ in got)
+    assert per_q["q_scan"] == 10 and per_q["q_join"] == 10
+    assert "q_miss" not in per_q
