@@ -9,6 +9,9 @@ or ride a composite gate, in round 10):
   * ``operators/lm.py``        — stupid-backoff bigram LM quality
                                  scoring (CCNet-style filter)
   * ``operators/retrieval.py`` — BM25 top-k ranked retrieval
+  * ``operators/lines.py``     — line-level corpus dedup (CCNet
+                                 paragraph dedup / C4 boilerplate
+                                 removal) + boilerplate audit
 
 Row-for-row dict compares (stricter than the harness's sorted value
 hash) at sf0.001; the catalog gates will run the same SQL at sf0.01.
@@ -261,3 +264,181 @@ def test_bm25_topk_oracle_parity(spark):
     per_q = Counter(qid for qid, _ in got)
     assert per_q["q_scan"] == 10 and per_q["q_join"] == 10
     assert "q_miss" not in per_q
+
+
+def _multiline_docs(spark):
+    """Deterministic multi-line augmentation of documents (the q44
+    pattern — testdata docs are single-line): ' scan ' separators
+    become newlines; doc_id%4 injects boilerplate chrome — %4==0 gets
+    a newsletter header + cookie footer, %4==1 an edge-space/CASE
+    variant of the header (same normalized line), %4==2 a blank
+    separator + the cookie footer, %4==3 stays content-only."""
+    from formula1_data_pipeline_spark.queries import load
+
+    raw = load(spark, SF_DIR, "documents")["documents"]
+    base = F.replace(F.col("text"), F.lit(" scan "), F.lit("\n"))
+    return raw.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("Subscribe to our newsletter\n"),
+                base,
+                F.lit("\ncookie policy notice"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("  SUBSCRIBE TO OUR NEWSLETTER  \n"), base),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("\n\ncookie policy notice")),
+        )
+        .otherwise(base)
+        .alias("text"),
+    )
+
+
+_SQL_AUG = """
+    aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                        'Subscribe to our newsletter' || chr(10) || base
+                        || chr(10) || 'cookie policy notice'
+                    WHEN doc_id % 4 = 1 THEN
+                        '  SUBSCRIBE TO OUR NEWSLETTER  ' || chr(10) || base
+                    WHEN doc_id % 4 = 2 THEN
+                        base || chr(10) || chr(10) || 'cookie policy notice'
+                    ELSE base END AS text
+        FROM (SELECT doc_id, replace(text, ' scan ', chr(10)) AS base
+              FROM documents)
+    ), lin AS (
+        SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+               trim(lower(parts[i])) AS nline
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS i
+              FROM aug)
+    ), hot AS (
+        SELECT nline FROM (
+            SELECT nline, count(DISTINCT doc_id) AS line_df
+            FROM lin WHERE nline <> '' GROUP BY 1
+        ) WHERE line_df >= 2
+    )
+"""
+
+_SQL_REBUILD = """
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                   AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_lines FROM lin GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0) AS n_removed
+    FROM aug d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def test_dedup_lines_oracle_parity(spark):
+    """The intended r10 gate: C4-policy line dedup (drop ALL copies of
+    lines in >=2 docs) over the augmented corpus — full row compare
+    including the reassembled text."""
+    from formula1_data_pipeline_spark.operators.lines import dedup_lines
+
+    docs = _multiline_docs(spark)
+    got = {
+        r["doc_id"]: (
+            r["text_clean"], r["n_lines"], r["n_kept"], r["n_removed"]
+        )
+        for r in dedup_lines(docs, min_docs=2).collect()
+    }
+    oracle = f"""
+    WITH {_SQL_AUG}, kept AS (
+        SELECT * FROM lin
+        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.nline = lin.nline)
+    ), {_SQL_REBUILD}
+    """
+    want = {r[0]: tuple(r[1:]) for r in _con().execute(oracle).fetchall()}
+    assert got == want
+    # non-degenerate: chrome is gone everywhere, content survives
+    assert all("cookie policy notice" not in (v[0] or "") for v in got.values())
+    assert sum(v[3] for v in got.values()) >= 2
+    assert any(v[1] > 2 and v[2] > 0 for v in got.values())
+
+
+def test_dedup_lines_keep_first_oracle_parity(spark):
+    """CCNet-policy variant: the corpus-wide first (doc_id, pos)
+    occurrence of each hot line survives."""
+    from formula1_data_pipeline_spark.operators.lines import dedup_lines
+
+    docs = _multiline_docs(spark)
+    got = {
+        r["doc_id"]: (
+            r["text_clean"], r["n_lines"], r["n_kept"], r["n_removed"]
+        )
+        for r in dedup_lines(docs, min_docs=2, keep="first").collect()
+    }
+    oracle = f"""
+    WITH {_SQL_AUG}, firsts AS (
+        SELECT doc_id, pos, nline, row_number() OVER (
+            PARTITION BY nline ORDER BY doc_id, pos
+        ) AS rn
+        FROM lin WHERE nline <> ''
+    ), kept AS (
+        SELECT l.* FROM lin l
+        LEFT JOIN hot ON hot.nline = l.nline
+        LEFT JOIN firsts f
+            ON f.nline = l.nline AND f.doc_id = l.doc_id
+               AND f.pos = l.pos
+        WHERE hot.nline IS NULL OR f.rn = 1
+    ), {_SQL_REBUILD}
+    """
+    want = {r[0]: tuple(r[1:]) for r in _con().execute(oracle).fetchall()}
+    assert got == want
+    # exactly one copy of the newsletter header survives corpus-wide
+    n_headers = sum(
+        (v[0] or "").lower().count("subscribe to our newsletter")
+        for v in got.values()
+    )
+    assert n_headers == 1
+
+
+def test_top_boilerplate_lines_oracle_parity(spark):
+    """Audit twin: top-10 most widespread normalized lines."""
+    from formula1_data_pipeline_spark.operators.lines import (
+        top_boilerplate_lines,
+    )
+
+    docs = _multiline_docs(spark)
+    got = [
+        (r["line"], r["line_df"], r["n_occurrences"], r["rank"])
+        for r in top_boilerplate_lines(docs, k=10).collect()
+    ]
+    got.sort(key=lambda t: t[3])
+    oracle = f"""
+    WITH {_SQL_AUG}
+    SELECT nline AS line, count(DISTINCT doc_id) AS line_df,
+           count(*) AS n_occurrences,
+           CAST(row_number() OVER (
+               ORDER BY count(DISTINCT doc_id) DESC, nline
+           ) AS INT) AS rank
+    FROM lin WHERE nline <> ''
+    GROUP BY nline
+    ORDER BY line_df DESC, line
+    LIMIT 10
+    """
+    want = [tuple(r) for r in _con().execute(oracle).fetchall()]
+    assert got == want
+    # the two injected chrome lines dominate the audit
+    assert {got[0][0], got[1][0]} == {
+        "subscribe to our newsletter", "cookie policy notice"
+    }
