@@ -90,6 +90,67 @@ def stratified_topn(df, stratum_cols: list[str], key: Column, n: int,
     )
 
 
+#: Upper bound (exclusive) of the 60-bit md5-prefix hash space —
+#: shared with shards.py's epoch rank.
+_HASH_SPACE = 1 << 60
+
+
+def stratified_topn_bucketed(df, stratum_cols: list[str], key: Column,
+                             n: int, salt: str = "sample",
+                             n_buckets: int = 1024):
+    """Row-for-row identical to :func:`stratified_topn` (same hash,
+    same (hash, key) order, same exactly-``n`` cut — equivalence is
+    property-tested), with the skew-proof physical plan that function's
+    docstring defers to: the per-domain quota cap of RefinedWeb
+    (Penedo et al. 2023, arXiv 2306.01116) hits strata of wildly
+    uneven size, and a single ``partitionBy(stratum)`` window sorts a
+    billion-row domain in ONE task.
+
+    Two-level plan (the shards.py/packing.py prefix-sum shape, applied
+    per stratum): RANGE-bucket the 60-bit hash (hash order == bucket
+    order), count each (stratum, bucket) with one map-side-partial
+    aggregate, prefix-sum the counts per stratum (a window over
+    <= ``n_buckets`` metadata rows per stratum — the shards.py
+    exemption), and PRUNE: only buckets whose running offset is
+    < ``n`` can contribute rows, so the in-bucket sort window touches
+    ~``n`` rows per stratum no matter how large the stratum — the
+    million-to-one reduction happens in the counting exchange, where
+    partial aggregation has already collapsed each map task's
+    contribution to one row per (stratum, bucket).
+
+    Cost note: the bucket-count branch re-derives ``df`` (an extra
+    column-pruned scan; no extra shuffle of the stream) — same trade
+    as ``epoch_shuffle``, and same advice: land expensive pipelines
+    first, cap the artifact."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    width = -(-_HASH_SPACE // n_buckets)  # ceil: bucket ids < n_buckets
+    d = df.withColumn("__h", md5_hash60(key, salt)) \
+          .withColumn("__bkt", F.floor(F.col("__h") / width))
+    counts = d.groupBy(*stratum_cols, "__bkt").agg(
+        F.count("*").alias("__bcnt")
+    )
+    w_off = Window.partitionBy(*stratum_cols).orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    live = counts.select(
+        *stratum_cols,
+        "__bkt",
+        F.coalesce(F.sum("__bcnt").over(w_off), F.lit(0)).alias("__off"),
+    ).filter(F.col("__off") < n)
+    w_in = Window.partitionBy(*stratum_cols, "__bkt").orderBy(
+        F.col("__h").asc(), key.asc()
+    )
+    return (
+        d.join(live, [*stratum_cols, "__bkt"])
+        .withColumn("__seq", F.col("__off") + F.row_number().over(w_in) - 1)
+        .filter(F.col("__seq") < n)
+        .drop("__h", "__bkt", "__off", "__seq")
+    )
+
+
 def importance_weights(docs, is_target: Column, text_col: str = "text",
                        id_col: str = "doc_id"):
     """DSIR-style data selection (Xie et al. 2023, arXiv 2302.03169):

@@ -756,3 +756,57 @@ def test_chunk_token_stream_plan_shape(spark):
     assert re.search(r"windowspecdefinition\(_bkt#\d+L?,", part_line)
     # bucket offsets come back via a broadcast join on _bkt
     assert re.search(r"BroadcastHashJoin \[_bkt#", plan), plan
+
+
+def test_stratified_topn_bucketed_equivalence(spark):
+    """The bucketed (skew-proof) plan returns row-for-row the same
+    sample as the windowed reference, for any bucket count — including
+    n_buckets=1 (degenerates to the windowed form) and a heavily
+    skewed stratum."""
+    from formula1_data_pipeline_spark.operators.sampling import (
+        stratified_topn,
+        stratified_topn_bucketed,
+    )
+
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    want = sorted(
+        (r["grp"], r["id"])
+        for r in stratified_topn(df, ["grp"], F.col("id"), n=17).collect()
+    )
+    for n_buckets in (1, 7, 1024):
+        got = sorted(
+            (r["grp"], r["id"])
+            for r in stratified_topn_bucketed(
+                df, ["grp"], F.col("id"), n=17, n_buckets=n_buckets
+            ).collect()
+        )
+        assert got == want, f"n_buckets={n_buckets}"
+    # exactly n per stratum when the stratum is big enough
+    from collections import Counter
+
+    per = Counter(g for g, _ in want)
+    assert per["hot"] == 17
+    assert per["cold"] == min(17, sum(1 for i in range(400) if i % 10 == 0))
+
+
+def test_stratified_topn_bucketed_prunes_dead_buckets(spark):
+    """Scale contract: buckets whose prefix offset is already >= n
+    never reach the ranking window — the plan's window input is the
+    join against the offset-filtered bucket table, so the filter
+    appears UPSTREAM of the Window node."""
+    from formula1_data_pipeline_spark.operators.sampling import (
+        stratified_topn_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g") for i in range(300)], "id long, grp string"
+    )
+    out = stratified_topn_bucketed(df, ["grp"], F.col("id"), n=5,
+                                   n_buckets=64)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    win_at = plan.find("Window")
+    assert win_at != -1
+    # the live-bucket offset filter sits below the big window
+    assert "__off" in plan[win_at:]
+    assert out.count() == 5
