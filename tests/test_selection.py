@@ -1,0 +1,143 @@
+"""Token-budget selection (`operators/selection.py`) — semantics,
+determinism, and scale-shape tests. Cross-engine oracle parity for
+the intended round-10 gate lives in ``test_r10_gate_drafts.py``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.selection import (
+    quantize6,
+    select_token_budget,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    )
+
+
+def _naive(rows, budget):
+    """Reference semantics: one global (score DESC, id ASC) walk."""
+    q = lambda s: int(round(s * 1_000_000))  # noqa: E731
+    ordered = sorted(rows, key=lambda r: (-q(r[1]), r[0]))
+    out, cum = [], 0
+    for doc_id, score, n in ordered:
+        if cum < budget:
+            out.append((doc_id, q(score), n, cum))
+        cum += n
+    return sorted(out)
+
+
+def _got(df):
+    return sorted(
+        (r["doc_id"], r["score_q"], r["n_tokens"], r["cum_before"])
+        for r in df.collect()
+    )
+
+
+def test_select_token_budget_matches_naive_walk(spark):
+    # score ties (i % 7), a hot score value, and uneven token counts
+    rows = [
+        (i, float(i % 7) / 4.0, (i % 13) + 1)
+        for i in range(500)
+    ]
+    df = _mkdocs(spark, rows)
+    for budget in (1, 37, 400, 10_000):
+        got = _got(
+            select_token_budget(
+                df, F.col("score"), F.col("n_tokens"), budget,
+                bucket_size=50,
+            )
+        )
+        assert got == _naive(rows, budget), f"budget={budget}"
+
+
+def test_select_token_budget_bucket_size_invariant(spark):
+    rows = [(i, float((i * 31) % 5), (i % 11) + 1) for i in range(300)]
+    df = _mkdocs(spark, rows)
+    want = _naive(rows, 200)
+    for bs in (1, 17, 1000, 10**6):
+        got = _got(
+            select_token_budget(
+                df, F.col("score"), F.col("n_tokens"), 200,
+                bucket_size=bs,
+            )
+        )
+        assert got == want, f"bucket_size={bs}"
+
+
+def test_select_token_budget_partitioning_invariant(spark):
+    rows = [(i, float(i % 3), (i % 5) + 1) for i in range(200)]
+    df = _mkdocs(spark, rows)
+    base = _got(
+        select_token_budget(df, F.col("score"), F.col("n_tokens"), 150)
+    )
+    for parts in (1, 7):
+        got = _got(
+            select_token_budget(
+                df.repartition(parts),
+                F.col("score"), F.col("n_tokens"), 150,
+            )
+        )
+        assert got == base, f"parts={parts}"
+
+
+def test_select_token_budget_edges(spark):
+    rows = [(1, 0.9, 100), (2, 0.5, 100), (3, 0.1, 100)]
+    df = _mkdocs(spark, rows)
+    # budget=1: only the best doc starts before offset 1 (and may
+    # straddle the boundary — the pack_sequences start-offset rule)
+    assert _got(
+        select_token_budget(df, F.col("score"), F.col("n_tokens"), 1)
+    ) == [(1, 900_000, 100, 0)]
+    # budget >= total keeps everything
+    assert len(_got(
+        select_token_budget(df, F.col("score"), F.col("n_tokens"), 300)
+    )) == 3
+    # exact boundary: doc 3 starts AT 200 == budget -> excluded
+    assert [r[0] for r in _got(
+        select_token_budget(df, F.col("score"), F.col("n_tokens"), 200)
+    )] == [1, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        select_token_budget(df, F.col("score"), F.col("n_tokens"), 0)
+    with pytest.raises(TypeError):
+        select_token_budget(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")),
+            F.col("score"), F.col("n_tokens"), 10,
+        )
+
+
+def test_select_token_budget_prunes_dead_buckets(spark):
+    """Scale contract: the budget filter on bucket offsets sits
+    UPSTREAM of the per-bucket ranking window, so the window's input
+    is ~budget tokens of rows however large the corpus."""
+    df = _mkdocs(
+        spark, [(i, float(i % 2), 10) for i in range(1000)]
+    )
+    out = select_token_budget(
+        df, F.col("score"), F.col("n_tokens"), 50, bucket_size=10
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # two Window nodes: the bucket-offset one and the in-bucket one;
+    # the _offset < 50 pruning filter must appear between them
+    # (below the LAST Window in plan text = above it in dataflow)
+    last_win = plan.rfind("Window")
+    first_win = plan.find("Window")
+    assert first_win != -1 and last_win != first_win
+    assert "_offset" in plan and "50" in plan
+    kept = out.count()
+    assert kept == 5  # 50 budget / 10 tokens, ties by id
+
+
+def test_quantize6_exact(spark):
+    df = spark.range(1).select(
+        quantize6(F.lit(0.8125)).alias("a"),
+        quantize6(F.lit(0.1)).alias("b"),
+        quantize6(F.lit(123.456789)).alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (812_500, 100_000, 123_456_789)
