@@ -120,3 +120,179 @@ def quality_features(text: Column) -> list[tuple[str, Column]]:
             F.length(F.concat_ws("", toks)).cast("double") / n / 10.0,
         ).otherwise(F.lit(0.0))),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words features — the fastText-style trained filter
+# ---------------------------------------------------------------------------
+#
+# Production quality classifiers (GPT-3's WebText-vs-CommonCrawl
+# filter, Brown et al. 2020 appendix A; CCNet's fastText stage,
+# Wenzek et al. 2019) learn over the TEXT, not a fixed handful of
+# heuristic ratios: bag-of-words/bigram counts hashed into a fixed
+# feature space (the hashing trick, Weinberger et al. 2009; fastText,
+# Joulin et al. 2016, arXiv 1607.01759) feeding a linear model. The
+# functions below build that feature space as DataFrame operations —
+# one explode + one map-side partial-aggregated groupBy, no per-row
+# Python — and reuse train_logreg/predict-style scoring above, so the
+# whole trained-filter path stays JVM-side.
+
+
+def hashed_bow_long(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+    salt: str = "bow-v1",
+    include_bigrams: bool = False,
+) -> DataFrame:
+    """Long-form hashed bag-of-words: (id_col, bucket, cnt) — term
+    occurrences of each document hashed into ``n_features`` buckets
+    with the repo's one 60-bit md5 hash (engine-reproducible, so the
+    feature TABLE gates under a value-hash oracle even though trained
+    weights gate under bounds).
+
+    ``include_bigrams`` adds fastText's word-bigram features
+    ("w1_w2") into the same hashed space (Joulin et al. 2016 §2.1);
+    a different ``salt`` decorrelates spaces across models.
+
+    Scale shape: explode is a narrow per-row flatMap; the count is
+    ONE shuffle with map-side partial aggregation keyed (doc,
+    bucket) — bounded fan-in per doc (≤ n_features rows out per doc,
+    whatever its length). No driver state, no window."""
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+
+    terms = tokens(F.col(text_col))
+    if include_bigrams:
+        from formula1_data_pipeline_spark.operators.lm import bigrams
+
+        bi = F.transform(
+            bigrams(F.col(text_col)),
+            lambda p: F.concat_ws("_", p["w1"], p["w2"]),
+        )
+        terms = F.concat(terms, F.coalesce(bi, F.array()))
+    tok = docs.select(F.col(id_col), F.explode(terms).alias("_term"))
+    return tok.groupBy(
+        F.col(id_col),
+        hash_bucket(F.col("_term"), salt, n_features).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hashed_bow_dense(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+    salt: str = "bow-v1",
+    include_bigrams: bool = False,
+) -> DataFrame:
+    """Dense L1-normalized feature vectors: (id_col, features
+    array<double> of length ``n_features``), features[j] = the share
+    of the document's terms hashing to bucket j. Every input doc gets
+    a row — term-less documents keep an all-zero vector (left join
+    back to ``docs``), so downstream training/scoring frames never
+    silently drop rows (the round-8 NULL-feature ADVICE class).
+
+    Normalization is one integer/integer IEEE divide per slot —
+    bit-identical across engines. The dense assembly is a row-local
+    ``transform(sequence)`` over a (bucket -> cnt) map; collect_list
+    order does not matter because the map is keyed."""
+    long = hashed_bow_long(docs, text_col, id_col, n_features, salt,
+                           include_bigrams)
+    m = long.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "cnt"))
+        ).alias("_m"),
+        F.sum("cnt").alias("_n"),
+    )
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.when(
+            F.col("_n") > 0,
+            F.coalesce(
+                F.element_at(F.col("_m"), i.cast("bigint")), F.lit(0)
+            ).cast("double") / F.col("_n"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                feats, F.array_repeat(F.lit(0.0), n_features)
+            ).alias("features"),
+        )
+    )
+
+
+def train_hashed_classifier(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+    salt: str = "bow-v1",
+    include_bigrams: bool = False,
+    n_iter: int = 30,
+    lr: float = 1.0,
+) -> tuple[list[float], float]:
+    """fastText-style trained text filter: hashed BOW features ->
+    full-batch logistic regression (train_logreg above — one fused
+    partial-agg gradient pass per iteration, weights driver-resident).
+    Returns (weights, bias) for ``score_hashed_bow``.
+
+    The feature frame is persisted for the training loop (n_iter
+    aggregate passes would otherwise re-run the explode+groupBy each
+    iteration) and unpersisted in a finally (the round-8 BPE ADVICE
+    rule). Labels ride through the feature build keyed by id, so the
+    non-null precondition of train_logreg holds by construction:
+    every doc has a dense vector and its own label."""
+    feat_cols = [f"f_{j}" for j in range(n_features)]
+    dense = hashed_bow_dense(
+        docs.select(id_col, text_col),
+        text_col, id_col, n_features, salt, include_bigrams,
+    )
+    labeled = (
+        docs.select(F.col(id_col), label.cast("double").alias("_y"))
+        .join(dense, id_col)
+        .select(
+            "_y",
+            *[F.col("features")[j].alias(c)
+              for j, c in enumerate(feat_cols)],
+        )
+        .persist()
+    )
+    try:
+        return train_logreg(labeled, feat_cols, "_y",
+                            n_iter=n_iter, lr=lr)
+    finally:
+        labeled.unpersist()
+
+
+def score_hashed_bow(
+    docs: DataFrame,
+    w: list[float],
+    b: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "bow-v1",
+    include_bigrams: bool = False,
+) -> DataFrame:
+    """Apply a trained hashed-BOW model: (id_col, p_keep). The dot
+    product folds JVM-side (``aggregate`` over ``zip_with``) — scoring
+    a 100 TB corpus is the feature build's one shuffle plus a narrow
+    projection; the model enters the plan as ``len(w)`` literals."""
+    dense = hashed_bow_dense(docs, text_col, id_col, len(w), salt,
+                             include_bigrams)
+    wlit = F.array(*[F.lit(float(wi)) for wi in w])
+    z = F.lit(float(b)) + F.aggregate(
+        F.zip_with(F.col("features"), wlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dense.select(
+        id_col,
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_keep"),
+    )

@@ -442,3 +442,90 @@ def test_top_boilerplate_lines_oracle_parity(spark):
     assert {got[0][0], got[1][0]} == {
         "subscribe to our newsletter", "cookie policy notice"
     }
+
+
+def test_select_token_budget_oracle_parity(spark):
+    """The intended r10 gate for ``operators/selection.py``: keep the
+    highest-scoring documents until a 20k-token budget fills. The
+    score probe is integer-derived ((n_chars % 97) / 7.0 — one IEEE
+    divide, identical in both engines) so ties and ordering replay
+    exactly; token counts and running totals are exact integer sums.
+    """
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    got = sorted(
+        (r["doc_id"], r["score_q"], r["n_tokens"], r["cum_before"])
+        for r in select_token_budget(
+            docs,
+            score=(F.col("n_chars") % 97) / 7.0,
+            n_tokens=F.size(tokens(F.col("text"))),
+            budget=20_000,
+        ).collect()
+    )
+    oracle = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(CAST((n_chars % 97) / 7.0 AS DECIMAL(18,6))
+                    * 1000000 AS BIGINT)            AS score_q,
+               CAST(len({_SQL_TOKS}) AS BIGINT)     AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, score_q, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY score_q DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM d
+    )
+    SELECT doc_id, score_q, n_tokens, cum_before
+    FROM o WHERE cum_before < 20000
+    ORDER BY doc_id
+    """
+    want = [tuple(r) for r in _con().execute(oracle).fetchall()]
+    assert got == want
+    # non-degenerate: a real prefix — some kept, some cut
+    assert 0 < len(got) < docs.count()
+    # the budget is actually the binding constraint
+    assert max(r[3] for r in got) < 20_000
+    assert max(r[3] + r[2] for r in got) >= 20_000
+
+
+def test_hashed_bow_oracle_parity(spark):
+    """The intended r10 gate for the fastText-style feature build
+    (``classify.hashed_bow_long``): term occurrences hashed into 64
+    buckets with the repo's one 60-bit md5 hash — exact integer
+    counts, so the feature TABLE value-hash-gates even though trained
+    weights (float path) gate under bounds."""
+    from formula1_data_pipeline_spark.operators.classify import (
+        hashed_bow_long,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    got = sorted(
+        (r["doc_id"], r["bucket"], r["cnt"])
+        for r in hashed_bow_long(docs, n_features=64,
+                                 salt="bow-v1").collect()
+    )
+    oracle = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(term || '|' || 'bow-v1'), 1, 15))
+                AS BIGINT) % 64                     AS bucket,
+           count(*)                                 AS cnt
+    FROM t GROUP BY 1, 2
+    ORDER BY doc_id, bucket
+    """
+    want = [tuple(r) for r in _con().execute(oracle).fetchall()]
+    assert got == want
+    # non-degenerate: the corpus vocabulary is ~30 words, so the
+    # occupied-bucket count is vocabulary-bounded — what matters is
+    # that the hash actually spreads it (no single-bucket collapse)
+    assert len({b for _, b, _ in got}) > 15
