@@ -219,9 +219,12 @@ def main() -> None:
         with open(child_out, "w") as f:
             json.dump(full, f)
         return
-    # the sidecar is the committed full-catalog record — a filtered
-    # subset run must not clobber it (it did once: a 1-query smoke
-    # replaced the 83-query baseline)
+    # the sidecar is the LATEST-RUN scratch record (floor provenance
+    # lives in bench_floor_provenance.json, which bench.py never
+    # writes — the driver's own per-round invocation lands here and
+    # must not clobber the auditable floor record); a filtered subset
+    # run must not clobber even the scratch sidecar (it did once: a
+    # 1-query smoke replaced the 83-query baseline)
     if not only:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_full.json")
