@@ -1,0 +1,258 @@
+"""Corpus-curation composite chain — pre-staged round-10 gate.
+
+The CCNet-shaped curation pipeline (Wenzek et al. 2019) in ONE
+hash-gated query, composing three operators pre-staged in round 9:
+
+    line-level dedup (C4 boilerplate policy, ``operators/lines.py``)
+        -> bigram-LM quality scoring (``operators/lm.py``)
+        -> token-budget selection (``operators/selection.py``)
+
+Why a composite: the driver's correctness gate has a 50-row budget
+and the 99-entry catalog fills it as a strict 2-round alternation —
+round 10 has exactly ONE free row (49 r8-stale re-gates + this).
+The q97 lesson: batching a pipeline behind one gate whose oracle
+composes each stage's EXACT standalone CTE builder keeps every stage
+under the value-hash microscope without spending a row per stage.
+
+NOT registered this round — importing this module from queries.py
+and wrapping :func:`curation_chain` in ``@register`` is the
+mechanical round-10 lift (the q18/q19 pattern). Cross-engine parity
+for the whole chain is already proven at sf0.001 in
+``tests/test_r10_gate_drafts.py::test_curation_chain_oracle_parity``.
+
+Determinism: stage 1 is exact string work; stage 2 is integer sums
+with one 6-dp divide per score; stage 3 quantizes the score through
+DECIMAL(18,6) and runs integer prefix sums — the whole chain replays
+bit-for-bit in DuckDB. The reference slice for LM training is an
+md5-bucket of doc_id (engine-reproducible, no RNG).
+
+Scale: each stage keeps its own documented shape — line dedup's
+map-side partial-aggregated doc-frequency counting, LM scoring's
+join-against-distributed-count-tables, selection's budget-pruned
+two-level prefix sum. Composition adds no new shuffle class; the
+cleaned corpus flows doc-keyed between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.dedup import tokens
+from formula1_data_pipeline_spark.operators.lines import dedup_lines
+from formula1_data_pipeline_spark.operators.lm import (
+    score_ngram_lm,
+    train_ngram_lm,
+)
+from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+from formula1_data_pipeline_spark.operators.selection import (
+    select_token_budget,
+)
+
+#: token budget for the selection stage — binding (selects a strict
+#: prefix) from sf0.001 up, since the augmented corpus carries
+#: >20k post-cleaning tokens at every committed scale factor
+BUDGET = 20_000
+
+#: md5 bucket share of doc_ids that trains the bigram LM (the
+#: CCNet "clean reference corpus" side)
+REF_PCT = 40
+
+
+def _augment(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line augmentation (the q44 pattern —
+    testdata docs are single-line, so line-level dedup would be
+    degenerate on the raw table): ' scan ' separators become
+    newlines; doc_id%4 injects boilerplate chrome the C4 policy must
+    strip — a newsletter header (+ a case/whitespace variant that
+    normalizes to the same line) and a cookie footer."""
+    base = F.replace(F.col("text"), F.lit(" scan "), F.lit("\n"))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("Subscribe to our newsletter\n"),
+                base,
+                F.lit("\ncookie policy notice"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("  SUBSCRIBE TO OUR NEWSLETTER  \n"), base),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("\n\ncookie policy notice")),
+        )
+        .otherwise(base)
+        .alias("text"),
+    )
+
+
+def curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full chain. Output one row per SELECTED doc:
+    (doc_id, score_q, n_tokens, cum_before, clean_md5) — clean_md5
+    pins stage 1's exact cleaned text under the hash gate, the other
+    columns pin stages 2-3 (quantized LM hit_rate ordering + exact
+    selected-token offsets)."""
+    from formula1_data_pipeline_spark.queries import load
+
+    raw = load(spark, sf_dir, "documents")["documents"]
+    aug = _augment(raw)
+
+    cleaned = dedup_lines(aug, min_docs=2, keep="none").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+
+    model = train_ngram_lm(
+        cleaned, hash_bucket(F.col("doc_id"), "cur-ref", 100) < REF_PCT
+    )
+    scored = score_ngram_lm(cleaned, model).select(
+        "doc_id",
+        # <2-token docs score NULL -> rank at 0.0 (kept only if the
+        # budget survives every scored doc; ties break by doc_id)
+        F.coalesce(F.col("hit_rate"), F.lit(0.0)).alias("lm_score"),
+    )
+
+    sel = select_token_budget(
+        scored.join(cleaned, "doc_id").select(
+            "doc_id", "lm_score",
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+        ),
+        score=F.col("lm_score"),
+        n_tokens=F.col("n_toks"),
+        budget=BUDGET,
+    )
+    return (
+        sel.join(cleaned, "doc_id")
+        .select(
+            "doc_id", "score_q", "n_tokens", "cum_before",
+            F.md5(F.col("text")).alias("clean_md5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle — composed from each stage's exact standalone CTE text
+# --------------------------------------------------------------------------
+
+_SQL_TOKS_CLEAN = (
+    r"list_filter(regexp_split_to_array(trim(lower(text_clean)), "
+    r"'\s+'), x -> x <> '')"
+)
+
+#: stage 0+1: augmentation + line explode + hot lines + C4 drop-all
+#: rebuild — the exact SQL the standalone line-dedup gate uses
+_SQL_CLEANED = """
+    aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                        'Subscribe to our newsletter' || chr(10) || base
+                        || chr(10) || 'cookie policy notice'
+                    WHEN doc_id % 4 = 1 THEN
+                        '  SUBSCRIBE TO OUR NEWSLETTER  ' || chr(10) || base
+                    WHEN doc_id % 4 = 2 THEN
+                        base || chr(10) || chr(10) || 'cookie policy notice'
+                    ELSE base END AS text
+        FROM (SELECT doc_id, replace(text, ' scan ', chr(10)) AS base
+              FROM documents)
+    ), lin AS (
+        SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+               trim(lower(parts[i])) AS nline
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS i
+              FROM aug)
+    ), hot AS (
+        SELECT nline FROM (
+            SELECT nline, count(DISTINCT doc_id) AS line_df
+            FROM lin WHERE nline <> '' GROUP BY 1
+        ) WHERE line_df >= 2
+    ), kept AS (
+        SELECT * FROM lin
+        WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.nline = lin.nline)
+    ), cleaned AS (
+        SELECT a.doc_id,
+               coalesce(r.text_clean, '') AS text_clean
+        FROM aug a
+        LEFT JOIN (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                       AS text_clean
+            FROM kept GROUP BY 1
+        ) r USING (doc_id)
+    )
+"""
+
+#: stage 2: bigram-LM training on the md5-bucket reference slice of
+#: the cleaned corpus + hit_rate scoring — the standalone LM gate's
+#: CTE text with (documents, text) -> (cleaned, text_clean)
+_SQL_LM_SCORE = f"""
+    t AS (
+        SELECT doc_id, {_SQL_TOKS_CLEAN} AS toks FROM cleaned
+    ), flagged AS (
+        SELECT doc_id, toks,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|cur-ref'), 1, 15)) AS BIGINT) % 100 < {REF_PCT}
+                   AS is_ref
+        FROM t
+    ), ref_tok AS (
+        SELECT unnest(toks) AS w FROM flagged WHERE is_ref
+    ), uni AS (
+        SELECT w, count(*) AS c1 FROM ref_tok GROUP BY 1
+    ), idx AS (
+        SELECT doc_id, is_ref, toks,
+               unnest(range(2, len(toks) + 1)) AS i
+        FROM flagged
+    ), pairs AS (
+        SELECT doc_id, is_ref, toks[i - 1] AS w1, toks[i] AS w2 FROM idx
+    ), big AS (
+        SELECT w1, w2, count(*) AS c2 FROM pairs WHERE is_ref GROUP BY 1, 2
+    ), joined AS (
+        SELECT p.doc_id, b.c2
+        FROM pairs p
+        LEFT JOIN big b USING (w1, w2)
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM joined GROUP BY 1
+    ), scored AS (
+        SELECT c.doc_id,
+               coalesce(round(CAST(a.n_hits AS DOUBLE)
+                   / CAST(nullif(a.n_bigrams, 0) AS DOUBLE), 6), 0.0)
+                   AS lm_score,
+               len({_SQL_TOKS_CLEAN.replace("text_clean", "c.text_clean")})
+                   AS n_toks
+        FROM cleaned c LEFT JOIN agg a USING (doc_id)
+    )
+"""
+
+#: stage 3: the standalone selection gate's ordered-window CTE
+_SQL_SELECT = f"""
+    quant AS (
+        SELECT doc_id,
+               CAST(CAST(lm_score AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS score_q,
+               CAST(n_toks AS BIGINT) AS n_tokens
+        FROM scored
+    ), ordered AS (
+        SELECT doc_id, score_q, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY score_q DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM quant
+    )
+"""
+
+
+def curation_chain_oracle() -> str:
+    """The composed chain oracle (DuckDB ANSI SQL)."""
+    return f"""
+    WITH {_SQL_CLEANED}, {_SQL_LM_SCORE}, {_SQL_SELECT}
+    SELECT o.doc_id, o.score_q, o.n_tokens, o.cum_before,
+           md5(c.text_clean) AS clean_md5
+    FROM ordered o JOIN cleaned c USING (doc_id)
+    WHERE o.cum_before < {BUDGET}
+    """

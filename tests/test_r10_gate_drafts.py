@@ -1,4 +1,4 @@
-"""Round-10 gate drafts — full cross-engine oracle parity for the two
+"""Round-10 gate drafts — full cross-engine oracle parity for the
 operators pre-staged this round whose catalog entries are deferred
 for gate-budget reasons (the r8→r9 pattern: the 50-row budget is
 exactly consumed by the 47 r7-stale re-gates + q18/q19/q97, and the
@@ -12,6 +12,20 @@ or ride a composite gate, in round 10):
   * ``operators/lines.py``     — line-level corpus dedup (CCNet
                                  paragraph dedup / C4 boilerplate
                                  removal) + boilerplate audit
+  * ``operators/selection.py`` — token-budget data selection
+                                 ("keep the best B tokens")
+  * ``operators/classify.py``  — hashed bag-of-words features
+                                 (fastText-style trained filter)
+  * ``queries_curation.py``    — the COMPOSITE chain gate (line
+                                 dedup -> LM scoring -> token-budget
+                                 selection): round 10 has exactly ONE
+                                 free catalog row (49 r8-stale
+                                 re-gates fill the rest), and this
+                                 composite is the intended tenant —
+                                 the remaining operators ride
+                                 CHANGED extensions of already-due
+                                 queries (see CHANGELOG round 9,
+                                 "round-10 landing plan")
 
 Row-for-row dict compares (stricter than the harness's sorted value
 hash) at sf0.001; the catalog gates will run the same SQL at sf0.01.
@@ -529,3 +543,31 @@ def test_hashed_bow_oracle_parity(spark):
     # occupied-bucket count is vocabulary-bounded — what matters is
     # that the hash actually spreads it (no single-bucket collapse)
     assert len({b for _, b, _ in got}) > 15
+
+
+def test_curation_chain_oracle_parity(spark):
+    """The intended r10 COMPOSITE gate (`queries_curation.py`): line
+    dedup -> bigram-LM scoring -> token-budget selection in one
+    hash-gated chain, oracle composed from each stage's exact
+    standalone CTE text (the q97 discipline). clean_md5 pins stage
+    1's full cleaned text; score_q/cum_before pin stages 2-3."""
+    from formula1_data_pipeline_spark.queries_curation import (
+        curation_chain,
+        curation_chain_oracle,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["score_q"], r["n_tokens"], r["cum_before"],
+         r["clean_md5"])
+        for r in curation_chain(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _con().execute(curation_chain_oracle())
+        .fetchall()
+    )
+    assert got == want
+    # non-degenerate: the budget binds (a strict prefix was selected)
+    assert 0 < len(got)
+    assert max(r[3] + r[2] for r in got) >= 20_000
+    # the chrome never reaches the selected corpus
+    assert all(r[1] >= 0 for r in got)
