@@ -1,0 +1,121 @@
+"""Greedy k-center diversity selection (`operators/coreset.py`).
+Cross-engine parity for the eventual gate lives in
+``test_r10_gate_drafts.py``."""
+
+from __future__ import annotations
+
+import math
+
+from formula1_data_pipeline_spark.operators.coreset import (
+    kcenter_assign,
+    kcenter_centers,
+    kcenter_select,
+)
+
+
+def _naive(vecs: dict[int, list[float]], k: int):
+    """Reference greedy: rounded cosine, id tiebreaks, seed = min id."""
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    ids = sorted(vecs)
+    out = [(0, ids[0], None)]
+    chosen = [ids[0]]
+    for r in range(1, k):
+        cands = [
+            (1.0 - max(cos(vecs[i], vecs[c]) for c in chosen), -i, i)
+            for i in ids if i not in chosen
+        ]
+        if not cands:
+            break
+        d, _, i = max(cands)  # max distance, then SMALLEST id
+        out.append((r, i, d))
+        chosen.append(i)
+    return out
+
+
+def _fixture(spark):
+    # four tight clusters on distinct directions + a duplicate pair
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0], 1: [0.99, 0.01, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0, 0.0], 3: [0.0, 0.98, 0.02, 0.0],
+        4: [0.0, 0.0, 1.0, 0.0], 5: [0.0, 0.01, 0.99, 0.0],
+        6: [0.0, 0.0, 0.0, 1.0], 7: [1.0, 0.0, 0.0, 0.0],  # dup of 0
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # array<float> loses precision vs the python doubles — recompute
+    # the reference from the FLOAT-cast values the operator sees
+    cast = {i: [float(__import__("numpy").float32(x)) for x in v]
+            for i, v in base.items()}
+    return df, cast
+
+
+def test_kcenter_matches_naive_greedy(spark):
+    df, vecs = _fixture(spark)
+    for k in (1, 2, 4, 6):
+        got = [(r["rank"], r["vec_id"], r["min_dist"])
+               for r in kcenter_select(spark, df, k).collect()]
+        assert got == _naive(vecs, k), f"k={k}"
+
+
+def test_kcenter_covers_all_clusters_before_duplicates(spark):
+    df, vecs = _fixture(spark)
+    picks = [i for _, i, _ in _naive(vecs, 4)]
+    got = [r["vec_id"] for r in kcenter_select(spark, df, 4).collect()]
+    assert got == picks
+    # the four picks hit four DIFFERENT axis clusters
+    axes = {max(range(4), key=lambda d: vecs[i][d]) for i in got}
+    assert len(axes) == 4
+    # and the duplicate of the seed (id 7) is never picked before
+    # the space is exhausted of distinct directions
+    assert 7 not in got
+
+
+def test_kcenter_exhaustion_and_validation(spark):
+    df, _ = _fixture(spark)
+    # k > n: returns exactly n rows, no duplicate ids
+    rows = kcenter_select(spark, df, 100).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == 8 and len(set(ids)) == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        kcenter_centers(df, 0)
+    assert kcenter_centers(df.filter("vec_id < 0"), 3) == []
+
+
+def test_kcenter_assign_nearest_with_rank_ties(spark):
+    df, vecs = _fixture(spark)
+    centers = kcenter_centers(df, 4)
+    out = {r["vec_id"]: (r["center_rank"], r["cos_sim"])
+           for r in kcenter_assign(df, centers).collect()}
+    assert set(out) == set(vecs)
+    # each center assigns to itself with sim 1.0
+    for rank, cid, _, _ in centers:
+        assert out[cid] == (rank, 1.0)
+    # the duplicate vector (7 == 0) lands on 0's center with sim 1.0,
+    # at the LOWEST matching rank
+    seed_rank = next(r for r, i, _, _ in centers if i == 0)
+    assert out[7] == (seed_rank, 1.0)
+    # every neighbor lands on its own cluster's center
+    for i, j in [(1, 0), (3, 2), (5, 4)]:
+        assert out[i][0] == out[j][0]
+
+
+def test_kcenter_partitioning_invariant(spark):
+    df, _ = _fixture(spark)
+    base = [(r["rank"], r["vec_id"])
+            for r in kcenter_select(spark, df, 5).collect()]
+    for parts in (1, 7):
+        got = [(r["rank"], r["vec_id"])
+               for r in kcenter_select(spark, df.repartition(parts),
+                                       5).collect()]
+        assert got == base, f"parts={parts}"

@@ -16,6 +16,8 @@ or ride a composite gate, in round 10):
                                  ("keep the best B tokens")
   * ``operators/classify.py``  — hashed bag-of-words features
                                  (fastText-style trained filter)
+  * ``operators/coreset.py``   — greedy k-center diversity selection
+                                 (farthest-point traversal)
   * ``queries_curation.py``    — the COMPOSITE chain gate (line
                                  dedup -> LM scoring -> token-budget
                                  selection): round 10 has exactly ONE
@@ -571,3 +573,65 @@ def test_curation_chain_oracle_parity(spark):
     assert max(r[3] + r[2] for r in got) >= 20_000
     # the chrome never reaches the selected corpus
     assert all(r[1] >= 0 for r in got)
+
+
+def test_kcenter_oracle_parity(spark):
+    """Greedy k-center diversity selection (`operators/coreset.py`):
+    the full (rank, vec_id, min_dist) trace replays in DuckDB via an
+    unrolled per-round CTE chain — per-center cosines round to 6 dp
+    BEFORE the max/argmax (the q24 fold discipline), so both engines
+    compare identical doubles and the trace value-hash-gates."""
+    import duckdb
+
+    from formula1_data_pipeline_spark.operators.coreset import (
+        kcenter_select,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    K = 6
+    emb = load(spark, SF_DIR, "embeddings")["embeddings"]
+    got = [(r["rank"], r["vec_id"], r["min_dist"])
+           for r in kcenter_select(spark, emb, K).collect()]
+
+    dot = ("list_reduce(list_transform(list_zip({a}, {b}), "
+           "p -> p[1] * p[2]), (acc, x) -> acc + x)")
+    parts = [f"""
+    base AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id, v, sqrt({dot.format(a='v', b='v')}) AS nv
+        FROM base
+    ), cen0 AS MATERIALIZED (
+        SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist,
+               v, nv
+        FROM nrm ORDER BY vec_id LIMIT 1
+    )"""]
+    for r in range(1, K):
+        sim = dot.format(a="b.v", b="c.v")
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT b.vec_id,
+               1 - max(round({sim} / nullif(b.nv * c.nv, 0), 6)) AS d
+        FROM nrm b CROSS JOIN cen{r - 1} c
+        WHERE b.vec_id NOT IN (SELECT vec_id FROM cen{r - 1})
+        GROUP BY b.vec_id
+    ), p{r} AS MATERIALIZED (
+        SELECT {r} AS rank, n.vec_id, d.d AS min_dist, n.v, n.nv
+        FROM d{r} d JOIN nrm n USING (vec_id)
+        ORDER BY d.d DESC, d.vec_id LIMIT 1
+    ), cen{r} AS MATERIALIZED (
+        SELECT * FROM cen{r - 1} UNION ALL SELECT * FROM p{r}
+    )""")
+    oracle = ("WITH " + ",".join(parts)
+              + f" SELECT rank, vec_id, min_dist FROM cen{K - 1} "
+                "ORDER BY rank")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_DIR}/embeddings.parquet'")
+    want = [tuple(r) for r in con.execute(oracle).fetchall()]
+    assert got == want
+    # non-degenerate: K distinct picks with strictly positive radii
+    assert len(got) == K and len({i for _, i, _ in got}) == K
+    assert all(d > 0 for _, _, d in got[1:])
