@@ -1,0 +1,122 @@
+"""10x scale probe for the round-9 pre-staged operators (the
+SCALE.md method: sf0.1 documents unioned 10x with shifted ids, both
+sides cached, warm-plan second-pass numbers, local[32]).
+
+Usage: python scripts/scale_probe_prestaged.py
+Prints one line per (operator, scale) with wall seconds; run on a
+quiet host, record results in SCALE.md.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from formula1_data_pipeline_spark import get_spark
+from formula1_data_pipeline_spark.operators.classify import (
+    hashed_bow_dense,
+)
+from formula1_data_pipeline_spark.operators.coreset import kcenter_centers
+from formula1_data_pipeline_spark.operators.dedup import tokens
+from formula1_data_pipeline_spark.operators.lines import dedup_lines
+from formula1_data_pipeline_spark.operators.lm import (
+    score_ngram_lm,
+    train_ngram_lm,
+)
+from formula1_data_pipeline_spark.operators.retrieval import bm25_topk
+from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+from formula1_data_pipeline_spark.operators.selection import (
+    select_token_budget,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def timed(label, fn, reps=2):
+    best = None
+    for _ in range(reps):  # warm-plan second pass is the number
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{label:44s} {best:7.2f}s (warm best of {reps})")
+    return best
+
+
+def main():
+    spark = get_spark(app_name="scale-probe")
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    x1 = raw.cache()
+    x10 = raw
+    for i in range(9):
+        x10 = x10.unionByName(
+            raw.withColumn("doc_id",
+                           F.col("doc_id") + F.lit((i + 1) * 10_000_000))
+        )
+    x10 = x10.cache()
+    print("rows:", x1.count(), x10.count())
+
+    multi = {
+        "x1": x1.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" scan "),
+                      F.lit("\n")).alias("text")),
+        "x10": x10.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" scan "),
+                      F.lit("\n")).alias("text")),
+    }
+
+    for tag, df in (("x1", x1), ("x10", x10)):
+        timed(f"select_token_budget {tag}", lambda df=df: (
+            select_token_budget(
+                df, (F.col("n_chars") % 97) / 7.0,
+                F.size(tokens(F.col("text"))), budget=200_000,
+            ).write.format("noop").mode("overwrite").save()))
+
+    for tag, df in (("x1", x1), ("x10", x10)):
+        timed(f"hashed_bow_dense {tag}", lambda df=df: (
+            hashed_bow_dense(df, n_features=64)
+            .write.format("noop").mode("overwrite").save()))
+
+    for tag in ("x1", "x10"):
+        df = multi[tag]
+        timed(f"dedup_lines(keep=none) {tag}", lambda df=df: (
+            dedup_lines(df, min_docs=2)
+            .write.format("noop").mode("overwrite").save()))
+
+    for tag, df in (("x1", x1), ("x10", x10)):
+        def run(df=df):
+            model = train_ngram_lm(
+                df, hash_bucket(F.col("doc_id"), "cur-ref", 100) < 40)
+            score_ngram_lm(df, model) \
+                .write.format("noop").mode("overwrite").save()
+        timed(f"ngram_lm train+score {tag}", run)
+
+    qdf = spark.createDataFrame(
+        [("q1", "scan column window"), ("q2", "join merge hash sort")],
+        ["query_id", "query_text"])
+    for tag, df in (("x1", x1), ("x10", x10)):
+        timed(f"bm25_topk {tag}", lambda df=df: (
+            bm25_topk(df, qdf, k=10)
+            .write.format("noop").mode("overwrite").save()))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    e10 = emb
+    for i in range(9):
+        e10 = e10.unionByName(
+            emb.withColumn("vec_id",
+                           F.col("vec_id") + F.lit((i + 1) * 10_000_000)))
+    e10 = e10.cache()
+    print("emb rows:", emb.count(), e10.count())
+    for tag, df in (("x1", emb), ("x10", e10)):
+        timed(f"kcenter k=8 {tag}", lambda df=df: kcenter_centers(df, 8))
+
+
+if __name__ == "__main__":
+    main()
