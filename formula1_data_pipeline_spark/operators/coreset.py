@@ -76,13 +76,20 @@ def kcenter_centers(
     selected before it — the k-center coverage radius trace, NULL for
     the seed — and ``vec`` the center's vector (k · dim doubles of
     driver state, the Lloyd bound). Fewer than k rows come back when
-    the corpus runs out."""
+    the corpus runs out.
+
+    Zero-norm vectors are EXCLUDED up front (visible policy, not an
+    ordering accident): cosine to them is undefined (the nullif
+    guard yields NULL), and the two engines disagree on how
+    greatest()/max() treat NULL operands — a zero vector in the
+    corpus would silently desynchronize the trace from its oracle."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     base = emb.select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("_nv", norm(F.col("_v"))).persist()
+    ).withColumn("_nv", norm(F.col("_v"))) \
+        .filter(F.col("_nv") > 0).persist()
     try:
         seed = base.orderBy("_id").limit(1).collect()
         if not seed:
@@ -135,7 +142,12 @@ def kcenter_assign(
     rounded cosine; ties take the lowest rank — the first-match CASE
     ladder makes that explicit). A shuffle-free projection: centers
     enter as literals, so assigning a 100 TB corpus is one narrow
-    scan. ``centers`` is :func:`kcenter_centers`'s return value."""
+    scan. ``centers`` is :func:`kcenter_centers`'s return value.
+
+    Zero-norm vectors keep their row with (center_rank NULL,
+    cos_sim NULL) — cosine to them is undefined, and assignment must
+    preserve the input rowset (the q89 one-row-per-input contract);
+    an oracle for this frame must spell the same NULL rule out."""
     if not centers:
         raise ValueError("centers must be non-empty")
     base = emb.select(

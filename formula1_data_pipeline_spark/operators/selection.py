@@ -90,6 +90,17 @@ def select_token_budget(
     Deterministic: a pure function of (id, quantized score, token
     count); independent of physical partitioning (property-tested).
 
+    NULL handling (explicit, not an ordering accident): a NULL score
+    quantizes to NULL, and Spark and DuckDB DISAGREE on where NULL
+    sorts under DESC+ASC mixes — so NULL scores are coalesced to the
+    minimum bigint and sort strictly LAST (kept only if the budget
+    survives every scored document; ties still break by id). A NULL
+    token count is an upstream defect, not a policy choice — it
+    would silently corrupt every later offset through sum()'s
+    NULL-skip (the round-8 train_logreg ADVICE class) — so those
+    rows count 0 tokens via an explicit coalesce and are therefore
+    "free"; callers that want them gone should filter first.
+
     ``id_col`` must be numeric — the same range-bucketing
     precondition as ``pack_sequences`` (string ids: rank them first
     via ``shards.epoch_shuffle``'s md5-rank recipe)."""
@@ -98,8 +109,10 @@ def select_token_budget(
     _require_numeric_id(docs, id_col, "select_token_budget")
     d = docs.select(
         F.col(id_col),
-        quantize6(score).alias("score_q"),
-        n_tokens.cast("long").alias("n_tokens"),
+        F.coalesce(
+            quantize6(score), F.lit(-(2 ** 63) + 1).cast("bigint")
+        ).alias("score_q"),
+        F.coalesce(n_tokens.cast("long"), F.lit(0)).alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_size).alias("_ibkt"),
     )
     bucket_sums = d.groupBy("score_q", "_ibkt").agg(

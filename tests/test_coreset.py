@@ -119,3 +119,25 @@ def test_kcenter_partitioning_invariant(spark):
                for r in kcenter_select(spark, df.repartition(parts),
                                        5).collect()]
         assert got == base, f"parts={parts}"
+
+
+def test_kcenter_excludes_zero_vectors(spark):
+    """Zero-norm vectors are excluded from selection (cosine
+    undefined; visible policy) and keep NULL-assignment rows."""
+    from pyspark.sql import functions as F
+
+    df, _ = _fixture(spark)
+    withz = df.unionByName(
+        df.sparkSession.createDataFrame(
+            [(99, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    picks = [r["vec_id"]
+             for r in kcenter_select(df.sparkSession, withz, 100).collect()]
+    assert 99 not in picks and len(picks) == 8
+    centers = kcenter_centers(withz, 4)
+    out = {r["vec_id"]: (r["center_rank"], r["cos_sim"])
+           for r in kcenter_assign(withz, centers).collect()}
+    assert out[99] == (None, None)
+    assert sum(1 for v in out.values() if v[0] is not None) == 8

@@ -141,3 +141,26 @@ def test_quantize6_exact(spark):
     )
     r = df.collect()[0]
     assert (r["a"], r["b"], r["c"]) == (812_500, 100_000, 123_456_789)
+
+
+def test_select_token_budget_null_contracts(spark):
+    """NULL score -> sorts strictly last (min-bigint coalesce, the
+    cross-engine NULL-ordering hazard closed explicitly); NULL token
+    count -> counts 0 (never corrupts later offsets via sum()'s
+    NULL-skip)."""
+    rows = [(1, 0.9, 10), (2, None, 10), (3, 0.1, None), (4, 0.5, 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    )
+    got = _got(select_token_budget(
+        df, F.col("score"), F.col("n_tokens"), 1_000))
+    by_id = {r[0]: r for r in got}
+    # everything kept (budget ample), NULL-score doc present and LAST
+    assert set(by_id) == {1, 2, 3, 4}
+    assert by_id[2][1] == -(2 ** 63) + 1
+    assert by_id[2][3] == max(r[3] for r in got)  # largest cum_before
+    # NULL n_tokens counts zero and doesn't shift followers
+    assert by_id[3][2] == 0
+    # selection order 0.9, 0.5, 0.1, NULL; doc 3 contributes 0
+    # tokens, so doc 2 starts at the same offset 20
+    assert {r[0]: r[3] for r in got} == {1: 0, 4: 10, 3: 20, 2: 20}
