@@ -211,3 +211,53 @@ def score_ngram_lm(
         .otherwise(F.lit("tail"))
         .alias("quality_bucket"),
     )
+
+
+def score_hit_rate(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hit-rate-only scoring path: (id_col, n_bigrams, n_hits,
+    hit_rate) — identical hit_rate values to :func:`score_ngram_lm`
+    (same pair stream, same join, same integer sums, same single
+    6-dp divide), with the two unigram joins REMOVED.
+
+    Exists because Catalyst cannot prune them away itself: they are
+    LEFT joins against a non-declared-unique key, so even when no
+    downstream column references them the optimizer must assume they
+    could duplicate rows and keeps them. A consumer that needs only
+    hit_rate (the CCNet-bucket signal — e.g. the curation composite
+    chain) pays two full join stages for nothing through the general
+    path; this one is one join + one aggregate. One row per INPUT
+    doc, <2-token docs score NULL, as in the general path."""
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(bigrams(F.col(text_col))).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    agg = (
+        pairs.join(model["bigrams"], ["w1", "w2"], "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c2").isNotNull(), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"),
+                6,
+            ).alias("hit_rate"),
+        )
+    )

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from formula1_data_pipeline_spark.operators.dedup import tokens
 from formula1_data_pipeline_spark.operators.lines import dedup_lines
 from formula1_data_pipeline_spark.operators.lm import (
-    score_ngram_lm,
+    score_hit_rate,
     train_ngram_lm,
 )
 from formula1_data_pipeline_spark.operators.sampling import hash_bucket
@@ -108,7 +108,12 @@ def curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_ngram_lm(
         cleaned, hash_bucket(F.col("doc_id"), "cur-ref", 100) < REF_PCT
     )
-    scored = score_ngram_lm(cleaned, model).select(
+    # hit-rate-only scoring path: the chain needs just the CCNet
+    # bucket signal, and the general score_ngram_lm's two unigram
+    # left-joins cannot be pruned by Catalyst (non-declared-unique
+    # join key) — score_hit_rate is value-identical on hit_rate
+    # with one join instead of three
+    scored = score_hit_rate(cleaned, model).select(
         "doc_id",
         # <2-token docs score NULL -> rank at 0.0 (kept only if the
         # budget survives every scored doc; ties break by doc_id)

@@ -229,3 +229,30 @@ def test_bm25_topk_truncates_and_saturates(spark):
     # saturation: doc 2's tf=6 must NOT dominate linearly — the short
     # doc 4 (tf=1 but dl=1) outranks it under length normalization
     assert top2[0]["doc_id"] == 4 or top2[1]["doc_id"] == 4
+
+
+def test_score_hit_rate_value_identical_to_general_path(spark):
+    """score_hit_rate (the join-pruned path the curation chain uses)
+    returns exactly the general path's (n_bigrams, n_hits, hit_rate)
+    on every doc — and its plan carries ONE join against the model
+    against the general path's three."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.lm import (
+        score_hit_rate,
+        score_ngram_lm,
+        train_ngram_lm,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    model = train_ngram_lm(docs, F.col("doc_id") % 3 == 2)
+    cols = ("n_bigrams", "n_hits", "hit_rate")
+    full = {r["doc_id"]: tuple(r[c] for c in cols)
+            for r in score_ngram_lm(docs, model).collect()}
+    lite_df = score_hit_rate(docs, model)
+    lite = {r["doc_id"]: tuple(r[c] for c in cols)
+            for r in lite_df.collect()}
+    assert lite == full
+    plan = lite_df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2  # model join + doc-preserving join
