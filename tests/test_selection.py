@@ -129,6 +129,10 @@ def test_select_token_budget_prunes_dead_buckets(spark):
     first_win = plan.find("Window")
     assert first_win != -1 and last_win != first_win
     assert "_offset" in plan and "50" in plan
+    # the pruned offset table joins back as a BROADCAST (its size is
+    # budget-bounded, never corpus-bounded)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "SortMergeJoin" not in phys
     kept = out.count()
     assert kept == 5  # 50 budget / 10 tokens, ties by id
 
@@ -164,3 +168,32 @@ def test_select_token_budget_null_contracts(spark):
     # selection order 0.9, 0.5, 0.1, NULL; doc 3 contributes 0
     # tokens, so doc 2 starts at the same offset 20
     assert {r[0]: r[3] for r in got} == {1: 0, 4: 10, 3: 20, 2: 20}
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.floats(min_value=0.0, max_value=99.0,
+              allow_nan=False, allow_infinity=False,
+              width=32),                       # score (float32-exact)
+    st.integers(min_value=0, max_value=40),    # n_tokens
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(_ROW, min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=400),
+    bucket_size=st.sampled_from([1, 3, 50]),
+)
+def test_select_token_budget_property(spark, rows, budget, bucket_size):
+    """Random scores (incl. heavy ties from the coarse float32 grid),
+    zero token counts, and arbitrary budgets: always exactly the
+    naive greedy walk."""
+    data = [(i, float(s), int(n)) for i, (s, n) in enumerate(rows)]
+    df = _mkdocs(spark, data)
+    got = _got(select_token_budget(
+        df, F.col("score"), F.col("n_tokens"), budget,
+        bucket_size=bucket_size,
+    ))
+    assert got == _naive(data, budget)
