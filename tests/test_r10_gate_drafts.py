@@ -635,3 +635,36 @@ def test_kcenter_oracle_parity(spark):
     # non-degenerate: K distinct picks with strictly positive radii
     assert len(got) == K and len({i for _, i, _ in got}) == K
     assert all(d > 0 for _, _, d in got[1:])
+
+
+def test_diversity_downsample_oracle_parity(spark):
+    """Composite #2 (pre-staged for round 11): k-center cells ->
+    nearest-exemplar assignment -> per-cell md5 quota. Full row
+    compare against the composed oracle (k-center unrolled trace +
+    argmax assignment + stratified_topn's exact ordering)."""
+    import duckdb
+
+    from formula1_data_pipeline_spark.queries_curation import (
+        PER_CELL,
+        diversity_downsample,
+        diversity_downsample_oracle,
+    )
+
+    got = sorted(
+        (r["vec_id"], r["center_rank"], r["cos_sim"])
+        for r in diversity_downsample(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_DIR}/embeddings.parquet'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(diversity_downsample_oracle()).fetchall()
+    )
+    assert got == want
+    # non-degenerate: several cells exist and at least one is capped
+    from collections import Counter
+
+    per = Counter(c for _, c, _ in got)
+    assert len(per) >= 4
+    assert max(per.values()) == PER_CELL
