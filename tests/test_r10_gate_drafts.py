@@ -668,3 +668,58 @@ def test_diversity_downsample_oracle_parity(spark):
     per = Counter(c for _, c, _ in got)
     assert len(per) >= 4
     assert max(per.values()) == PER_CELL
+
+
+def test_q99_with_hashed_bow_features_keeps_bounds(spark):
+    """Pre-validates q99's planned r10 change (landing plan): the
+    classifier trains on the heuristic features PLUS 32 hashed-BOW
+    features, with the non-null row filter in place, and must still
+    clear the gated bounds (holdout acc >= 0.85, beats majority+0.05)
+    on the same fixture/split/label."""
+    from formula1_data_pipeline_spark.operators.classify import (
+        hashed_bow_dense,
+        predict_proba,
+        quality_features,
+        train_logreg,
+    )
+    from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+    from formula1_data_pipeline_spark.operators.text import quality_score
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    feats = quality_features(F.col("text"))
+    names = [n for n, _ in feats] + [f"f_bow{j}" for j in range(32)]
+    bow = hashed_bow_dense(docs, n_features=32, salt="q99-bow-v1")
+    d = (
+        docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in feats],
+            (quality_score(F.col("text")) >= 0.7).alias("label"),
+            (hash_bucket(F.col("doc_id"), "clf-split-v1") < 80)
+            .alias("is_train"),
+        )
+        .join(bow, "doc_id")
+        .select(
+            "doc_id", "label", "is_train",
+            *[F.col(n) for n, _ in feats],
+            *[F.col("features")[j].alias(f"f_bow{j}")
+              for j in range(32)],
+        )
+    )
+    # the planned r10 non-null guard (train_logreg's documented
+    # precondition becomes an explicit filter)
+    nn = d.na.drop(subset=names + ["label"]).cache()
+    try:
+        w, b = train_logreg(nn.filter(F.col("is_train")), names,
+                            "label", n_iter=50, lr=5.0)
+        r = nn.filter(~F.col("is_train")).select(
+            ((predict_proba(names, w, b) >= 0.5) == F.col("label"))
+            .cast("double").alias("hit"),
+            F.col("label").cast("double").alias("y"),
+        ).agg(F.avg("hit").alias("acc"),
+              F.avg("y").alias("base")).collect()[0]
+    finally:
+        nn.unpersist()
+    majority = max(r["base"], 1.0 - r["base"])
+    assert r["acc"] >= 0.85, r
+    assert r["acc"] >= majority + 0.05, (r["acc"], majority)
