@@ -109,3 +109,91 @@ def profile_table(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-snapshot distribution drift (corpus monitoring)
+# ---------------------------------------------------------------------------
+
+
+def value_counts_long(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, value, cnt) for every listed column in ONE pass:
+    each row explodes into one (col, stringified value) pair per
+    column, then a single map-side partial-aggregated groupBy counts
+    them — scan cost independent of how many columns are profiled.
+    NULLs keep a bucket (value NULL), so missingness drift is
+    visible."""
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in cols
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.column").alias("column"),
+                 F.col("p.value").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drift_report(
+    old: DataFrame, new: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-value distribution drift between two snapshots of the same
+    table — the monitoring complement to the single-snapshot
+    ``quality_report``/``profile_table``: did yesterday's ingest
+    shift the language mix, the source mix, the length profile?
+
+    Output one row per (column, value) seen in EITHER snapshot:
+    (column, value, cnt_old, cnt_new, share_old, share_new,
+    abs_delta) with shares rounded to 6 dp (one integer/integer IEEE
+    divide each — engine-exact) and abs_delta their |difference|
+    (exact op on rounded operands, so the whole frame
+    value-hash-gates). ``drift_summary`` folds it to per-column
+    total-variation distance.
+
+    Scale: two single-pass counts + one (column, value)-keyed outer
+    join; the joined table is value-cardinality-sized, not
+    row-sized. High-cardinality columns (free text) should be
+    bucketed by the caller first (hash_bucket / length bands) — the
+    drift of a billion singleton buckets is meaningless anyway."""
+    a = value_counts_long(old, cols).withColumnRenamed("cnt", "cnt_old")
+    b = value_counts_long(new, cols).withColumnRenamed("cnt", "cnt_new")
+    n1 = old.count()
+    n2 = new.count()
+    share_old = F.round(
+        F.col("cnt_old").cast("double") / F.lit(max(n1, 1)), 6
+    )
+    share_new = F.round(
+        F.col("cnt_new").cast("double") / F.lit(max(n2, 1)), 6
+    )
+    return (
+        a.join(b, ["column", "value"], "full_outer")
+        .withColumn("cnt_old", F.coalesce("cnt_old", F.lit(0)))
+        .withColumn("cnt_new", F.coalesce("cnt_new", F.lit(0)))
+        .select(
+            "column", "value", "cnt_old", "cnt_new",
+            share_old.alias("share_old"),
+            share_new.alias("share_new"),
+            F.round(F.abs(share_old - share_new), 6).alias("abs_delta"),
+        )
+    )
+
+
+def drift_summary(report: DataFrame) -> DataFrame:
+    """Per-column total-variation distance: TV = sum(|dp|)/2 over the
+    value buckets (0 = identical distributions, 1 = disjoint).
+    Rounded 6-dp deltas sum as DECIMAL (exact, order-independent),
+    one final divide — hash-gateable."""
+    return (
+        report.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            (
+                F.sum(F.col("abs_delta").cast("decimal(18,6)"))
+                .cast("double") / 2.0
+            ).alias("tv_distance"),
+        )
+    )
