@@ -141,3 +141,20 @@ def test_kcenter_excludes_zero_vectors(spark):
            for r in kcenter_assign(withz, centers).collect()}
     assert out[99] == (None, None)
     assert sum(1 for v in out.values() if v[0] is not None) == 8
+
+
+def test_kcenter_incremental_equals_stateless(spark):
+    """The two cost shapes are value-identical — min over a set is a
+    left-fold of pairwise mins on the same rounded operands — on the
+    clustered fixture AND on real embeddings."""
+    df, _ = _fixture(spark)
+    a = kcenter_centers(df, 6)
+    b = kcenter_centers(df, 6, incremental=True)
+    assert [(r, i, d) for r, i, d, _ in a] \
+        == [(r, i, d) for r, i, d, _ in b]
+    emb = df.sparkSession.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    a = kcenter_centers(emb, 5)
+    b = kcenter_centers(emb, 5, incremental=True)
+    assert [(r, i, d) for r, i, d, _ in a] \
+        == [(r, i, d) for r, i, d, _ in b]
