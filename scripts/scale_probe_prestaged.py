@@ -120,3 +120,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def probe_late_additions():
+    """10x probes for the operators added after the first probe run:
+    drift report, text normalization, and the diversity composite's
+    assignment stage."""
+    from formula1_data_pipeline_spark.functions.textnorm import (
+        normalize_text,
+    )
+    from formula1_data_pipeline_spark.operators.quality import (
+        drift_report,
+    )
+
+    spark = get_spark(app_name="scale-probe-late")
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    x1 = raw.cache()
+    x10 = raw
+    for i in range(9):
+        x10 = x10.unionByName(
+            raw.withColumn("doc_id",
+                           F.col("doc_id") + F.lit((i + 1) * 10_000_000)))
+    x10 = x10.cache()
+    print("rows:", x1.count(), x10.count())
+    for tag, df in (("x1", x1), ("x10", x10)):
+        old = df.filter(F.col("doc_id") % 2 == 0)
+        new = df.filter(F.col("doc_id") % 2 == 1)
+        timed(f"drift_report lang+source {tag}", lambda o=old, n=new: (
+            drift_report(o, n, ["lang", "source"])
+            .write.format("noop").mode("overwrite").save()))
+    for tag, df in (("x1", x1), ("x10", x10)):
+        timed(f"normalize_text {tag}", lambda df=df: (
+            df.select("doc_id",
+                      F.md5(normalize_text(F.col("text"))).alias("h"))
+            .write.format("noop").mode("overwrite").save()))
