@@ -169,10 +169,22 @@ def drift_report(
     share_new = F.round(
         F.col("cnt_new").cast("double") / F.lit(max(n2, 1)), 6
     )
+    # NULL-SAFE join on value: the NULL bucket is a first-class
+    # drift signal (missingness shift), and a plain equality join
+    # would split it into two half-rows — one per snapshot — because
+    # NULL never equals NULL in a join key (caught by the hypothesis
+    # property test; oracles must mirror with IS NOT DISTINCT FROM)
+    cond = (a["column"] == b["column"]) & a["value"].eqNullSafe(
+        b["value"]
+    )
     return (
-        a.join(b, ["column", "value"], "full_outer")
-        .withColumn("cnt_old", F.coalesce("cnt_old", F.lit(0)))
-        .withColumn("cnt_new", F.coalesce("cnt_new", F.lit(0)))
+        a.join(b, cond, "full_outer")
+        .select(
+            F.coalesce(a["column"], b["column"]).alias("column"),
+            F.coalesce(a["value"], b["value"]).alias("value"),
+            F.coalesce(a["cnt_old"], F.lit(0)).alias("cnt_old"),
+            F.coalesce(b["cnt_new"], F.lit(0)).alias("cnt_new"),
+        )
         .select(
             "column", "value", "cnt_old", "cnt_new",
             share_old.alias("share_old"),

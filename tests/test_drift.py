@@ -91,14 +91,17 @@ def test_drift_oracle_parity(spark):
             SELECT 'source', CAST(source AS VARCHAR) FROM n
         ) GROUP BY 1, 2
     ), j AS (
-        SELECT "column", value,
+        SELECT coalesce(oc."column", nc."column") AS "column",
+               coalesce(oc.value, nc.value) AS value,
                coalesce(cnt_old, 0) AS cnt_old,
                coalesce(cnt_new, 0) AS cnt_new,
                round(coalesce(cnt_old, 0) / CAST({n1} AS DOUBLE), 6)
                    AS share_old,
                round(coalesce(cnt_new, 0) / CAST({n2} AS DOUBLE), 6)
                    AS share_new
-        FROM oc FULL OUTER JOIN nc USING ("column", value)
+        FROM oc FULL OUTER JOIN nc
+          ON oc."column" = nc."column"
+          AND oc.value IS NOT DISTINCT FROM nc.value
     )
     SELECT "column", value, cnt_old, cnt_new, share_old, share_new,
            round(abs(share_old - share_new), 6) AS abs_delta
@@ -117,3 +120,44 @@ def test_drift_oracle_parity(spark):
     # non-degenerate: both columns produce buckets, drift is small
     # but measured on a random-ish split
     assert {c for c, *_ in got} == {"lang", "source"}
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_VALS = st.lists(
+    st.sampled_from(["a", "b", "c", "d", None]),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(old_vals=_VALS, new_vals=_VALS)
+def test_drift_property_vs_python_reference(spark, old_vals, new_vals):
+    """Random categorical snapshots (incl. empties and NULL buckets):
+    report and TV summary always equal the plain-Python reference."""
+    from collections import Counter
+
+    old = spark.createDataFrame(
+        [(v,) for v in old_vals] or [(None,)], "x string"
+    ).limit(len(old_vals))
+    new = spark.createDataFrame(
+        [(v,) for v in new_vals] or [(None,)], "x string"
+    ).limit(len(new_vals))
+    rep = drift_report(old, new, ["x"])
+    got = {r["value"]: (r["cnt_old"], r["cnt_new"], r["abs_delta"])
+           for r in rep.collect()}
+    c1, c2 = Counter(old_vals), Counter(new_vals)
+    n1, n2 = max(len(old_vals), 1), max(len(new_vals), 1)
+    want = {}
+    for v in set(c1) | set(c2):
+        so = round(c1.get(v, 0) / n1, 6)
+        sn = round(c2.get(v, 0) / n2, 6)
+        want[v] = (c1.get(v, 0), c2.get(v, 0), round(abs(so - sn), 6))
+    assert got == want
+    if want:
+        s = drift_summary(rep).collect()[0]
+        from decimal import Decimal
+
+        tv = float(sum(Decimal(f"{d:.6f}")
+                       for _, _, d in want.values())) / 2.0
+        assert abs(s["tv_distance"] - tv) < 1e-12
