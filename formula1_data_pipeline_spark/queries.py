@@ -910,6 +910,7 @@ from formula1_data_pipeline_spark import queries_ingest  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_datapipe  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_llm  # noqa: E402,F401
 from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
+from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 
 
 # Queries whose implementing modules changed since their last driver
@@ -922,26 +923,32 @@ from formula1_data_pipeline_spark import queries_stream  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-9 diff, BEHAVIOR/physical-path changes only. NOT listed,
-    # with reasons: the events-read conf handling moved from an
-    # unconditional per-read conf.set to a session-build default +
-    # loud lazy fallback (zero plan change — all 97 queries re-proven
-    # against their oracles at sf0.01 after the change, this round);
-    # resample_by_weight's NULL-weight coalesce and pack_sequences'
-    # numeric-id validation landed BEFORE those operators' first
-    # gates (q18/q19, never-gated, rank first automatically);
-    # train_bpe_merges' unpersist moved into a finally (error-path
-    # only); BPE representation checkpointing activates only at
-    # checkpoint_every boundaries, and every gated query trains 10
-    # merges < 128 (property-tested equivalent; gated plans
-    # byte-identical). Budget math: 2 never-gated (q18/q19) + 1
-    # changed (q97) + the 47 r7-gated re-gates = exactly the 50-row
+    # round-10 diff, BEHAVIOR/physical-path changes only — the five
+    # CHANGED extensions of the CHANGELOG round-10 landing plan, all
+    # r8-gated and due this round anyway (zero extra budget rows);
+    # q100_curation_chain is never-gated and ranks first
+    # automatically. Budget math: 1 never-gated (q100) + the 49
+    # r8-gated re-gates (these five among them) = exactly the 50-row
     # budget, nothing left 2+ rounds stale.
     #
-    # q97 gained the DSIR stage: importance weights + deterministic
-    # resampling (target 0.8) between the span-dedup cut and BPE
-    # training — new behavior AND new physical path for the flagship
-    "q97_corpus_to_trainer_flagship",
+    # q39: TF-IDF leg unified with the new BM25 top-k leg into one
+    #      long (kind, key, doc_id, score, rank) shape
+    "q39_tfidf_top_terms",
+    # q44: extended PII tier — <CARD> (Luhn-validated count) + <IP>
+    #      redaction legs on top of email/phone
+    "q44_pii_redaction",
+    # q79: two-snapshot drift legs (per-value deltas + per-column
+    #      total-variation distance over deterministic doc_id halves)
+    #      added to the profiler output
+    "q79_table_profile",
+    # q80: physical path switched to stratified_topn_bucketed (the
+    #      skew-proof two-level prefix-sum plan; value-identical,
+    #      property-tested equivalence)
+    "q80_stratified_topn",
+    # q99: trains on heuristic + 32 hashed-BOW features, and
+    #      train_logreg gained the in-trainer non-null guard (the
+    #      deferred round-8 ADVICE item)
+    "q99_quality_classifier",
 ]
 
 

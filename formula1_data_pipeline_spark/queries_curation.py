@@ -1,10 +1,11 @@
-"""Corpus-curation composite chains — pre-staged gates.
+"""Corpus-curation composite chains.
 
-Composite #1 (:func:`curation_chain`, the intended ROUND-10 gate):
-the CCNet-shaped curation pipeline (Wenzek et al. 2019) in ONE
-hash-gated query, composing three operators pre-staged in round 9:
+Composite #1 (:func:`curation_chain`, REGISTERED as q100 in round
+10): the CCNet-shaped curation pipeline (Wenzek et al. 2019) in ONE
+hash-gated query, composing four operators:
 
-    line-level dedup (C4 boilerplate policy, ``operators/lines.py``)
+    text normalization (stage 0, ``functions/textnorm.py``)
+        -> line-level dedup (C4 policy, ``operators/lines.py``)
         -> bigram-LM quality scoring (``operators/lm.py``)
         -> token-budget selection (``operators/selection.py``)
 
@@ -14,26 +15,25 @@ per-cell md5 quota — cap-every-region diversity downsampling over
 the embeddings table.
 
 Why a composite: the driver's correctness gate has a 50-row budget
-and the 99-entry catalog fills it as a strict 2-round alternation —
-round 10 has exactly ONE free row (49 r8-stale re-gates + this).
+and the 100-entry catalog fills it as a strict 2-round alternation —
+round 10 had exactly ONE free row (49 r8-stale re-gates + this).
 The q97 lesson: batching a pipeline behind one gate whose oracle
 composes each stage's EXACT standalone CTE builder keeps every stage
 under the value-hash microscope without spending a row per stage.
 
-NOT registered this round — importing this module from queries.py
-and wrapping :func:`curation_chain` in ``@register`` is the
-mechanical round-10 lift (the q18/q19 pattern). Cross-engine parity
-for the whole chain is already proven at sf0.001 in
-``tests/test_r10_gate_drafts.py::test_curation_chain_oracle_parity``.
+Determinism: stages 0-1 are exact string work; stage 2 is integer
+sums with one 6-dp divide per score; stage 3 quantizes the score
+through DECIMAL(18,6) and runs integer prefix sums — the whole chain
+replays bit-for-bit in DuckDB. The reference slice for LM training
+is an md5-bucket of doc_id (engine-reproducible, no RNG). The
+augmentation injects NBSP/zero-width/typographic-punctuation
+artifacts so stage 0 is value-pinned, not a no-op: the NBSP chrome
+variants only merge with their plain-space twins — and so only go
+corpus-hot — if normalization actually ran.
 
-Determinism: stage 1 is exact string work; stage 2 is integer sums
-with one 6-dp divide per score; stage 3 quantizes the score through
-DECIMAL(18,6) and runs integer prefix sums — the whole chain replays
-bit-for-bit in DuckDB. The reference slice for LM training is an
-md5-bucket of doc_id (engine-reproducible, no RNG).
-
-Scale: each stage keeps its own documented shape — line dedup's
-map-side partial-aggregated doc-frequency counting, LM scoring's
+Scale: each stage keeps its own documented shape — normalization's
+shuffle-free codegen projection, line dedup's map-side
+partial-aggregated doc-frequency counting, LM scoring's
 join-against-distributed-count-tables, selection's budget-pruned
 two-level prefix sum. Composition adds no new shuffle class; the
 cleaned corpus flows doc-keyed between stages.
@@ -44,6 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from formula1_data_pipeline_spark.functions.textnorm import (
+    normalize_text,
+    sql_normalize,
+)
 from formula1_data_pipeline_spark.operators.dedup import tokens
 from formula1_data_pipeline_spark.operators.lines import dedup_lines
 from formula1_data_pipeline_spark.operators.lm import (
@@ -54,6 +58,7 @@ from formula1_data_pipeline_spark.operators.sampling import hash_bucket
 from formula1_data_pipeline_spark.operators.selection import (
     select_token_budget,
 )
+from formula1_data_pipeline_spark.queries import register
 
 #: token budget for the selection stage — binding (selects a strict
 #: prefix) from sf0.001 up, since the augmented corpus carries
@@ -65,13 +70,27 @@ BUDGET = 20_000
 REF_PCT = 40
 
 
+#: raw scraped-text artifacts the stage-0 normalize pass must clean
+#: (NBSP inside the chrome lines, a zero-width space, typographic
+#: quotes + em-dash wrapper lines) — after :func:`normalize_text`
+#: the NBSP variants MERGE with their plain-space twins, so the hot-
+#: line detection below only fires corpus-wide if stage 0 actually
+#: ran, and every cleaned doc's md5 pins the punctuation mapping
+_HDR_RAW = "  SUBSCRIBE\u00a0TO OUR NEWSLETTER \u200b"
+_COOKIE_RAW = "cookie\u00a0policy\u00a0notice"
+_QUOTE_OPEN = "\u201c"
+_QUOTE_CLOSE = "\u201d \u2014 fin"
+
+
 def _augment(docs: DataFrame) -> DataFrame:
     """Deterministic multi-line augmentation (the q44 pattern —
     testdata docs are single-line, so line-level dedup would be
     degenerate on the raw table): ' scan ' separators become
     newlines; doc_id%4 injects boilerplate chrome the C4 policy must
-    strip — a newsletter header (+ a case/whitespace variant that
-    normalizes to the same line) and a cookie footer."""
+    strip — a newsletter header (+ an NBSP/case/whitespace variant
+    that only stage-0 normalization folds onto the same line), a
+    cookie footer (+ its NBSP variant), and curly-quote/em-dash
+    wrapper lines for the punctuation-mapping probe."""
     base = F.replace(F.col("text"), F.lit(" scan "), F.lit("\n"))
     return docs.select(
         "doc_id",
@@ -85,13 +104,18 @@ def _augment(docs: DataFrame) -> DataFrame:
         )
         .when(
             F.col("doc_id") % 4 == 1,
-            F.concat(F.lit("  SUBSCRIBE TO OUR NEWSLETTER  \n"), base),
+            F.concat(F.lit(_HDR_RAW + "\n"), base),
         )
         .when(
             F.col("doc_id") % 4 == 2,
-            F.concat(base, F.lit("\n\ncookie policy notice")),
+            F.concat(base, F.lit("\n\n" + _COOKIE_RAW)),
         )
-        .otherwise(base)
+        .otherwise(
+            F.concat(
+                F.lit(_QUOTE_OPEN + "\n"), base,
+                F.lit("\n" + _QUOTE_CLOSE),
+            )
+        )
         .alias("text"),
     )
 
@@ -105,7 +129,13 @@ def curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.queries import load
 
     raw = load(spark, sf_dir, "documents")["documents"]
-    aug = _augment(raw)
+    # stage 0: deterministic text normalization (strip controls /
+    # zero-width, unify typographic punctuation, collapse NBSP+
+    # hspace runs, trim line edges) — the pre-dedup cleanup pass a
+    # C4/CCNet pipeline runs FIRST; a shuffle-free codegen projection
+    aug = _augment(raw).select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
 
     cleaned = dedup_lines(aug, min_docs=2, keep="none").select(
         "doc_id", F.col("text_clean").alias("text")
@@ -153,21 +183,25 @@ _SQL_TOKS_CLEAN = (
     r"'\s+'), x -> x <> '')"
 )
 
-#: stage 0+1: augmentation + line explode + hot lines + C4 drop-all
-#: rebuild — the exact SQL the standalone line-dedup gate uses
-_SQL_CLEANED = """
-    aug AS (
+#: stage 0+1: augmentation + normalize (textnorm's exact SQL twin) +
+#: line explode + hot lines + C4 drop-all rebuild — the exact SQL
+#: the standalone line-dedup / textnorm gates use
+_SQL_CLEANED = f"""
+    aug0 AS (
         SELECT doc_id,
                CASE WHEN doc_id % 4 = 0 THEN
                         'Subscribe to our newsletter' || chr(10) || base
                         || chr(10) || 'cookie policy notice'
                     WHEN doc_id % 4 = 1 THEN
-                        '  SUBSCRIBE TO OUR NEWSLETTER  ' || chr(10) || base
+                        '{_HDR_RAW}' || chr(10) || base
                     WHEN doc_id % 4 = 2 THEN
-                        base || chr(10) || chr(10) || 'cookie policy notice'
-                    ELSE base END AS text
+                        base || chr(10) || chr(10) || '{_COOKIE_RAW}'
+                    ELSE '{_QUOTE_OPEN}' || chr(10) || base || chr(10)
+                         || '{_QUOTE_CLOSE}' END AS text
         FROM (SELECT doc_id, replace(text, ' scan ', chr(10)) AS base
               FROM documents)
+    ), aug AS (
+        SELECT doc_id, {sql_normalize('text')} AS text FROM aug0
     ), lin AS (
         SELECT doc_id, i - 1 AS pos, parts[i] AS line,
                trim(lower(parts[i])) AS nline
@@ -249,10 +283,13 @@ _SQL_SELECT = f"""
         FROM scored
     ), ordered AS (
         SELECT doc_id, score_q, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               -- window SUM(BIGINT) is HUGEINT in DuckDB, which
+               -- pandas renders as float — cast back to the Spark
+               -- side's BIGINT so the value-hash canon matches
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    ORDER BY score_q DESC, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS cum_before
+               ), 0) AS BIGINT) AS cum_before
         FROM quant
     )
 """
@@ -267,6 +304,24 @@ def curation_chain_oracle() -> str:
     FROM ordered o JOIN cleaned c USING (doc_id)
     WHERE o.cum_before < {BUDGET}
     """
+
+
+register(
+    "q100_curation_chain",
+    curation_chain_oracle(),
+    doc="CCNet-shaped curation composite (§2.12, the round-10 gate "
+        "row): normalize (stage 0, textnorm's codegen projection) -> "
+        "line-level dedup (C4 drop-all over lines hot in >=2 docs, "
+        "map-side partial-agg doc-frequency counting) -> bigram-LM "
+        "hit-rate scoring (count tables stay distributed; integer "
+        "ratio-of-sums, one 6-dp divide) -> token-budget selection "
+        "(budget-pruned two-level prefix sum — the window touches "
+        "~budget tokens of rows however large the corpus). The "
+        "oracle composes each stage's exact standalone CTE text (the "
+        "q97 discipline), so all four operators sit under one "
+        "value-hash gate; clean_md5 pins the full cleaned text of "
+        "every selected doc",
+)(curation_chain)
 
 
 # --------------------------------------------------------------------------
@@ -327,17 +382,20 @@ def _kcenter_cte(k: int) -> str:
     chain ending in ``cen{k-1}`` (rank, vec_id, min_dist, v, nv) —
     the exact replay of ``kcenter_centers``'s per-round argmax
     (rounded-6dp cosines BEFORE max, id tie-breaks, selected ids
-    excluded). NOTE: mirrors the Spark side's zero-norm exclusion
-    only implicitly (nv > 0 never arises on the testdata embeddings);
-    a corpus with zero vectors needs the WHERE nv > 0 twin."""
+    excluded). ``WHERE nv > 0`` mirrors the Spark side's zero-norm
+    exclusion exactly (a no-op on current testdata, but a zero
+    vector with the smallest vec_id would otherwise desynchronize
+    the seed pick — round-9 ADVICE)."""
     parts = [f"""
     base AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ), nrm AS MATERIALIZED (
-        SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS nv
-        FROM base
+        SELECT vec_id, v, nv FROM (
+            SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS nv
+            FROM base
+        ) WHERE nv > 0
     ), cen0 AS MATERIALIZED (
         SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist,
                v, nv
