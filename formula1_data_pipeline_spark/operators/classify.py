@@ -53,14 +53,13 @@ def train_logreg(
     driver. ``n_iter`` is a fixed bound, not a convergence loop
     (the Lloyd rule: iteration count is a plan-visible constant).
 
-    PRECONDITION: every row must have non-NULL features and label.
-    ``sum()`` skips NULL terms while ``n`` counts every row, so a
-    NULL feature/label silently shrinks the effective gradient
-    instead of erroring (round-8 ADVICE). Callers own the filter
-    (q99 derives features from non-null text, so none arise there);
-    the in-trainer ``isNotNull`` guard lands with q99's next re-gate
-    — adding a Filter node mid-round would change a gated plan
-    outside the gate budget."""
+    Rows with a NULL feature or label are dropped IN the trainer
+    (round-8 ADVICE, landed with q99's round-10 re-gate): ``sum()``
+    skips NULL terms while ``n`` counts every row, so without the
+    filter a NULL silently shrinks the effective gradient instead of
+    erroring. The filter is one codegen'd predicate fused into each
+    gradient pass's scan — no extra job, no extra shuffle."""
+    df = df.na.drop(subset=[*feature_cols, label_col])
     feats = [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
     w = [0.0] * len(feature_cols)

@@ -480,43 +480,129 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q79_table_profile",
     """
-    SELECT 'c_custkey' AS "column", count(*) AS n_rows,
-           count(*) - count(c_custkey) AS n_nulls,
-           count(DISTINCT c_custkey) AS n_distinct,
-           CAST(min(c_custkey) AS VARCHAR) AS min_value,
-           CAST(max(c_custkey) AS VARCHAR) AS max_value,
-           true AS approx_ok
-    FROM customer
+    WITH prof AS (
+        SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+               count(*) - count(c_custkey) AS n_nulls,
+               count(DISTINCT c_custkey) AS n_distinct,
+               CAST(min(c_custkey) AS VARCHAR) AS min_value,
+               CAST(max(c_custkey) AS VARCHAR) AS max_value,
+               true AS approx_ok
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+               count(DISTINCT c_mktsegment),
+               CAST(min(c_mktsegment) AS VARCHAR),
+               CAST(max(c_mktsegment) AS VARCHAR), true
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+               count(DISTINCT c_nationkey),
+               CAST(min(c_nationkey) AS VARCHAR),
+               CAST(max(c_nationkey) AS VARCHAR), true
+        FROM customer
+    ), o AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    n AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    oc AS (
+        SELECT "column", value, count(*) AS cnt_old FROM (
+            SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+            FROM o
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR) FROM o
+        ) GROUP BY 1, 2
+    ), nc AS (
+        SELECT "column", value, count(*) AS cnt_new FROM (
+            SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS value
+            FROM n
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR) FROM n
+        ) GROUP BY 1, 2
+    ), tot AS (
+        SELECT (SELECT count(*) FROM o) AS n1,
+               (SELECT count(*) FROM n) AS n2
+    ), rep AS (
+        SELECT coalesce(oc."column", nc."column") AS "column",
+               coalesce(oc.value, nc.value) AS value,
+               CAST(coalesce(cnt_old, 0) AS BIGINT) AS cnt_old,
+               CAST(coalesce(cnt_new, 0) AS BIGINT) AS cnt_new,
+               round(coalesce(cnt_old, 0) / CAST(t.n1 AS DOUBLE), 6)
+                   AS share_old,
+               round(coalesce(cnt_new, 0) / CAST(t.n2 AS DOUBLE), 6)
+                   AS share_new
+        FROM oc FULL OUTER JOIN nc
+          ON oc."column" = nc."column"
+          AND oc.value IS NOT DISTINCT FROM nc.value
+        CROSS JOIN tot t
+    ), rep2 AS (
+        SELECT "column", value, cnt_old, cnt_new, share_old,
+               share_new,
+               round(abs(share_old - share_new), 6) AS abs_delta
+        FROM rep
+    )
+    SELECT 'profile' AS kind, "column", n_rows, n_nulls, n_distinct,
+           min_value, max_value, approx_ok,
+           CAST(NULL AS VARCHAR) AS value,
+           CAST(NULL AS BIGINT) AS cnt_old,
+           CAST(NULL AS BIGINT) AS cnt_new,
+           CAST(NULL AS DOUBLE) AS share_old,
+           CAST(NULL AS DOUBLE) AS share_new,
+           CAST(NULL AS DOUBLE) AS abs_delta,
+           CAST(NULL AS BIGINT) AS n_values,
+           CAST(NULL AS DOUBLE) AS tv_distance
+    FROM prof
     UNION ALL
-    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
-           count(DISTINCT c_mktsegment),
-           CAST(min(c_mktsegment) AS VARCHAR),
-           CAST(max(c_mktsegment) AS VARCHAR), true
-    FROM customer
+    SELECT 'drift', "column", NULL, NULL, NULL, NULL, NULL, NULL,
+           value, cnt_old, cnt_new, share_old, share_new, abs_delta,
+           NULL, NULL
+    FROM rep2
     UNION ALL
-    SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
-           count(DISTINCT c_nationkey),
-           CAST(min(c_nationkey) AS VARCHAR),
-           CAST(max(c_nationkey) AS VARCHAR), true
-    FROM customer
+    SELECT 'drift_tv', "column", NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           count(*),
+           CAST(sum(CAST(abs_delta AS DECIMAL(18,6))) AS DOUBLE) / 2.0
+    FROM rep2 GROUP BY "column"
     """,
-    doc="One-pass per-column table profile (ANALYZE / dbt-docs "
-        "reconnaissance): n_rows, nulls, distinct, min/max for three "
-        "customer columns in a single aggregate scan. Exact stats are "
-        "hash-checked; the HyperLogLog++ approx-distinct (the 100 TB "
-        "path) is pinned by the q53 bound pattern (within 15% of "
-        "exact, asserted in-query) since sketches can't be replayed "
-        "across engines",
+    doc="Table reconnaissance surface, three kinds in one long frame "
+        "(§2.12 monitoring tier). kind='profile': one-pass per-column "
+        "profile (ANALYZE / dbt-docs) — n_rows, nulls, distinct, "
+        "min/max for three customer columns in a single aggregate "
+        "scan; exact stats hash-checked, the HyperLogLog++ "
+        "approx-distinct (the 100 TB path) pinned by the q53 bound "
+        "pattern (within 15% of exact, asserted in-query). "
+        "kind='drift' / 'drift_tv': two-snapshot distribution drift "
+        "(operators/quality.py::drift_report/drift_summary) between "
+        "deterministic doc_id halves of documents over lang+source — "
+        "per-value count/share deltas (6-dp IEEE divides, NULL-safe "
+        "bucket join so the missingness bucket stays one row) and "
+        "per-column total-variation distance (decimal sum of rounded "
+        "deltas, one final divide). Scale: two single-pass "
+        "exploded-pairs counts + one value-cardinality-sized outer "
+        "join — scan cost independent of how many columns are "
+        "monitored",
 )
 def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.quality import (
+        drift_report,
+        drift_summary,
         profile_table,
     )
 
     cust = load(spark, sf_dir, "customer")["customer"]
-    return profile_table(
+    prof = profile_table(
         cust, ["c_custkey", "c_mktsegment", "c_nationkey"],
         distinct_mode="both",
+    ).select(F.lit("profile").alias("kind"), "*")
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    rep = drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        ["lang", "source"],
+    )
+    drift = rep.select(F.lit("drift").alias("kind"), "*")
+    tv = drift_summary(rep).select(F.lit("drift_tv").alias("kind"), "*")
+    return (
+        prof.unionByName(drift, allowMissingColumns=True)
+        .unionByName(tv, allowMissingColumns=True)
     )
 
 

@@ -158,6 +158,18 @@ def q38_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 audit probes for q39's retrieval leg — a literal query set
+#: (benchmark-prompt-shaped: two in-vocabulary probes + one with no
+#: postings, which must return zero rows)
+BM25_QUERIES = [
+    ("q_scan", "scan column window"),
+    ("q_join", "join merge hash sort"),
+    ("q_miss", "zzznotaterm"),
+]
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
 @register(
     "q39_tfidf_top_terms",
     f"""
@@ -181,16 +193,69 @@ def q38_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY doc_id ORDER BY score DESC, term
                ) AS INT) AS rank
         FROM scored
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM dl
+    ), q(query_id, query_text) AS (
+        VALUES {_BM25_VALUES}
+    ), qt AS (
+        SELECT query_id,
+               unnest(list_distinct(list_filter(
+                   regexp_split_to_array(trim(lower(query_text)), '\\s+'),
+                   x -> x <> ''))) AS term
+        FROM q
+    ), cand AS (
+        SELECT qt.query_id, tf.doc_id, tf.tf, dfreq.df, dl.dl,
+               s.n_docs, s.n_tokens
+        FROM tf
+        JOIN qt USING (term)
+        JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) dfreq
+            USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ), bm_scored AS (
+        SELECT query_id, doc_id, count(*) AS n,
+               sum(CAST(round(
+                   (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)
+                    * CAST(44 * tf * n_tokens AS DOUBLE))
+                   / (CAST(2 * df + 1 AS DOUBLE)
+                      * CAST(20 * tf * n_tokens + 18 * dl * n_docs
+                             + 6 * n_tokens AS DOUBLE)),
+                   6) AS DECIMAL(18,6))) AS score_dec
+        FROM cand GROUP BY 1, 2
+    ), bm_ranked AS (
+        SELECT query_id, doc_id, n,
+               CAST(score_dec AS DOUBLE) AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_dec DESC, doc_id
+               ) AS INT) AS rank
+        FROM bm_scored
     )
-    SELECT * FROM ranked WHERE rank <= 3
+    SELECT 'tfidf' AS kind, term AS key, doc_id,
+           CAST(tf AS BIGINT) AS n, score, rank
+    FROM ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'bm25', query_id, doc_id, CAST(n AS BIGINT), score, rank
+    FROM bm_ranked WHERE rank <= 10
     """,
-    doc="TF-IDF top-3 terms per document (§2.12): tf and df via two "
-        "hash aggregations, linear idf N/df (one IEEE multiply+divide, "
-        "no libm log => bit-identical across engines), "
-        "(score desc, term) ranking; n_docs rides in as a 1-row "
-        "broadcast, never a driver collect",
+    doc="Term/document relevance surface, both directions in one long "
+        "(kind, key, doc_id, n, score, rank) shape (§2.12). "
+        "kind='tfidf': top-3 terms PER DOC — tf and df via two hash "
+        "aggregations, linear idf N/df (one IEEE multiply+divide, no "
+        "libm log => bit-identical across engines), (score desc, "
+        "term) ranking, n_docs rides in as a 1-row broadcast. "
+        "kind='bm25': top-10 docs PER QUERY over a literal audit "
+        "probe set (operators/retrieval.py — Robertson linear-idf "
+        "BM25, k1=6/5 b=3/4 folded into exact integer coefficients; "
+        "6-dp term scores summed as DECIMAL for order-independence; "
+        "the tiny query-term table broadcasts onto the posting lists "
+        "so candidate generation touches only query-term postings). "
+        "Both legs reuse the same tf aggregate",
 )
 def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.retrieval import bm25_topk
     from formula1_data_pipeline_spark.operators.text import tokens
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -203,7 +268,7 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf").cast("double") * (
         F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")
     )
-    ranked = (
+    tfidf = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("score", score)
@@ -218,43 +283,117 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         .filter(F.col("rank") <= 3)
+        .select(
+            F.lit("tfidf").alias("kind"),
+            F.col("term").alias("key"),
+            "doc_id",
+            F.col("tf").cast("long").alias("n"),
+            "score",
+            "rank",
+        )
     )
-    return ranked.select("doc_id", "term", "tf", "doc_freq", "score", "rank")
+    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    bm25 = bm25_topk(docs, qdf, k=10).select(
+        F.lit("bm25").alias("kind"),
+        F.col("query_id").alias("key"),
+        "doc_id",
+        F.col("n_terms_matched").alias("n"),
+        "score",
+        "rank",
+    )
+    return tfidf.unionByName(bm25)
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
 
+#: card augmentation classes: %3==0 a Luhn-VALID formatted card,
+#: %3==1 a card-SHAPED but Luhn-invalid digit run (redacted but not
+#: counted), %3==2 none — so n_valid_cards discriminates the checksum
+_CARD_VALID = "4111 1111 1111 1111"
+_CARD_INVALID = "4111111111111112"
+
+# DuckDB twin of functions.pii.luhn_valid over the separator-stripped
+# candidate (inlined where the lambda needs it — DuckDB forbids
+# subqueries inside lambdas); mirrors tests/test_pii.py
+_ND = "regexp_replace(c, '[ -]', '', 'g')"
+_SQL_LUHN = (
+    f"list_sum(list_transform(range(1, len({_ND}) + 1), i -> CASE "
+    f"WHEN i % 2 = 0 THEN CASE "
+    f"  WHEN 2 * CAST(substr(reverse({_ND}), i, 1) AS INT) > 9 "
+    f"  THEN 2 * CAST(substr(reverse({_ND}), i, 1) AS INT) - 9 "
+    f"  ELSE 2 * CAST(substr(reverse({_ND}), i, 1) AS INT) END "
+    f"ELSE CAST(substr(reverse({_ND}), i, 1) AS INT) END)) % 10 = 0"
+)
+
+
+from formula1_data_pipeline_spark.functions.pii import (  # noqa: E402
+    CARD_RE as _CARD_RE,
+    IPV4_RE as _IPV4_RE,
+)
+
 
 @register(
     "q44_pii_redaction",
+    # _CARD_RE/_IPV4_RE are imported from functions/pii.py —
+    # single-sourced patterns, the q44 cross-engine regex discipline
     f"""
     WITH aug AS (
         SELECT doc_id,
                text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
                '@mail.example.com or +1-555-' ||
-               lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '.'
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') || '.' ||
+               CASE WHEN doc_id % 3 = 0 THEN ' card {_CARD_VALID}'
+                    WHEN doc_id % 3 = 1 THEN ' card {_CARD_INVALID}'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 2 = 0 THEN
+                        ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.1'
+                    ELSE '' END
                AS text
         FROM documents
     ), red AS (
         SELECT doc_id,
-               regexp_replace(regexp_replace(text,
+               regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(text,
                    '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_CARD_RE}', '<CARD>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g') AS redacted,
+               len(list_filter(
+                   regexp_extract_all(text, '{_CARD_RE}', 0),
+                   c -> {_SQL_LUHN})) AS n_valid_cards
         FROM aug
     )
     SELECT doc_id, redacted,
            contains(redacted, '<EMAIL>') AS had_email,
-           contains(redacted, '<PHONE>') AS had_phone
+           contains(redacted, '<PHONE>') AS had_phone,
+           contains(redacted, '<CARD>') AS had_card,
+           contains(redacted, '<IP>') AS had_ip,
+           n_valid_cards
     FROM red
     """,
-    doc="PII redaction (§2.12): email + phone regex scrubbing over text "
-        "augmented with synthetic per-doc PII (the corpus itself is "
-        "clean), exact redacted-string parity across Java regex and "
-        "RE2 gates the patterns behave identically; shuffle-free "
-        "codegen projection",
+    doc="PII redaction, extended tier (§2.12): email + phone regex "
+        "scrubbing plus payment-card detection with a pure-expression "
+        "Luhn checksum fold and IPv4 scrub (functions/pii.py), over "
+        "text augmented with synthetic per-doc PII (the corpus itself "
+        "is clean): every doc gets email+phone, doc_id%3 injects a "
+        "Luhn-valid card / a card-shaped invalid run / none, and "
+        "doc_id%2 injects a dotted-quad IP. Exact redacted-string "
+        "parity across Java regex and RE2 gates the patterns behave "
+        "identically; n_valid_cards gates the Luhn integer fold "
+        "(candidates are redacted conservatively either way — "
+        "'looked like a card' vs 'was a card' stays distinguishable). "
+        "Shuffle-free codegen projection — card screening of a 100 TB "
+        "corpus is one narrow scan",
 )
 def q44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.functions.pii import (
+        redact_cards,
+        redact_ipv4,
+        valid_cards,
+    )
+
     docs = load(spark, sf_dir, "documents")["documents"]
     aug = F.concat(
         F.col("text"),
@@ -263,17 +402,39 @@ def q44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("@mail.example.com or +1-555-"),
         F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
         F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" card " + _CARD_VALID))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" card " + _CARD_INVALID))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
     )
-    redacted = F.regexp_replace(
-        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    redacted = redact_ipv4(
+        redact_cards(
+            F.regexp_replace(
+                F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        )
     )
     return docs.select(
-        "doc_id", redacted.alias("redacted")
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(valid_cards(aug)).cast("long").alias("n_valid_cards"),
     ).select(
         "doc_id",
         "redacted",
         F.col("redacted").contains("<EMAIL>").alias("had_email"),
         F.col("redacted").contains("<PHONE>").alias("had_phone"),
+        F.col("redacted").contains("<CARD>").alias("had_card"),
+        F.col("redacted").contains("<IP>").alias("had_ip"),
+        "n_valid_cards",
     )
 
 
@@ -870,19 +1031,27 @@ def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Fixed-size stratified sample (exactly 200 events per "
         "event_type) by deterministic 60-bit hash rank — the "
         "fixed-budget mixture primitive complementing q38's rate-based "
-        "splits (operators/sampling.py::stratified_topn). Reproducible "
-        "across engines, runs, and layouts; oracle replays the same "
-        "hash ranking",
+        "splits. Round 10: the physical path is "
+        "sampling.stratified_topn_bucketed — the RefinedWeb per-domain "
+        "quota cap as a skew-proof two-level prefix sum (range-bucket "
+        "the hash, map-side-partial count per (stratum, bucket), "
+        "prefix-sum the tiny count table, PRUNE buckets past the "
+        "quota) so the in-stratum sort window touches ~n rows per "
+        "stratum instead of single-tasking a billion-row domain; "
+        "row-for-row identical to the window form (property-tested), "
+        "so the oracle still replays the plain hash ranking",
 )
 def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
-        stratified_topn,
+        stratified_topn_bucketed,
     )
 
     ev = load(spark, sf_dir, "events")["events"].select(
         "event_type", "event_id", "user_id"
     )
-    return stratified_topn(ev, ["event_type"], F.col("event_id"), n=200)
+    return stratified_topn_bucketed(
+        ev, ["event_type"], F.col("event_id"), n=200
+    )
 
 
 @register(

@@ -1280,26 +1280,33 @@ def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'split_fraction_ok', true
     """,
-    doc="Trained quality classifier (round 8): distributed full-batch "
-        "logistic regression — the fastText-style 'train a quality "
-        "model from exemplar labels' step production corpora run on "
-        "top of hand heuristics. The Lloyd/BPE-trainer shape: weights "
-        "driver-resident (n_features+1 doubles), each of 50 "
-        "iterations ONE fused map-side partial-aggregated pass "
-        "emitting every gradient component (weights enter as "
-        "literals, plan depth constant; scoring is a shuffle-free "
-        "projection). Labels bootstrap from the q25 heuristic "
-        "(quality >= 0.7); train/test membership is the repo's "
-        "deterministic md5 hash split (80/20, salt clf-split-v1), so "
-        "the evaluation set is engine-reproducible while the trained "
-        "floats are gated with BOUNDS (q92 rule): holdout accuracy "
-        ">= 0.85 (measured 0.956 at sf0.01), >= majority-class + "
-        "0.05 (majority 0.708 — an untrained or diverged model "
-        "FAILS), and the test split within 15-25% of the corpus "
-        "(split sanity at any sf)",
+    doc="Trained quality classifier (round 8; round 10 adds the "
+        "fastText tier): distributed full-batch logistic regression — "
+        "the 'train a quality model from exemplar labels' step "
+        "production corpora run on top of hand heuristics. Features "
+        "are the 4 q25-derived heuristics PLUS 32 hashed bag-of-words "
+        "buckets over the text itself (classify.hashed_bow_dense — "
+        "the hashing trick: one explode + one map-side partial-agg "
+        "(doc, bucket) count, L1-normalized row-locally; the GPT-3/"
+        "CCNet classifier learns the vocabulary, not just ratios). "
+        "The Lloyd/BPE-trainer shape: weights driver-resident "
+        "(n_features+1 doubles), each of 50 iterations ONE fused "
+        "map-side partial-aggregated pass emitting every gradient "
+        "component (weights enter as literals, plan depth constant; "
+        "scoring is a shuffle-free projection); train_logreg now "
+        "drops NULL-feature/label rows in-trainer (round-8 ADVICE, "
+        "landed this re-gate). Labels bootstrap from the q25 "
+        "heuristic (quality >= 0.7); train/test membership is the "
+        "repo's deterministic md5 hash split (80/20, salt "
+        "clf-split-v1), so the evaluation set is engine-reproducible "
+        "while the trained floats are gated with BOUNDS (q92 rule): "
+        "holdout accuracy >= 0.85, >= majority-class + 0.05 (an "
+        "untrained or diverged model FAILS), and the test split "
+        "within 15-25% of the corpus (split sanity at any sf)",
 )
 def q99_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.classify import (
+        hashed_bow_dense,
         predict_proba,
         quality_features,
         train_logreg,
@@ -1307,15 +1314,26 @@ def q99_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import hash_bucket
     from formula1_data_pipeline_spark.operators.text import quality_score
 
+    N_BOW = 32
     docs = load(spark, sf_dir, "documents")["documents"]
     feats = quality_features(F.col("text"))
-    names = [n for n, _ in feats]
-    d = docs.select(
-        "doc_id",
-        *[c.alias(n) for n, c in feats],
-        (quality_score(F.col("text")) >= 0.7).alias("label"),
-        (hash_bucket(F.col("doc_id"), "clf-split-v1") < 80)
-        .alias("is_train"),
+    names = [n for n, _ in feats] + [f"f_bow{j}" for j in range(N_BOW)]
+    bow = hashed_bow_dense(docs, n_features=N_BOW, salt="q99-bow-v1")
+    d = (
+        docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in feats],
+            (quality_score(F.col("text")) >= 0.7).alias("label"),
+            (hash_bucket(F.col("doc_id"), "clf-split-v1") < 80)
+            .alias("is_train"),
+        )
+        .join(bow, "doc_id")
+        .select(
+            "doc_id", "label", "is_train",
+            *[F.col(n) for n, _ in feats],
+            *[F.col("features")[j].alias(f"f_bow{j}")
+              for j in range(N_BOW)],
+        )
     )
     # the feature frame is re-read once per gradient pass; cache the
     # skinny projection (5 doubles + 2 bools per doc) so 50 passes
