@@ -145,6 +145,20 @@ def _kcenter_stateless(base: DataFrame, k: int):
         base.unpersist()
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``-ed frame's executor storage blocks
+    NOW instead of waiting for the driver's ContextCleaner to GC the
+    dropped reference (round-9 ADVICE: k rounds otherwise accumulate
+    up to k corpus-sized block sets). The checkpointed plan is a
+    ``LogicalRDD`` holding the persisted internal RDD — unpersist
+    that directly; if the internal shape ever changes, fall back to
+    the GC path rather than fail (blocking=False either way)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # JVM-internal seam moved: leave cleanup to ContextCleaner
+
+
 def _kcenter_incremental(base: DataFrame, k: int):
     state = base.withColumn(
         "_dmin", F.lit(None).cast("double")
@@ -168,8 +182,13 @@ def _kcenter_incremental(base: DataFrame, k: int):
                 .limit(1)
                 .collect()
             )
+            # the TakeOrdered above computed every partition, so the
+            # new checkpoint is fully materialized — the superseded
+            # round's blocks can be released immediately
             if state is first:
                 state.unpersist()
+            else:
+                _release_local_checkpoint(state)
             state = nxt
             if not rows:
                 break
@@ -179,6 +198,8 @@ def _kcenter_incremental(base: DataFrame, k: int):
     finally:
         if state is first:
             state.unpersist()
+        else:
+            _release_local_checkpoint(state)
 
 
 def kcenter_select(

@@ -84,10 +84,13 @@ def stream_drift_monitor(
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
     work_dir: str | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Replay the parquet table at ``documents_path`` as a file
     stream of ``n_source_files`` micro-batches (one file per batch,
-    deterministic ``doc_id % n`` slices written under ordered names);
+    deterministic ``id_col % n`` slices written under ordered names —
+    ``id_col`` must be a numeric id column of the table, round-9
+    ADVICE: the slicer is column-generic like the rest of the API);
     per batch, append (batch_id, n_rows, column, n_values,
     tv_distance) to a manifest-committed monitor table and return it.
 
@@ -107,7 +110,7 @@ def stream_drift_monitor(
     # source discovers and triggers them in path order, so batch i
     # carries slice i (test-observable; the math is order-free)
     for i in range(n_source_files):
-        part = docs.filter(F.col("doc_id") % n_source_files == i)
+        part = docs.filter(F.col(id_col) % n_source_files == i)
         pq.write_table(part.toArrow(),
                        str(src_dir / f"{i:04d}.parquet"))
 

@@ -1,10 +1,21 @@
 """Floor re-derivation: rebuild bench_baseline.json's per-query
 floors from the committed fresh-process floor-provenance record.
 
-Floor = per-query minimum across the recorded runs. Only
-``regime == "fresh_process"`` records are accepted — warm-JVM repeat
-minima are banned as floor sources (round-8 verdict item 1: runs
-2..N inside one warm session measured cached-plan cost a fresh
+Floor statistic (round 10): per-query MINIMUM across the recorded
+runs when the run-to-run spread is small, per-query MEDIAN when the
+spread exceeds ``SPREAD_CUTOFF`` (max/min > 1.8 across provenance
+runs). Rationale (round-9 verdict, q91 adjudication): a minimum is
+biased low exactly for the highest-variance queries — the deepest
+shuffle chains swing 3.6-9.7 s on identical code purely by host
+state, so gating a single driver sample at 2x of a lucky minimum
+arms a tripwire no typical run can pass. The median of fresh-process
+runs is the honest "reproducible capability" for those queries; the
+minimum stays the statistic everywhere variance is low (most of the
+catalog spreads < 1.3x).
+
+Only ``regime == "fresh_process"`` records are accepted — warm-JVM
+repeat minima are banned as floor sources (round-8 verdict item 1:
+runs 2..N inside one warm session measured cached-plan cost a fresh
 driver run can never reach, arming ten false 2x breaches).
 
 Provenance lives in ``bench_floor_provenance.json`` (round-9 split):
@@ -15,20 +26,38 @@ a file the harness clobbers. bench_full.json is the latest-run
 scratch sidecar; the provenance file changes only through this
 script.
 
-Usage: python scripts/derive_floors.py [--absorb] [--write]
-  --absorb  fold bench_full.json's current run set into the
-            provenance file first (refuses non-fresh records)
-  --write   update bench_baseline.json floors from the provenance
+Usage: python scripts/derive_floors.py [--retire a,b] [--absorb]
+                                       [--write]
+  --retire q1,q2  drop the named queries' samples from the EXISTING
+                  provenance runs first — required when a query's
+                  implementation changed (its old samples measured
+                  different work; a floor min'd across them would be
+                  falsely low for grown queries). Recorded in the
+                  provenance's retired_log.
+  --absorb        fold bench_full.json's current run set into the
+                  provenance file. Refuses non-fresh records, and
+                  (round-9 ADVICE) VALIDATES each absorbed run
+                  against the provenance: same sf, same metric/unit,
+                  and a query-name set covering every name the
+                  provenance knows (catalog growth adds names — ok,
+                  noted; a filtered/subset run is refused).
+  --write         update bench_baseline.json floors from the
+                  provenance
 Without flags, prints the would-be floors and the per-run spread.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROV = os.path.join(ROOT, "bench_floor_provenance.json")
+
+#: max/min spread across provenance runs beyond which the floor
+#: statistic switches from min to median (see module docstring)
+SPREAD_CUTOFF = 1.8
 
 
 def _load(path):
@@ -40,10 +69,64 @@ def _load(path):
     return full
 
 
+def _arg_value(flag: str) -> str | None:
+    for i, a in enumerate(sys.argv):
+        if a == flag and i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+        if a.startswith(flag + "="):
+            return a.split("=", 1)[1]
+    return None
+
+
+def _validate_absorb(prov, latest) -> None:
+    """Round-9 ADVICE: an absorbed run set from a different scale
+    factor, metric, or a filtered catalog would silently skew the
+    per-query floors — refuse instead."""
+    for field in ("sf", "metric", "unit"):
+        if latest.get(field) != prov.get(field):
+            sys.exit(f"refusing --absorb: bench_full.json {field}="
+                     f"{latest.get(field)!r} != provenance "
+                     f"{field}={prov.get(field)!r}")
+    known = {n for r in prov["runs"] for n in r["queries"]}
+    for i, r in enumerate(latest["runs"]):
+        names = set(r["queries"])
+        missing = known - names
+        if missing:
+            sys.exit(f"refusing --absorb: run {i} is missing "
+                     f"{len(missing)} provenance queries (filtered/"
+                     f"subset run?): {sorted(missing)[:5]}...")
+        extra = names - known
+        if extra:
+            print(f"note: run {i} adds {len(extra)} new quer"
+                  f"{'y' if len(extra) == 1 else 'ies'} to the "
+                  f"provenance: {sorted(extra)}")
+
+
 def main():
     prov = _load(PROV)
+
+    retire = _arg_value("--retire")
+    if retire:
+        names = [n.strip() for n in retire.split(",") if n.strip()]
+        dropped = 0
+        for r in prov["runs"]:
+            for n in names:
+                if n in r["queries"]:
+                    del r["queries"][n]
+                    dropped += 1
+        prov.setdefault("retired_log", []).append({
+            "queries": names, "samples_dropped": dropped,
+        })
+        # runs left with no samples carry no information
+        prov["runs"] = [r for r in prov["runs"] if r["queries"]]
+        with open(PROV, "w") as f:
+            json.dump(prov, f, indent=1, sort_keys=True)
+        print(f"retired {dropped} sample(s) of {names} from the "
+              "provenance (old samples measured different work)")
+
     if "--absorb" in sys.argv:
         latest = _load(os.path.join(ROOT, "bench_full.json"))
+        _validate_absorb(prov, latest)
         known = {json.dumps(r, sort_keys=True) for r in prov["runs"]}
         new = [r for r in latest["runs"]
                if json.dumps(r, sort_keys=True) not in known]
@@ -52,20 +135,28 @@ def main():
             json.dump(prov, f, indent=1, sort_keys=True)
         print(f"absorbed {len(new)} new run(s) into "
               f"bench_floor_provenance.json ({len(prov['runs'])} total)")
+
     runs = prov["runs"]
     names = sorted({n for r in runs for n in r["queries"]})
     floors = {}
     print(f"# {len(runs)} fresh-process runs, loadavgs "
           f"{[r['loadavg_at_start'] for r in runs]}")
-    print(f"{'query':36s} {'floor':>7s} {'max':>7s} {'max/floor':>9s}")
+    print(f"{'query':36s} {'floor':>7s} {'min':>7s} {'max':>7s} "
+          f"{'spread':>7s} {'stat':>6s} {'n':>3s}")
     worst = 0.0
     for n in names:
         ts = [r["queries"][n] for r in runs if n in r["queries"]]
-        floors[n] = min(ts)
         ratio = max(ts) / min(ts) if min(ts) > 0 else float("inf")
         worst = max(worst, ratio)
+        if ratio > SPREAD_CUTOFF and len(ts) >= 3:
+            floors[n] = round(statistics.median(ts), 3)
+            stat = "median"
+        else:
+            floors[n] = min(ts)
+            stat = "min"
         flag = "  <-- spread >2x" if ratio > 2 else ""
-        print(f"{n:36s} {min(ts):7.3f} {max(ts):7.3f} {ratio:9.2f}{flag}")
+        print(f"{n:36s} {floors[n]:7.3f} {min(ts):7.3f} {max(ts):7.3f} "
+              f"{ratio:7.2f} {stat:>6s} {len(ts):3d}{flag}")
     total_floor = sum(floors.values())
     print(f"\nsum(floors) = {total_floor:.1f}s; per-run totals "
           f"{[r['value'] for r in runs]}; worst per-query spread "

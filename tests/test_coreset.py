@@ -158,3 +158,22 @@ def test_kcenter_incremental_equals_stateless(spark):
     b = kcenter_centers(emb, 5, incremental=True)
     assert [(r, i, d) for r, i, d, _ in a] \
         == [(r, i, d) for r, i, d, _ in b]
+
+
+def test_kcenter_incremental_releases_checkpoint_blocks(spark):
+    """Round-9 ADVICE regression: each round's superseded
+    localCheckpoint frame is released as soon as the next round
+    materializes — a k-round run must leave ZERO persisted RDDs
+    behind (previously up to k-1 corpus-sized block sets lingered
+    until driver GC)."""
+    from formula1_data_pipeline_spark.operators.coreset import (
+        kcenter_centers,
+    )
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    before = n_persisted()
+    kcenter_centers(emb, 8, incremental=True)
+    assert n_persisted() == before
