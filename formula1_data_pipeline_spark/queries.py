@@ -937,6 +937,12 @@ CHANGED_SINCE_GATE = [
     # q44: extended PII tier — <CARD> (Luhn-validated count) + <IP>
     #      redaction legs on top of email/phone
     "q44_pii_redaction",
+    # q54: streaming drift-monitor leg (streaming/drift.py — doc_id%3
+    #      file-slice replay, per-batch TV vs the static full-table
+    #      reference) unioned with the stream-static join leg under a
+    #      kind discriminator — lands the last pre-staged round-9
+    #      operator a round early (q54 was due in r10 anyway)
+    "q54_stream_static_join",
     # q79: two-snapshot drift legs (per-value deltas + per-column
     #      total-variation distance over deterministic doc_id halves)
     #      added to the profiler output

@@ -10,6 +10,7 @@ AvailableNow → memory sink) whose append-mode emission rule
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from formula1_data_pipeline_spark.queries import load, register
 
@@ -202,37 +203,136 @@ def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q54_drift_slice_sql(i: int, n: int) -> str:
+    """One micro-batch's drift rows (batch ``i`` carries the
+    ``doc_id % n == i`` slice — the monitor's deterministic file-per-
+    slice replay): per-column TV of the slice's lang/source counts vs
+    the FULL documents table's (the static reference), replaying
+    ``streaming/drift.py::drift_vs_reference_counts`` exactly —
+    6-dp share divides, null-safe value buckets, decimal delta sum."""
+    return f"""
+        SELECT 'drift' AS kind,
+               CAST(NULL AS VARCHAR) AS c_mktsegment,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS sum_value,
+               CAST({i} AS BIGINT) AS batch_id,
+               (SELECT count(*) FROM documents
+                WHERE doc_id % {n} = {i}) AS n_rows,
+               "column",
+               count(*) AS n_values,
+               CAST(sum(CAST(round(abs(share_old - share_new), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) / 2.0 AS tv_distance
+        FROM (
+            SELECT coalesce(rc."column", bc."column") AS "column",
+                   round(coalesce(rc.cnt, 0)
+                       / CAST((SELECT count(*) FROM documents)
+                              AS DOUBLE), 6) AS share_old,
+                   round(coalesce(bc.cnt, 0)
+                       / CAST((SELECT count(*) FROM documents
+                               WHERE doc_id % {n} = {i})
+                              AS DOUBLE), 6) AS share_new
+            FROM (
+                SELECT "column", value, count(*) AS cnt FROM (
+                    SELECT 'lang' AS "column",
+                           CAST(lang AS VARCHAR) AS value
+                    FROM documents
+                    UNION ALL
+                    SELECT 'source', CAST(source AS VARCHAR)
+                    FROM documents
+                ) GROUP BY 1, 2
+            ) rc
+            FULL OUTER JOIN (
+                SELECT "column", value, count(*) AS cnt FROM (
+                    SELECT 'lang' AS "column",
+                           CAST(lang AS VARCHAR) AS value
+                    FROM documents WHERE doc_id % {n} = {i}
+                    UNION ALL
+                    SELECT 'source', CAST(source AS VARCHAR)
+                    FROM documents WHERE doc_id % {n} = {i}
+                ) GROUP BY 1, 2
+            ) bc
+              ON rc."column" = bc."column"
+              AND rc.value IS NOT DISTINCT FROM bc.value
+        ) GROUP BY "column"
+    """
+
+
+_Q54_DRIFT_SLICES = 3
+
+
 @register(
     "q54_stream_static_join",
     """
     WITH ev AS (
         SELECT event_id, user_id, event_type, value FROM events
     )
-    SELECT c.c_mktsegment, e.event_type,
+    SELECT 'join' AS kind, c.c_mktsegment, e.event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value,
+           CAST(NULL AS BIGINT) AS batch_id,
+           CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS VARCHAR) AS "column",
+           CAST(NULL AS BIGINT) AS n_values,
+           CAST(NULL AS DOUBLE) AS tv_distance
     FROM ev e
     JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY 1, 2
-    """,
-    doc="Stream-static join (§2.10 extension): the events file stream "
+    GROUP BY 2, 3
+    """ + "".join(
+        "UNION ALL" + _q54_drift_slice_sql(i, _Q54_DRIFT_SLICES)
+        for i in range(_Q54_DRIFT_SLICES)
+    ),
+    doc="Stream-vs-static surface, two legs in one kind-discriminated "
+        "frame. kind='join' (§2.10 extension): the events file stream "
         "enriched per micro-batch with the broadcast customer "
         "dimension (no stream-side state, dimension re-planned each "
         "batch), aggregated per (segment, type) in complete mode over "
-        "an AvailableNow replay; the oracle replays the same join+agg "
-        "in batch SQL — over a bounded replay they are identical",
+        "an AvailableNow replay. kind='drift' (round 10, "
+        "streaming/drift.py::stream_drift_monitor): the documents "
+        "table replayed as 3 deterministic doc_id%3 file slices, one "
+        "micro-batch each; every batch computes its lang/source "
+        "distribution drift against the STATIC full-table reference "
+        "(reference counts aggregated once, reused stream-static per "
+        "batch — never rescanned) and manifest-appends per-column "
+        "total-variation rows. The oracle replays both legs in batch "
+        "SQL — over a bounded replay they are identical; the drift "
+        "math (6-dp share divides, null-safe buckets, decimal TV "
+        "sum) is shared verbatim with the q79 batch operator",
 )
 def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.streaming import (
         stream_static_join_agg,
     )
+    from formula1_data_pipeline_spark.streaming.drift import (
+        stream_drift_monitor,
+    )
 
     dim = load(spark, sf_dir, "customer")["customer"].select(
         "c_custkey", "c_mktsegment"
     )
-    return stream_static_join_agg(
+    joined = stream_static_join_agg(
         spark, f"{sf_dir}/events.parquet", dim,
         dim_key="c_custkey", dim_attr="c_mktsegment",
+    ).select(
+        F.lit("join").alias("kind"),
+        "c_mktsegment", "event_type", "n_events", "sum_value",
+    )
+    docs = load(spark, sf_dir, "documents")["documents"]
+    monitor = stream_drift_monitor(
+        spark, f"{sf_dir}/documents.parquet", docs,
+        ["lang", "source"], n_source_files=_Q54_DRIFT_SLICES,
+    ).select(
+        F.lit("drift").alias("kind"),
+        F.col("batch_id").cast("long").alias("batch_id"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "column", "n_values", "tv_distance",
+    )
+    return joined.unionByName(
+        monitor, allowMissingColumns=True
+    ).select(
+        "kind", "c_mktsegment", "event_type", "n_events", "sum_value",
+        "batch_id", "n_rows", "column", "n_values", "tv_distance",
     )
 
 
