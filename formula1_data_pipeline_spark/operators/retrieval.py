@@ -107,7 +107,16 @@ def bm25_topk(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
+    return _rank_candidates(cand, k)
 
+
+def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Shared BM25 scoring + top-k tail: ``cand`` carries one row per
+    (query_id, doc_id, matched term) with tf/df/dl/n_docs/n_tokens
+    attached. THE one definition of the score math — the live-scan
+    path (:func:`bm25_topk`) and the maintained-index path
+    (:func:`bm25_index_topk`) must rank identically, so neither may
+    own a private copy."""
     n, t = F.col("n_docs"), F.col("n_tokens")
     idf_num = (2 * n - 2 * F.col("df") + 1).cast("double")
     idf_den = (2 * F.col("df") + 1).cast("double")
@@ -139,3 +148,182 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance — the continuous-ingestion path
+# ---------------------------------------------------------------------------
+#
+# bm25_topk rescans the corpus per query batch; a production corpus is
+# APPENDED to continuously, and the retrieval/audit surface must stay
+# queryable without re-tokenizing 100 TB per probe. The maintained
+# index is four manifest-txn tables under one directory (the q83/q87
+# incremental-ingestion discipline — landed state is read-only,
+# batches commit atomically, already-landed docs are skipped):
+#
+#   postings/   (doc_id, term, tf)   append-only, term stats recorded
+#                                    per segment for scan pruning
+#   doclen/     (doc_id, dl)         append-only; also the landed-ids
+#                                    table the batch skip reads
+#   dfdelta/    (term, df_delta)     APPEND-ONLY DELTA LOG: each batch
+#                                    appends its per-term doc-count
+#                                    delta; readers sum per term. Df
+#                                    is corpus-wide state that every
+#                                    batch touches — rewriting it per
+#                                    batch would be a vocabulary-sized
+#                                    write per append, the delta log
+#                                    is batch-vocabulary-sized
+#   statsdelta/ (n_docs_delta, n_tokens_delta)  1 row per batch
+#
+# Query-time cost is INDEX-shaped, not corpus-shaped: the query terms
+# are driver-known literals (audit probes — tiny by contract), so the
+# postings and dfdelta scans carry an IN-list predicate that reaches
+# the parquet reader (PushedFilters + per-segment term-range pruning
+# via the manifest stats), and only the probed terms' postings move.
+# Periodic compaction (bm25_index_compact) folds the delta logs; the
+# data-dir count of every table is auto-compacted by the txn layer.
+
+_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA = (
+    "postings", "doclen", "dfdelta", "statsdelta")
+
+
+def _index_tables(index_dir: str) -> dict[str, str]:
+    return {n: f"{index_dir}/{n}"
+            for n in (_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA)}
+
+
+def bm25_index_append(
+    spark,
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold a document batch into the maintained index; returns the
+    number of NEW documents indexed. Docs whose id is already landed
+    are skipped (the S8 incremental-skip: the landed side is read as
+    ids only — column-pruned — and the test is one anti-join), so
+    re-delivered batches are idempotent.
+
+    One tokenize pass per batch: tf, dl, the df delta, and the stats
+    delta all derive from the batch's own (doc, term) aggregate —
+    nothing corpus-sized is read or written."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        is_txn_table,
+        read_table,
+        txn_append,
+    )
+
+    t = _index_tables(index_dir)
+    new = batch.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text")) \
+        .filter(F.col("doc_id").isNotNull())
+    if is_txn_table(spark, t[_DOCLEN]):
+        landed = read_table(spark, t[_DOCLEN]).select("doc_id")
+        new = new.join(landed, "doc_id", "left_anti")
+    toks = new.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # one aggregate pass feeds everything below; without the persist
+    # the batch re-tokenizes once per derived table
+    tf = tf.persist()
+    try:
+        dl = tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl"))
+        dfd = tf.groupBy("term").agg(
+            F.count("*").cast("long").alias("df_delta"))
+        stats = dl.agg(
+            F.count("*").cast("long").alias("n_docs_delta"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+            .alias("n_tokens_delta"),
+        )
+        n_new = dl.count()
+        if n_new == 0:
+            return 0
+        txn_append(spark, tf, t[_POSTINGS], stats_cols=["term"])
+        txn_append(spark, dl, t[_DOCLEN])
+        txn_append(spark, dfd, t[_DFDELTA], stats_cols=["term"])
+        txn_append(spark, stats, t[_STATSDELTA])
+        return n_new
+    finally:
+        tf.unpersist()
+
+
+def bm25_index_compact(spark, index_dir: str) -> None:
+    """Fold the delta logs: dfdelta becomes one row per term (sum of
+    deltas), statsdelta one row total. Query results are invariant
+    (readers always sum the deltas); compaction only bounds the log
+    length between appends — run it on the maintenance cadence, not
+    the ingest path."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_overwrite,
+    )
+
+    t = _index_tables(index_dir)
+    dfd = read_table(spark, t[_DFDELTA]).groupBy("term").agg(
+        F.sum("df_delta").cast("long").alias("df_delta"))
+    txn_overwrite(spark, dfd, t[_DFDELTA], stats_cols=["term"],
+                  auto_vacuum=True)
+    stats = read_table(spark, t[_STATSDELTA]).agg(
+        F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
+        F.sum("n_tokens_delta").cast("long").alias("n_tokens_delta"),
+    )
+    txn_overwrite(spark, stats, t[_STATSDELTA], auto_vacuum=True)
+
+
+def bm25_index_topk(
+    spark,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Top-``k`` documents per query from the MAINTAINED index —
+    row-for-row identical to :func:`bm25_topk` over the full landed
+    corpus (same shared ``_rank_candidates`` math; equivalence is
+    gate-tested), at index cost: the driver-known query terms become
+    an IN-list predicate pushed into the postings/dfdelta parquet
+    scans (+ per-segment term-range manifest pruning), so only the
+    probed terms' rows move; df is the per-term sum of the delta log;
+    corpus stats are the 1-row delta sum, broadcast."""
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    t = _index_tables(index_dir)
+    qrows = queries_df.select(
+        F.col(qid_col).alias("query_id"),
+        F.array_distinct(tokens(F.col(qtext_col))).alias("terms"),
+    ).collect()  # tiny by contract (audit probes) — the literal
+    # IN-list below is what turns the postings scan into a pruned
+    # point lookup; a join could not push the terms into the scan
+    qterms_local = sorted({t_ for r in qrows for t_ in r["terms"]})
+    if not qterms_local:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, n_terms_matched long, "
+                "score double, rank int")
+    qterms = spark.createDataFrame(
+        [(r["query_id"], t_) for r in qrows for t_ in r["terms"]],
+        f"query_id string, term string",
+    )
+    hit = F.col("term").isin(qterms_local)
+    prune = {"term": (min(qterms_local), max(qterms_local))}
+
+    tf = read_table(spark, t[_POSTINGS], prune=prune).filter(hit)
+    dfreq = (
+        read_table(spark, t[_DFDELTA], prune=prune).filter(hit)
+        .groupBy("term").agg(F.sum("df_delta").cast("long").alias("df"))
+    )
+    dl = read_table(spark, t[_DOCLEN])
+    stats = read_table(spark, t[_STATSDELTA]).agg(
+        F.sum("n_docs_delta").cast("long").alias("n_docs"),
+        F.sum("n_tokens_delta").cast("long").alias("n_tokens"),
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _rank_candidates(cand, k)
