@@ -255,13 +255,21 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
         "Both legs reuse the same tf aggregate",
 )
 def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula1_data_pipeline_spark.operators.retrieval import bm25_topk
-    from formula1_data_pipeline_spark.operators.text import tokens
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        _rank_candidates,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
+    # ONE (doc, term) aggregate feeds both legs: tfidf consumes it
+    # directly, and the BM25 candidate assembly derives dl/df/stats
+    # from it rather than re-tokenizing the corpus (dl = sum(tf) per
+    # doc == token count; the tf exchange is a shared subtree, so the
+    # corpus is tokenized and shuffled once — reuse pinned in
+    # tests/test_plans.py)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -293,7 +301,23 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
-    bm25 = bm25_topk(docs, qdf, k=10).select(
+    qterms = qdf.select(
+        F.col("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col("query_text")))
+        ).alias("term"),
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("n_tokens")
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq.withColumnRenamed("doc_freq", "df"), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    bm25 = _rank_candidates(cand, 10).select(
         F.lit("bm25").alias("kind"),
         F.col("query_id").alias("key"),
         "doc_id",

@@ -196,3 +196,18 @@ def test_salted_band_join_partitioning_follows_shuffle_conf(spark):
             assert f", {expect})" in plan, (conf_parts, plan)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_q39_legs_share_the_tf_exchange(spark):
+    """Round 10: the tfidf and bm25 legs must consume ONE (doc, term)
+    tf aggregate — the corpus is tokenized and shuffled once, the tf
+    exchange is reused by the dfreq/dl/candidate branches (AQE
+    ReusedExchange in the final adaptive plan)."""
+    from formula1_data_pipeline_spark.queries import CATALOG
+
+    df = CATALOG["q39_tfidf_top_terms"].fn(
+        spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
