@@ -205,3 +205,52 @@ def test_bm25_index_empty_queries(spark, tmp_path):
     qdf = spark.createDataFrame(
         [("q_empty", "   ")], ["query_id", "query_text"])
     assert bm25_index_topk(spark, idx, qdf, k=10).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXTS = ["scan column window", "join merge hash", "window scan",
+          "merge sort spill", "scan scan scan column", ""]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, len(_TEXTS) - 1), min_size=4,
+                max_size=12),
+       st.integers(2, 4), st.data())
+def test_bm25_index_split_invariance(spark, tmp_path_factory, idxs,
+                                     n_batches, data):
+    """Property: however the corpus is split into append batches —
+    arbitrary membership, arbitrary batch order, arbitrary
+    re-deliveries — the maintained index ranks identically to the
+    live scan over the full corpus."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _TEXTS[t]) for i, t in enumerate(idxs)],
+        "doc_id long, text string",
+    )
+    assign = [data.draw(st.integers(0, n_batches - 1))
+              for _ in idxs]
+    idx = str(tmp_path_factory.mktemp("bm25prop") / "idx")
+    order = data.draw(st.permutations(list(range(n_batches))))
+    for b in order:
+        ids = [i for i, a in enumerate(assign) if a == b]
+        batch = docs.filter(docs.doc_id.isin(ids or [-1]))
+        bm25_index_append(spark, batch, idx)
+        if data.draw(st.booleans()):  # re-deliver: must be a no-op
+            assert bm25_index_append(spark, batch, idx) == 0
+    qdf = spark.createDataFrame(
+        [("q1", "scan window"), ("q2", "merge")],
+        ["query_id", "query_text"],
+    )
+    got = sorted(tuple(r) for r in
+                 bm25_index_topk(spark, idx, qdf, k=5).collect())
+    want = sorted(tuple(r) for r in
+                  bm25_topk(docs, qdf, k=5).collect())
+    assert got == want
