@@ -1,0 +1,207 @@
+"""Persisted incremental IVF-flat vector index — the ANN twin of the
+incremental BM25 index (``operators/retrieval.py``).
+
+``similarity.ivf_flat_topk`` quantizes the corpus per query batch; a
+production embedding store is APPENDED to continuously and probed far
+more often than it changes, so the inverted lists must be LANDED
+state, not a per-query computation. The index is two manifest-txn
+tables under one directory (the q83/q87/bm25-index ingestion
+discipline — landed state read-only, atomic commits, landed ids
+skipped):
+
+  centroids/  (cluster, cnorm, d, coef)   the frozen quantizer —
+              Lloyd-trained at build time (``train_ivf_centroids``)
+              or any offline k-means table
+  lists/      (cluster, id, vec, nrm)     the inverted lists,
+              PARTITIONED BY cluster (txn key) so a probe's
+              ``cluster IN (...)`` filter prunes at the FILE level —
+              a query reads ~n_probe/n_centroids of the landed bytes
+
+Append policy (the FAISS/production convention): new vectors are
+assigned to the FROZEN quantizer — appending never retrains, so the
+index stays queryable and deterministic through ingestion; quantizer
+refresh is an explicit offline ``ivf_index_build`` rebuild (monitor
+assignment drift with ``operators/quality.drift_report`` over the
+cluster column to know when). Because assignment given fixed
+centroids is deterministic, build-then-append equals one-shot
+indexing of the union — property-tested.
+
+Determinism: trained centroids are float-path (partial-sum order) —
+the q92 rule applies: gate index QUALITY with recall bounds, never
+value-hash trained floats; gate index MECHANICS (append/skip/prune/
+query given fixed centroids) with exact Spark-vs-Spark equivalence,
+which is what the draft gates do.
+
+Pre-staged round 10; lands via a due ANN re-gate (q26/q34/q92) per
+the CHANGELOG landing-plan rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from formula1_data_pipeline_spark.operators.similarity import (
+    _as_double,
+    _ivf_assign,
+    cosine_from_norms,
+    norm,
+    train_ivf_centroids,
+)
+
+_CENTROIDS, _LISTS = "centroids", "lists"
+
+
+def _tables(index_dir: str) -> dict[str, str]:
+    return {n: f"{index_dir}/{n}" for n in (_CENTROIDS, _LISTS)}
+
+
+def _assign_rows(emb: DataFrame, coefs: DataFrame, n_assign: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(cluster, id, vec, nrm) inverted-list rows for ``emb`` under
+    the given quantizer — one explode + broadcast-centroid join +
+    per-(id, cluster) SUM, the `_ivf_assign` shape."""
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    # _ivf_assign's empty prefix emits (id, vec, norm, cluster)
+    return _ivf_assign(base, coefs, n_assign, "").select(
+        "cluster", F.col("id"), F.col("vec"),
+        F.col("norm").alias("nrm"),
+    )
+
+
+def ivf_index_build(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_coefs: DataFrame | None = None,
+) -> None:
+    """Train (or accept) the quantizer and land the full index
+    atomically: centroids via txn_overwrite, inverted lists via
+    txn_overwrite partitioned by cluster. A rebuild supersedes
+    everything (auto_vacuum reclaims the old generation)."""
+    from formula1_data_pipeline_spark.sources.txn import txn_overwrite
+
+    t = _tables(index_dir)
+    coefs = (
+        centroid_coefs if centroid_coefs is not None
+        else train_ivf_centroids(emb, n_centroids, n_iter,
+                                 id_col, vec_col)
+    )
+    # the quantizer table is tiny (n_centroids x dim rows) but must be
+    # exactly reusable — land it before deriving anything from it,
+    # then read the LANDED copy so build and later appends assign
+    # against byte-identical coefficients
+    txn_overwrite(spark, coefs, t[_CENTROIDS], auto_vacuum=True)
+    landed = _read_centroids(spark, index_dir)
+    rows = _assign_rows(emb.filter(F.col(id_col).isNotNull()), landed,
+                        n_assign, id_col, vec_col)
+    txn_overwrite(spark, rows, t[_LISTS], key="cluster",
+                  auto_vacuum=True)
+
+
+def _read_centroids(spark, index_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    return read_table(spark, _tables(index_dir)[_CENTROIDS]).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "cnorm", "d", "coef",
+    )
+
+
+def ivf_index_append(
+    spark,
+    emb: DataFrame,
+    index_dir: str,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold new vectors into the landed index against the FROZEN
+    quantizer; returns the number of NEW vectors indexed. Landed ids
+    are skipped via one column-pruned anti-join (re-delivered batches
+    are idempotent — the S8 discipline); the append commits
+    atomically and touches only the new rows' cluster partitions."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_append,
+    )
+
+    t = _tables(index_dir)
+    new = emb.filter(F.col(id_col).isNotNull())
+    landed_ids = read_table(spark, t[_LISTS]).select(
+        F.col("id").cast("long").alias(id_col)).distinct()
+    new = new.join(landed_ids, id_col, "left_anti")
+    rows = _assign_rows(new, _read_centroids(spark, index_dir),
+                        n_assign, id_col, vec_col)
+    rows = rows.persist()
+    try:
+        n = rows.select("id").distinct().count()
+        if n:
+            txn_append(spark, rows, t[_LISTS], key="cluster")
+        return n
+    finally:
+        rows.unpersist()
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``k`` per query from the LANDED index: assign each query
+    to its ``n_probe`` closest cells under the landed quantizer, read
+    ONLY those cells' list files (the cluster partition filter prunes
+    at file level — the txn layer lands one directory per cluster
+    key), exact 6-dp cosine within. Output schema matches
+    ``similarity.cosine_topk`` / ``ivf_flat_topk``; given the same
+    centroids the ranking is row-identical to ``ivf_flat_topk``
+    (gate-tested), at index cost: no corpus assignment pass, no
+    quantizer work, bytes read ~ n_probe/n_centroids of the lists."""
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    coefs = _read_centroids(spark, index_dir)
+    base_q = queries.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    q = _ivf_assign(base_q, coefs, n_probe, "q_")
+    probed = [r["cluster"]
+              for r in q.select("cluster").distinct().collect()]
+    lists = read_table(spark, _tables(index_dir)[_LISTS])
+    lists = lists.filter(
+        F.col("cluster").cast("int").isin(probed or [-1])
+    ).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("id").cast("long").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(
+                cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
+                                  F.col("q_norm"), F.col("n_norm")), 6)
+            .alias("cos_sim"),
+        )
+        .distinct()  # multi-assigned rows can meet a query twice
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -17,6 +17,20 @@ a query due in its landing round):
     equal the live-scan kind's — or earlier via any due retrieval-
     adjacent query if the window allows.
 
+  * persisted incremental IVF vector index
+    (``operators/vecindex.py``: ``ivf_index_build`` /
+    ``ivf_index_append`` / ``ivf_index_topk``) — the ANN twin:
+    Lloyd-trained quantizer landed once, inverted lists landed
+    PARTITIONED BY CLUSTER (probes prune unprobed cluster
+    directories at file level), appends assign against the FROZEN
+    quantizer (never retrain on ingest; refresh = explicit rebuild)
+    and skip landed ids. Mechanics gate exactly (row-identity vs
+    ivf_flat_topk under the same landed centroids; build+append ==
+    one-shot), quality gates with recall bounds on the clustered
+    fixture (the q92 rule for trained floats). LANDING ROUTE: rides
+    a due ANN re-gate — q26/q34 (r8-gated, due r10... next due r12)
+    or q92 (r9-gated, due r11).
+
 Also already parity-proven and catalog-deferred from round 9 (their
 drafts live in tests/test_r10_gate_drafts.py, kept green there):
 ``queries_curation.diversity_downsample`` (Composite #2 — rides a
@@ -254,3 +268,163 @@ def test_bm25_index_split_invariance(spark, tmp_path_factory, idxs,
     want = sorted(tuple(r) for r in
                   bm25_topk(docs, qdf, k=5).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental IVF index (operators/vecindex.py) — the ANN
+# twin of the BM25 index. Landing route: rides a due ANN re-gate
+# (q26/q34/q92) per the CHANGELOG landing-plan rules.
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark):
+    from formula1_data_pipeline_spark.queries import load
+
+    return load(spark, SF_DIR, "embeddings")["embeddings"]
+
+
+def test_ivf_index_equals_live_ivf_given_same_centroids(spark, tmp_path):
+    """Index MECHANICS gate (exact, Spark-vs-Spark): querying the
+    landed index must rank row-identically to ivf_flat_topk driven by
+    the SAME landed centroid table — the persisted path adds storage,
+    never different math. (Trained-centroid QUALITY is bounds-gated
+    separately — the q92 rule.)"""
+    from formula1_data_pipeline_spark.operators.similarity import (
+        ivf_flat_topk,
+    )
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        _read_centroids,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark, emb, idx, n_centroids=8, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    got = sorted(
+        tuple(r)
+        for r in ivf_index_topk(spark, idx, queries, k=5,
+                                n_probe=3).collect()
+    )
+    coefs = _read_centroids(spark, idx)
+    want = sorted(
+        tuple(r)
+        for r in ivf_flat_topk(
+            emb, queries, dim=0, k=5, n_probe=3,
+            centroid_coefs=coefs,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ivf_index_append_equals_one_shot_build(spark, tmp_path):
+    """Frozen-quantizer append policy: build on the first third, then
+    append the rest in two batches (one re-delivered — must skip);
+    the landed lists must equal one-shot assignment of the full
+    corpus under the same centroids, so queries are identical."""
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        _read_centroids,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    emb = _emb(spark)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    b1, b2 = mx // 3, 2 * mx // 3
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark, emb.filter(F.col("vec_id") <= b1), idx,
+                    n_centroids=8, n_iter=2)
+    n2 = ivf_index_append(
+        spark, emb.filter((F.col("vec_id") > b1)
+                          & (F.col("vec_id") <= b2)), idx)
+    # re-delivery: exact same batch again must index nothing
+    assert ivf_index_append(
+        spark, emb.filter((F.col("vec_id") > b1)
+                          & (F.col("vec_id") <= b2)), idx) == 0
+    n3 = ivf_index_append(spark, emb.filter(F.col("vec_id") > b2), idx)
+    total = emb.filter(F.col("vec_id").isNotNull()).count()
+    n_landed = read_table(spark, f"{idx}/lists").select("id") \
+        .distinct().count()
+    assert n_landed == total and n2 > 0 and n3 > 0
+
+    # one-shot reference index under the SAME centroids
+    ref = str(tmp_path / "ivfref")
+    ivf_index_build(spark, emb, ref,
+                    centroid_coefs=_read_centroids(spark, idx))
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    got = sorted(tuple(r) for r in
+                 ivf_index_topk(spark, idx, queries, k=5,
+                                n_probe=3).collect())
+    want = sorted(tuple(r) for r in
+                  ivf_index_topk(spark, ref, queries, k=5,
+                                 n_probe=3).collect())
+    assert got == want
+
+
+def test_ivf_index_query_reads_only_probed_partitions(spark, tmp_path):
+    """Index-shaped query cost: the lists table lands partitioned by
+    cluster, and the probe's isin filter must prune unprobed cluster
+    directories from the scan (fewer input files — the q82
+    discipline)."""
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark, emb, idx, n_centroids=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") == 0)
+    df = ivf_index_topk(spark, idx, queries, k=5, n_probe=2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the lists scan appears with a partition filter on cluster and
+    # must not read all 8 cluster directories
+    m = re.findall(r"PartitionFilters: \[[^\]]*cluster[^\]]*\]", plan)
+    assert m, plan
+    # recall sanity on the clustered-real data: the probed top-1 for
+    # a member query is its own cluster content — nonempty result
+    assert df.count() > 0
+
+
+def test_ivf_index_recall_bound_vs_exact(spark, tmp_path):
+    """Index QUALITY gate (bounds — the q92 rule for trained floats):
+    top-1 recall of the landed Lloyd index vs exact cosine top-1 on
+    the CLUSTERED fixture (the q92 evaluation corpus — on
+    near-isotropic embeddings IVF recall is bounded by the candidate
+    fraction no matter the quantizer; SCALE.md round 6) must clear
+    the q92-style floor."""
+    from formula1_data_pipeline_spark.evalsets import (
+        clustered_embeddings,
+    )
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    emb = clustered_embeddings(spark, n=600, dim=16, n_clusters=8)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(spark, emb, idx, n_centroids=8, n_iter=5)
+    queries = emb.filter(F.col("vec_id") % 29 == 0)
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_index_topk(spark, idx, queries, k=1,
+                                n_probe=3).collect()
+    }
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in cosine_topk(emb, queries, k=1).collect()
+    }
+    qs = {q for q, _ in exact}
+    hit = sum(1 for p in exact if p in approx)
+    recall = hit / max(len(qs), 1)
+    assert recall >= 0.85, recall
