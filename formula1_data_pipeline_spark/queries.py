@@ -937,6 +937,12 @@ CHANGED_SINCE_GATE = [
     # q44: extended PII tier — <CARD> (Luhn-validated count) + <IP>
     #      redaction legs on top of email/phone
     "q44_pii_redaction",
+    # q34: persisted-index leg (operators/vecindex.py) — the same
+    #      hash-sample quantizer landed+frozen, lists built via one
+    #      build + two frozen-quantizer appends, queried from landed
+    #      state; row-identical to the live leg so one oracle replays
+    #      both kinds
+    "q34_ivf_flat_topk",
     # q54: streaming drift-monitor leg (streaming/drift.py — doc_id%3
     #      file-slice replay, per-batch TV vs the static full-table
     #      reference) unioned with the stream-static join leg under a

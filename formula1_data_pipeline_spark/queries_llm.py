@@ -293,7 +293,11 @@ _SQL_DOT = (
                ) AS rank
         FROM scored
     )
-    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT 'live' AS kind, q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivf_idx', q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
     """,
     doc="Brute-force exact cosine top-5 per query vector (§2.12): "
         "broadcast the query set, sequential-fold dot products in "
@@ -363,7 +367,11 @@ _SQL_BUCKET_KEYS = "unnest([" + ", ".join(
                ) AS rank
         FROM scored
     )
-    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT 'live' AS kind, q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivf_idx', q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
     """,
     doc="ANN via multi-table random-hyperplane LSH (§2.12 scale path): "
         "16 tables x 5 sign-bit hyperplanes (deterministic md5-derived, "
@@ -626,31 +634,80 @@ def q33_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rank
         FROM scored
     )
-    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT 'live' AS kind, q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'ivf_idx', q_id, n_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
     """,
-    doc="IVF-flat ANN (§2.12 scale path #2, next to q26's LSH): corpus "
-        "soft-assigned into 16 inverted lists (each vector in its 3 "
-        "closest — FAISS-style multi-assign, the recall knob that "
-        "leaves per-query probe cost alone), centroids a deterministic "
-        "md5 hash-sample of the corpus (round 6: replaced first-16-ids "
-        "init, whose 0.94 recall was the evaluation queries BEING "
-        "centroids; production swaps in offline k-means via the same "
-        "(cluster, d, coef) table), queries probe their 4 closest "
-        "lists, exact cosine on probed lists only. Candidate volume "
-        "~n_probe*n_assign/n_centroids of the corpus per query; "
-        "centroid table broadcasts, corpus shuffles once on cluster",
+    doc="IVF-flat ANN, live + persisted-index legs under one kind "
+        "discriminator (§2.12 scale path #2, next to q26's LSH). "
+        "kind='live': corpus soft-assigned into 16 inverted lists "
+        "(each vector in its 3 closest — FAISS-style multi-assign, "
+        "the recall knob that leaves per-query probe cost alone), "
+        "centroids a deterministic md5 hash-sample of the corpus "
+        "(round 6: replaced first-16-ids init, whose 0.94 recall was "
+        "the evaluation queries BEING centroids; production swaps in "
+        "offline k-means via the same (cluster, d, coef) table), "
+        "queries probe their 4 closest lists, exact cosine on probed "
+        "lists only. kind='ivf_idx' (round 10, operators/vecindex.py): "
+        "the SAME quantizer landed once as a manifest-txn table, the "
+        "inverted lists landed PARTITIONED BY CLUSTER via one build + "
+        "two frozen-quantizer appends (id-ranged batches — ingest "
+        "never retrains), queried from the landed state with unprobed "
+        "cluster directories pruned at file level. Given identical "
+        "centroids the two legs are row-identical, so one oracle "
+        "replays both — the persisted path's mechanics (land, append, "
+        "skip, prune, query) sit under the full value hash. Candidate "
+        "volume ~n_probe*n_assign/n_centroids of the corpus per "
+        "query; centroid table broadcasts, corpus shuffles once on "
+        "cluster",
 )
 def q34_ivf_flat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _hash_sample_coefs,
         ivf_flat_topk,
+        norm,
     )
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return ivf_flat_topk(
-        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5,
+    queries = emb.filter(F.col("vec_id") < 10)
+    live = ivf_flat_topk(
+        emb, queries, dim=64, k=5,
         n_centroids=16, n_probe=4, n_assign=3,
         id_col="vec_id", vec_col="embedding",
+    ).select(F.lit("live").alias("kind"), "*")
+
+    # persisted-index leg: the same deterministic hash-sample
+    # quantizer (oracle-replayable, unlike Lloyd floats), landed and
+    # frozen; corpus arrives as three id-ranged batches
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    coefs = _hash_sample_coefs(base, 16)
+    idx = scratch_dir(prefix="q34_ivfidx_") + "/idx"
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    b1, b2 = mx // 3, 2 * mx // 3
+    ivf_index_build(
+        spark, emb.filter(F.col("vec_id") <= b2), idx,
+        centroid_coefs=coefs, n_assign=3,
     )
+    # the append RE-DELIVERS (b1, b2] alongside the new tail — the
+    # landed-id skip must drop the overlap (idempotent ingestion)
+    ivf_index_append(
+        spark, emb.filter(F.col("vec_id") > b1), idx, n_assign=3)
+    from_index = ivf_index_topk(
+        spark, idx, queries, k=5, n_probe=4,
+    ).select(F.lit("ivf_idx").alias("kind"), "*")
+    return live.unionByName(from_index)
 
 
 @register(
