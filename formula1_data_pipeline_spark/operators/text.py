@@ -152,6 +152,141 @@ def shingle_fingerprints_df(docs, text_col: str = "text",
     )
 
 
+WINNOW_W = 4          # winnowing window: hashes per selection window
+WINNOW_HASH_HEX = 10  # md5 prefix hex chars -> 40-bit k-gram hash
+_POS_BITS = 21        # positions packed below the hash in the encoding
+_POS_SPAN = 1 << _POS_BITS
+
+
+def winnow_encoded(text: Column, k: int = SHINGLE_K,
+                   w: int = WINNOW_W) -> Column:
+    """Per-document winnowing selection, ENCODED — the local-minimum
+    document fingerprinting algorithm (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram shingle, slide a window of ``w``
+    consecutive hashes, select each window's minimum (rightmost on
+    ties). Guarantees: any shared token run of >= w + k - 1 tokens
+    between two documents shares >= 1 selected fingerprint, at an
+    expected density of 2/(w+1) — the property a bottom-k sketch
+    (``shingle_fingerprint``) cannot give, since bottom-k detection
+    probability decays with document length.
+
+    Returns the array of DISTINCT selected values encoded as
+    ``hash40 * 2^21 + (2^21 - 1 - pos)`` so that a single
+    ``array_min`` per window is the whole selection rule: minimizing
+    the encoding minimizes the 40-bit hash first and, among equal
+    hashes, maximizes the position (the rightmost-min tie-break).
+    Decode with ``winnow_decode_hash`` / ``winnow_decode_pos``.
+    Documents beyond 2^21 - 1 = 2,097,151 shingles would alias
+    positions — far past any real document; the df form raises.
+
+    Pure array expressions per row — no shuffle, no UDF. Cost is
+    O(m * w) slice-mins per doc; w is a small constant (4).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    nh = n - k + 1  # number of k-gram hashes
+    enc = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                1, WINNOW_HASH_HEX,
+            ),
+            16, 10,
+        ).cast("long") * _POS_SPAN + (F.lit(_POS_SPAN - 1) - i),
+    )
+    sel = F.transform(
+        F.sequence(F.lit(0), nh - w),
+        lambda j: F.array_min(F.slice(enc, j + 1, w)),
+    )
+    # CASE WHEN evaluates lazily per row, so the negative-bound
+    # sequences (which count DOWN and feed slice a start of 0) never
+    # run for short docs — same load-bearing guard as
+    # ``shingle_fingerprint``.
+    return F.when(
+        (n >= k) & (nh >= w), F.array_sort(F.array_distinct(sel))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_decode_hash(enc: Column) -> Column:
+    # shiftright, NOT `/`: float division rounds at 61 bits and
+    # corrupts the low hash digit
+    return F.shiftright(enc, _POS_BITS)
+
+
+def winnow_decode_pos(enc: Column) -> Column:
+    return (F.lit(_POS_SPAN - 1) - enc % _POS_SPAN).cast("int")
+
+
+def winnow_fingerprints_df(docs, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = SHINGLE_K, w: int = WINNOW_W):
+    """(id, pos, fp_hash) per selected winnowing fingerprint — the
+    bulk/scale shape of ``winnow_encoded``. Stage 1 builds each doc's
+    encoded hash array in ONE narrow projection; an ``explode`` of the
+    window starts then acts as a generator barrier (CollapseProject
+    cannot cross Generate), so the O(m) array is materialized once per
+    doc and each window row does only an O(w) slice-min — without the
+    barrier Catalyst would inline the array build into every window's
+    slice and the pass would go O(m^2). The only shuffle is the final
+    (id, enc) distinct, and duplicate selections are within-doc, so
+    map-side partial aggregation removes nearly all of them before the
+    exchange — at 100 TB this is a fingerprint-sized shuffle, not a
+    corpus-sized one.
+
+    Docs with fewer than w + k - 1 tokens select nothing (no full
+    window exists) and yield no rows, matching ``winnow_encoded``'s
+    empty array.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    enc = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                1, WINNOW_HASH_HEX,
+            ),
+            16, 10,
+        ).cast("long") * _POS_SPAN + (F.lit(_POS_SPAN - 1) - i),
+    )
+    # Enforce the documented encoding precondition loudly: a document
+    # with >= 2^21 shingles would alias positions inside the packed
+    # encoding and emit silently-wrong fingerprints. The guard is one
+    # comparison per doc on the already-computed array size.
+    n_guard = F.when(
+        F.size("enc") < _POS_SPAN, F.col("enc")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints_df: document "),
+                F.col("id").cast("string"),
+                F.lit(f" has >= 2^{_POS_BITS} shingles; packed "
+                      "positions would alias — shard it upstream"),
+            )
+        ).cast("array<long>")
+    )
+    enc_safe = F.when(n >= k, enc).otherwise(F.array().cast("array<long>"))
+    base = (
+        docs.select(F.col(id_col).alias("id"), enc_safe.alias("enc"))
+        .select("id", n_guard.alias("enc"))
+        .filter(F.size("enc") >= w)
+        .select(
+            "id", "enc",
+            F.explode(F.sequence(F.lit(0), F.size("enc") - w)).alias("j"),
+        )
+    )
+    sel = base.select(
+        "id",
+        F.array_min(F.slice(F.col("enc"), F.col("j") + 1, w)).alias("e"),
+    ).distinct()
+    return sel.select(
+        "id",
+        winnow_decode_pos(F.col("e")).alias("pos"),
+        winnow_decode_hash(F.col("e")).alias("fp_hash"),
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic 0-1 quality heuristic: length band + lexical
     diversity + token-volume saturation (the standard cheap pre-filter

@@ -961,6 +961,12 @@ CHANGED_SINCE_GATE = [
     #      train_logreg gained the in-trainer non-null guard (the
     #      deferred round-8 ADVICE item)
     "q99_quality_classifier",
+    # q28: winnowing fingerprints (SIGMOD'03 local-min selection,
+    #      operators/text.py::winnow_fingerprints_df) added as a
+    #      second kind beside the bottom-8 sketch — the two
+    #      fingerprint schemes union under one kind-discriminated
+    #      gate (q28 was r8-gated and due this round anyway)
+    "q28_shingle_fingerprint",
 ]
 
 

@@ -293,11 +293,7 @@ _SQL_DOT = (
                ) AS rank
         FROM scored
     )
-    SELECT 'live' AS kind, q_id, n_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
-    UNION ALL
-    SELECT 'ivf_idx', q_id, n_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """,
     doc="Brute-force exact cosine top-5 per query vector (§2.12): "
         "broadcast the query set, sequential-fold dot products in "
@@ -367,11 +363,7 @@ _SQL_BUCKET_KEYS = "unnest([" + ", ".join(
                ) AS rank
         FROM scored
     )
-    SELECT 'live' AS kind, q_id, n_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
-    UNION ALL
-    SELECT 'ivf_idx', q_id, n_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """,
     doc="ANN via multi-table random-hyperplane LSH (§2.12 scale path): "
         "16 tables x 5 sign-bit hyperplanes (deterministic md5-derived, "
@@ -454,23 +446,51 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
     ), ex AS (
         SELECT doc_id, unnest(fingerprint) AS shingle_hash FROM fp
+    ), wh AS (
+        SELECT doc_id,
+               list_transform(range(0, len(toks) - 2), i ->
+                   CAST(('0x' || substr(md5(array_to_string(
+                       list_slice(toks, i + 1, i + 3), ' ')), 1, 10))
+                   AS BIGINT) * 2097152 + (2097151 - i)) AS enc
+        FROM base WHERE len(toks) >= 6
+    ), wsel AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(enc) - 3), j ->
+                   list_min(list_slice(enc, j + 1, j + 4)))) AS e
+        FROM wh
+    ), wseld AS (
+        SELECT DISTINCT doc_id, e FROM wsel
     )
-    SELECT doc_id,
+    SELECT 'bottomk' AS kind, doc_id,
            CAST(row_number() OVER (
                PARTITION BY doc_id ORDER BY shingle_hash
            ) AS INT) AS rank,
+           CAST(NULL AS INT) AS pos,
            shingle_hash
     FROM ex
+    UNION ALL
+    SELECT 'winnow' AS kind, doc_id,
+           CAST(NULL AS INT) AS rank,
+           CAST(2097151 - (e % 2097152) AS INT) AS pos,
+           CAST(e // 2097152 AS BIGINT) AS shingle_hash
+    FROM wseld
     """,
-    doc="Document fingerprinting (§2.12): bottom-8 sketch of 3-gram "
-        "shingle rolling hashes, exploded to one (doc_id, rank, hash) "
-        "row per sketch element so the gate can canonicalize it — "
-        "order-sensitive near-dup signature; fingerprint overlap "
-        "estimates shingle-set jaccard",
+    doc="Document fingerprinting (§2.12), both schemes under one "
+        "kind-discriminated gate: kind='bottomk' is the bottom-8 "
+        "sketch of 3-gram shingle rolling hashes (fingerprint overlap "
+        "estimates shingle-set jaccard); kind='winnow' is the "
+        "SIGMOD'03 winnowing selection — per-window (w=4) rightmost "
+        "minimum of the 40-bit shingle hashes, the position-aware "
+        "fingerprint with the guarantee that any shared run of >= "
+        "w+k-1 = 6 tokens is detected regardless of document length, "
+        "which the length-diluted bottom-k sketch cannot promise. "
+        "Both engines pack hash*2^21 + (2^21-1-pos) so one array_min "
+        "per window is the whole tie-break rule.",
 )
 def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.text import (
         shingle_fingerprints_df,
+        winnow_fingerprints_df,
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -478,14 +498,24 @@ def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch arrays are sorted ascending + distinct, so explode position
     # == rank by hash value; docs shorter than k tokens (empty sketch)
     # drop out on both sides identically.
-    return fps.select(
+    bottomk = fps.select(
         "doc_id",
         F.posexplode("fingerprint").alias("pos", "shingle_hash"),
     ).select(
+        F.lit("bottomk").alias("kind"),
         "doc_id",
         (F.col("pos") + 1).cast("int").alias("rank"),
+        F.lit(None).cast("int").alias("pos"),
         "shingle_hash",
     )
+    winnow = winnow_fingerprints_df(docs).select(
+        F.lit("winnow").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("int").alias("rank"),
+        "pos",
+        F.col("fp_hash").alias("shingle_hash"),
+    )
+    return bottomk.unionByName(winnow)
 
 
 @register(
