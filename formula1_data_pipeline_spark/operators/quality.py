@@ -209,3 +209,63 @@ def drift_summary(report: DataFrame) -> DataFrame:
             ).alias("tv_distance"),
         )
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """EXACT per-group quantiles (discrete/type-1: the value at rank
+    ``ceil(p * n)`` ascending) — the distribution tail-bound every
+    quality gate needs ("cut above the p95 repetition score") where an
+    approximate sketch's rank error would move real documents across
+    the cut.
+
+    Shape for scale: rows first collapse to (group, value) COUNTS —
+    one shuffle with map-side combine, so the ordered pass that
+    follows runs over distinct values, not raw rows (a 100 TB events
+    table with bounded-cardinality measures collapses by orders of
+    magnitude). The cumulative rank is a per-group window — parallel
+    across groups; a single group whose DISTINCT-value count is too
+    large for one reducer would range-bucket values first and
+    prefix-sum bucket totals (the packing/shards two-level pattern) —
+    that seam is deliberately not built until a real corpus needs it.
+    No value arithmetic: each output quantile is one of the input
+    doubles, picked by integer rank, so the cross-engine hash is
+    exact with no rounding discipline.
+
+    NULL values are excluded (they have no rank); groups where every
+    value is NULL yield no row.
+    """
+    from pyspark.sql import Window
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1]: {probs}")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = F.sum("c").over(wg.orderBy(value_col))
+    tot = F.sum("c").over(wg)
+    ranked = counts.select(
+        *group_cols, F.col(value_col).alias("v"),
+        cum.alias("cum"), tot.alias("tot"),
+    )
+    labels = [f"p{round(p * 100)}" for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"probs collide at percent resolution: {probs} -> {labels}"
+        )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")), F.col("v"))
+        ).alias(lab)
+        for p, lab in zip(probs, labels)
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -967,6 +967,10 @@ CHANGED_SINCE_GATE = [
     #      fingerprint schemes union under one kind-discriminated
     #      gate (q28 was r8-gated and due this round anyway)
     "q28_shingle_fingerprint",
+    # q78: exact per-group quantile columns p25-p99 joined onto the
+    #      moment rows (quality.grouped_quantiles — type-1 rank pick
+    #      over (group, value) counts; q78 was r8-gated, due anyway)
+    "q78_stat_moments",
 ]
 
 

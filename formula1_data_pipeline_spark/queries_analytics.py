@@ -431,15 +431,34 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                covar_samp(value, t) AS covar_vt
         FROM ev
         GROUP BY 1
+    ), counts AS (
+        SELECT event_type, value, count(*) AS c
+        FROM ev GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, value,
+               sum(c) OVER (
+                   PARTITION BY event_type ORDER BY value
+               ) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS tot
+        FROM counts
+    ), q AS (
+        SELECT event_type,
+               min(CASE WHEN cum >= ceil(0.25 * tot) THEN value END) AS p25,
+               min(CASE WHEN cum >= ceil(0.5  * tot) THEN value END) AS p50,
+               min(CASE WHEN cum >= ceil(0.75 * tot) THEN value END) AS p75,
+               min(CASE WHEN cum >= ceil(0.95 * tot) THEN value END) AS p95,
+               min(CASE WHEN cum >= ceil(0.99 * tot) THEN value END) AS p99
+        FROM ranked GROUP BY 1
     )
-    SELECT event_type, n,
+    SELECT m.event_type, n,
            round(mean, 6) AS mean,
            round(m2 * n / (n - 1), 6) AS var_samp,
            round(m3 / (m2 ^ 1.5), 6) AS skewness,
            round(m4 / (m2 ^ 2) - 3, 6) AS kurtosis,
            round(corr_vt, 6) AS corr_vt,
-           round(covar_vt, 4) AS covar_vt
-    FROM m
+           round(covar_vt, 4) AS covar_vt,
+           p25, p50, p75, p95, p99
+    FROM m JOIN q ON m.event_type = q.event_type
     """,
     doc="Statistical-moment aggregate family (map-side-mergeable, the "
         "100 TB path for distribution diagnostics): var_samp, skewness "
@@ -448,9 +467,18 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vs event time. The oracle recomputes every moment from raw "
         "power sums rather than trusting DuckDB's own skewness/"
         "kurtosis (different estimator definitions) — both engines "
-        "then agree to far below the 6-dp rounding",
+        "then agree to far below the 6-dp rounding. Round 10 adds the "
+        "EXACT per-group quantile columns p25/p50/p75/p95/p99 "
+        "(quality.grouped_quantiles — type-1 value at rank ceil(p*n): "
+        "rows collapse to (group, value) counts before the per-group "
+        "ordered pass, and each quantile is a picked input double, no "
+        "arithmetic, so the hash needs no rounding discipline)",
 )
 def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.quality import (
+        grouped_quantiles,
+    )
+
     ev = (
         load(spark, sf_dir, "events")["events"]
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
@@ -463,7 +491,7 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    return (
+    moments = (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
@@ -475,6 +503,10 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("value", "t"), 4).alias("covar_vt"),
         )
     )
+    quants = grouped_quantiles(
+        ev, "value", ["event_type"], [0.25, 0.5, 0.75, 0.95, 0.99]
+    )
+    return moments.join(quants, "event_type")
 
 
 @register(
