@@ -218,72 +218,94 @@ def winnow_decode_pos(enc: Column) -> Column:
     return (F.lit(_POS_SPAN - 1) - enc % _POS_SPAN).cast("int")
 
 
-def winnow_fingerprints_df(docs, text_col: str = "text",
-                           id_col: str = "doc_id",
-                           k: int = SHINGLE_K, w: int = WINNOW_W):
-    """(id, pos, fp_hash) per selected winnowing fingerprint — the
-    bulk/scale shape of ``winnow_encoded``. Stage 1 builds each doc's
-    encoded hash array in ONE narrow projection; an ``explode`` of the
-    window starts then acts as a generator barrier (CollapseProject
-    cannot cross Generate), so the O(m) array is materialized once per
-    doc and each window row does only an O(w) slice-min — without the
-    barrier Catalyst would inline the array build into every window's
-    slice and the pass would go O(m^2). The only shuffle is the final
-    (id, enc) distinct, and duplicate selections are within-doc, so
-    map-side partial aggregation removes nearly all of them before the
-    exchange — at 100 TB this is a fingerprint-sized shuffle, not a
-    corpus-sized one.
+def winnow_shingle_hexes(docs, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = SHINGLE_K):
+    """(id, pos, hex) per k-gram shingle: posexplode tokens, form
+    k-grams via lead() windows, md5 codegen-side — the shared
+    row-shaped substrate both fingerprint schemes consume (bottom-k
+    reads hex chars 1-15, winnowing 1-10). One exchange on doc id;
+    consumers that window/group by id reuse its partitioning (and,
+    when two legs scan the same frame, its Exchange).
 
-    Docs with fewer than w + k - 1 tokens select nothing (no full
-    window exists) and yield no rows, matching ``winnow_encoded``'s
-    empty array.
+    Row-shaped on purpose: an array-native formulation (transform/
+    slice/array_min per window) is NOT codegen'd — Spark evaluates
+    higher-order functions interpreted, per element, and the measured
+    cost at sf0.1 was 6.4 s vs 1.0 s for this explode + window plan.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    enc = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-                1, WINNOW_HASH_HEX,
-            ),
-            16, 10,
-        ).cast("long") * _POS_SPAN + (F.lit(_POS_SPAN - 1) - i),
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
     )
-    # Enforce the documented encoding precondition loudly: a document
-    # with >= 2^21 shingles would alias positions inside the packed
-    # encoding and emit silently-wrong fingerprints. The guard is one
-    # comparison per doc on the already-computed array size.
-    n_guard = F.when(
-        F.size("enc") < _POS_SPAN, F.col("enc")
+    wl = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", i).over(wl) for i in range(1, k)]
+    return ex.select(
+        "id", "pos",
+        F.md5(F.concat_ws(" ", *parts)).alias("hex"),
+        parts[-1].isNotNull().alias("full"),
+    ).filter(F.col("full")).drop("full")
+
+
+def winnow_select(shingled, w: int = WINNOW_W):
+    """Winnowing selection over a (id, pos, hex) shingle frame:
+    encode ``hash40 * 2^21 + (2^21-1-pos)``, take the running min of
+    each w-row window (the packing makes one ``min`` the whole
+    rightmost-min tie-break), keep only full windows, dedup per doc.
+
+    The dedup is groupBy(id).collect_set — NOT ``.distinct()`` — so
+    it reuses the window's doc-id partitioning instead of adding a
+    second exchange on (id, e); the set is bounded by the 2^21
+    per-doc shingle cap the guard enforces. Docs with fewer than w
+    shingles have no full window and yield no rows.
+    """
+    from pyspark.sql import Window
+
+    h40 = F.conv(
+        F.substring(F.col("hex"), 1, WINNOW_HASH_HEX), 16, 10
+    ).cast("long")
+    # Loud precondition: position 2^21 would alias inside the packed
+    # encoding — one comparison per shingle row.
+    enc = F.when(
+        F.col("pos") < _POS_SPAN,
+        h40 * _POS_SPAN + (F.lit(_POS_SPAN - 1) - F.col("pos")),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("winnow_fingerprints_df: document "),
+                F.lit("winnow_select: document "),
                 F.col("id").cast("string"),
                 F.lit(f" has >= 2^{_POS_BITS} shingles; packed "
                       "positions would alias — shard it upstream"),
             )
-        ).cast("array<long>")
+        ).cast("long")
     )
-    enc_safe = F.when(n >= k, enc).otherwise(F.array().cast("array<long>"))
-    base = (
-        docs.select(F.col(id_col).alias("id"), enc_safe.alias("enc"))
-        .select("id", n_guard.alias("enc"))
-        .filter(F.size("enc") >= w)
+    wf = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        shingled.select("id", "pos", enc.alias("enc"))
         .select(
-            "id", "enc",
-            F.explode(F.sequence(F.lit(0), F.size("enc") - w)).alias("j"),
+            "id",
+            F.min("enc").over(wf).alias("e"),
+            F.count(F.lit(1)).over(wf).alias("c"),
         )
+        .filter(F.col("c") == w)
+        .groupBy("id")
+        .agg(F.collect_set("e").alias("es"))
     )
-    sel = base.select(
-        "id",
-        F.array_min(F.slice(F.col("enc"), F.col("j") + 1, w)).alias("e"),
-    ).distinct()
-    return sel.select(
+    return sel.select("id", F.explode("es").alias("e")).select(
         "id",
         winnow_decode_pos(F.col("e")).alias("pos"),
         winnow_decode_hash(F.col("e")).alias("fp_hash"),
+    )
+
+
+def winnow_fingerprints_df(docs, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = SHINGLE_K, w: int = WINNOW_W):
+    """(id, pos, fp_hash) per selected winnowing fingerprint — the
+    bulk/scale shape of ``winnow_encoded``: the shared shingle-hex
+    substrate + the windowed selection, one exchange total."""
+    return winnow_select(
+        winnow_shingle_hexes(docs, text_col, id_col, k), w
     )
 
 

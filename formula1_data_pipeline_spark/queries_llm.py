@@ -488,27 +488,53 @@ def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per window is the whole tie-break rule.",
 )
 def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fingerprint schemes consume ONE (id, pos, md5-hex)
+    shingle frame (bottom-k reads hex chars 1-15, winnowing 1-10):
+    the two legs scan the same child, so the doc-id Exchange is
+    planned once and the second leg reads a ReusedExchange — one
+    documents scan, one hash pass, one shuffle. (An array-native
+    single-pass fusion was measured first and REJECTED: Spark
+    evaluates higher-order functions interpreted, not codegen'd —
+    6.4 s at sf0.1 vs ~2 s for this row shape.) Value-identity with
+    the standalone operators is pinned by
+    tests/test_winnow.py::test_q28_fused_matches_standalone_ops.
+    """
+    from pyspark.sql import Window
+
     from formula1_data_pipeline_spark.operators.text import (
-        shingle_fingerprints_df,
-        winnow_fingerprints_df,
+        SKETCH_SIZE,
+        winnow_select,
+        winnow_shingle_hexes,
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    fps = shingle_fingerprints_df(docs).withColumnRenamed("id", "doc_id")
-    # Sketch arrays are sorted ascending + distinct, so explode position
-    # == rank by hash value; docs shorter than k tokens (empty sketch)
-    # drop out on both sides identically.
+    shingled = winnow_shingle_hexes(docs)
+
+    # bottom-k leg: 60-bit hashes, per-doc sorted-distinct bottom-8;
+    # groupBy(id) reuses the shingle frame's partitioning
+    conv15 = F.conv(
+        F.substring(F.col("hex"), 1, 15), 16, 10
+    ).cast("long")
+    fps = (
+        shingled.select("id", conv15.alias("h"))
+        .groupBy("id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, SKETCH_SIZE)
+            .alias("fingerprint")
+        )
+    )
     bottomk = fps.select(
-        "doc_id",
-        F.posexplode("fingerprint").alias("pos", "shingle_hash"),
+        F.col("id").alias("doc_id"),
+        F.posexplode("fingerprint").alias("p", "shingle_hash"),
     ).select(
         F.lit("bottomk").alias("kind"),
         "doc_id",
-        (F.col("pos") + 1).cast("int").alias("rank"),
+        (F.col("p") + 1).cast("int").alias("rank"),
         F.lit(None).cast("int").alias("pos"),
         "shingle_hash",
     )
-    winnow = winnow_fingerprints_df(docs).select(
+
+    winnow = winnow_select(shingled).select(
         F.lit("winnow").alias("kind"),
         F.col("id").alias("doc_id"),
         F.lit(None).cast("int").alias("rank"),

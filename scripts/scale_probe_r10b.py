@@ -1,0 +1,93 @@
+"""10x scale probe for the round-10 second-session operators
+(winnowing fingerprints, exact grouped quantiles) — the SCALE.md
+method: sf0.1 table unioned 10x with shifted ids, both sides cached,
+warm-plan second-pass numbers, local[32].
+
+Usage: python scripts/scale_probe_r10b.py   (quiet host; record in
+SCALE.md)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from formula1_data_pipeline_spark import get_spark  # noqa: E402
+from formula1_data_pipeline_spark.operators.quality import (  # noqa: E402
+    grouped_quantiles,
+)
+from formula1_data_pipeline_spark.operators.text import (  # noqa: E402
+    winnow_fingerprints_df,
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def timed(label, fn, reps=2):
+    best = None
+    for _ in range(reps):  # warm-plan second pass is the number
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{label:44s} {best:7.2f}s (warm best of {reps})")
+    return best
+
+
+def main():
+    spark = get_spark(app_name="scale-probe-r10b")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d1 = docs.cache()
+    d10 = docs
+    for i in range(9):
+        d10 = d10.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
+            )
+        )
+    d10 = d10.cache()
+    d1.count(), d10.count()
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    e1 = ev.cache()
+    e10 = ev
+    for i in range(9):
+        e10 = e10.unionByName(
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit((i + 1) * 10_000_000)
+            )
+        )
+    e10 = e10.cache()
+    e1.count(), e10.count()
+
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    pairs = [
+        ("winnow_fingerprints 1x",
+         lambda: winnow_fingerprints_df(d1).count()),
+        ("winnow_fingerprints 10x",
+         lambda: winnow_fingerprints_df(d10).count()),
+        ("grouped_quantiles 1x",
+         lambda: grouped_quantiles(e1, "value", ["event_type"],
+                                   probs).count()),
+        ("grouped_quantiles 10x",
+         lambda: grouped_quantiles(e10, "value", ["event_type"],
+                                   probs).count()),
+    ]
+    times = {}
+    for label, fn in pairs:
+        times[label] = timed(label, fn)
+    for op in ("winnow_fingerprints", "grouped_quantiles"):
+        r = times[f"{op} 10x"] / times[f"{op} 1x"]
+        print(f"{op}: 10x/1x = {r:.2f} (10.0 = perfectly linear)")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,19 +112,36 @@ def test_density_bound(spark):
     assert nh // w <= n <= nh - w + 1
 
 
-def test_generator_barrier_plan_shape(spark):
-    """The window-start explode must sit between the O(m) array build
-    and the O(w) slice-min so CollapseProject cannot inline the array
-    build into every window (which would make the pass O(m^2) per
-    doc): the hash/encode expression (md5) must appear below the
-    Generate, not above it."""
+def test_single_exchange_plan_shape(spark):
+    """The whole pipeline — shingle windows, winnowing min-window,
+    per-doc dedup — must share ONE doc-id Exchange: the selection
+    windows reuse the lead() window's sort, and the dedup is
+    groupBy(id).collect_set (not .distinct(), which would add a
+    second exchange on (id, e))."""
     df = spark.createDataFrame(
         [(1, "a b c d e f g h")], "doc_id long, text string"
     )
-    plan = T.winnow_fingerprints_df(df)._jdf.queryExecution().executedPlan().toString()
-    gen_at = plan.index("Generate")
-    md5_at = plan.index("md5")
-    assert md5_at > gen_at, plan
+    plan = (
+        T.winnow_fingerprints_df(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchange == 1, plan
+
+
+def test_q28_reuses_one_shingle_exchange(spark):
+    """q28's two fingerprint legs scan the same shingle frame: the
+    second leg's doc-id Exchange must plan as a ReusedExchange, so
+    the corpus is scanned and hashed once."""
+    from formula1_data_pipeline_spark.queries import CATALOG
+
+    q = CATALOG["q28_shingle_fingerprint"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    q.collect()  # AQE reuses exchanges at runtime — inspect the
+    plan = q._jdf.queryExecution().executedPlan().toString()  # final plan
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
 
 
 def test_position_overflow_guard_fires(spark, monkeypatch):
@@ -137,3 +154,26 @@ def test_position_overflow_guard_fires(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="shard it upstream"):
         T.winnow_fingerprints_df(df).collect()
+
+
+def test_q28_fused_matches_standalone_ops(spark):
+    """q28's fused single-pass plan must be row-identical to the union
+    of the two standalone operators over real data."""
+    from formula1_data_pipeline_spark.queries import CATALOG, load
+
+    sf = "/root/testdata/sf0.001"
+    fused = {
+        tuple(r) for r in
+        CATALOG["q28_shingle_fingerprint"].fn(spark, sf).collect()
+    }
+    docs = load(spark, sf, "documents")["documents"]
+    bottomk = {
+        ("bottomk", r.id, i + 1, None, h)
+        for r in T.shingle_fingerprints_df(docs).collect()
+        for i, h in enumerate(r.fingerprint)
+    }
+    winnow = {
+        ("winnow", r.id, None, r.pos, r.fp_hash)
+        for r in T.winnow_fingerprints_df(docs).collect()
+    }
+    assert fused == bottomk | winnow
