@@ -428,3 +428,111 @@ def test_ivf_index_recall_bound_vs_exact(spark, tmp_path):
     hit = sum(1 for p in exact if p in approx)
     recall = hit / max(len(qs), 1)
     assert recall >= 0.85, recall
+
+
+# --------------------------------------------------------------------
+# Bloom-filter contamination prefilter (operators/bloom.py) — built in
+# round 10 (late). LANDING ROUTE: rides q66_contamination_check's
+# round-11 re-gate (q66 is r9-gated, due r11) as two extra columns
+# (n_bloom_hits, bloom_contaminated) computed with a deliberately
+# small GATE filter (2^12 bits) so deterministic false positives are
+# part of the value hash — the bit-for-bit replay is the point. The
+# production default stays 2^20 bits.
+
+_BLOOM_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(0, len(toks) - 2),
+                   i -> CAST(('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i + 1, i + 3), ' ')),
+                            1, 15)) AS BIGINT)))
+           ELSE [] END AS hs
+    FROM t
+), bench AS (
+    SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0
+), ks AS (
+    SELECT unnest(range(0, {k})) AS j
+), bpos AS (
+    SELECT DISTINCT
+           ((h % {m}) + j * (((h >> 20) % ({m} - 1)) + 1)) % {m} AS p
+    FROM bench, ks
+), bwords AS (
+    SELECT p // 63 AS word_idx,
+           bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+    FROM bpos GROUP BY 1
+), corpus AS (
+    SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 97 <> 0
+), cprobes AS (
+    SELECT doc_id, h,
+           ((h % {m}) + j * (((h >> 20) % ({m} - 1)) + 1)) % {m} AS p
+    FROM corpus, ks
+), chit AS (
+    SELECT doc_id, h, count(*) AS nset
+    FROM cprobes JOIN bwords ON cprobes.p // 63 = bwords.word_idx
+    WHERE (bits & (1::BIGINT << CAST(p % 63 AS INT)))
+          = (1::BIGINT << CAST(p % 63 AS INT))
+    GROUP BY 1, 2
+), bloomhits AS (
+    SELECT doc_id, count(*) AS n_bloom_hits
+    FROM chit WHERE nset = {k} GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(b.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(b.n_bloom_hits, 0) > 0 AS bloom_contaminated
+FROM sh s LEFT JOIN bloomhits b USING (doc_id)
+WHERE s.doc_id % 97 <> 0
+"""
+
+_BLOOM_GATE_BITS = 1 << 12  # gate-size filter: FPs must occur
+
+
+def test_bloom_contamination_oracle_parity(spark):
+    """Spark bloom_contamination == the DuckDB twin, bit-for-bit —
+    including deterministic false positives (asserted present, so the
+    gate pins the FP math, not just the happy path)."""
+    from formula1_data_pipeline_spark.operators.bloom import (
+        bloom_contamination,
+    )
+    from formula1_data_pipeline_spark.operators.text import (
+        shingle_hashes_df,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    sh = shingle_hashes_df(docs)
+    bench = sh.filter(F.col("id") % 97 == 0).select("h").distinct()
+    corpus_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    out = bloom_contamination(
+        corpus_docs, bench, n_bits=_BLOOM_GATE_BITS
+    )
+    got = {
+        (r.doc_id, r.n_bloom_hits, r.bloom_contaminated)
+        for r in out.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sql = _BLOOM_ORACLE.replace("{m}", str(_BLOOM_GATE_BITS)).replace(
+        "{k}", "4"
+    )
+    exp = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == exp
+
+    # the gate-size filter must actually exercise the FP path: bloom
+    # flags strictly more than the exact check
+    exact = {
+        r.id
+        for r in sh.filter(F.col("id") % 97 != 0)
+        .join(F.broadcast(bench), "h").select("id").distinct().collect()
+    }
+    flagged = {d for d, n, f in got if f}
+    assert exact < flagged, (len(exact), len(flagged))
