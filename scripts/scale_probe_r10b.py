@@ -89,5 +89,59 @@ def main():
         print(f"{op}: 10x/1x = {r:.2f} (10.0 = perfectly linear)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--bloom" not in sys.argv:
     main()
+
+
+def bloom_probe():
+    """Corpus-10x probe for the Bloom contamination prefilter: the
+    corpus side scales linearly (explode k + broadcast join), the
+    word-table broadcast stays fixed-size however the benchmark
+    grows."""
+    from formula1_data_pipeline_spark.operators.bloom import (
+        bloom_build, bloom_contamination,
+    )
+    from formula1_data_pipeline_spark.operators.text import (
+        shingle_hashes_df,
+    )
+
+    spark = get_spark(app_name="scale-probe-r10b")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d1 = docs.cache()
+    d10 = docs
+    for i in range(9):
+        d10 = d10.unionByName(
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
+            )
+        )
+    d10 = d10.cache()
+    d1.count(), d10.count()
+    bench = (
+        shingle_hashes_df(d1.filter(F.col("doc_id") % 97 == 0))
+        .select("h").distinct().cache()
+    )
+    bench.count()
+    t = {}
+    for label, frame in (("1x", d1), ("10x", d10)):
+        t[label] = timed(
+            f"bloom_contamination corpus {label}",
+            lambda frame=frame: bloom_contamination(
+                frame.filter(F.col("doc_id") % 97 != 0), bench
+            ).count(),
+        )
+    print(f"bloom corpus: 10x/1x = {t['10x'] / t['1x']:.2f}")
+    # benchmark-10x: word table row count is capped regardless
+    bench10 = bench
+    for i in range(9):
+        bench10 = bench10.unionByName(
+            bench.select((F.col("h") + F.lit(i + 1)).alias("h"))
+        )
+    w1 = bloom_build(bench).count()
+    w10 = bloom_build(bench10).count()
+    print(f"bloom word-table rows: bench-1x {w1}, bench-10x {w10} "
+          f"(cap {(1 << 20) // 63 + 1})")
+
+
+if __name__ == "__main__" and "--bloom" in sys.argv:
+    bloom_probe()
