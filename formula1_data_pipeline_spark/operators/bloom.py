@@ -89,19 +89,24 @@ def bloom_contains(shingles: DataFrame, bloom_words: DataFrame,
         "*",
         F.posexplode(F.array(
             *_positions(F.col(value_col), n_bits, n_hashes)
-        )).alias("j", "p"),
+        )).alias("_bj", "_bp"),
     ).select(
         "*",
-        (F.col("p") / _WORD_BITS).cast("long").alias("word_idx"),
+        (F.col("_bp") / _WORD_BITS).cast("long").alias("word_idx"),
         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-               f"CAST(p % {_WORD_BITS} AS INT))").alias("bit"),
+               f"CAST(_bp % {_WORD_BITS} AS INT))").alias("bit"),
     )
     group_cols = [c for c in shingles.columns]
     hits = (
         probes.join(F.broadcast(bloom_words), "word_idx")
         .filter((F.col("bits").bitwiseAND(F.col("bit"))) == F.col("bit"))
         .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_set"))
+        # count DISTINCT probe index, not rows: duplicate input rows
+        # collapse into one group with 2k passing rows, and a plain
+        # count == k test would DROP a true member (a false negative
+        # — the one failure the prefilter contract forbids). Output
+        # is therefore one row per distinct flagged input row.
+        .agg(F.count_distinct("_bj").alias("_set"))
         .filter(F.col("_set") == n_hashes)
         .drop("_set")
     )

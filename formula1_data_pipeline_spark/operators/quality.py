@@ -263,8 +263,19 @@ def grouped_quantiles(
             f"probs collide at percent resolution: {probs} -> {labels}"
         )
     aggs = [
+        # rank in DECIMAL, not double: ceil(0.07 * 100) is 8 in IEEE
+        # doubles (0.07*100 = 7.000000000000001) — the decimal cast
+        # snaps p back to its literal digits so the documented
+        # ceil(p*n) rank is exact for every prob, not just the
+        # binary-friendly ones
         F.min(
-            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")), F.col("v"))
+            F.when(
+                F.col("cum")
+                >= F.ceil(
+                    F.lit(p).cast("decimal(20,12)") * F.col("tot")
+                ),
+                F.col("v"),
+            )
         ).alias(lab)
         for p, lab in zip(probs, labels)
     ]

@@ -157,9 +157,10 @@ def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
 # bm25_topk rescans the corpus per query batch; a production corpus is
 # APPENDED to continuously, and the retrieval/audit surface must stay
 # queryable without re-tokenizing 100 TB per probe. The maintained
-# index is four manifest-txn tables under one directory (the q83/q87
+# index is five manifest-txn tables under one directory (the q83/q87
 # incremental-ingestion discipline — landed state is read-only,
-# batches commit atomically, already-landed docs are skipped):
+# batches commit atomically ACROSS the tables via the commits marker,
+# already-landed docs are skipped):
 #
 #   postings/   (doc_id, term, tf)   append-only, term stats recorded
 #                                    per segment for scan pruning
@@ -174,6 +175,13 @@ def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
 #                                    write per append, the delta log
 #                                    is batch-vocabulary-sized
 #   statsdelta/ (n_docs_delta, n_tokens_delta)  1 row per batch
+#   commits/    (attempt)             the CROSS-TABLE commit log:
+#                                     every data row carries its
+#                                     append attempt id, the marker
+#                                     lands last, readers see only
+#                                     committed attempts — so the
+#                                     four per-table appends behave
+#                                     as one atomic batch commit
 #
 # Query-time cost is INDEX-shaped, not corpus-shaped: the query terms
 # are driver-known literals (audit probes — tiny by contract), so the
@@ -183,13 +191,43 @@ def _rank_candidates(cand: DataFrame, k: int) -> DataFrame:
 # Periodic compaction (bm25_index_compact) folds the delta logs; the
 # data-dir count of every table is auto-compacted by the txn layer.
 
-_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA = (
-    "postings", "doclen", "dfdelta", "statsdelta")
+_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA, _COMMITS = (
+    "postings", "doclen", "dfdelta", "statsdelta", "commits")
 
 
 def _index_tables(index_dir: str) -> dict[str, str]:
     return {n: f"{index_dir}/{n}"
-            for n in (_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA)}
+            for n in (_POSTINGS, _DOCLEN, _DFDELTA, _STATSDELTA,
+                      _COMMITS)}
+
+
+def _committed_attempts(spark, index_dir: str) -> list[str]:
+    """Attempt ids whose batches fully committed — the cross-table
+    atomicity point. Each per-table ``txn_append`` is atomic only for
+    its own table; a crash between the four data appends would
+    otherwise leave the index internally inconsistent (postings
+    without stats, or skip-marked docs whose df contribution is
+    lost). Every data row therefore carries its attempt id, the tiny
+    ``commits`` marker is appended LAST, and readers see only rows
+    whose attempt committed — a crashed attempt's rows are invisible
+    and its re-delivery re-appends under a fresh attempt id
+    (round-10 review finding). Driver-resident and bounded by the
+    number of appends."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        is_txn_table,
+        read_table,
+    )
+
+    t = _index_tables(index_dir)
+    if not is_txn_table(spark, t[_COMMITS]):
+        return []
+    return [r["attempt"]
+            for r in read_table(spark, t[_COMMITS]).collect()]
+
+
+def _committed_only(df: DataFrame, attempts: list[str]) -> DataFrame:
+    return df.filter(F.col("attempt").isin(attempts or ["-"])) \
+        .drop("attempt")
 
 
 def bm25_index_append(
@@ -208,6 +246,8 @@ def bm25_index_append(
     One tokenize pass per batch: tf, dl, the df delta, and the stats
     delta all derive from the batch's own (doc, term) aggregate —
     nothing corpus-sized is read or written."""
+    import uuid
+
     from formula1_data_pipeline_spark.sources.txn import (
         is_txn_table,
         read_table,
@@ -215,11 +255,17 @@ def bm25_index_append(
     )
 
     t = _index_tables(index_dir)
+    attempt = uuid.uuid4().hex[:16]
+    committed = _committed_attempts(spark, index_dir)
     new = batch.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text")) \
         .filter(F.col("doc_id").isNotNull())
     if is_txn_table(spark, t[_DOCLEN]):
-        landed = read_table(spark, t[_DOCLEN]).select("doc_id")
+        # landed = docs of COMMITTED attempts only: a crashed
+        # attempt's doclen rows must not suppress the re-delivery
+        landed = _committed_only(
+            read_table(spark, t[_DOCLEN]), committed
+        ).select("doc_id")
         new = new.join(landed, "doc_id", "left_anti")
     toks = new.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
@@ -241,10 +287,20 @@ def bm25_index_append(
         n_new = dl.count()
         if n_new == 0:
             return 0
-        txn_append(spark, tf, t[_POSTINGS], stats_cols=["term"])
-        txn_append(spark, dl, t[_DOCLEN])
-        txn_append(spark, dfd, t[_DFDELTA], stats_cols=["term"])
-        txn_append(spark, stats, t[_STATSDELTA])
+        tag = F.lit(attempt).alias("attempt")
+        txn_append(spark, tf.select("*", tag), t[_POSTINGS],
+                   stats_cols=["term"])
+        txn_append(spark, dl.select("*", tag), t[_DOCLEN])
+        txn_append(spark, dfd.select("*", tag), t[_DFDELTA],
+                   stats_cols=["term"])
+        txn_append(spark, stats.select("*", tag), t[_STATSDELTA])
+        # the commit point: the four appends above are invisible to
+        # every reader until this 1-row marker lands (itself a
+        # single-table atomic append) — a crash anywhere earlier
+        # leaves only orphan rows that readers filter out and the
+        # re-delivered batch re-indexes under a new attempt
+        marker = spark.createDataFrame([(attempt,)], "attempt string")
+        txn_append(spark, marker, t[_COMMITS])
         return n_new
     finally:
         tf.unpersist()
@@ -256,21 +312,47 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     (readers always sum the deltas); compaction only bounds the log
     length between appends — run it on the maintenance cadence, not
     the ingest path."""
+    import uuid
+
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
+        txn_append,
         txn_overwrite,
     )
 
     t = _index_tables(index_dir)
-    dfd = read_table(spark, t[_DFDELTA]).groupBy("term").agg(
+    committed = _committed_attempts(spark, index_dir)
+    # the compacted rows need a COMMITTED attempt of their own, and
+    # its marker must land FIRST: if the marker lands and the rewrite
+    # crashes, the marker just references an attempt with no rows
+    # (harmless); the reverse order would atomically swap a table to
+    # rows no reader can see — data loss. Each overwrite below is
+    # per-table atomic, and old-committed vs compacted rows are
+    # value-equivalent at every intermediate point (readers only ever
+    # SUM the deltas), so any crash leaves a correct index. Orphan
+    # rows of crashed appends are dropped by the rewrite (they fail
+    # the committed filter).
+    attempt = uuid.uuid4().hex[:16]
+    txn_append(
+        spark,
+        spark.createDataFrame([(attempt,)], "attempt string"),
+        t[_COMMITS],
+    )
+    tag = F.lit(attempt).alias("attempt")
+    dfd = _committed_only(
+        read_table(spark, t[_DFDELTA]), committed
+    ).groupBy("term").agg(
         F.sum("df_delta").cast("long").alias("df_delta"))
-    txn_overwrite(spark, dfd, t[_DFDELTA], stats_cols=["term"],
-                  auto_vacuum=True)
-    stats = read_table(spark, t[_STATSDELTA]).agg(
+    txn_overwrite(spark, dfd.select("*", tag), t[_DFDELTA],
+                  stats_cols=["term"], auto_vacuum=True)
+    stats = _committed_only(
+        read_table(spark, t[_STATSDELTA]), committed
+    ).agg(
         F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
         F.sum("n_tokens_delta").cast("long").alias("n_tokens_delta"),
     )
-    txn_overwrite(spark, stats, t[_STATSDELTA], auto_vacuum=True)
+    txn_overwrite(spark, stats.select("*", tag), t[_STATSDELTA],
+                  auto_vacuum=True)
 
 
 def bm25_index_topk(
@@ -310,13 +392,22 @@ def bm25_index_topk(
     hit = F.col("term").isin(qterms_local)
     prune = {"term": (min(qterms_local), max(qterms_local))}
 
-    tf = read_table(spark, t[_POSTINGS], prune=prune).filter(hit)
+    committed = _committed_attempts(spark, index_dir)
+    tf = _committed_only(
+        read_table(spark, t[_POSTINGS], prune=prune).filter(hit),
+        committed,
+    )
     dfreq = (
-        read_table(spark, t[_DFDELTA], prune=prune).filter(hit)
+        _committed_only(
+            read_table(spark, t[_DFDELTA], prune=prune).filter(hit),
+            committed,
+        )
         .groupBy("term").agg(F.sum("df_delta").cast("long").alias("df"))
     )
-    dl = read_table(spark, t[_DOCLEN])
-    stats = read_table(spark, t[_STATSDELTA]).agg(
+    dl = _committed_only(read_table(spark, t[_DOCLEN]), committed)
+    stats = _committed_only(
+        read_table(spark, t[_STATSDELTA]), committed
+    ).agg(
         F.sum("n_docs_delta").cast("long").alias("n_docs"),
         F.sum("n_tokens_delta").cast("long").alias("n_tokens"),
     )

@@ -50,11 +50,54 @@ from formula1_data_pipeline_spark.operators.similarity import (
     train_ivf_centroids,
 )
 
-_CENTROIDS, _LISTS = "centroids", "lists"
+_CENTROIDS, _LISTS, _META = "centroids", "lists", "meta"
 
 
 def _tables(index_dir: str) -> dict[str, str]:
-    return {n: f"{index_dir}/{n}" for n in (_CENTROIDS, _LISTS)}
+    return {n: f"{index_dir}/{n}" for n in (_CENTROIDS, _LISTS, _META)}
+
+
+def _quantizer_id(coefs: DataFrame) -> str:
+    """Content hash of a quantizer table — driver-side over the tiny
+    (n_centroids x dim) frame, float.hex so equal stored doubles hash
+    equal."""
+    import hashlib
+
+    rows = sorted(
+        (int(r["cluster"]), int(r["d"]),
+         float(r["coef"]).hex(), float(r["cnorm"]).hex())
+        for r in coefs.select("cluster", "d", "coef", "cnorm").collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest()[:16]
+
+
+def _check_consistent(spark, index_dir: str) -> None:
+    """Refuse to read an index whose centroids and lists come from
+    different builds. ``ivf_index_build`` lands centroids -> lists ->
+    meta (meta LAST, carrying the quantizer's content hash), so a
+    crash between any two commits leaves meta absent or stale and
+    every subsequent read fails LOUDLY here — instead of silently
+    probing lists partitioned under one quantizer with cluster ids
+    assigned under another (round-10 review finding)."""
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    t = _tables(index_dir)
+    try:
+        meta_id = read_table(spark, t[_META]).collect()[0]["quantizer_id"]
+    except Exception as e:  # noqa: BLE001 — any read failure = no marker
+        raise RuntimeError(
+            f"IVF index at {index_dir} has no readable build marker — "
+            "an interrupted ivf_index_build left a partial index; "
+            "re-run ivf_index_build"
+        ) from e
+    landed_id = _quantizer_id(_read_centroids(spark, index_dir))
+    if meta_id != landed_id:
+        raise RuntimeError(
+            f"IVF index at {index_dir} is inconsistent: centroids are "
+            f"from build {landed_id} but lists were committed under "
+            f"build {meta_id} — an interrupted rebuild; re-run "
+            "ivf_index_build"
+        )
 
 
 def _assign_rows(emb: DataFrame, coefs: DataFrame, n_assign: int,
@@ -105,6 +148,15 @@ def ivf_index_build(
                         n_assign, id_col, vec_col)
     txn_overwrite(spark, rows, t[_LISTS], key="cluster",
                   auto_vacuum=True)
+    # meta LAST: the build marker carries the landed quantizer's
+    # content hash, and readers (_check_consistent) refuse the index
+    # until it matches — so a crash between the three commits is a
+    # loud partial-build error, never a silent old-lists/new-quantizer
+    # mismatch
+    meta = spark.createDataFrame(
+        [(_quantizer_id(landed),)], "quantizer_id string"
+    )
+    txn_overwrite(spark, meta, t[_META], auto_vacuum=True)
 
 
 def _read_centroids(spark, index_dir: str) -> DataFrame:
@@ -135,6 +187,7 @@ def ivf_index_append(
     )
 
     t = _tables(index_dir)
+    _check_consistent(spark, index_dir)
     new = emb.filter(F.col(id_col).isNotNull())
     landed_ids = read_table(spark, t[_LISTS]).select(
         F.col("id").cast("long").alias(id_col)).distinct()
@@ -171,6 +224,7 @@ def ivf_index_topk(
     quantizer work, bytes read ~ n_probe/n_centroids of the lists."""
     from formula1_data_pipeline_spark.sources.txn import read_table
 
+    _check_consistent(spark, index_dir)
     coefs = _read_centroids(spark, index_dir)
     base_q = queries.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")

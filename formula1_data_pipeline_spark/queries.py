@@ -923,13 +923,14 @@ from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-10 diff, BEHAVIOR/physical-path changes only — the five
-    # CHANGED extensions of the CHANGELOG round-10 landing plan, all
-    # r8-gated and due this round anyway (zero extra budget rows);
-    # q100_curation_chain is never-gated and ranks first
-    # automatically. Budget math: 1 never-gated (q100) + the 49
-    # r8-gated re-gates (these five among them) = exactly the 50-row
-    # budget, nothing left 2+ rounds stale.
+    # round-10 diff, BEHAVIOR/physical-path changes only — the nine
+    # CHANGED extensions landed this round (the CHANGELOG landing
+    # plan's q39/q44/q34/q54/q79/q80/q99 plus the late-session
+    # q28/q78 riders), all r8-gated and due this round anyway (zero
+    # extra budget rows); q100_curation_chain is never-gated and
+    # ranks first automatically. Budget math: 1 never-gated (q100) +
+    # the 49 r8-gated re-gates (these nine among them) = exactly the
+    # 50-row budget, nothing left 2+ rounds stale.
     #
     # q39: TF-IDF leg unified with the new BM25 top-k leg into one
     #      long (kind, key, doc_id, score, rank) shape

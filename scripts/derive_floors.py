@@ -47,6 +47,7 @@ Without flags, prints the would-be floors and the per-run spread.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -76,6 +77,24 @@ def _arg_value(flag: str) -> str | None:
         if a.startswith(flag + "="):
             return a.split("=", 1)[1]
     return None
+
+
+def _run_id(r) -> str:
+    """Stable identity of a provenance run: md5 of its content at
+    ABSORB time, stored on the record. Dedup by this id, not by exact
+    JSON — --retire mutates absorbed runs' query maps, and a
+    content-equality check would then re-absorb the ORIGINAL record
+    from a stale bench_full.json, resurrecting the very samples
+    retirement dropped and double-counting the run (round-10 review
+    finding). Legacy runs absorbed before ids existed get one
+    backfilled from current content; a legacy run retired BEFORE the
+    backfill cannot be matched to its original — the residual hazard
+    is only stale pre-id bench_full.json files, noted in the absorb
+    output."""
+    rr = {k: v for k, v in r.items() if k != "run_id"}
+    return hashlib.md5(
+        json.dumps(rr, sort_keys=True).encode()
+    ).hexdigest()[:12]
 
 
 def _validate_absorb(prov, latest) -> None:
@@ -127,14 +146,23 @@ def main():
     if "--absorb" in sys.argv:
         latest = _load(os.path.join(ROOT, "bench_full.json"))
         _validate_absorb(prov, latest)
-        known = {json.dumps(r, sort_keys=True) for r in prov["runs"]}
-        new = [r for r in latest["runs"]
-               if json.dumps(r, sort_keys=True) not in known]
+        for r in prov["runs"]:  # backfill ids on legacy records
+            r.setdefault("run_id", _run_id(r))
+        known_ids = {r["run_id"] for r in prov["runs"]}
+        new = []
+        for r in latest["runs"]:
+            rid = _run_id(r)
+            if rid in known_ids:
+                continue
+            new.append({**r, "run_id": rid})
+            known_ids.add(rid)
         prov["runs"].extend(new)
         with open(PROV, "w") as f:
             json.dump(prov, f, indent=1, sort_keys=True)
         print(f"absorbed {len(new)} new run(s) into "
-              f"bench_floor_provenance.json ({len(prov['runs'])} total)")
+              f"bench_floor_provenance.json ({len(prov['runs'])} "
+              "total; dedup is by run_id, so a previously absorbed "
+              "run stays out even after --retire edited its samples)")
 
     runs = prov["runs"]
     names = sorted({n for r in runs for n in r["queries"]})

@@ -107,3 +107,21 @@ def test_word_table_is_bounded_and_broadcast(spark):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_duplicate_input_rows_keep_no_false_negatives(spark):
+    """A duplicated member row must still be flagged: the all-k-bits
+    test counts DISTINCT probe indexes, so input duplication (which
+    collapses into one group with 2k passing probe rows) cannot
+    produce a false negative (regression for the round-10 review
+    finding)."""
+    members = [(i * 2654435761) % (1 << 60) for i in range(50)]
+    mdf = spark.createDataFrame([(h,) for h in members], "h long")
+    words = bloom_build(mdf, n_bits=1 << 12)
+    dup = spark.createDataFrame(
+        [(h,) for h in members for _ in range(2)], "h long"
+    )
+    flagged = {
+        r.h for r in bloom_contains(dup, words, n_bits=1 << 12).collect()
+    }
+    assert flagged == set(members)

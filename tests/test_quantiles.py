@@ -66,3 +66,15 @@ def test_p100_is_group_max(spark):
     )
     r = grouped_quantiles(df, "v", ["g"], [1.0]).collect()[0]
     assert r.p100 == 9.0
+
+
+def test_float_hostile_prob_rank_is_exact(spark):
+    """ceil(0.07 * 100) must be 7, not 8: plain double math gives
+    7.000000000000001 and overshoots the documented type-1 rank; the
+    operator computes the rank in DECIMAL (regression for the
+    round-10 review finding)."""
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "g string, v double"
+    )
+    r = grouped_quantiles(df, "v", ["g"], [0.07]).collect()[0]
+    assert r.p7 == 7.0  # the 7th-ranked value, not the 8th

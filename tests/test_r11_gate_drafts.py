@@ -536,3 +536,100 @@ def test_bloom_contamination_oracle_parity(spark):
     }
     flagged = {d for d, n, f in got if f}
     assert exact < flagged, (len(exact), len(flagged))
+
+
+def test_ivf_index_partial_rebuild_fails_loudly(spark, tmp_path):
+    """A crash between ivf_index_build's three commits must make the
+    index REFUSE reads, not silently probe lists partitioned under a
+    different quantizer (round-10 review finding): simulate the
+    crash-after-centroids state by overwriting ONLY the centroid
+    table of a healthy index and assert both readers raise."""
+    import pytest
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        _tables,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from formula1_data_pipeline_spark.sources.txn import txn_overwrite
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivfidx_partial")
+    ivf_index_build(spark, emb, idx, n_centroids=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    # healthy index reads fine
+    assert ivf_index_topk(spark, idx, queries, k=3, n_probe=2).count() > 0
+
+    # interrupted rebuild: new quantizer landed, lists/meta not yet
+    other = train_ivf_centroids(emb.filter(F.col("vec_id") % 2 == 0),
+                                n_centroids=4, n_iter=1)
+    txn_overwrite(spark, other, _tables(idx)["centroids"],
+                  auto_vacuum=True)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        ivf_index_topk(spark, idx, queries, k=3, n_probe=2)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        ivf_index_append(spark, emb, idx)
+
+
+def test_bm25_index_crashed_append_is_invisible_and_retryable(
+        spark, tmp_path):
+    """Cross-table atomicity (round-10 review finding): simulate a
+    crash that landed postings+doclen but died before dfdelta/stats/
+    marker. The orphan rows must be invisible to queries AND must not
+    suppress the batch's re-delivery; after the retry the index
+    equals a clean build."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        _index_tables,
+        bm25_index_append,
+        bm25_index_topk,
+    )
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.sources.txn import txn_append
+
+    docs = spark.createDataFrame(
+        [(1, "scan the column"), (2, "join the window"),
+         (3, "merge sort scan"), (4, "hash join probe")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "scan join")], "query_id string, query_text string"
+    )
+    clean = str(tmp_path / "bm25_clean")
+    assert bm25_index_append(spark, docs, clean) == 4
+    want = sorted(tuple(r)
+                  for r in bm25_index_topk(spark, clean, queries).collect())
+
+    idx = str(tmp_path / "bm25_crash")
+    b1 = docs.filter(F.col("doc_id") <= 2)
+    b2 = docs.filter(F.col("doc_id") > 2)
+    assert bm25_index_append(spark, b1, idx) == 2
+    mid = sorted(tuple(r)
+                 for r in bm25_index_topk(spark, idx, queries).collect())
+
+    # crashed attempt: postings + doclen landed, NO marker
+    t = _index_tables(idx)
+    toks = b2.select("doc_id", F.explode(tokens(F.col("text")))
+                     .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    tag = F.lit("deadbeefdeadbeef").alias("attempt")
+    txn_append(spark, tf.select("*", tag), t["postings"],
+               stats_cols=["term"])
+    txn_append(spark, dl.select("*", tag), t["doclen"])
+
+    # 1) orphans invisible: results unchanged from the pre-crash state
+    after_crash = sorted(
+        tuple(r) for r in bm25_index_topk(spark, idx, queries).collect())
+    assert after_crash == mid
+
+    # 2) re-delivery is NOT suppressed by the orphan doclen rows
+    assert bm25_index_append(spark, b2, idx) == 2
+
+    # 3) the recovered index answers exactly like the clean one
+    got = sorted(tuple(r)
+                 for r in bm25_index_topk(spark, idx, queries).collect())
+    assert got == want
