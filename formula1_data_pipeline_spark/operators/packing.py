@@ -167,3 +167,160 @@ def chunk_token_stream(
             (g % seq_len).cast("long").alias("seq_pos"),
         )
     )
+
+
+def pack_examples_nostraddle(
+    examples: DataFrame,
+    n_tokens: Column,
+    budget: int = 512,
+    id_col: str = "example_id",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Greedy NO-STRADDLE packing: walk examples in ``id_col`` order,
+    append each to the current bin, open a new bin when it would not
+    fit. Returns (id_col, n_tokens, bin_id, pack_pos) with every
+    example FULLY inside one bin — the SFT-packing contract
+    (``pack_sequences`` lets documents span window boundaries, which
+    is the pretraining-stream layout, not the instruction-tuning
+    one). Examples longer than ``budget`` fail loudly — truncate or
+    chunk upstream.
+
+    Greedy fill is a sequential fold (current fill resets at bin
+    breaks), not a prefix sum, so the scale shape differs from
+    ``pack_sequences``: (1) bucket by id range, (2) fold each
+    bucket's sorted examples with ONE array ``F.aggregate`` (bounded
+    at bucket_size elements; interpreted HOF, but linear and
+    parallel across buckets — the price of exact greedy semantics),
+    (3) bins do NOT cross bucket boundaries, so each bucket's
+    bins_used is independent and the global bin id is the two-level
+    prefix sum over the tiny bucket table. The bucket-aligned bin
+    break wastes at most one partial bin per bucket_size examples —
+    at real corpus scale a vanishing fraction, and the determinism
+    it buys is what makes the layout reproducible and oracle-
+    replayable.
+    """
+    _require_numeric_id(examples, id_col, "pack_examples_nostraddle")
+    n_guard = F.when(
+        n_tokens.cast("long") <= budget, n_tokens.cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pack_examples_nostraddle: example "),
+                F.col(id_col).cast("string"),
+                F.lit(f" exceeds the bin budget {budget}; truncate or "
+                      "chunk upstream"),
+            )
+        ).cast("long")
+    )
+    d = examples.select(
+        F.col(id_col).alias("_id"),
+        n_guard.alias("_n"),
+        F.floor(F.col(id_col) / bucket_size).alias("_bkt"),
+    )
+    per_bucket = d.groupBy("_bkt").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id"), F.col("_n")))
+        ).alias("_ex")
+    )
+    # one sequential fold per bucket: acc = (rows, bin, fill)
+    folded = per_bucket.select(
+        "_bkt",
+        F.aggregate(
+            F.col("_ex"),
+            F.struct(
+                F.array().cast(
+                    "array<struct<_id:long,_n:long,_bin:long,_pos:long>>"
+                ).alias("rows"),
+                F.lit(0).cast("long").alias("bin"),
+                F.lit(0).cast("long").alias("fill"),
+            ),
+            lambda acc, e: F.struct(
+                F.concat(
+                    acc["rows"],
+                    F.array(F.struct(
+                        e["_id"].cast("long").alias("_id"),
+                        e["_n"].alias("_n"),
+                        F.when(acc["fill"] + e["_n"] > budget,
+                               acc["bin"] + 1)
+                        .otherwise(acc["bin"]).alias("_bin"),
+                        F.when(acc["fill"] + e["_n"] > budget,
+                               F.lit(0).cast("long"))
+                        .otherwise(acc["fill"]).alias("_pos"),
+                    )),
+                ).alias("rows"),
+                F.when(acc["fill"] + e["_n"] > budget, acc["bin"] + 1)
+                .otherwise(acc["bin"]).alias("bin"),
+                F.when(acc["fill"] + e["_n"] > budget, e["_n"])
+                .otherwise(acc["fill"] + e["_n"]).alias("fill"),
+            ),
+        ).alias("_acc"),
+    ).select(
+        "_bkt",
+        F.col("_acc.rows").alias("_rows"),
+        (F.col("_acc.bin") + 1).alias("_bins_used"),
+    )
+    # two-level prefix: global bin offset per bucket (tiny table)
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = folded.select(
+        "_bkt", "_rows",
+        F.coalesce(F.sum("_bins_used").over(w_off), F.lit(0))
+        .alias("_bin_off"),
+    )
+    return offsets.select(
+        "_bin_off", F.explode("_rows").alias("r")
+    ).select(
+        F.col("r._id").alias(id_col),
+        F.col("r._n").alias("n_tokens"),
+        (F.col("_bin_off") + F.col("r._bin")).alias("bin_id"),
+        F.col("r._pos").alias("pack_pos"),
+    )
+
+
+def sft_pack_with_loss_mask(
+    examples: DataFrame,
+    prompt_tokens: Column,
+    completion_tokens: Column,
+    budget: int = 512,
+    id_col: str = "example_id",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Instruction-tuning layout over ``pack_examples_nostraddle``:
+    each (prompt, completion) example packs whole into a bin, and the
+    output carries what the trainer's collator needs per example —
+    (id_col, bin_id, pack_pos, n_tokens, loss_start, loss_end,
+    attn_seg): loss is masked over the prompt span (loss covers
+    [pack_pos + prompt, pack_pos + prompt + completion) within the
+    bin), and ``attn_seg`` is the example's index within its bin (the
+    block-diagonal attention segment id — packed neighbors must not
+    attend to each other). All integer arithmetic on the packer's
+    exact offsets — hash-gateable."""
+    total = (prompt_tokens.cast("long")
+             + completion_tokens.cast("long"))
+    base = examples.select(
+        F.col(id_col),
+        prompt_tokens.cast("long").alias("_p"),
+        total.alias("_t"),
+    )
+    packed = pack_examples_nostraddle(
+        base, F.col("_t"), budget=budget, id_col=id_col,
+        bucket_size=bucket_size,
+    )
+    w_seg = Window.partitionBy("bin_id").orderBy("pack_pos")
+    return (
+        packed.join(base.select(id_col, "_p"), id_col)
+        .select(
+            id_col,
+            "bin_id",
+            "pack_pos",
+            "n_tokens",
+            (F.col("pack_pos") + F.col("_p")).alias("loss_start"),
+            (F.col("pack_pos") + F.col("n_tokens")).alias("loss_end"),
+        )
+        .withColumn(
+            "attn_seg",
+            (F.row_number().over(w_seg) - 1).cast("long"),
+        )
+    )

@@ -633,3 +633,89 @@ def test_bm25_index_crashed_append_is_invisible_and_retryable(
     got = sorted(tuple(r)
                  for r in bm25_index_topk(spark, idx, queries).collect())
     assert got == want
+
+
+# --------------------------------------------------------------------
+# No-straddle greedy packing + SFT loss-mask layout
+# (operators/packing.py, round 10 late). LANDING ROUTE: rides
+# q64_sequence_packing's round-11 re-gate (q64 is r9-gated, due r11)
+# as a kind-discriminated extension beside the straddle-allowed
+# pack_sequences rows; the oracle replays the bucket-aligned greedy
+# fold with a recursive CTE.
+
+_NOSTRADDLE_ORACLE = r"""
+WITH RECURSIVE ex AS (
+    SELECT doc_id AS example_id,
+           len(list_filter(regexp_split_to_array(trim(lower(text)),
+               '\s+'), x -> x <> '')) AS n,
+           doc_id // {S} AS bkt
+    FROM documents
+    WHERE len(list_filter(regexp_split_to_array(trim(lower(text)),
+              '\s+'), x -> x <> '')) <= {B}
+), ex_i AS (
+    SELECT bkt, example_id, n,
+           row_number() OVER (PARTITION BY bkt ORDER BY example_id)
+           AS i
+    FROM ex
+), fold AS (
+    SELECT bkt, 0::BIGINT AS i, 0::BIGINT AS bin, 0::BIGINT AS fill,
+           NULL::BIGINT AS example_id, NULL::BIGINT AS pos,
+           NULL::BIGINT AS n
+    FROM (SELECT DISTINCT bkt FROM ex_i)
+    UNION ALL
+    SELECT f.bkt, f.i + 1,
+           CASE WHEN f.fill + e.n > {B} THEN f.bin + 1 ELSE f.bin END,
+           CASE WHEN f.fill + e.n > {B} THEN e.n
+                ELSE f.fill + e.n END,
+           e.example_id,
+           CASE WHEN f.fill + e.n > {B} THEN 0 ELSE f.fill END,
+           e.n
+    FROM fold f JOIN ex_i e ON e.bkt = f.bkt AND e.i = f.i + 1
+), rows_out AS (
+    SELECT * FROM fold WHERE example_id IS NOT NULL
+), used AS (
+    SELECT bkt, max(bin) + 1 AS bins_used FROM rows_out GROUP BY 1
+), off AS (
+    SELECT bkt, COALESCE(SUM(bins_used) OVER (
+        ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS bin_off
+    FROM used
+)
+SELECT r.example_id, r.n AS n_tokens,
+       o.bin_off + r.bin AS bin_id, r.pos AS pack_pos
+FROM rows_out r JOIN off o USING (bkt)
+"""
+
+
+def test_nostraddle_packing_oracle_parity(spark):
+    """pack_examples_nostraddle == the recursive-CTE DuckDB twin over
+    real documents (token counts as example sizes; over-budget docs
+    excluded on both sides since the operator's contract is to fail
+    on them)."""
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.packing import (
+        pack_examples_nostraddle,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    B, S = 512, 100
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    ex = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.size(tokens(F.col("text"))).alias("n"),
+    ).filter(F.col("n") <= B)
+    got = {
+        tuple(r)
+        for r in pack_examples_nostraddle(
+            ex, F.col("n"), budget=B, id_col="example_id",
+            bucket_size=S,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sql = _NOSTRADDLE_ORACLE.replace("{B}", str(B)).replace("{S}", str(S))
+    exp = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == exp and len(got) > 100
