@@ -719,3 +719,132 @@ def test_nostraddle_packing_oracle_parity(spark):
     sql = _NOSTRADDLE_ORACLE.replace("{B}", str(B)).replace("{S}", str(S))
     exp = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == exp and len(got) > 100
+
+
+# --------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py, round 10 late) — the
+# second major subword algorithm beside BPE. LANDING ROUTE: rides
+# q98_bpe_tokenize's round-12 re-gate (q98 owns the trained-tokenizer
+# surface; r10-gated, due r12) as kind='unigram'. Gate split per the
+# q92 rule: the Viterbi LATTICE gates exactly under RANK-VALUED
+# scores (logp := -rank(piece) — integer-valued doubles, adds-only,
+# derivable entirely in SQL with no libm anywhere), while the
+# EM-trained float probabilities gate with bounds
+# (tests/test_unigram.py). The oracle below derives the seed vocab,
+# rank scores, candidate spans, and the full DP table in DuckDB and
+# must match Spark's viterbi_scores per (word, position).
+
+_UNIGRAM_ORACLE = r"""
+WITH RECURSIVE words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq, length(w) AS len
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(
+                   trim(lower(text)), '\s+'), x -> x <> '')) AS w
+        FROM documents
+    )
+    WHERE length(w) <= 32
+    GROUP BY w
+), subs AS (
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (
+        SELECT freq, unnest(flatten(
+            list_transform(range(0, len), i ->
+                list_transform(range(i + 1, least(i + {P}, len) + 1),
+                               j -> substring(w, i + 1, j - i)))
+        )) AS piece
+        FROM words
+    )
+    GROUP BY piece
+), chars AS (
+    SELECT piece, cnt FROM subs WHERE length(piece) = 1
+), multi AS (
+    SELECT piece, cnt FROM subs WHERE length(piece) > 1
+    ORDER BY cnt DESC, piece
+    LIMIT {V} - (SELECT count(*) FROM chars)
+), vocab AS (
+    SELECT piece,
+           -CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                 AS DOUBLE) AS logp
+    FROM (SELECT * FROM chars UNION ALL SELECT * FROM multi)
+), spans_all AS (
+    SELECT w, i, j, substring(w, i + 1, j - i) AS piece
+    FROM (
+        SELECT w, len, i,
+               unnest(range(i + 1, least(i + {P}, len) + 1)) AS j
+        FROM (SELECT w, len, unnest(range(0, len)) AS i FROM words)
+    )
+), spans AS (
+    SELECT s.w, s.i, s.j, v.logp
+    FROM spans_all s JOIN vocab v USING (piece)
+    UNION ALL
+    SELECT s.w, s.i, s.j, {UNK}::DOUBLE AS logp
+    FROM spans_all s ANTI JOIN vocab v USING (piece)
+    WHERE s.j = s.i + 1
+), dp AS (
+    SELECT w, len, 0 AS j, [CAST(0 AS DOUBLE)] AS best FROM words
+    UNION ALL
+    SELECT d.w, d.len, d.j + 1,
+           list_append(d.best,
+               COALESCE(MAX(d.best[sp.i + 1] + sp.logp), -1e300))
+    FROM dp d LEFT JOIN spans sp
+         ON sp.w = d.w AND sp.j = d.j + 1
+    WHERE d.j < d.len
+    GROUP BY d.w, d.len, d.j, d.best
+), final AS (
+    SELECT w, len, best FROM dp WHERE j = len
+)
+SELECT w, CAST(j AS INT) AS j, best[j + 1] AS best
+FROM (SELECT w, len, best, unnest(range(1, len + 1)) AS j FROM final)
+"""
+
+
+def test_unigram_viterbi_lattice_oracle_parity(spark):
+    """Spark viterbi_scores under the rank-valued seed vocab == the
+    DuckDB recursive-CTE DP, per (word, position), over real corpus
+    words — integer-valued scores, adds-only, exact equality."""
+    from formula1_data_pipeline_spark.operators import unigram as U
+    from formula1_data_pipeline_spark.queries import load
+
+    # V below the corpus's distinct-piece count (262 at sf0.001) so
+    # the top-multi LIMIT and the (cnt desc, piece) rank ties BIND
+    P, V = U.MAX_PIECE_LEN, 120
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    # word derivation matches the oracle's words CTE exactly:
+    # lower/trim/whitespace-split, nonempty, len <= MAX_WORD_LEN
+    # (NOT bpe.word_freqs — its GPT-2 pre-tokenizer keeps case and
+    # leading spaces, which no plain-SQL oracle can reproduce; the
+    # q98 rider embeds this same split in its oracle)
+    words = (
+        docs.select(F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= U.MAX_WORD_LEN))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    seed = U.seed_pieces(words, V, max_piece_len=P)
+    # rank-valued scores: logp := -rank by (count desc, piece) — the
+    # adds-only mechanics gate; trained floats stay bounds-gated
+    from pyspark.sql import Window
+    rank_w = Window.orderBy(F.col("count").desc(), F.col("piece"))
+    vocab = seed.select(
+        "piece",
+        (-F.row_number().over(rank_w)).cast("double").alias("logp"),
+    )
+    got = {
+        (r.w, r.j): r.best
+        for r in U.viterbi_scores(words, vocab,
+                                  max_piece_len=P).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    sql = (_UNIGRAM_ORACLE
+           .replace("{P}", str(P))
+           .replace("{V}", str(V))
+           .replace("{UNK}", str(U.UNK_LOGP)))
+    exp = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    # every (word, position) cell of the DP table, exact equality
+    # (~138 cells: the sf0.001 synthetic corpus has 31 distinct words)
+    assert len(got) > 100
+    assert got == exp
