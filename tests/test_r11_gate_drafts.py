@@ -848,3 +848,98 @@ def test_unigram_viterbi_lattice_oracle_parity(spark):
     # (~138 cells: the sf0.001 synthetic corpus has 31 distinct words)
     assert len(got) > 100
     assert got == exp
+
+
+# --------------------------------------------------------------------
+# Count-Min sketch heavy-hitter n-grams (operators/sketch.py, round 10
+# late) — the bounded-memory frequency tier beside the Bloom
+# membership tier. LANDING ROUTE: rides q65_repetition_filter's r11
+# re-gate (q65 owns the corpus n-gram surface; r9-gated, due r11) as
+# corpus-level kind='heavy' rows beside the per-doc repetition rows.
+# Everything is integer math on md5_hash60 under salts cms0..cms3, so
+# the oracle replays the counter table — collisions and overestimates
+# included — and the gate is a full value hash (the bloom rule).
+# w_bits=8 / T=40 are gate-sized: at sf0.001 the output has 58
+# exactly-heavy rows and ~750 collision-inflated near-misses, so both
+# verdict paths sit under the hash.
+
+_CMS_SALTS = ["cms0", "cms1", "cms2", "cms3"]
+
+_CMS_ORACLE = r"""
+WITH t AS (
+    SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                       '\s+'), x -> x <> '') AS toks
+    FROM documents
+), g AS (
+    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+        list_transform(range(0, len(toks) - 1),
+                       i -> toks[i + 1] || ' ' || toks[i + 2])
+        ELSE [] END) AS gram
+    FROM t
+), h AS (
+    SELECT gram,
+           CAST(('0x' || substr(md5(gram || '|' || 'cms0'), 1, 15))
+                AS BIGINT) % {W} AS b0,
+           CAST(('0x' || substr(md5(gram || '|' || 'cms1'), 1, 15))
+                AS BIGINT) % {W} AS b1,
+           CAST(('0x' || substr(md5(gram || '|' || 'cms2'), 1, 15))
+                AS BIGINT) % {W} AS b2,
+           CAST(('0x' || substr(md5(gram || '|' || 'cms3'), 1, 15))
+                AS BIGINT) % {W} AS b3
+    FROM g
+), c0 AS (SELECT b0 AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY b0),
+   c1 AS (SELECT b1 AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY b1),
+   c2 AS (SELECT b2 AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY b2),
+   c3 AS (SELECT b3 AS k, CAST(count(*) AS BIGINT) AS cnt
+          FROM h GROUP BY b3),
+   dg AS (
+    SELECT gram, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY gram, b0, b1, b2, b3
+)
+SELECT dg.gram,
+       dg.n AS n_occurrences,
+       least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count,
+       dg.n >= {T} AS is_heavy
+FROM dg
+JOIN c0 ON dg.b0 = c0.k JOIN c1 ON dg.b1 = c1.k
+JOIN c2 ON dg.b2 = c2.k JOIN c3 ON dg.b3 = c3.k
+WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= {T}
+"""
+
+
+def _cms_parity(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators import sketch as S
+
+    W_BITS, T = 8, 40
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["gram"]: (r["n_occurrences"], r["est_count"], r["is_heavy"])
+        for r in S.corpus_heavy_ngrams(
+            docs, n=2, threshold=T, w_bits=W_BITS).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = (_CMS_ORACLE
+           .replace("{W}", str(1 << W_BITS))
+           .replace("{T}", str(T)))
+    exp = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(sql).fetchall()}
+    assert got == exp
+    # both verdict paths under the hash: exact heavies AND
+    # collision-born near-misses
+    assert sum(1 for (_, _, hv) in got.values() if hv) > 10
+    assert sum(1 for (_, _, hv) in got.values() if not hv) > 10
+
+
+def test_cms_heavy_ngrams_oracle_parity(spark):
+    _cms_parity(spark, SF_DIR)
+
+
+def test_cms_heavy_ngrams_oracle_parity_sf001(spark):
+    _cms_parity(spark, "/root/testdata/sf0.01")
