@@ -80,7 +80,8 @@ def _require_short_words(words: DataFrame, w_col: str = "w") -> DataFrame:
 
 def candidate_spans(words: DataFrame, pieces: DataFrame,
                     w_col: str = "w",
-                    max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+                    max_piece_len: int = MAX_PIECE_LEN,
+                    unk_logp: float = UNK_LOGP) -> DataFrame:
     """(w, i, j, logp) per vocabulary piece occurring in each distinct
     word: explode all (start, end) spans up to ``max_piece_len``,
     ONE broadcast join against the piece table (piece, logp). The
@@ -111,7 +112,7 @@ def candidate_spans(words: DataFrame, pieces: DataFrame,
     singles = spans.filter(F.col("j") == F.col("i") + 1).join(
         F.broadcast(pieces), "piece", "left_anti"
     ).select(
-        w_col, "i", "j", F.lit(UNK_LOGP).alias("logp")
+        w_col, "i", "j", F.lit(unk_logp).alias("logp")
     )
     return matched.unionByName(singles)
 
@@ -197,7 +198,8 @@ def _viterbi_dp():
 
 def viterbi_tokenize(words: DataFrame, pieces: DataFrame,
                      w_col: str = "w",
-                     max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+                     max_piece_len: int = MAX_PIECE_LEN,
+                     unk_logp: float = UNK_LOGP) -> DataFrame:
     """(w, pieces array<string>, score) — the max-probability
     segmentation of each distinct word under (piece, logp). Adds-only
     float math in pinned order: cross-engine deterministic given
@@ -211,7 +213,8 @@ def viterbi_tokenize(words: DataFrame, pieces: DataFrame,
     """
     words = _require_short_words(words.select(w_col).distinct(), w_col)
     lat = _lattice(
-        words, candidate_spans(words, pieces, w_col, max_piece_len),
+        words,
+        candidate_spans(words, pieces, w_col, max_piece_len, unk_logp),
         w_col,
     )
     # spans sorted by (i, j), the fold keeps strictly-greater only,
@@ -256,6 +259,80 @@ def viterbi_tokenize(words: DataFrame, pieces: DataFrame,
             "c.j - c.i))"
         ).alias("pieces"),
         "score",
+    )
+
+
+# Uniform eval weighting: every vocab piece costs -1, an UNK char
+# costs -1024. Any maximum-score segmentation then has the SAME
+# (n_pieces, n_unk), because -score = n_pieces + 1023 * n_unk has a
+# unique decomposition while n_pieces <= MAX_WORD_LEN < 1023 — so the
+# per-word stats are deterministic even where Viterbi ties exist,
+# and the whole eval surface value-hash-gates with no trained floats
+# anywhere (the q92 rule satisfied by construction).
+_EVAL_PIECE_COST = -1.0
+_EVAL_UNK_COST = -1024.0
+
+
+def segmentation_stats(words: DataFrame, pieces: DataFrame,
+                       w_col: str = "w",
+                       max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+    """(w, n_chars, n_pieces, n_unk) per distinct word under the
+    MINIMUM-TOKEN segmentation of the vocabulary — the
+    probability-free vocabulary-quality surface (how compactly CAN
+    this piece inventory spell the corpus), comparable across
+    tokenizers (BPE vs unigram vocabs) because it needs no trained
+    probabilities. Uniform weighting makes Viterbi compute exactly
+    the min-piece segmentation; n_unk decodes from the score's
+    unique (pieces, unks) decomposition rather than a membership
+    join, so the whole frame is one projection past the DP."""
+    uniform = pieces.select(
+        "piece", F.lit(_EVAL_PIECE_COST).alias("logp"))
+    seg = viterbi_tokenize(words, uniform, w_col, max_piece_len,
+                           unk_logp=_EVAL_UNK_COST)
+    n_pieces = F.size("pieces")
+    # -score = n_pieces + 1023*n_unk (exact integer-valued doubles)
+    n_unk = ((-F.col("score") - n_pieces) / 1023).cast("long")
+    return seg.select(
+        w_col,
+        F.length(w_col).cast("long").alias("n_chars"),
+        n_pieces.cast("long").alias("n_pieces"),
+        n_unk.alias("n_unk"),
+    )
+
+
+def tokenizer_eval(words: DataFrame, pieces: DataFrame,
+                   w_col: str = "w", freq_col: str = "freq",
+                   max_piece_len: int = MAX_PIECE_LEN) -> DataFrame:
+    """One-row corpus-level tokenizer scorecard under the min-token
+    segmentation: fertility (tokens/word), chars_per_token
+    (compression), unk_rate, coverage (fraction of word occurrences
+    spelled with zero UNKs) — all frequency-weighted over the
+    distinct-word table (corpus never rescanned). Counts are exact
+    integers; the four ratios are round(int/int, 6) doubles (the
+    q65 dup_fraction discipline)."""
+    st = segmentation_stats(words, pieces, w_col, max_piece_len)
+    j = words.select(w_col, freq_col).join(st, w_col)
+    agg = j.agg(
+        F.sum(freq_col).cast("long").alias("n_words"),
+        F.sum(F.col(freq_col) * F.col("n_pieces")).cast("long")
+        .alias("n_tokens"),
+        F.sum(F.col(freq_col) * F.col("n_chars")).cast("long")
+        .alias("n_chars"),
+        F.sum(F.col(freq_col) * F.col("n_unk")).cast("long")
+        .alias("n_unk"),
+        F.sum(F.when(F.col("n_unk") == 0, F.col(freq_col))
+              .otherwise(F.lit(0))).cast("long").alias("n_covered"),
+    )
+    return agg.select(
+        "n_words", "n_tokens", "n_chars", "n_unk", "n_covered",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 6)
+        .alias("fertility"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6)
+        .alias("chars_per_token"),
+        F.round(F.col("n_unk").cast("double") / F.col("n_tokens"), 6)
+        .alias("unk_rate"),
+        F.round(F.col("n_covered").cast("double") / F.col("n_words"), 6)
+        .alias("coverage"),
     )
 
 

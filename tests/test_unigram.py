@@ -143,3 +143,57 @@ def test_estep_expected_counts_match_reference(spark):
     assert got["a"] == pytest.approx(2.0, rel=1e-9)
     assert got["aa"] == pytest.approx(1.0, rel=1e-9)
     assert ll == pytest.approx(2 * math.log(0.5), rel=1e-9)
+
+
+def test_segmentation_stats_min_token_and_unk_decode(spark):
+    pieces = spark.createDataFrame(
+        [("ab", 0), ("abc", 0), ("c", 0), ("a", 0), ("b", 0)],
+        "piece string, count long",
+    ).select("piece")
+    words = spark.createDataFrame(
+        [("abcab",), ("abxc",), ("xy",)], "w string"
+    )
+    got = {r.w: (r.n_chars, r.n_pieces, r.n_unk)
+           for r in U.segmentation_stats(words, pieces).collect()}
+    # abcab: min tokens = abc + ab = 2, no unk
+    assert got["abcab"] == (5, 2, 0)
+    # abxc: ab + UNK(x) + c = 3 pieces, 1 unk
+    assert got["abxc"] == (4, 3, 1)
+    # xy: two unks
+    assert got["xy"] == (2, 2, 2)
+
+
+def test_tokenizer_eval_exact_ratios(spark):
+    pieces = spark.createDataFrame(
+        [("ab",), ("a",), ("b",)], "piece string")
+    words = spark.createDataFrame(
+        [("abab", 3), ("ax", 1)], "w string, freq long"
+    )
+    [r] = U.tokenizer_eval(words, pieces).collect()
+    # abab -> ab+ab (2 pieces, 0 unk) x3; ax -> a+UNK (2 pieces,
+    # 1 unk) x1
+    assert r.n_words == 4
+    assert r.n_tokens == 3 * 2 + 1 * 2 == 8
+    assert r.n_chars == 3 * 4 + 1 * 2 == 14
+    assert r.n_unk == 1
+    assert r.n_covered == 3
+    assert r.fertility == round(8 / 4, 6)
+    assert r.chars_per_token == round(14 / 8, 6)
+    assert r.unk_rate == round(1 / 8, 6)
+    assert r.coverage == round(3 / 4, 6)
+
+
+def test_eval_ranks_trained_vocab_at_least_seed_chars(spark):
+    """Vocabulary-quality sanity: a substring seed vocab must spell
+    the corpus in no more tokens than the bare character vocab."""
+    words = spark.createDataFrame(
+        [("hello", 10), ("help", 5), ("lowly", 2), ("yellow", 4)],
+        "w string, freq long",
+    )
+    seed = U.seed_pieces(words, 30).select("piece")
+    chars_only = seed.filter(F.length("piece") == 1)
+    [rich] = U.tokenizer_eval(words, seed).collect()
+    [bare] = U.tokenizer_eval(words, chars_only).collect()
+    assert rich.n_tokens < bare.n_tokens
+    assert rich.fertility < bare.fertility
+    assert rich.n_unk == bare.n_unk == 0  # chars cover everything
