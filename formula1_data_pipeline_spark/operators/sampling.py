@@ -238,6 +238,111 @@ def importance_weights(docs, is_target: Column, text_col: str = "text",
     )
 
 
+def systematic_sample(df, weight: Column, n_select: int,
+                      id_col: str = "doc_id",
+                      salt: str = "syssample-v1",
+                      bucket_bits: int = 10,
+                      weight_scale: int = 6):
+    """Exact fixed-size weighted sampling (Madow 1949 systematic /
+    probability-proportional-to-size): lay the rows on a cumulative-
+    weight line in a deterministic md5-shuffled order, drop
+    ``n_select`` grid points at stride ``W / n_select``, and hit the
+    row whose weight interval contains each point. Fills the missing
+    cell of the sampling matrix — ``resample_by_weight`` is weighted
+    but Bernoulli (random size), ``stratified_topn`` is exact-size
+    but uniform; this is exact-size AND weighted: inclusion
+    probability ``n * w / W`` for every row with ``w < W/n``, and
+    exactly ``n_select`` hits in total (a row wider than the stride
+    absorbs several — its multiplicity comes back in ``n_hits``, so
+    the operator doubles as a fixed-total with-replacement resampler
+    for epoch weighting: repeat each doc ``n_hits`` times).
+
+    Determinism end-to-end, no RNG and no libm: the order is the
+    60-bit keyed hash (ties broken by id), weights are scaled to
+    integers at ``weight_scale`` decimals (round-half-up — identical
+    on doubles in both engines), cumulative sums are exact BIGINT
+    via the two-level prefix sum (range buckets on the hash's top
+    ``bucket_bits`` bits -> tiny-table offset window -> partitioned
+    within-bucket window — no global single-task sort, the
+    pack_sequences shape), and the grid test is pure integer
+    comparison: row selected iff
+    ``(cum_after * n) DIV W  >  (cum_before * n) DIV W``
+    (counts grid points ``m*W/n <= x`` without ever forming the
+    ratio — both engines' integral division is exact, so no
+    float-boundary flakes). Membership is a pure function of
+    (ids, weights, salt): reproducible across runs, engines, and
+    partitionings.
+
+    Returns ``df`` plus ``n_hits`` (grid points in the row's
+    interval) and ``sampled = n_hits > 0`` — callers filter, the
+    q38 pattern. NULL weights count as 0 on both sides of the math
+    (the resample_by_weight discipline); negative weights raise
+    loudly (a negative interval would corrupt every later cum).
+    """
+    from pyspark.sql import Window
+
+    if n_select <= 0:
+        raise ValueError(f"n_select must be positive: {n_select}")
+    scale = 10 ** weight_scale
+    w_raw = weight.cast("double")
+    w_guard = F.when(
+        w_raw < 0,
+        F.raise_error(F.concat(
+            F.lit("systematic_sample: negative weight "),
+            w_raw.cast("string"),
+        )),
+    ).otherwise(F.coalesce(w_raw, F.lit(0.0)))
+    w_int = F.round(w_guard * scale, 0).cast("long")
+    h = md5_hash60(F.col(id_col), salt)
+    d = df.select(
+        "*",
+        w_int.alias("_w"),
+        h.alias("_h"),
+        F.shiftright(h, 60 - bucket_bits).alias("_bkt"),
+    )
+    bucket_sums = d.groupBy("_bkt").agg(F.sum("_w").alias("_bsum"))
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bsum").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_total"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt").orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_b = (F.col("_off")
+             + F.coalesce(F.sum("_w").over(w_in), F.lit(0)))
+    # grid count f(x) = #{m >= 1 : m*W <= x*n} = (x*n) DIV W —
+    # exact integral quotients of DECIMAL(38,0) products in both
+    # engines, never a rounded ratio
+    def grid(x):
+        return F.expr(
+            f"CAST({x} AS DECIMAL(38,0)) * {n_select} "
+            "DIV CAST(_total AS DECIMAL(38,0))"
+        )
+
+    out = (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_cb", cum_b)
+        .withColumn("_ca", cum_b + F.col("_w"))
+        .withColumn(
+            "n_hits",
+            F.when(F.col("_total") > 0, grid("_ca") - grid("_cb"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    return out.select(
+        *df.columns, "n_hits", (F.col("n_hits") > 0).alias("sampled")
+    )
+
+
 def resample_by_weight(df, weight: Column, target_fraction: float,
                        id_col: str = "doc_id",
                        salt: str = "resample-v1"):

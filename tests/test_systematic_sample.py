@@ -1,0 +1,107 @@
+"""Systematic weighted sampling (operators/sampling.py::
+systematic_sample) — exact-size guarantee, Python-reference equality
+over the md5 order, edge weights, partitioning invariance."""
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.sampling import (
+    systematic_sample,
+)
+
+SALT = "syssample-v1"
+
+
+def _h60(key, salt=SALT) -> int:
+    return int(
+        hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:15], 16)
+
+
+def _ref(rows, n_select, scale=10 ** 6):
+    """Literal reference: md5-shuffled order, integer cumsum, grid
+    count (x*n) // W per interval."""
+    order = sorted(rows, key=lambda r: (_h60(r[0]), r[0]))
+    ws = [round(w * scale) if w else 0 for _, w in order]
+    W = sum(ws)
+    hits, cum = {}, 0
+    for (i, _), w in zip(order, ws):
+        if W > 0:
+            hits[i] = ((cum + w) * n_select) // W - (cum * n_select) // W
+        else:
+            hits[i] = 0
+        cum += w
+    return hits
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows = [(i, float((i * 7) % 23) + (100.0 if i == 13 else 0.0))
+            for i in range(1, 61)]
+    return rows, spark.createDataFrame(
+        rows, "doc_id long, wgt double").cache()
+
+
+def test_matches_reference_and_exact_total(spark, skewed):
+    rows, df = skewed
+    for n in (1, 7, 25):
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in systematic_sample(df, F.col("wgt"), n).collect()
+        }
+        assert got == _ref(rows, n)
+        assert sum(got.values()) == n  # exactly n grid hits, always
+
+
+def test_heavy_row_multiplicity(spark, skewed):
+    rows, df = skewed
+    # doc 13 holds ~19% of the mass: at n=25 it must absorb several
+    got = {r["doc_id"]: r["n_hits"]
+           for r in systematic_sample(df, F.col("wgt"), 25).collect()}
+    assert got[13] >= 3
+
+
+def test_zero_and_null_weights_never_sampled(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, None), (4, 5.0)],
+        "doc_id long, wgt double",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["sampled"])
+           for r in systematic_sample(df, F.col("wgt"), 2).collect()}
+    assert got[2] == (0, False) and got[3] == (0, False)
+    assert sum(h for h, _ in got.values()) == 2
+
+
+def test_all_zero_weights_select_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "doc_id long, wgt double")
+    out = systematic_sample(df, F.col("wgt"), 3).collect()
+    assert all(r["n_hits"] == 0 and not r["sampled"] for r in out)
+
+
+def test_negative_weight_raises(spark):
+    df = spark.createDataFrame(
+        [(1, -1.0)], "doc_id long, wgt double")
+    with pytest.raises(Exception, match="negative weight"):
+        systematic_sample(df, F.col("wgt"), 1).collect()
+
+
+def test_bad_n_select_raises(spark):
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, wgt double")
+    with pytest.raises(ValueError, match="n_select"):
+        systematic_sample(df, F.col("wgt"), 0)
+
+
+def test_partitioning_and_bucket_invariance(spark, skewed):
+    rows, df = skewed
+    base = {r["doc_id"]: r["n_hits"]
+            for r in systematic_sample(df, F.col("wgt"), 11).collect()}
+    rep = {r["doc_id"]: r["n_hits"]
+           for r in systematic_sample(
+               df.repartition(7), F.col("wgt"), 11).collect()}
+    one_bkt = {r["doc_id"]: r["n_hits"]
+               for r in systematic_sample(
+                   df, F.col("wgt"), 11, bucket_bits=0).collect()}
+    assert base == rep == one_bkt
