@@ -200,6 +200,19 @@ def pack_examples_nostraddle(
     replayable.
     """
     _require_numeric_id(examples, id_col, "pack_examples_nostraddle")
+    # STRICTER than pack_sequences: the per-bucket fold carries the id
+    # through a struct<_id:long> array, so a fractional float/double
+    # id would be silently truncated — 1.5 and 1.2 collide as 1 and
+    # the caller's join-back on id_col (sft_pack_with_loss_mask)
+    # drops every such row with zero output and zero errors. Integral
+    # ids only; densify fractional ids upstream.
+    dt = dict(examples.dtypes)[id_col]
+    if dt not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"pack_examples_nostraddle: id column {id_col!r} must be "
+            f"an integral type (got {dt}); the bucket fold carries "
+            "ids as longs, so fractional ids would be silently "
+            "truncated — map to a dense integer rank first")
     n_guard = F.when(
         n_tokens.cast("long") <= budget, n_tokens.cast("long")
     ).otherwise(
@@ -308,7 +321,10 @@ def sft_pack_with_loss_mask(
         base, F.col("_t"), budget=budget, id_col=id_col,
         bucket_size=bucket_size,
     )
-    w_seg = Window.partitionBy("bin_id").orderBy("pack_pos")
+    # id_col tiebreak: a zero-token example shares pack_pos with its
+    # successor, and row_number over equal keys would be
+    # partition-layout-dependent — breaking the hash-gate contract
+    w_seg = Window.partitionBy("bin_id").orderBy("pack_pos", id_col)
     return (
         packed.join(base.select(id_col, "_p"), id_col)
         .select(

@@ -260,8 +260,10 @@ def systematic_sample(df, weight: Column, n_select: int,
     Determinism end-to-end, no RNG and no libm: the order is the
     60-bit keyed hash (ties broken by id), weights are scaled to
     integers at ``weight_scale`` decimals (round-half-up — identical
-    on doubles in both engines), cumulative sums are exact BIGINT
-    via the two-level prefix sum (range buckets on the hash's top
+    on doubles in both engines), cumulative sums are exact
+    DECIMAL(38,0) — never BIGINT, whose silent wraparound a 100 TB
+    total scaled weight would reach — via the two-level prefix sum
+    (range buckets on the hash's top
     ``bucket_bits`` bits -> tiny-table offset window -> partitioned
     within-bucket window — no global single-task sort, the
     pack_sequences shape), and the grid test is pure integer
@@ -292,7 +294,13 @@ def systematic_sample(df, weight: Column, n_select: int,
             w_raw.cast("string"),
         )),
     ).otherwise(F.coalesce(w_raw, F.lit(0.0)))
-    w_int = F.round(w_guard * scale, 0).cast("long")
+    # DECIMAL(38,0) from the first sum on: a 100 TB corpus's total
+    # scaled weight passes 2^63 (e.g. char-count weights: ~1e14 chars
+    # x 10^6 scale = 1e20), and BIGINT window sums would wrap
+    # silently — the _dec_sum discipline applies to cumulative
+    # weights exactly as it does to means. Per-row weights still
+    # round as doubles (identical half-up in both engines).
+    w_int = F.round(w_guard * scale, 0).cast("decimal(38,0)")
     h = md5_hash60(F.col(id_col), salt)
     d = df.select(
         "*",
@@ -321,7 +329,9 @@ def systematic_sample(df, weight: Column, n_select: int,
              + F.coalesce(F.sum("_w").over(w_in), F.lit(0)))
     # grid count f(x) = #{m >= 1 : m*W <= x*n} = (x*n) DIV W —
     # exact integral quotients of DECIMAL(38,0) products in both
-    # engines, never a rounded ratio
+    # engines, never a rounded ratio. Bound: W * n_select < 10^38
+    # (a 1e20 total at n=10^9 grid points is 1e29 — ample headroom;
+    # past it the decimal product nulls rather than wrapping)
     def grid(x):
         return F.expr(
             f"CAST({x} AS DECIMAL(38,0)) * {n_select} "

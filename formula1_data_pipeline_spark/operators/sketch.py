@@ -126,7 +126,18 @@ def heavy_hitters(grams: DataFrame, gram_col: str = "gram",
     collision-inflated near-misses (the bounded price of the bounded
     state). The pre-filter runs map-side (broadcast probe), so the
     exact pass's shuffle carries only near-heavy occurrences."""
-    counters = cms_counters(grams, gram_col, d, w_bits)
+    # The exact two-pass is inherent (build pass + filtered count
+    # pass — the theoretical minimum for exact survivor counts), but
+    # the counter table is BOUNDED at d * 2^w_bits rows by
+    # construction, so it materializes here as a local relation: the
+    # build scan runs exactly once, now, and no downstream action of
+    # the (lazy) result ever re-derives it.
+    spark = grams.sparkSession
+    counters = spark.createDataFrame(
+        [(r["row"], r["bucket"], r["cnt"]) for r in
+         cms_counters(grams, gram_col, d, w_bits).collect()],
+        "row int, bucket bigint, cnt bigint",
+    )
     survivors = cms_probe(
         grams.select(gram_col), gram_col, counters, d, w_bits
     ).filter(F.col("est_count") >= threshold)

@@ -61,18 +61,21 @@ UNK_LOGP = -20.0      # single-char fallback score (SentencePiece's
 
 
 def _require_short_words(words: DataFrame, w_col: str = "w") -> DataFrame:
-    """Loud length guard: the DP arrays unroll MAX_WORD_LEN positions;
-    silently truncating a longer word would corrupt its segmentation.
-    Split pathological tokens upstream."""
-    bad = F.length(F.col(w_col)) > MAX_WORD_LEN
-    guard = F.when(
-        ~bad, F.col(w_col)
-    ).otherwise(
+    """Loud bounds guard: the DP arrays unroll MAX_WORD_LEN positions,
+    so a longer word would be silently corrupted — and an EMPTY (or
+    NULL) word has no lattice at all: ``sequence(0, length - 1)``
+    DESCENDS to [0, -1] at length 0 and the DP crashes with an opaque
+    element_at(acc, 0) error deep in the fold. Both fail here with a
+    named error instead; filter/split pathological tokens upstream."""
+    ok = (F.length(F.col(w_col)) <= MAX_WORD_LEN) & (
+        F.length(F.col(w_col)) >= 1)
+    guard = F.when(ok, F.col(w_col)).otherwise(
         F.raise_error(F.concat(
             F.lit("unigram: word '"),
-            F.substring(F.col(w_col), 1, 16),
-            F.lit(f"...' exceeds MAX_WORD_LEN={MAX_WORD_LEN}; split "
-                  "upstream"),
+            F.substring(F.coalesce(F.col(w_col), F.lit("<null>")),
+                        1, 16),
+            F.lit(f"...' must be 1..MAX_WORD_LEN={MAX_WORD_LEN} chars"
+                  " and non-null; filter/split upstream"),
         ))
     )
     return words.withColumn(w_col, guard)
@@ -357,19 +360,31 @@ def seed_pieces(words: DataFrame, max_vocab: int,
     )
     counts = subs.groupBy("piece").agg(
         F.sum(freq_col).cast("long").alias("count")
+    ).persist()
+    # the result is <= max_vocab rows by definition — materialize it
+    # driver-side under one persisted aggregation pass instead of
+    # re-running the substring explosion per consuming branch (the
+    # chars count, the chars branch, and the top-multi branch were
+    # three scans)
+    try:
+        chars_rows = counts.filter(F.length("piece") == 1).collect()
+        n_chars = len(chars_rows)
+        if n_chars >= max_vocab:
+            raise ValueError(
+                f"seed_pieces: {n_chars} distinct characters exceed "
+                f"max_vocab={max_vocab}")
+        multi_rows = (
+            counts.filter(F.length("piece") > 1)
+            .orderBy(F.col("count").desc(), F.col("piece"))
+            .limit(max_vocab - n_chars)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    return words.sparkSession.createDataFrame(
+        [(r["piece"], r["count"]) for r in chars_rows + multi_rows],
+        "piece string, count long",
     )
-    chars = counts.filter(F.length("piece") == 1)
-    multi = counts.filter(F.length("piece") > 1)
-    n_chars = chars.count()
-    if n_chars >= max_vocab:
-        raise ValueError(
-            f"seed_pieces: {n_chars} distinct characters exceed "
-            f"max_vocab={max_vocab}")
-    top_multi = (
-        multi.orderBy(F.col("count").desc(), F.col("piece"))
-        .limit(max_vocab - n_chars)
-    )
-    return chars.unionByName(top_multi)
 
 
 def seed_logprobs(pieces_counts: DataFrame) -> DataFrame:
@@ -402,7 +417,11 @@ def train_unigram(
     (2) M-step — logp = log(count / total), computed driver-side
     (vocab-sized); (3) prune the lowest-expected-count multi-char
     pieces to ``shrink`` of the current size (never below
-    ``vocab_size``; single chars are never pruned). Returns the final
+    ``vocab_size``; single chars are never pruned) — and on the LAST
+    round cut exactly to ``vocab_size``, so the returned vocabulary
+    always hits the target whenever the corpus has enough pieces
+    (geometric shrinking alone lands ~shrink^n_rounds ABOVE the
+    target at the default seed size). Returns the final
     (piece, logp) table and the per-round corpus log-likelihoods
     (driver floats — for the non-decreasing bounds gate; trained
     probabilities are float-path and NEVER value-hashed, the q92
@@ -426,7 +445,7 @@ def train_unigram(
                         max_piece_len)
         )
         lls = []
-        for _ in range(n_rounds):
+        for rnd in range(n_rounds):
             exp_counts, ll = _estep(words, vocab, w_col, freq_col,
                                     max_piece_len)
             lls.append(ll)
@@ -434,7 +453,10 @@ def train_unigram(
             rows = exp_counts.collect()
             rows.sort(key=lambda r: (-r["c"], r["piece"]))
             n_now = len(rows)
-            keep_n = max(vocab_size, int(n_now * shrink))
+            if rnd == n_rounds - 1:
+                keep_n = vocab_size  # final round: exact target cut
+            else:
+                keep_n = max(vocab_size, int(n_now * shrink))
             singles = [r for r in rows if len(r["piece"]) == 1]
             multi = [r for r in rows if len(r["piece"]) > 1]
             kept = singles + multi[:max(0, keep_n - len(singles))]
@@ -519,8 +541,7 @@ def _estep(words, vocab, w_col, freq_col, max_piece_len):
         w_col, freq_col, "len", "spans",
         forward_arr().alias("fa"), backward_arr().alias("ba"),
     ).withColumn("z", F.element_at(F.col("fa"), F.col("len") + 1))
-    ll_row = with_ab.agg(
-        F.sum(F.col("z") * F.col(freq_col)).alias("ll")).collect()[0]
+    with_ab = with_ab.persist()
     posts = with_ab.select(
         freq_col, "z",
         # NB: SQL `arr[k]` is ZERO-based (element_at is 1-based) —
@@ -535,5 +556,18 @@ def _estep(words, vocab, w_col, freq_col, max_piece_len):
         (F.exp(F.col("p.num") - F.col("z")) * F.col(freq_col))
         .alias("w"),
     )
-    exp_counts = posts.groupBy("piece").agg(F.sum("w").alias("c"))
+    try:
+        # both actions run under the persist so the lattice folds —
+        # the round's dominant cost — evaluate once, and the
+        # vocab-sized counts materialize before release so the
+        # caller's consumption can't re-run them either
+        ll_row = with_ab.agg(
+            F.sum(F.col("z") * F.col(freq_col)).alias("ll")
+        ).collect()[0]
+        rows = posts.groupBy("piece").agg(
+            F.sum("w").alias("c")).collect()
+    finally:
+        with_ab.unpersist()
+    exp_counts = posts.sparkSession.createDataFrame(
+        [(r["piece"], r["c"]) for r in rows], "piece string, c double")
     return exp_counts, float(ll_row["ll"])

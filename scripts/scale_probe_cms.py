@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -23,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from pyspark.sql import functions as F  # noqa: E402
 
 from formula1_data_pipeline_spark import get_spark  # noqa: E402
+from scripts._probe_common import blowup_10x, timed  # noqa: E402
 from formula1_data_pipeline_spark.operators import sketch as S  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -30,29 +30,11 @@ W_BITS = 12
 D = 4
 
 
-def timed(label, fn, reps=2):
-    best = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{label:52s} {best:7.2f}s (warm best of {reps})")
-    return best
-
-
 def main():
     spark = get_spark(app_name="scale-probe-cms")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d1 = docs.cache()
-    d10 = docs
-    for i in range(9):
-        d10 = d10.unionByName(
-            docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
-            )
-        )
-    d10 = d10.cache()
+    d10 = blowup_10x(docs).cache()
     print("docs 1x/10x:", d1.count(), d10.count())
 
     # the bounded-state invariant: counter rows vs corpus size

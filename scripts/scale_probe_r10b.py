@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -18,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from pyspark.sql import functions as F  # noqa: E402
 
 from formula1_data_pipeline_spark import get_spark  # noqa: E402
+from scripts._probe_common import blowup_10x, timed  # noqa: E402
 from formula1_data_pipeline_spark.operators.quality import (  # noqa: E402
     grouped_quantiles,
 )
@@ -28,30 +28,12 @@ from formula1_data_pipeline_spark.operators.text import (  # noqa: E402
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def timed(label, fn, reps=2):
-    best = None
-    for _ in range(reps):  # warm-plan second pass is the number
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{label:44s} {best:7.2f}s (warm best of {reps})")
-    return best
-
-
 def main():
     spark = get_spark(app_name="scale-probe-r10b")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d1 = docs.cache()
-    d10 = docs
-    for i in range(9):
-        d10 = d10.unionByName(
-            docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
-            )
-        )
-    d10 = d10.cache()
+    d10 = blowup_10x(docs).cache()
     d1.count(), d10.count()
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
@@ -108,14 +90,7 @@ def bloom_probe():
     spark = get_spark(app_name="scale-probe-r10b")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d1 = docs.cache()
-    d10 = docs
-    for i in range(9):
-        d10 = d10.unionByName(
-            docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
-            )
-        )
-    d10 = d10.cache()
+    d10 = blowup_10x(docs).cache()
     d1.count(), d10.count()
     bench = (
         shingle_hashes_df(d1.filter(F.col("doc_id") % 97 == 0))

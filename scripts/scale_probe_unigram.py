@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -28,21 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from pyspark.sql import functions as F  # noqa: E402
 
 from formula1_data_pipeline_spark import get_spark  # noqa: E402
+from scripts._probe_common import blowup_10x, timed  # noqa: E402
 from formula1_data_pipeline_spark.operators import unigram as U  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 VOCAB = 200
-
-
-def timed(label, fn, reps=2):
-    best = None
-    for _ in range(reps):  # warm-plan second pass is the number
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    print(f"{label:52s} {best:7.2f}s (warm best of {reps})")
-    return best
 
 
 def word_table(docs):
@@ -59,14 +48,7 @@ def main():
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     d1 = docs.cache()
-    d10 = docs
-    for i in range(9):
-        d10 = d10.unionByName(
-            docs.withColumn(
-                "doc_id", F.col("doc_id") + F.lit((i + 1) * 10_000_000)
-            )
-        )
-    d10 = d10.cache()
+    d10 = blowup_10x(docs).cache()
     print("docs 1x/10x:", d1.count(), d10.count())
 
     w1 = word_table(d1).cache()

@@ -103,3 +103,48 @@ def test_sft_mask_spans_and_attention_segments(spark):
     # attention segments: index within bin by position
     assert (rows[0].attn_seg, rows[1].attn_seg) == (0, 1)
     assert (rows[2].attn_seg, rows[3].attn_seg) == (0, 1)
+
+
+def test_fractional_id_rejected_loudly(spark):
+    """Review regression: a double id was silently truncated inside
+    the bucket fold (1.5 -> 1), and the loss-mask join-back dropped
+    every row with zero output; integral ids are now required."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        pack_examples_nostraddle,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, 10), (2.5, 10)], "example_id double, n long")
+    with pytest.raises(TypeError, match="integral"):
+        pack_examples_nostraddle(df, F.col("n"), budget=64,
+                                 id_col="example_id")
+
+
+def test_zero_token_example_attn_seg_deterministic(spark):
+    """Review regression: equal pack_pos rows (a zero-token example
+    and its successor) had a layout-dependent row_number; the id
+    tiebreak pins the segment ids."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.packing import (
+        sft_pack_with_loss_mask,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 0, 0), (6, 4, 6), (7, 2, 2)],
+        "example_id long, p long, c long",
+    )
+    out = {r["example_id"]: r["attn_seg"]
+           for r in sft_pack_with_loss_mask(
+               df, F.col("p"), F.col("c"), budget=64).collect()}
+    rep = {r["example_id"]: r["attn_seg"]
+           for r in sft_pack_with_loss_mask(
+               df.repartition(5), F.col("p"), F.col("c"),
+               budget=64).collect()}
+    assert out == rep
+    # zero-token id 5 shares pack_pos 0 with id 6: id order pins 5
+    # to segment 0, 6 to 1
+    assert out[5] == 0 and out[6] == 1 and out[7] == 2

@@ -22,9 +22,11 @@ def _h60(key, salt=SALT) -> int:
 
 def _ref(rows, n_select, scale=10 ** 6):
     """Literal reference: md5-shuffled order, integer cumsum, grid
-    count (x*n) // W per interval."""
+    count (x*n) // W per interval. Half-UP scaling (int(x + 0.5)),
+    NOT Python round() — banker's half-even would disagree with
+    Spark/DuckDB on any weight whose scaled value lands on .5."""
     order = sorted(rows, key=lambda r: (_h60(r[0]), r[0]))
-    ws = [round(w * scale) if w else 0 for _, w in order]
+    ws = [int(w * scale + 0.5) if w else 0 for _, w in order]
     W = sum(ws)
     hits, cum = {}, 0
     for (i, _), w in zip(order, ws):
@@ -105,3 +107,16 @@ def test_partitioning_and_bucket_invariance(spark, skewed):
                for r in systematic_sample(
                    df, F.col("wgt"), 11, bucket_bits=0).collect()}
     assert base == rep == one_bkt
+
+
+def test_huge_weights_no_bigint_overflow(spark):
+    """Review regression: BIGINT cumulative sums wrapped past 2^63;
+    the DECIMAL(38,0) sums must keep exact-n at 100-TB-like totals
+    (here: total scaled weight ~1e22)."""
+    rows = [(i, 1.0e13 + i) for i in range(1, 1001)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    out = systematic_sample(df, F.col("wgt"), 37)
+    agg = out.agg(F.sum("n_hits").alias("s")).collect()[0]
+    assert agg["s"] == 37
+    got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert all(h >= 0 for h in got.values())

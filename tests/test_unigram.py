@@ -197,3 +197,29 @@ def test_eval_ranks_trained_vocab_at_least_seed_chars(spark):
     assert rich.n_tokens < bare.n_tokens
     assert rich.fertility < bare.fertility
     assert rich.n_unk == bare.n_unk == 0  # chars cover everything
+
+
+def test_empty_word_raises_loudly(spark):
+    """Review regression: an empty word used to crash deep in the DP
+    with an opaque INVALID_INDEX_OF_ZERO; the guard must name it."""
+    pieces = spark.createDataFrame([("a", -1.0)],
+                                   "piece string, logp double")
+    wdf = spark.createDataFrame([("a",), ("",)], "w string")
+    with pytest.raises(Exception, match="MAX_WORD_LEN"):
+        U.viterbi_tokenize(wdf, pieces).collect()
+
+
+def test_train_unigram_hits_exact_target_on_rich_corpus(spark):
+    """Review regression: geometric shrinking alone landed
+    ~shrink^n_rounds ABOVE vocab_size (63 for a target of 50); the
+    final round must cut exactly to the target."""
+    words = spark.createDataFrame(
+        [(w, (i % 7) + 1) for i, w in enumerate(
+            "the quick brown fox jumps over lazy dog pack my box "
+            "with five dozen liquor jugs amazingly few discotheques "
+            "provide jukeboxes sphinx of black quartz judge my vow"
+            .split())],
+        "w string, freq long",
+    )
+    vocab, lls = U.train_unigram(words, vocab_size=50, n_rounds=3)
+    assert vocab.count() == 50
