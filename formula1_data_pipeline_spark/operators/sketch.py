@@ -116,7 +116,8 @@ def cms_probe(df: DataFrame, gram_col: str, counters: DataFrame,
 
 def heavy_hitters(grams: DataFrame, gram_col: str = "gram",
                   threshold: int = 10, d: int = N_ROWS,
-                  w_bits: int = W_BITS) -> DataFrame:
+                  w_bits: int = W_BITS,
+                  counters: DataFrame | None = None) -> DataFrame:
     """(gram, n_occurrences, est_count) for every gram whose
     Count-Min estimate reaches ``threshold`` — a deterministic
     SUPERSET of the true heavy set (no false negatives: est >= true
@@ -125,7 +126,12 @@ def heavy_hitters(grams: DataFrame, gram_col: str = "gram",
     verdict; rows with ``is_heavy = false`` are the sketch's
     collision-inflated near-misses (the bounded price of the bounded
     state). The pre-filter runs map-side (broadcast probe), so the
-    exact pass's shuffle carries only near-heavy occurrences."""
+    exact pass's shuffle carries only near-heavy occurrences.
+
+    ``counters``: a prebuilt counter table over the SAME corpus and
+    (d, w_bits) — e.g. streaming-maintained state
+    (``streaming/heavyhitters.py``); built from ``grams`` when
+    omitted."""
     # The exact two-pass is inherent (build pass + filtered count
     # pass — the theoretical minimum for exact survivor counts), but
     # the counter table is BOUNDED at d * 2^w_bits rows by
@@ -133,9 +139,11 @@ def heavy_hitters(grams: DataFrame, gram_col: str = "gram",
     # build scan runs exactly once, now, and no downstream action of
     # the (lazy) result ever re-derives it.
     spark = grams.sparkSession
+    if counters is None:
+        counters = cms_counters(grams, gram_col, d, w_bits)
     counters = spark.createDataFrame(
-        [(r["row"], r["bucket"], r["cnt"]) for r in
-         cms_counters(grams, gram_col, d, w_bits).collect()],
+        [(r["row"], r["bucket"], r["cnt"])
+         for r in counters.collect()],
         "row int, bucket bigint, cnt bigint",
     )
     survivors = cms_probe(

@@ -1,0 +1,94 @@
+"""Streaming Count-Min heavy-hitters (streaming/heavyhitters.py):
+exact convergence to the one-shot build for any micro-batch split
+(the CMS is a distributive aggregate — bit-for-bit equality, stronger
+than the neardup verdict-convergence contract), row-identity of the
+streaming heavy-hitter enumeration with the batch operator, and
+full-replay idempotence via the bid skip."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators import sketch as S
+from formula1_data_pipeline_spark.scratch import scratch_dir
+from formula1_data_pipeline_spark.streaming.heavyhitters import (
+    read_cms_state,
+    stream_cms_counters,
+    stream_heavy_ngrams,
+)
+
+D, W_BITS = 3, 6
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark):
+    rows = [
+        (i,
+         " ".join(
+             ["the quick brown fox"] * (1 + i % 3)
+             + [f"unique token {i}", "lorem ipsum dolor"]
+         ))
+        for i in range(40)
+    ]
+    path = str(scratch_dir(prefix="cms_corpus_")) + "/docs"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(path)
+    return path
+
+
+def _counters_dict(df):
+    return {(r["row"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+
+def test_stream_equals_oneshot_any_split(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    oneshot = _counters_dict(S.cms_counters(
+        S.gram_occurrences(docs, 2), "gram", D, W_BITS))
+    for n_files in (1, 4):
+        got = _counters_dict(stream_cms_counters(
+            spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+            n_source_files=n_files,
+        ))
+        assert got == oneshot, f"split {n_files} diverged"
+
+
+def test_stream_heavy_equals_batch_operator(spark, corpus_path):
+    got = {
+        r["gram"]: (r["n_occurrences"], r["est_count"], r["is_heavy"])
+        for r in stream_heavy_ngrams(
+            spark, corpus_path, n=2, threshold=10, d=D,
+            w_bits=W_BITS, n_source_files=3).collect()
+    }
+    docs = spark.read.parquet(corpus_path)
+    exp = {
+        r["gram"]: (r["n_occurrences"], r["est_count"], r["is_heavy"])
+        for r in S.corpus_heavy_ngrams(
+            docs, n=2, threshold=10, d=D, w_bits=W_BITS).collect()
+    }
+    assert got == exp
+    assert any(hv for (_, _, hv) in got.values())
+
+
+def test_full_replay_is_idempotent(spark, corpus_path):
+    """A full re-run against the same state dir (checkpoint lost)
+    re-delivers every micro-batch; the bid skip must leave the state
+    unchanged instead of double-counting."""
+    work = str(scratch_dir(prefix="cms_replay_"))
+    first = _counters_dict(stream_cms_counters(
+        spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+        n_source_files=2, work_dir=work))
+    # second full run: same work_dir (landed bids survive), fresh
+    # checkpoint -> every micro-batch re-delivers with bids 0..n-1
+    replay = _counters_dict(stream_cms_counters(
+        spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+        n_source_files=2, work_dir=work))
+    assert replay == first
+    assert replay == _counters_dict(
+        read_cms_state(spark, work + "/counters"))
+
+
+def test_state_is_bounded(spark, corpus_path):
+    got = stream_cms_counters(
+        spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+        n_source_files=3)
+    assert got.count() <= D * (1 << W_BITS)
