@@ -1130,3 +1130,84 @@ def test_systematic_sample_oracle_parity(spark):
     assert got == exp
     assert sum(h for h, _ in got.values()) == N
     assert 0 < sum(1 for _, s in got.values() if s) <= N
+
+
+# --------------------------------------------------------------------
+# Z-order layout (operators/zorder.py, round 10 late) — the
+# table-layout side of data skipping: Morton-interleave k integral
+# columns so a box predicate on ANY of them prunes manifest segments
+# (a single-column sort leaves every other column blind). LANDING
+# ROUTE: rides q82_stats_pruned_read's r12 re-gate (q82 owns the
+# data-skipping surface; in the r10 window, due r12) as a z-layout
+# leg with the same in-query fewer-input-files assertion, on BOTH
+# columns. All integer math (exact DECIMAL/HUGEINT scaling quotients,
+# shift/AND interleave, exact-rank prefix sum) — full value hash.
+
+def _morton_terms_sql(ca, cb, bits):
+    # the Morton definition: bit i of column j lands at i*k + j.
+    # Every term fully parenthesized: DuckDB (PostgreSQL precedence)
+    # binds `+` TIGHTER than `<<`, so an unwrapped `a << 5 + b << 7`
+    # parses as a << (5 + (b << 7)) and overflows
+    return " + ".join(
+        f"(((({c}) >> {i}) & 1) << {i * 2 + j})"
+        for i in range(bits) for j, c in enumerate((ca, cb))
+    )
+
+
+_ZORDER_ORACLE_TMPL = r"""
+WITH m AS (
+    SELECT min(o_orderkey) AS mnx, max(o_orderkey) AS mxx,
+           min(o_custkey)  AS mny, max(o_custkey)  AS mxy
+    FROM orders
+), s AS (
+    SELECT o_orderkey AS id,
+           CAST(CAST(o_orderkey - mnx AS HUGEINT) * {TOP}
+                // CAST(greatest(1, mxx - mnx) AS HUGEINT)
+                AS BIGINT) AS sx,
+           CAST(CAST(o_custkey - mny AS HUGEINT) * {TOP}
+                // CAST(greatest(1, mxy - mny) AS HUGEINT)
+                AS BIGINT) AS sy
+    FROM orders, m
+), z AS (
+    SELECT id, {MORTON} AS zvalue FROM s
+), r AS (
+    SELECT id, zvalue,
+           row_number() OVER (ORDER BY zvalue, id) - 1 AS rnk,
+           count(*) OVER () AS n
+    FROM z
+)
+SELECT id, zvalue,
+       CAST(CAST(rnk AS HUGEINT) * {NF} // n AS BIGINT) AS file_id
+FROM r
+"""
+
+
+def test_zorder_assignment_oracle_parity(spark):
+    from formula1_data_pipeline_spark.operators import zorder as Z
+
+    BITS, NF = 16, 8
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey")
+    got = {
+        r["o_orderkey"]: (r["zvalue"], r["file_id"])
+        for r in Z.zorder_assignment(
+            orders, ["o_orderkey", "o_custkey"], NF,
+            "o_orderkey", bits=BITS).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    sql = (_ZORDER_ORACLE_TMPL
+           .replace("{TOP}", str((1 << BITS) - 1))
+           .replace("{NF}", str(NF))
+           .replace("{MORTON}", _morton_terms_sql("sx", "sy", BITS)))
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == exp
+    # equal-count cut within 1 row per segment
+    sizes = {}
+    for _, fid in got.values():
+        sizes[fid] = sizes.get(fid, 0) + 1
+    assert set(sizes) == set(range(NF))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
