@@ -211,6 +211,122 @@ def drift_summary(report: DataFrame) -> DataFrame:
     )
 
 
+HIST_SUB_BITS = 3   # mantissa bits per octave: relative value error
+                    # of a bucket representative <= 2^-HIST_SUB_BITS
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = HIST_SUB_BITS,
+    scale: int = 6,
+) -> DataFrame:
+    """Mergeable bounded-state quantile histogram — the scale seam
+    ``grouped_quantiles`` documents (a single group whose
+    DISTINCT-value count outgrows one reducer): values collapse into
+    base-2 log buckets with ``sub_bits`` mantissa bits (the DDSketch
+    idea with DETERMINISTIC integer buckets — no libm, no gamma
+    boundary ulps), so per-group state is capped at ~2 * 63 *
+    2^sub_bits + 1 rows however many distinct values the group has,
+    and histograms from disjoint corpora MERGE by summing counts.
+
+    Bucketing is exact integer math replayable in any engine: the
+    value scales to an integer at ``scale`` decimals (round-half-up,
+    identical on doubles in both engines), msb = length(bin(|v|)) - 1
+    (verified identical Spark/DuckDB), sub = the top ``sub_bits + 1``
+    bits, and the bucket representative ``v_rep_scaled = sign * (sub
+    << max(0, msb - sub_bits))`` is the bucket's magnitude lower
+    bound — |rep| <= |true| < |rep| * (1 + 2^-sub_bits) for
+    |scaled| >= 2^sub_bits, EXACT below it (small magnitudes get
+    singleton buckets). NULLs are excluded (no rank).
+
+    Returns (group_cols..., cls, msb, sub, v_rep_scaled, cnt); feed
+    to ``histogram_quantiles`` for rank picks, or sum cnt across
+    batch builds to merge."""
+    v_scaled = F.round(
+        F.col(value_col).cast("double") * (10 ** scale), 0
+    ).cast("long")
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, v_scaled.alias("_vs"))
+        .select(
+            *group_cols,
+            F.when(F.col("_vs") > 0, 1)
+            .when(F.col("_vs") < 0, -1)
+            .otherwise(0).cast("int").alias("cls"),
+            F.abs(F.col("_vs")).alias("_mag"),
+        )
+        .withColumn(
+            "msb",
+            F.when(F.col("_mag") > 0,
+                   F.length(F.bin(F.col("_mag"))) - 1)
+            .otherwise(F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "sub",
+            # column-amount shifts need the SQL form (wrapper takes
+            # literals only)
+            F.expr(f"shiftright(_mag, CAST(greatest(0, "
+                   f"msb - {sub_bits}) AS INT))"),
+        )
+        .withColumn(
+            "v_rep_scaled",
+            F.expr(f"cls * shiftleft(sub, CAST(greatest(0, "
+                   f"msb - {sub_bits}) AS INT))"),
+        )
+    )
+    return (
+        d.groupBy(*group_cols, "cls", "msb", "sub", "v_rep_scaled")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Rank picks over a ``quantile_histogram``: per group, the
+    bucket representative at rank ``ceil(p * n)`` in ascending VALUE
+    order — ``v_rep_scaled`` alone is that order (sign-mirrored
+    magnitude lower bounds are distinct across buckets). The same
+    DECIMAL rank discipline as ``grouped_quantiles``; labels are
+    ``p<pct>_approx`` to keep the bound explicit. The per-group
+    window runs over the CAPPED bucket table, never raw values —
+    this is the whole point at 100 TB."""
+    from pyspark.sql import Window
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in (0, 1]: {probs}")
+    labels = [f"p{round(p * 100)}_approx" for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(
+            f"probs collide at percent resolution: {probs} -> {labels}"
+        )
+    wg = Window.partitionBy(*group_cols)
+    ranked = hist.select(
+        *group_cols, "v_rep_scaled",
+        F.sum("cnt").over(wg.orderBy("v_rep_scaled")).alias("cum"),
+        F.sum("cnt").over(wg).alias("tot"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.ceil(
+                    F.lit(p).cast("decimal(20,12)") * F.col("tot")
+                ),
+                F.col("v_rep_scaled"),
+            )
+        ).alias(lab)
+        for p, lab in zip(probs, labels)
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
 def grouped_quantiles(
     df: DataFrame,
     value_col: str,

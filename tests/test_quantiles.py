@@ -78,3 +78,89 @@ def test_float_hostile_prob_rank_is_exact(spark):
     )
     r = grouped_quantiles(df, "v", ["g"], [0.07]).collect()[0]
     assert r.p7 == 7.0  # the 7th-ranked value, not the 8th
+
+
+# --------------------------------------------------------------------
+# Mergeable quantile histogram (quality.quantile_histogram /
+# histogram_quantiles) — the grouped_quantiles scale seam closed:
+# bounded per-group state, deterministic integer buckets, DDSketch
+# relative-error bound.
+
+from pyspark.sql import functions as F
+
+
+def _hist_mod():
+    from formula1_data_pipeline_spark.operators import quality as Q
+    return Q
+
+
+def test_histogram_relative_error_bound(spark):
+    import random
+
+    Q = _hist_mod()
+    rnd = random.Random(7)
+    rows = [("g", rnd.lognormvariate(2, 3) - 50.0) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    hist = Q.quantile_histogram(df, "v", ["g"], scale=6)
+    [approx] = Q.histogram_quantiles(hist, ["g"], probs).collect()
+    [exact] = Q.grouped_quantiles(
+        df.select("g", F.round(F.col("v") * 1e6, 0).cast("long")
+                  .alias("vs")), "vs", ["g"], probs).collect()
+    for p in probs:
+        a = approx[f"p{round(p * 100)}_approx"]
+        e = exact[f"p{round(p * 100)}"]
+        if abs(e) >= (1 << Q.HIST_SUB_BITS):
+            assert abs(a) <= abs(e)
+            assert abs(a - e) <= abs(e) / (1 << Q.HIST_SUB_BITS) + 1
+        else:
+            assert a == e  # singleton buckets below 2^sub_bits
+
+
+def test_histogram_state_is_bounded_and_merges(spark):
+    Q = _hist_mod()
+    rows = [("g", float(i) / 7.0) for i in range(1, 20001)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = Q.quantile_histogram(df, "v", ["g"])
+    n_buckets = hist.count()
+    assert n_buckets <= 2 * 63 * (1 << Q.HIST_SUB_BITS) + 1
+    assert n_buckets < 20000  # collapsed far below distinct values
+    # merge: two halves' histograms sum to the one-shot
+    a = Q.quantile_histogram(df.filter(F.col("v") < 1000), "v", ["g"])
+    b = Q.quantile_histogram(df.filter(F.col("v") >= 1000), "v", ["g"])
+    merged = {
+        (r["cls"], r["msb"], r["sub"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("g", "cls", "msb", "sub", "v_rep_scaled")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    oneshot = {(r["cls"], r["msb"], r["sub"]): r["cnt"]
+               for r in hist.collect()}
+    assert merged == oneshot
+
+
+def test_histogram_exact_small_magnitudes_and_signs(spark):
+    Q = _hist_mod()
+    # scale=0: values ARE the scaled ints; everything below 8 exact
+    rows = [("g", float(v)) for v in
+            [-5, -1, 0, 0, 1, 2, 3, 3, 7, -7]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = Q.quantile_histogram(df, "v", ["g"], scale=0)
+    reps = {r["v_rep_scaled"]: r["cnt"] for r in hist.collect()}
+    assert reps == {-7: 1, -5: 1, -1: 1, 0: 2, 1: 1, 2: 1, 3: 2, 7: 1}
+    [q] = Q.histogram_quantiles(hist, ["g"], [0.5]).collect()
+    # rank ceil(0.5*10)=5 ascending: -7,-5,-1,0,0 -> 0
+    assert q["p50_approx"] == 0
+
+
+def test_histogram_partitioning_invariance(spark):
+    Q = _hist_mod()
+    rows = [("a" if i % 3 else "b", float(i * i) % 997 - 400)
+            for i in range(1, 3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    one = {(r["g"], r["cls"], r["msb"], r["sub"]): r["cnt"]
+           for r in Q.quantile_histogram(df, "v", ["g"]).collect()}
+    rep = {(r["g"], r["cls"], r["msb"], r["sub"]): r["cnt"]
+           for r in Q.quantile_histogram(
+               df.repartition(11), "v", ["g"]).collect()}
+    assert one == rep

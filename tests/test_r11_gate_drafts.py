@@ -1211,3 +1211,83 @@ def test_zorder_assignment_oracle_parity(spark):
         sizes[fid] = sizes.get(fid, 0) + 1
     assert set(sizes) == set(range(NF))
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+# --------------------------------------------------------------------
+# Mergeable quantile histogram (quality.quantile_histogram /
+# histogram_quantiles, round 10 late) — closes grouped_quantiles'
+# documented scale seam: per-group state capped at ~2*63*2^sub_bits
+# buckets however many distinct values the group holds, batch
+# histograms merge by summing. LANDING ROUTE: rides q78_stat_moments'
+# r12 re-gate (q78 owns the distribution-summary surface; r10-gated,
+# due r12) as p*_approx columns beside the exact picks. All integer
+# bucket math (scaled values, bin()-length msb — verified identical
+# across engines — shift/AND mantissa, DECIMAL ranks): full value
+# hash, histogram rows AND rank picks.
+
+_HIST_ORACLE = r"""
+WITH s AS (
+    SELECT event_type,
+           CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+               AS vs
+    FROM events WHERE value IS NOT NULL
+), b AS (
+    SELECT event_type,
+           CASE WHEN vs > 0 THEN 1 WHEN vs < 0 THEN -1 ELSE 0 END
+               AS cls,
+           abs(vs) AS mag
+    FROM s
+), m AS (
+    SELECT event_type, cls, mag,
+           CAST(CASE WHEN mag > 0 THEN length(bin(mag)) - 1
+                ELSE 0 END AS INT) AS msb
+    FROM b
+), k AS (
+    SELECT event_type, cls, msb,
+           (mag >> greatest(0, msb - 3)) AS sub,
+           cls * ((mag >> greatest(0, msb - 3))
+                  << greatest(0, msb - 3)) AS rep
+    FROM m
+), hist AS (
+    SELECT event_type, cls, msb, sub, rep,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM k GROUP BY ALL
+), r AS (
+    SELECT event_type, rep,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY rep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS tot
+    FROM hist
+)
+SELECT event_type,
+       MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DECIMAL(20,12)) * tot)
+           THEN rep END) AS p50_approx,
+       MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DECIMAL(20,12)) * tot)
+           THEN rep END) AS p95_approx,
+       MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DECIMAL(20,12)) * tot)
+           THEN rep END) AS p99_approx
+FROM r GROUP BY event_type
+"""
+
+
+def test_quantile_histogram_oracle_parity(spark):
+    from formula1_data_pipeline_spark.operators import quality as Q
+    from formula1_data_pipeline_spark.queries import load
+
+    ev = load(spark, SF_DIR, "events")["events"]
+    hist = Q.quantile_histogram(ev, "value", ["event_type"])
+    got = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"],
+                          r["p99_approx"])
+        for r in Q.histogram_quantiles(
+            hist, ["event_type"], [0.5, 0.95, 0.99]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(_HIST_ORACLE).fetchall()}
+    assert got == exp and len(got) >= 3
