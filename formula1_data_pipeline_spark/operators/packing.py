@@ -204,15 +204,16 @@ def pack_examples_nostraddle(
     # through a struct<_id:long> array, so a fractional float/double
     # id would be silently truncated — 1.5 and 1.2 collide as 1 and
     # the caller's join-back on id_col (sft_pack_with_loss_mask)
-    # drops every such row with zero output and zero errors. Integral
-    # ids only; densify fractional ids upstream.
-    dt = dict(examples.dtypes)[id_col]
-    if dt not in {"tinyint", "smallint", "int", "bigint"}:
-        raise TypeError(
-            f"pack_examples_nostraddle: id column {id_col!r} must be "
-            f"an integral type (got {dt}); the bucket fold carries "
-            "ids as longs, so fractional ids would be silently "
-            "truncated — map to a dense integer rank first")
+    # drops every such row with zero output and zero errors.
+    from formula1_data_pipeline_spark.operators._guards import (
+        require_integral,
+    )
+
+    require_integral(
+        examples, [id_col], "pack_examples_nostraddle",
+        hint="the bucket fold carries ids as longs, so fractional "
+             "ids would be silently truncated — map to a dense "
+             "integer rank first")
     n_guard = F.when(
         n_tokens.cast("long") <= budget, n_tokens.cast("long")
     ).otherwise(

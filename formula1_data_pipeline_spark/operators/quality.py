@@ -244,9 +244,23 @@ def quantile_histogram(
     Returns (group_cols..., cls, msb, sub, v_rep_scaled, cnt); feed
     to ``histogram_quantiles`` for rank picks, or sum cnt across
     batch builds to merge."""
-    v_scaled = F.round(
+    vs_dbl = F.round(
         F.col(value_col).cast("double") * (10 ** scale), 0
-    ).cast("long")
+    )
+    # loud magnitude guard: past 2^62 the double->long cast SATURATES
+    # silently in Spark (and errors in DuckDB — a gate divergence, not
+    # a replay), collapsing every such value into one msb=62 bucket.
+    # The systematic_sample overflow lesson applied at the input edge.
+    v_scaled = F.when(
+        F.abs(vs_dbl) < float(1 << 62), vs_dbl.cast("long")
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"quantile_histogram: |value| * 10^{scale} "
+                  "exceeds 2^62 — lower `scale` or pre-clip; "
+                  "value="),
+            F.col(value_col).cast("string"),
+        )).cast("long")
+    )
     d = (
         df.filter(F.col(value_col).isNotNull())
         .select(*group_cols, v_scaled.alias("_vs"))

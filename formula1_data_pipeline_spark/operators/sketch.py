@@ -133,19 +133,17 @@ def heavy_hitters(grams: DataFrame, gram_col: str = "gram",
     (``streaming/heavyhitters.py``); built from ``grams`` when
     omitted."""
     # The exact two-pass is inherent (build pass + filtered count
-    # pass — the theoretical minimum for exact survivor counts), but
-    # the counter table is BOUNDED at d * 2^w_bits rows by
-    # construction, so it materializes here as a local relation: the
-    # build scan runs exactly once, now, and no downstream action of
-    # the (lazy) result ever re-derives it.
-    spark = grams.sparkSession
+    # pass — the theoretical minimum for exact survivor counts). The
+    # build output is BOUNDED at d * 2^w_bits rows, so it
+    # materializes executor-side with an eager localCheckpoint (the
+    # coreset discipline): the build scan runs exactly once and no
+    # downstream action re-derives it — without shipping the table
+    # through the driver as Python rows (a 4 x 2^20 sketch would be
+    # 4M-row plan bloat) and without turning a caller-supplied
+    # counter frame into eager work.
     if counters is None:
-        counters = cms_counters(grams, gram_col, d, w_bits)
-    counters = spark.createDataFrame(
-        [(r["row"], r["bucket"], r["cnt"])
-         for r in counters.collect()],
-        "row int, bucket bigint, cnt bigint",
-    )
+        counters = cms_counters(
+            grams, gram_col, d, w_bits).localCheckpoint(eager=True)
     survivors = cms_probe(
         grams.select(gram_col), gram_col, counters, d, w_bits
     ).filter(F.col("est_count") >= threshold)

@@ -31,19 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
-
-
-def _require_integral(df: DataFrame, cols: list[str], op: str) -> None:
-    dts = dict(df.dtypes)
-    for c in cols:
-        if c not in dts:
-            raise TypeError(f"{op}: column {c!r} not in {df.columns}")
-        if dts[c] not in _INTEGRAL_DTYPES:
-            raise TypeError(
-                f"{op}: column {c!r} must be integral for exact "
-                f"scaling/interleaving (got {dts[c]}); bucket or rank "
-                "continuous values first")
+from formula1_data_pipeline_spark.operators._guards import (
+    require_integral,
+)
 
 
 def morton_sql(cols: list[str], bits: int) -> str:
@@ -70,7 +60,8 @@ def scaled_cols(df: DataFrame, cols: list[str],
     ``(x - min) * (2^bits - 1) DIV greatest(1, max - min)`` — a
     1-row broadcast aggregate fans the min/max out (the scalar
     cross-join pattern), nothing shuffles."""
-    _require_integral(df, cols, "scaled_cols")
+    require_integral(df, cols, "scaled_cols",
+                     hint="bucket or rank continuous values first")
     top = (1 << bits) - 1
     agg = df.agg(*[
         f(c).alias(f"_{nm}_{j}")
@@ -109,9 +100,16 @@ def zorder_assignment(df: DataFrame, cols: list[str], n_files: int,
     z = F.expr(morton_sql([f"_s{j}" for j in range(len(cols))], bits))
     total_bits = len(cols) * bits
     shift = max(0, total_bits - bucket_bits)
+    # eager localCheckpoint (the coreset discipline): d feeds BOTH
+    # the bucket-count side and the probe side of the offsets join,
+    # and it embeds the min/max aggregate + the Morton projection —
+    # unmaterialized, the full input scan and the scalar job would
+    # run twice per call
     d = scaled_cols(df, cols, bits).select(
         F.col(id_col), z.alias("zvalue")
-    ).withColumn("_bkt", F.shiftright(F.col("zvalue"), shift))
+    ).withColumn(
+        "_bkt", F.shiftright(F.col("zvalue"), shift)
+    ).localCheckpoint(eager=True)
     counts = d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -13,11 +13,20 @@ how the source was split into micro-batches — the same convergence
 contract as ``stream_neardup_dedup``, here with exact equality
 rather than verdict convergence.
 
-Re-delivery safety: each segment carries its batch id; a
-crash-replayed micro-batch (checkpoint loss, manual restart against
-the same state dir) is skipped by one bid lookup over the tiny
-counter table instead of double-counting — the q87/BM25 idempotence
-contract at sketch scale.
+Re-delivery safety — and its exact scope: the checkpoint location is
+STABLE (``work_dir/ckpt``), so Structured Streaming's own batch-id
+contract holds (a replayed batch id carries the same files), and the
+source staging is written ONCE — a bid that re-delivers therefore
+re-delivers the same content, and one bid lookup over the tiny
+counter table skips it instead of double-counting (the q87/BM25
+idempotence contract at sketch scale). What this entry point is NOT:
+an incremental-ingestion API — it replays a FIXED corpus snapshot.
+A re-call against the same ``work_dir`` with a grown corpus raises
+loudly (staged-row-count guard) rather than silently skipping the
+new documents under recycled batch ids; continuous ingestion is the
+explicit delta-log surface (``cms_counters`` + ``txn_append`` per
+arriving batch with caller-owned batch keys, merged by
+``read_cms_state``).
 
 Scale shape per micro-batch: one gram-derivation pass over the batch
 only (the corpus is never rescanned), one bounded counter aggregate,
@@ -30,7 +39,6 @@ consuming the landed state.
 from __future__ import annotations
 
 import pathlib
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,10 +98,22 @@ def stream_cms_counters(
     counters_path = str(base / "counters")
     # arbitrary (hash) split into files: the convergence contract is
     # exactly that the merged state doesn't depend on this split.
-    # Overwrite so a re-run against the same work_dir (crash replay,
-    # lost checkpoint) restages and the bid skip proves idempotence.
-    docs.repartition(n_source_files).write.mode("overwrite") \
-        .parquet(src_dir)
+    # Staged ONCE — a stable staging (with the stable checkpoint
+    # below) is what makes a re-delivered batch id carry the same
+    # content, the premise of the bid skip. Rewriting it here would
+    # re-order files under recycled bids and silently corrupt the
+    # merge; a changed corpus against old state raises instead.
+    if (base / "src").exists():
+        staged_n = spark.read.parquet(src_dir).count()
+        if staged_n != docs.count():
+            raise ValueError(
+                "stream_cms_counters: work_dir holds a staging of a "
+                f"different corpus ({staged_n} vs {docs.count()} "
+                "docs) — this entry point replays a FIXED snapshot; "
+                "use a fresh work_dir, or append the delta through "
+                "cms_counters + txn_append (the incremental surface)")
+    else:
+        docs.repartition(n_source_files).write.parquet(src_dir)
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -118,10 +138,14 @@ def stream_cms_counters(
         txn_append(bspark, seg, counters_path)
 
     with scoped_shuffle_partitions(spark, state_partitions):
+        # STABLE checkpoint: Structured Streaming's batch-id replay
+        # guarantee (same id -> same files) only holds across a kept
+        # checkpoint, and it is what makes the bid skip sound; a
+        # per-call random suffix would also litter one orphaned
+        # checkpoint tree per invocation in durable storage
         query = (
             stream.writeStream.foreachBatch(land)
-            .option("checkpointLocation",
-                    str(base / f"ckpt_{uuid.uuid4().hex[:8]}"))
+            .option("checkpointLocation", str(base / "ckpt"))
             .trigger(availableNow=True)
             .start()
         )

@@ -164,3 +164,17 @@ def test_histogram_partitioning_invariance(spark):
            for r in Q.quantile_histogram(
                df.repartition(11), "v", ["g"]).collect()}
     assert one == rep
+
+
+def test_histogram_huge_magnitude_raises_loudly(spark):
+    """Review regression: |value|*10^scale past 2^62 used to SATURATE
+    the long cast silently in Spark (and error in DuckDB — a gate
+    divergence); the guard must name it."""
+    Q = _hist_mod()
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 1.0e13)], "g string, v double")
+    with pytest.raises(Exception, match="2\\^62"):
+        Q.quantile_histogram(df, "v", ["g"], scale=6).collect()
+    # and the documented fix works: lower scale
+    ok = Q.quantile_histogram(df, "v", ["g"], scale=0).count()
+    assert ok == 2

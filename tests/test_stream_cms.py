@@ -73,18 +73,44 @@ def test_full_replay_is_idempotent(spark, corpus_path):
     """A full re-run against the same state dir (checkpoint lost)
     re-delivers every micro-batch; the bid skip must leave the state
     unchanged instead of double-counting."""
+    import shutil
+
     work = str(scratch_dir(prefix="cms_replay_"))
     first = _counters_dict(stream_cms_counters(
         spark, corpus_path, n=2, d=D, w_bits=W_BITS,
         n_source_files=2, work_dir=work))
-    # second full run: same work_dir (landed bids survive), fresh
-    # checkpoint -> every micro-batch re-delivers with bids 0..n-1
+    # re-run with the kept checkpoint: zero new batches, state intact
+    kept = _counters_dict(stream_cms_counters(
+        spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+        n_source_files=2, work_dir=work))
+    assert kept == first
+    # checkpoint LOST (the crash-replay case): every micro-batch
+    # re-delivers under bids 0..n-1 over the UNCHANGED staging — the
+    # bid skip must leave the state unchanged, not double-count
+    shutil.rmtree(work + "/ckpt")
     replay = _counters_dict(stream_cms_counters(
         spark, corpus_path, n=2, d=D, w_bits=W_BITS,
         n_source_files=2, work_dir=work))
     assert replay == first
     assert replay == _counters_dict(
         read_cms_state(spark, work + "/counters"))
+
+
+def test_changed_corpus_against_old_state_raises(spark, corpus_path):
+    """Review regression: recycled batch ids over a RESTAGED source
+    silently skipped new documents; a grown corpus against an
+    existing work_dir must raise instead."""
+    work = str(scratch_dir(prefix="cms_grow_"))
+    stream_cms_counters(spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+                        n_source_files=2, work_dir=work)
+    grown = str(scratch_dir(prefix="cms_grown_")) + "/docs"
+    docs = spark.read.parquet(corpus_path)
+    docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    ).write.parquet(grown)
+    with pytest.raises(ValueError, match="FIXED snapshot"):
+        stream_cms_counters(spark, grown, n=2, d=D, w_bits=W_BITS,
+                            n_source_files=2, work_dir=work)
 
 
 def test_state_is_bounded(spark, corpus_path):
