@@ -238,6 +238,107 @@ def importance_weights(docs, is_target: Column, text_col: str = "text",
     )
 
 
+def temporal_split(df, ts_col: str, cutoff=None,
+                   train_frac: float = 0.8,
+                   embargo_seconds: int = 0):
+    """Time-based train/test split with an EMBARGO gap — the temporal
+    complement of the cluster-keyed leakage-safe split (q85): train
+    is everything at or before the cutoff, test everything after
+    cutoff + embargo, and the embargo band between them is LABELED
+    (not silently dropped) so the caller sees exactly what the gap
+    excluded. The embargo is what blocks near-boundary leakage
+    (features computed from a window that straddles the cutoff, label
+    horizons that peek past it); without it a time split leaks
+    exactly at the seam it was supposed to protect.
+
+    ``cutoff``: an explicit timestamp (the deployment case — "train
+    on everything before X"); ``None`` derives it as the EXACT type-1
+    quantile of ``ts_col`` at ``train_frac`` — the grouped_quantiles
+    collapse-to-counts shape on one group (its documented
+    single-huge-group seam applies; at 100 TB pass an explicit cutoff
+    or derive one from the bounded ``quantile_histogram``).
+
+    All timestamp arithmetic is exact integer microseconds; NULL
+    timestamps get split = NULL (no temporal position). Returns
+    ``df`` + ``split`` ('train' | 'embargo' | 'test')."""
+    from pyspark.sql import Window
+
+    if cutoff is None:
+        if not 0.0 < train_frac < 1.0:
+            raise ValueError(
+                f"train_frac must be in (0, 1): {train_frac}")
+        counts = (
+            df.filter(F.col(ts_col).isNotNull())
+            .groupBy(ts_col).agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.orderBy(ts_col)
+        ranked = counts.select(
+            ts_col,
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("c").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing)
+            ).alias("tot"),
+        )
+        row = (
+            ranked.filter(
+                F.col("cum") >= F.ceil(
+                    F.lit(train_frac).cast("decimal(20,12)")
+                    * F.col("tot"))
+            ).orderBy(ts_col).limit(1).collect()
+        )
+        if not row:
+            return df.withColumn("split",
+                                 F.lit(None).cast("string"))
+        cutoff = row[0][ts_col]
+    cut_us = F.unix_micros(F.lit(cutoff))
+    ts_us = F.unix_micros(F.col(ts_col))
+    emb_us = int(embargo_seconds) * 1_000_000
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col).isNull(), F.lit(None).cast("string"))
+        .when(ts_us <= cut_us, "train")
+        .when(ts_us <= cut_us + F.lit(emb_us), "embargo")
+        .otherwise("test"),
+    )
+
+
+def temporal_leakage_report(split_df, entity_col: str):
+    """(n_entities, n_train_only, n_test_only, n_straddling,
+    straddle_fraction) — the check to run before trusting a temporal
+    split: entities with rows in BOTH train and test carry
+    entity-level signal across the boundary (fine for forecasting,
+    fatal for entity-generalization claims). One aggregation pass
+    over the split frame; embargo/NULL rows don't count toward
+    either side."""
+    per_entity = (
+        split_df.filter(F.col("split").isin("train", "test"))
+        .groupBy(entity_col)
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1)
+                  .otherwise(0)).alias("in_train"),
+            F.max(F.when(F.col("split") == "test", 1)
+                  .otherwise(0)).alias("in_test"),
+        )
+    )
+    return per_entity.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.when((F.col("in_train") == 1) & (F.col("in_test") == 0),
+                     1).otherwise(0)).cast("long").alias("n_train_only"),
+        F.sum(F.when((F.col("in_train") == 0) & (F.col("in_test") == 1),
+                     1).otherwise(0)).cast("long").alias("n_test_only"),
+        F.sum(F.when((F.col("in_train") == 1) & (F.col("in_test") == 1),
+                     1).otherwise(0)).cast("long").alias("n_straddling"),
+    ).select(
+        "*",
+        F.round(F.col("n_straddling").cast("double")
+                / F.col("n_entities"), 6).alias("straddle_fraction"),
+    )
+
+
 def systematic_sample(df, weight: Column, n_select: int,
                       id_col: str = "doc_id",
                       salt: str = "syssample-v1",

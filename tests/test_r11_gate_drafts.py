@@ -1291,3 +1291,116 @@ def test_quantile_histogram_oracle_parity(spark):
     exp = {r[0]: (r[1], r[2], r[3])
            for r in con.execute(_HIST_ORACLE).fetchall()}
     assert got == exp and len(got) >= 3
+
+
+# --------------------------------------------------------------------
+# Temporal split with embargo + entity-straddle leakage report
+# (sampling.py::temporal_split/temporal_leakage_report, round 10
+# late) — the TIME-axis complement of q85's cluster-keyed split:
+# train <= cutoff < embargo band <= cutoff+gap < test, embargo rows
+# LABELED not dropped, and the report that says whether entities
+# straddle the boundary. LANDING ROUTE: rides q85's r11 re-gate as a
+# kind='temporal' leg beside the cluster rows (q85 owns the
+# leakage-safe-split surface; r9-gated, due r11). Exact-microsecond
+# arithmetic + the type-1 quantile cutoff: full value hash.
+
+_TSPLIT_ORACLE = r"""
+WITH c AS (
+    SELECT ts, count(*) AS cnt FROM events
+    WHERE ts IS NOT NULL GROUP BY ts
+), r AS (
+    SELECT ts,
+           SUM(cnt) OVER (ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(cnt) OVER () AS tot
+    FROM c
+), cut AS (
+    SELECT min(ts) AS cutoff FROM r
+    WHERE cum >= ceil(CAST(0.8 AS DECIMAL(20,12)) * tot)
+), lab AS (
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.ts IS NULL THEN NULL
+                WHEN epoch_us(e.ts) <= epoch_us(cutoff) THEN 'train'
+                WHEN epoch_us(e.ts) <= epoch_us(cutoff) + 86400000000
+                    THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN cut
+), per_entity AS (
+    SELECT user_id,
+           max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS in_train,
+           max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+    FROM lab WHERE split IN ('train', 'test')
+    GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(CASE WHEN in_train = 1 AND in_test = 0 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_train_only,
+       CAST(sum(CASE WHEN in_train = 0 AND in_test = 1 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_test_only,
+       CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_straddling,
+       round(CAST(sum(CASE WHEN in_train = 1 AND in_test = 1 THEN 1
+                ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS straddle_fraction
+FROM per_entity
+"""
+
+_TSPLIT_ROWS_ORACLE = r"""
+WITH c AS (
+    SELECT ts, count(*) AS cnt FROM events
+    WHERE ts IS NOT NULL GROUP BY ts
+), r AS (
+    SELECT ts,
+           SUM(cnt) OVER (ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(cnt) OVER () AS tot
+    FROM c
+), cut AS (
+    SELECT min(ts) AS cutoff FROM r
+    WHERE cum >= ceil(CAST(0.8 AS DECIMAL(20,12)) * tot)
+)
+SELECT e.event_id,
+       CASE WHEN e.ts IS NULL THEN NULL
+            WHEN epoch_us(e.ts) <= epoch_us(cutoff) THEN 'train'
+            WHEN epoch_us(e.ts) <= epoch_us(cutoff) + 86400000000
+                THEN 'embargo'
+            ELSE 'test' END AS split
+FROM events e CROSS JOIN cut
+"""
+
+
+def test_temporal_split_oracle_parity(spark):
+    from formula1_data_pipeline_spark.operators.sampling import (
+        temporal_leakage_report,
+        temporal_split,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    ev = load(spark, SF_DIR, "events")["events"]
+    split = temporal_split(ev, "ts", train_frac=0.8,
+                           embargo_seconds=86400)
+    got_rows = {r["event_id"]: r["split"]
+                for r in split.select("event_id", "split").collect()}
+    [got_rep] = temporal_leakage_report(split, "user_id").collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exp_rows = {r[0]: r[1]
+                for r in con.execute(_TSPLIT_ROWS_ORACLE).fetchall()}
+    assert got_rows == exp_rows
+    [exp_rep] = con.execute(_TSPLIT_ORACLE).fetchall()
+    cols = ["n_entities", "n_train_only", "n_test_only",
+            "n_straddling", "straddle_fraction"]
+    assert tuple(got_rep[c] for c in cols) == exp_rep
+    # all three bands populated at this sf
+    from collections import Counter
+
+    bands = Counter(v for v in got_rows.values() if v)
+    assert bands["train"] > 0 and bands["test"] > 0
+    assert bands["embargo"] > 0
