@@ -732,6 +732,128 @@ def txn_replace(spark: SparkSession, df: DataFrame, table: str,
                           _compact_threshold(compact_threshold), stats_cols)
 
 
+def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
+                    table: str, key_col: str) -> int:
+    """Targeted delete (the right-to-be-forgotten path): remove every
+    row whose ``key_col`` appears in ``keys_df`` from the CURRENT
+    snapshot, rewriting ONLY the segments whose recorded [min, max]
+    stats for ``key_col`` can intersect the delete set — every other
+    segment is carried into the new manifest BY REFERENCE, zero data
+    movement. At 100 TB this is the difference between rewriting a
+    table and rewriting the handful of segments an opt-out list
+    actually touches; the rewrite cost scales with data LOCALITY of
+    the deleted keys (z-order/key-sorted layouts concentrate it), not
+    table size.
+
+    Segment triage is one tiny join: the manifest's per-segment
+    ranges (thousands of rows) against the delete keys on BETWEEN —
+    the keys never collect to the driver, so the delete set can be
+    arbitrarily large. Fail-open segments (no recorded stats for
+    ``key_col``, incomparable types) are conservatively REWRITTEN —
+    deletes must never miss rows, the mirror image of read-pruning's
+    superset contract. Old versions remain time-travelable until
+    vacuumed (retention is the GDPR clock: ``vacuum`` is what
+    physically destroys the rows).
+
+    Requires a manifest table (plain layouts: adopt via a txn op
+    first — a delete that silently rewrote a plain table would lose
+    the atomicity this exists for). Returns the new version; a delete
+    set touching zero segments still publishes (an auditable no-op
+    version)."""
+    staged_dirs: list[str] = []
+    if key_col in keys_df.columns:
+        src_col = key_col
+    elif len(keys_df.columns) == 1:
+        src_col = keys_df.columns[0]
+    else:
+        raise ValueError(
+            f"txn_delete_keys: keys_df must contain {key_col!r} or "
+            f"be single-column (got {keys_df.columns})")
+    keys = keys_df.select(F.col(src_col).alias("__k")).distinct()
+    try:
+        for _ in range(_MAX_RETRIES):
+            v = current_version(spark, table)
+            if v is None:
+                raise ValueError(
+                    f"txn_delete_keys: {table} is not a manifest "
+                    "table; adopt it through a txn op first")
+            manifest = _read_manifest(spark, table, v)
+            key = manifest["key"]
+            segments = manifest["segments"]
+            scols = manifest.get("stats_cols")
+            ranges = []
+            for i, seg in enumerate(segments):
+                st = (seg.get("stats") or {}).get(key_col)
+                if st and _comparable(st[0], st[1]):
+                    ranges.append((i, st[0], st[1]))
+                else:
+                    ranges.append((i, None, None))  # fail-open: touch
+            # numeric stats compare in DECIMAL (a double cast of a
+            # >2^53 integer bound rounds, and a shrunken range could
+            # wrongly EXCLUDE a boundary segment — the one failure a
+            # delete must never make); string stats (string cols,
+            # ISO timestamps) compare lexicographically, which is
+            # their recorded ordering contract
+            numeric = all(
+                isinstance(x, (int, float)) or x is None
+                for _, a, b in ranges for x in (a, b))
+            if numeric:
+                rdf = spark.createDataFrame(
+                    [(i, str(a) if a is not None else None,
+                      str(b) if b is not None else None)
+                     for i, a, b in ranges],
+                    "seg_idx int, mn string, mx string",
+                ).select(
+                    "seg_idx",
+                    F.col("mn").cast("decimal(38,9)").alias("mn"),
+                    F.col("mx").cast("decimal(38,9)").alias("mx"),
+                )
+            else:
+                rdf = spark.createDataFrame(
+                    [(i, a if isinstance(a, str) else None,
+                      b if isinstance(b, str) else None)
+                     for i, a, b in ranges],
+                    "seg_idx int, mn string, mx string")
+            k_typed = keys.select(
+                F.col("__k").cast(dict(rdf.dtypes)["mn"]).alias("__k"))
+            touched_rows = (
+                F.broadcast(rdf).join(
+                    k_typed,
+                    (F.col("mn").isNull())
+                    | ((F.col("__k") >= F.col("mn"))
+                       & (F.col("__k") <= F.col("mx"))),
+                )
+                .select("seg_idx").distinct().collect()
+            )
+            touched = {r["seg_idx"] for r in touched_rows}
+            if not touched:
+                if _publish(spark, table, v + 1, segments, key, scols):
+                    return v + 1
+                continue
+            keep = [s for i, s in enumerate(segments)
+                    if i not in touched]
+            rewrite = [s for i, s in enumerate(segments)
+                       if i in touched]
+            survivors = _segments_df(spark, table, key, rewrite, v).join(
+                keys.select(F.col("__k").alias(key_col)),
+                key_col, "left_anti",
+            )
+            staged_dir, new_segs = _stage(spark, survivors, table, key)
+            if scols:
+                _attach_stats(spark, table, new_segs, key, scols)
+            staged_dirs.append(staged_dir)
+            if _publish(spark, table, v + 1, keep + new_segs, key,
+                        scols):
+                staged_dirs.pop()
+                return v + 1
+        raise RuntimeError(
+            f"txn delete on {table}: lost {_MAX_RETRIES} optimistic "
+            "races")
+    finally:
+        for d in staged_dirs:
+            _delete(spark, f"{table}/{d}")
+
+
 def txn_overwrite(spark: SparkSession, df: DataFrame, table: str,
                   key: str | None = None, pre_publish_hook=None,
                   stats_cols: list[str] | None = None,
