@@ -261,39 +261,25 @@ def temporal_split(df, ts_col: str, cutoff=None,
     All timestamp arithmetic is exact integer microseconds; NULL
     timestamps get split = NULL (no temporal position). Returns
     ``df`` + ``split`` ('train' | 'embargo' | 'test')."""
-    from pyspark.sql import Window
-
     if cutoff is None:
         if not 0.0 < train_frac < 1.0:
             raise ValueError(
                 f"train_frac must be in (0, 1): {train_frac}")
-        counts = (
-            df.filter(F.col(ts_col).isNotNull())
-            .groupBy(ts_col).agg(F.count(F.lit(1)).alias("c"))
+        # the exact type-1 rank pick is grouped_quantiles' job —
+        # including the DECIMAL ceil(p*n) exactness discipline whose
+        # rationale lives there; reimplementing it here would fork
+        # that subtle arithmetic (review finding)
+        from formula1_data_pipeline_spark.operators.quality import (
+            grouped_quantiles,
         )
-        w = Window.orderBy(ts_col)
-        ranked = counts.select(
-            ts_col,
-            F.sum("c").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ).alias("cum"),
-            F.sum("c").over(
-                Window.orderBy(F.lit(1)).rowsBetween(
-                    Window.unboundedPreceding,
-                    Window.unboundedFollowing)
-            ).alias("tot"),
-        )
-        row = (
-            ranked.filter(
-                F.col("cum") >= F.ceil(
-                    F.lit(train_frac).cast("decimal(20,12)")
-                    * F.col("tot"))
-            ).orderBy(ts_col).limit(1).collect()
-        )
-        if not row:
+
+        lab = f"p{round(train_frac * 100)}"
+        rows = grouped_quantiles(
+            df.select(ts_col), ts_col, [], [train_frac]).collect()
+        cutoff = rows[0][lab] if rows else None
+        if cutoff is None:  # no non-null timestamps at all
             return df.withColumn("split",
                                  F.lit(None).cast("string"))
-        cutoff = row[0][ts_col]
     cut_us = F.unix_micros(F.lit(cutoff))
     ts_us = F.unix_micros(F.col(ts_col))
     emb_us = int(embargo_seconds) * 1_000_000
@@ -334,8 +320,15 @@ def temporal_leakage_report(split_df, entity_col: str):
                      1).otherwise(0)).cast("long").alias("n_straddling"),
     ).select(
         "*",
-        F.round(F.col("n_straddling").cast("double")
-                / F.col("n_entities"), 6).alias("straddle_fraction"),
+        # 0/0 guard: a split with no train/test rows (all embargo or
+        # NULL ts) reports a clean 0.0 — "nothing straddles" — not a
+        # NULL (non-ANSI) or a DIVIDE_BY_ZERO (ANSI) that breaks a
+        # caller's `== 0.0` approval check
+        F.when(
+            F.col("n_entities") > 0,
+            F.round(F.col("n_straddling").cast("double")
+                    / F.col("n_entities"), 6),
+        ).otherwise(F.lit(0.0)).alias("straddle_fraction"),
     )
 
 

@@ -757,9 +757,17 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
 
     Requires a manifest table (plain layouts: adopt via a txn op
     first — a delete that silently rewrote a plain table would lose
-    the atomicity this exists for). Returns the new version; a delete
-    set touching zero segments still publishes (an auditable no-op
-    version)."""
+    the atomicity this exists for; note that files adopted AT THE
+    TABLE ROOT (``_bootstrap_segments``' dir-"." entries) are outside
+    ``vacuum``'s d-* reclaim scope — compact the table once after
+    adoption so physical destruction of superseded data is possible).
+    Returns the new version; a delete set touching zero segments
+    still publishes (an auditable no-op version). A delete that
+    empties a KEYED table entirely publishes an unkeyed zero-row
+    snapshot (full survivor schema preserved, the key as a normal
+    column) — an empty keyed staging has no partition dirs, and an
+    empty manifest would crash every reader; re-key with a keyed
+    ``txn_overwrite`` when data returns."""
     staged_dirs: list[str] = []
     if key_col in keys_df.columns:
         src_col = key_col
@@ -769,7 +777,11 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
         raise ValueError(
             f"txn_delete_keys: keys_df must contain {key_col!r} or "
             f"be single-column (got {keys_df.columns})")
-    keys = keys_df.select(F.col(src_col).alias("__k")).distinct()
+    # persisted: the keys plan runs in the triage join AND the
+    # anti-join, per optimistic attempt — an expensive upstream
+    # delete-set plan would otherwise re-scan up to 2 * retries times
+    keys = keys_df.select(F.col(src_col).alias("__k")).distinct() \
+        .persist()
     try:
         for _ in range(_MAX_RETRIES):
             v = current_version(spark, table)
@@ -816,10 +828,16 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
                     "seg_idx int, mn string, mx string")
             k_typed = keys.select(
                 F.col("__k").cast(dict(rdf.dtypes)["mn"]).alias("__k"))
+            # fail-open on EITHER null bound (a decimal-overflow cast
+            # nulls only the oversized side, and Python-side ranges
+            # null both) AND on a null-cast key — k>=mn evaluating to
+            # NULL must touch, never skip: a delete may over-rewrite,
+            # never miss
             touched_rows = (
                 F.broadcast(rdf).join(
                     k_typed,
-                    (F.col("mn").isNull())
+                    F.col("mn").isNull() | F.col("mx").isNull()
+                    | F.col("__k").isNull()
                     | ((F.col("__k") >= F.col("mn"))
                        & (F.col("__k") <= F.col("mx"))),
                 )
@@ -839,17 +857,29 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
                 key_col, "left_anti",
             )
             staged_dir, new_segs = _stage(spark, survivors, table, key)
-            if scols:
-                _attach_stats(spark, table, new_segs, key, scols)
             staged_dirs.append(staged_dir)
-            if _publish(spark, table, v + 1, keep + new_segs, key,
+            pub_key = key
+            if not keep and not new_segs:
+                # the delete emptied a keyed table: an empty keyed
+                # staging has no partition dirs, and a zero-segment
+                # manifest crashes every reader (_commit refuses the
+                # v1 analogue) — publish an unkeyed zero-row anchor
+                # carrying the full survivor schema instead
+                staged_dir, new_segs = _stage(
+                    spark, survivors.coalesce(1), table, None)
+                staged_dirs.append(staged_dir)
+                pub_key = None
+            if scols and new_segs:
+                _attach_stats(spark, table, new_segs, pub_key, scols)
+            if _publish(spark, table, v + 1, keep + new_segs, pub_key,
                         scols):
-                staged_dirs.pop()
+                staged_dirs.remove(staged_dir)
                 return v + 1
         raise RuntimeError(
             f"txn delete on {table}: lost {_MAX_RETRIES} optimistic "
             "races")
     finally:
+        keys.unpersist()
         for d in staged_dirs:
             _delete(spark, f"{table}/{d}")
 

@@ -83,3 +83,17 @@ def test_leakage_report_counts(spark, events):
 def test_bad_train_frac_raises(spark, events):
     with pytest.raises(ValueError, match="train_frac"):
         temporal_split(events, "ts", train_frac=1.0)
+
+
+def test_leakage_report_empty_split_reports_zero(spark):
+    """Review regression: an all-embargo split divided 0/0 and
+    returned NULL straddle_fraction; it must report a clean 0.0."""
+    df = spark.createDataFrame(
+        [(1, "u1", _ts(100)), (2, "u2", _ts(200)), (3, "u3", None)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    split = temporal_split(df, "ts", cutoff=_ts(0),
+                           embargo_seconds=10_000)
+    [r] = temporal_leakage_report(split, "user_id").collect()
+    assert r["n_entities"] == 0
+    assert r["straddle_fraction"] == 0.0

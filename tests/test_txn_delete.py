@@ -69,10 +69,12 @@ def test_fail_open_without_stats_still_exact(spark):
     v = txn.txn_delete_keys(spark, keys, path, "k")
     got = {r["k"] for r in txn.read_table(spark, path).collect()}
     assert got == set(range(300)) - {5, 250}
-    # without stats every segment is conservatively rewritten
-    before3 = 3
-    after = _dirs(spark, path, v)
-    assert len(set(after)) < before3 + 1  # restaged into fresh dirs
+    # without stats every segment is conservatively rewritten: no old
+    # data dir may survive into the new manifest (the earlier `< 4`
+    # form was vacuously true — review finding)
+    before = set(_dirs(spark, path, v - 1))
+    after = set(_dirs(spark, path, v))
+    assert after.isdisjoint(before), (before, after)
 
 
 def test_plain_table_raises(spark):
@@ -112,3 +114,23 @@ def test_delete_on_keyed_partitioned_table(spark):
     assert {r["k"] for r in out.collect()} == set(range(90)) - {1, 50}
     # partition column survives the rewrite
     assert out.filter(F.col("grp") == "g0").count() > 0
+
+
+def test_full_delete_of_keyed_table_stays_readable(spark):
+    """Review regression: emptying a keyed table used to publish a
+    zero-segment manifest every reader crashes on; it must publish an
+    unkeyed zero-row snapshot with the schema intact."""
+    path = str(scratch_dir(prefix="txn_del_all_")) + "/t"
+    rows = spark.createDataFrame(
+        [(i, f"g{i % 2}", f"v{i}") for i in range(20)],
+        "k long, grp string, payload string",
+    )
+    txn.txn_append(spark, rows, path, key="grp", stats_cols=["k"],
+                   compact_threshold=None)
+    keys = rows.select("k")
+    v = txn.txn_delete_keys(spark, keys, path, "k")
+    out = txn.read_table(spark, path)
+    assert out.count() == 0
+    assert {"k", "grp", "payload"} <= set(out.columns)
+    # and the pre-delete version still time-travels
+    assert txn.read_table(spark, path, version=v - 1).count() == 20
