@@ -120,3 +120,28 @@ def test_huge_weights_no_bigint_overflow(spark):
     assert agg["s"] == 37
     got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
     assert all(h >= 0 for h in got.values())
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(ws=st.lists(
+    st.one_of(
+        st.floats(min_value=0.0, max_value=50.0,
+                  allow_nan=False, allow_infinity=False),
+        # exact .5-landing scaled values: the half-up tie class the
+        # review flagged (Python round() would disagree)
+        st.integers(min_value=0, max_value=99).map(
+            lambda k: k + 0.5e-6),
+    ),
+    min_size=1, max_size=40),
+    n=st.integers(min_value=1, max_value=15))
+def test_reference_equality_randomized(spark, ws, n):
+    rows = [(i + 1, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, "doc_id long, wgt double")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in systematic_sample(df, F.col("wgt"), n).collect()}
+    assert got == _ref(rows, n)
+    big_w = sum(int(w * 1e6 + 0.5) for w in ws)
+    assert sum(got.values()) == (n if big_w > 0 else 0)
