@@ -777,11 +777,17 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
         raise ValueError(
             f"txn_delete_keys: keys_df must contain {key_col!r} or "
             f"be single-column (got {keys_df.columns})")
-    # persisted: the keys plan runs in the triage join AND the
+    # NULL keys are dropped up front: the anti-join can never match
+    # (and so never delete) a NULL-keyed row, while a NULL reaching
+    # the triage would fail-open against EVERY segment range — a
+    # dirty opt-out export degrading the op to a full-table rewrite
+    # that deletes nothing extra. The triage's own isNull fail-open
+    # stays for keys the decimal CAST nulls (genuinely unplaceable).
+    # Persisted: the keys plan runs in the triage join AND the
     # anti-join, per optimistic attempt — an expensive upstream
-    # delete-set plan would otherwise re-scan up to 2 * retries times
-    keys = keys_df.select(F.col(src_col).alias("__k")).distinct() \
-        .persist()
+    # delete-set plan would otherwise re-scan up to 2 * retries times.
+    keys = (keys_df.select(F.col(src_col).alias("__k"))
+            .filter(F.col("__k").isNotNull()).distinct().persist())
     try:
         for _ in range(_MAX_RETRIES):
             v = current_version(spark, table)
@@ -864,9 +870,14 @@ def txn_delete_keys(spark: SparkSession, keys_df: DataFrame,
                 # staging has no partition dirs, and a zero-segment
                 # manifest crashes every reader (_commit refuses the
                 # v1 analogue) — publish an unkeyed zero-row anchor
-                # carrying the full survivor schema instead
+                # carrying the full survivor schema instead. Built
+                # from an empty local relation: reaching here proves
+                # survivors is empty, and re-staging its anti-join
+                # plan would scan every touched segment a second time
                 staged_dir, new_segs = _stage(
-                    spark, survivors.coalesce(1), table, None)
+                    spark,
+                    spark.createDataFrame([], survivors.schema),
+                    table, None)
                 staged_dirs.append(staged_dir)
                 pub_key = None
             if scols and new_segs:

@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from formula1_data_pipeline_spark.operators.sampling import (
@@ -121,8 +122,6 @@ def test_huge_weights_no_bigint_overflow(spark):
     got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
     assert all(h >= 0 for h in got.values())
 
-
-from hypothesis import given, settings, strategies as st
 
 
 @settings(max_examples=8, deadline=None)

@@ -134,3 +134,20 @@ def test_full_delete_of_keyed_table_stays_readable(spark):
     assert {"k", "grp", "payload"} <= set(out.columns)
     # and the pre-delete version still time-travels
     assert txn.read_table(spark, path, version=v - 1).count() == 20
+
+
+def test_null_keys_neither_rewrite_nor_delete(spark):
+    """Review regression: a NULL row in the opt-out frame used to
+    fail-open against every segment range (full-table rewrite) while
+    the anti-join deleted nothing for it — NULL keys are dropped at
+    the edge, so segment triage stays local."""
+    path, _ = _mk_table(spark)
+    before = _dirs(spark, path)
+    keys = spark.createDataFrame([(110,), (None,)], "k long")
+    v = txn.txn_delete_keys(spark, keys, path, "k")
+    after = _dirs(spark, path, v)
+    # only the middle segment (containing 110) rewrites
+    assert before[0] in after and before[2] in after
+    assert before[1] not in after
+    got = {r["k"] for r in txn.read_table(spark, path).collect()}
+    assert got == set(range(300)) - {110}
