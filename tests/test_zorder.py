@@ -105,3 +105,18 @@ def test_land_prunes_files_on_both_columns(spark, grid):
         # superset contract: pruning drops only non-matching segments
         assert pruned.filter(F.col(col) <= 7).count() == \
             full.filter(F.col(col) <= 7).count()
+
+
+def test_three_column_interleave_and_assignment(spark):
+    rows = [(i, i % 8, (i * 3) % 8, (i * 5) % 8) for i in range(256)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long")
+    got = {r["id"]: r["m"] for r in df.select(
+        "id", F.expr(Z.morton_sql(["x", "y", "z"], 3)).alias("m")
+    ).collect()}
+    for i, x, y, z in rows:
+        assert got[i] == _morton_ref([x, y, z], 3)
+    asg = Z.zorder_assignment(df, ["x", "y", "z"], 4, "id", bits=3)
+    sizes = {}
+    for r in asg.collect():
+        sizes[r["file_id"]] = sizes.get(r["file_id"], 0) + 1
+    assert sizes == {f: 64 for f in range(4)}
