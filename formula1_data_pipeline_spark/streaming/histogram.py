@@ -1,0 +1,129 @@
+"""Streaming quantile-histogram maintenance — distribution monitoring
+over a stream with BOUNDED state and exact one-shot convergence.
+
+The streaming composition of ``quality.quantile_histogram``: each
+micro-batch builds ITS OWN bucket table (capped at ~2 * 63 *
+2^sub_bits rows per group) and txn-appends it as one delta segment —
+the delta-log discipline shared with the BM25 index and the
+streaming CMS (``streaming/heavyhitters.py``): readers SUM segment
+counts, and because the histogram is a DISTRIBUTIVE aggregate the
+merged state is bit-for-bit the table a one-shot build over the full
+corpus would produce, for ANY micro-batch split. Quantile reads at
+any point in the stream are one tiny ordered pass over the merged
+buckets (``quality.histogram_quantiles``), giving running
+p50/p95/p99 with the operator's relative <= 2^-sub_bits bound.
+
+Replay safety is the heavyhitters contract verbatim: STABLE
+checkpoint + stage-once source + bid-keyed skip; a changed corpus
+against existing state raises loudly (fixed-snapshot replay —
+continuous ingestion is the explicit ``quantile_histogram`` +
+``txn_append`` surface with caller-owned batch keys).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.scratch import scratch_dir
+
+
+def read_histogram_state(spark: SparkSession,
+                         hist_path: str,
+                         group_cols: list[str]) -> DataFrame:
+    """The landed bucket table, delta segments summed — feed to
+    ``quality.histogram_quantiles`` for running quantiles."""
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    return (
+        read_table(spark, hist_path)
+        .groupBy(*group_cols, "cls", "msb", "sub", "v_rep_scaled")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def stream_quantile_histogram(
+    spark: SparkSession,
+    events_path: str,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    sub_bits: int = 3,
+    scale: int = 6,
+    n_source_files: int = 3,
+    timeout_sec: int = 300,
+    state_partitions: int | None = 8,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Replay ``events_path`` as a file stream of ``n_source_files``
+    micro-batches, maintaining the bucket state; return the merged
+    (group..., cls, msb, sub, v_rep_scaled, cnt) table — exactly
+    equal to the one-shot ``quantile_histogram`` over the full
+    table, for ANY split."""
+    from formula1_data_pipeline_spark.operators.quality import (
+        quantile_histogram,
+    )
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+        read_table,
+        txn_append,
+    )
+    from formula1_data_pipeline_spark.streaming.confs import (
+        scoped_shuffle_partitions,
+    )
+
+    group_cols = list(group_cols or [])
+    src = spark.read.parquet(events_path).select(
+        *group_cols, value_col)
+    base = pathlib.Path(work_dir if work_dir is not None
+                        else scratch_dir(prefix="stream_hist_"))
+    src_dir = str(base / "src")
+    hist_path = str(base / "hist")
+    if (base / "src").exists():
+        staged_n = spark.read.parquet(src_dir).count()
+        if staged_n != src.count():
+            raise ValueError(
+                "stream_quantile_histogram: work_dir holds a staging "
+                f"of a different table ({staged_n} vs {src.count()} "
+                "rows) — this entry point replays a FIXED snapshot; "
+                "use a fresh work_dir, or append deltas through "
+                "quantile_histogram + txn_append")
+    else:
+        src.repartition(n_source_files).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        if current_version(bspark, hist_path) is not None:
+            landed = {
+                r["bid"] for r in read_table(bspark, hist_path)
+                .select("bid").distinct().collect()
+            }
+            if batch_id in landed:
+                return  # re-delivered micro-batch: already counted
+        seg = quantile_histogram(
+            batch_df, value_col, group_cols, sub_bits, scale
+        ).withColumn("bid", F.lit(batch_id))
+        txn_append(bspark, seg, hist_path)
+
+    with scoped_shuffle_partitions(spark, state_partitions):
+        query = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(base / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not query.awaitTermination(timeout_sec):
+            query.stop()
+            raise TimeoutError(
+                f"stream_quantile_histogram did not finish within "
+                f"{timeout_sec}s"
+            )
+    return read_histogram_state(spark, hist_path, group_cols)
