@@ -170,10 +170,18 @@ def test_kcenter_incremental_releases_checkpoint_blocks(spark):
         kcenter_centers,
     )
 
-    def n_persisted():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def persisted_ids():
+        return {info.id() for info in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    before = n_persisted()
+    before = persisted_ids()
     kcenter_centers(emb, 8, incremental=True)
-    assert n_persisted() == before
+    # compare by RDD id, not count: other operators' eager
+    # localCheckpoints (heavy_hitters, zorder) leave blocks the
+    # driver GC may release at ANY moment, so an exact-count
+    # assertion flakes when a collection lands mid-test (seen in the
+    # round-10 full-suite run); what this guards is that kcenter
+    # itself leaves NO NEW persisted RDDs behind
+    leaked = persisted_ids() - before
+    assert not leaked, leaked
