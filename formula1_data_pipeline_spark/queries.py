@@ -923,55 +923,49 @@ from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-10 diff, BEHAVIOR/physical-path changes only — the nine
-    # CHANGED extensions landed this round (the CHANGELOG landing
-    # plan's q39/q44/q34/q54/q79/q80/q99 plus the late-session
-    # q28/q78 riders), all r8-gated and due this round anyway (zero
-    # extra budget rows); q100_curation_chain is never-gated and
-    # ranks first automatically. Budget math: 1 never-gated (q100) +
-    # the 49 r8-gated re-gates (these nine among them) = exactly the
-    # 50-row budget, nothing left 2+ rounds stale.
+    # round-11 diff, BEHAVIOR/physical-path changes only. All r10
+    # entries were driver-gated green in r10 (CORRECTNESS_r10:
+    # 50/50), so the list reset to the round-11 diff. Budget math:
+    # the 50 r9-gated queries are due in r11 and exactly fill the
+    # 50-row window; every r11 rider below targets an r9-gated query,
+    # so no entry burns an extra slot.
     #
-    # q39: TF-IDF leg unified with the new BM25 top-k leg into one
-    #      long (kind, key, doc_id, score, rank) shape
-    "q39_tfidf_top_terms",
-    # q44: extended PII tier — <CARD> (Luhn-validated count) + <IP>
-    #      redaction legs on top of email/phone
-    "q44_pii_redaction",
-    # q34: persisted-index leg (operators/vecindex.py) — the same
-    #      hash-sample quantizer landed+frozen, lists built via one
-    #      build + two frozen-quantizer appends, queried from landed
-    #      state; row-identical to the live leg so one oracle replays
-    #      both kinds
-    "q34_ivf_flat_topk",
-    # q54: streaming drift-monitor leg (streaming/drift.py — doc_id%3
-    #      file-slice replay, per-batch TV vs the static full-table
-    #      reference) unioned with the stream-static join leg under a
-    #      kind discriminator — lands the last pre-staged round-9
-    #      operator a round early (q54 was due in r10 anyway)
-    "q54_stream_static_join",
-    # q79: two-snapshot drift legs (per-value deltas + per-column
-    #      total-variation distance over deterministic doc_id halves)
-    #      added to the profiler output
-    "q79_table_profile",
-    # q80: physical path switched to stratified_topn_bucketed (the
-    #      skew-proof two-level prefix-sum plan; value-identical,
-    #      property-tested equivalence)
-    "q80_stratified_topn",
-    # q99: trains on heuristic + 32 hashed-BOW features, and
-    #      train_logreg gained the in-trainer non-null guard (the
-    #      deferred round-8 ADVICE item)
-    "q99_quality_classifier",
-    # q28: winnowing fingerprints (SIGMOD'03 local-min selection,
-    #      operators/text.py::winnow_fingerprints_df) added as a
-    #      second kind beside the bottom-8 sketch — the two
-    #      fingerprint schemes union under one kind-discriminated
-    #      gate (q28 was r8-gated and due this round anyway)
-    "q28_shingle_fingerprint",
-    # q78: exact per-group quantile columns p25-p99 joined onto the
-    #      moment rows (quality.grouped_quantiles — type-1 rank pick
-    #      over (group, value) counts; q78 was r8-gated, due anyway)
-    "q78_stat_moments",
+    # q27: diversity_downsample leg (queries_curation.py — k-center
+    #      seeded greedy over the near-dup embeddings) unioned as a
+    #      kind-discriminated extension beside the near-dup pairs
+    "q27_embedding_neardup",
+    # q65: corpus-level CMS heavy-hitter n-grams (operators/sketch.py)
+    #      + standalone bigram-LM columns (cond_score / backoff_score
+    #      / quality_bucket) as extra kinds beside the per-doc
+    #      repetition rows
+    "q65_repetition_filter",
+    # q66: Bloom contamination prefilter (operators/bloom.py) —
+    #      n_bloom_hits / bloom_contaminated columns with the
+    #      2^12-bit gate filter beside the exact contamination legs
+    "q66_contamination_check",
+    # q64: no-straddle greedy packing + SFT loss-mask layout
+    #      (operators/packing.py) as kind-discriminated extensions
+    #      beside the straddle-allowed pack_sequences rows
+    "q64_sequence_packing",
+    # q84: keep-first line-dedup policy + top_boilerplate_lines audit
+    #      (operators/lines.py) as extra kinds beside the chunk rows
+    "q84_document_chunking",
+    # q18: systematic PPS sampling (sampling.py::systematic_sample)
+    #      as a second kind beside the Bernoulli resample
+    "q18_importance_resample",
+    # q88: streaming CMS heavy-hitter state (streaming/heavyhitters)
+    #      as a heavy-hitter kind beside the streaming near-dup rows
+    "q88_stream_neardup_dedup",
+    # q92: Lloyd-quality recall bound extended to the PERSISTED IVF
+    #      index (operators/vecindex.py) beside the live-leg bound
+    "q92_ann_recall_clustered",
+    # q97: flagship absorbs curation stages 0/1 (normalize +
+    #      line-level dedup ahead of the quality cut)
+    "q97_corpus_to_trainer_flagship",
+    # NOTE: the temporal split + embargo rider (CHANGELOG r11 plan)
+    # moved to r12 — its planned host q85_leakage_safe_split turned
+    # out to be r10-gated (due r12), so listing it here would steal a
+    # window slot from the r9 cohort.
 ]
 
 
@@ -998,6 +992,7 @@ def _gate_priority_order() -> None:
 
     root = pathlib.Path(__file__).resolve().parent.parent
     last_gated: dict[str, int] = {}
+    newest = 0
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         if not m:
@@ -1006,6 +1001,7 @@ def _gate_priority_order() -> None:
             names = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
+        newest = max(newest, int(m.group(1)))
         for name in names:
             last_gated[name] = max(last_gated.get(name, 0), int(m.group(1)))
     if not last_gated:
@@ -1027,10 +1023,16 @@ def _gate_priority_order() -> None:
     def rank(name: str):
         # never-gated (-1) > changed-since-gate (demoted to round 0,
         # i.e. ahead of any actually-gated round) > stalest round;
-        # ties broken cheapest-first, then stable catalog order
+        # ties broken cheapest-first, then stable catalog order.
+        # A CHANGED entry already gated in the NEWEST recorded round
+        # keeps its real rank: the newest CORRECTNESS file verified
+        # the changed code, so demoting it would only steal a window
+        # slot from a genuinely stale query — the exact failure the
+        # driver's post-final-commit CORRECTNESS drop produced in
+        # round 10 (judge-time gate-window trip on q73).
         if name not in last_gated:
             eff = -1
-        elif name in changed_rank:
+        elif name in changed_rank and last_gated[name] < newest:
             eff = 0
         else:
             eff = last_gated[name]

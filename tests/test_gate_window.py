@@ -42,11 +42,18 @@ def test_gate_window_keeps_every_query_fresh():
     last, newest = _last_gated()
 
     # never-gated and changed-since-gate queries must sit inside the
-    # budget window — their old rows (if any) prove nothing
+    # budget window — their old rows (if any) prove nothing. A
+    # CHANGED entry already gated in the NEWEST recorded round is
+    # fresh (the newest CORRECTNESS file verified the changed code):
+    # the driver drops CORRECTNESS_r{N}.json AFTER the round's final
+    # commit, so without this carve-out the just-verified diff would
+    # steal window slots at judge time (bit in round 10 on q73).
     for name in order:
         if name not in last:
             assert name in window, f"never-gated {name} outside window"
     for name in CHANGED_SINCE_GATE:
+        if last.get(name, 0) >= newest:
+            continue
         assert name in window, f"changed {name} outside window"
 
     # alternation health: if the driver gates exactly the window this
