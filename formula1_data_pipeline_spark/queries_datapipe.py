@@ -750,10 +750,66 @@ from formula1_data_pipeline_spark.queries_llm import (  # noqa: E402
 )
 
 
+#: q64 no-straddle/SFT leg sizing (draft-proven): 512-token bins,
+#: 100-doc alignment buckets; prompt = n_tokens // 3 derives the SFT
+#: loss span deterministically from the same word-token counts
+_Q64_B = 512
+_Q64_S = 100
+
+# the bucket-aligned greedy fold as a recursive CTE, shared by the
+# nostraddle and sft legs (the sft leg packs total = n, so the fold
+# replays ONCE and both legs read rows_out/off)
+_Q64_FOLD_CTES = rf"""ex AS (
+        SELECT doc_id AS example_id,
+               len(list_filter(regexp_split_to_array(trim(lower(text)),
+                   '\s+'), x -> x <> '')) AS n,
+               doc_id // {_Q64_S} AS bkt
+        FROM documents
+        WHERE len(list_filter(regexp_split_to_array(trim(lower(text)),
+                  '\s+'), x -> x <> '')) <= {_Q64_B}
+    ), ex_i AS (
+        SELECT bkt, example_id, n,
+               row_number() OVER (PARTITION BY bkt ORDER BY example_id)
+               AS i
+        FROM ex
+    ), fold AS (
+        SELECT bkt, 0::BIGINT AS i, 0::BIGINT AS bin, 0::BIGINT AS fill,
+               NULL::BIGINT AS example_id, NULL::BIGINT AS pos,
+               NULL::BIGINT AS n
+        FROM (SELECT DISTINCT bkt FROM ex_i)
+        UNION ALL
+        SELECT f.bkt, f.i + 1,
+               CASE WHEN f.fill + e.n > {_Q64_B} THEN f.bin + 1
+                    ELSE f.bin END,
+               CASE WHEN f.fill + e.n > {_Q64_B} THEN e.n
+                    ELSE f.fill + e.n END,
+               e.example_id,
+               CASE WHEN f.fill + e.n > {_Q64_B} THEN 0 ELSE f.fill END,
+               e.n
+        FROM fold f JOIN ex_i e ON e.bkt = f.bkt AND e.i = f.i + 1
+    ), rows_out AS (
+        SELECT * FROM fold WHERE example_id IS NOT NULL
+    ), used AS (
+        SELECT bkt, max(bin) + 1 AS bins_used FROM rows_out GROUP BY 1
+    ), off AS (
+        SELECT bkt, COALESCE(SUM(bins_used) OVER (
+            ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS bin_off
+        FROM used
+    ), packed AS (
+        -- window SUM(BIGINT) is HUGEINT in DuckDB, which pandas
+        -- renders as float — cast back to BIGINT (the q100 lesson)
+        SELECT r.example_id, r.n AS n_tokens,
+               CAST(o.bin_off + r.bin AS BIGINT) AS bin_id,
+               r.pos AS pack_pos
+        FROM rows_out r JOIN off o USING (bkt)
+    )"""
+
+
 @register(
     "q64_sequence_packing",
     rf"""
-    WITH d AS (
+    WITH RECURSIVE d AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
                     AS BIGINT) AS n_tokens
@@ -765,46 +821,208 @@ from formula1_data_pipeline_spark.queries_llm import (  # noqa: E402
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) AS cum_before
         FROM d
-    )
-    SELECT doc_id, n_tokens,
-           CAST(cum_before // 512 AS BIGINT) AS bin_id,
-           CAST(cum_before % 512 AS BIGINT) AS pack_pos
+    ), {_Q64_FOLD_CTES}
+    SELECT 'straddle' AS kind, doc_id, n_tokens,
+           CAST(cum_before // {_Q64_B} AS BIGINT) AS bin_id,
+           CAST(cum_before % {_Q64_B} AS BIGINT) AS pack_pos,
+           CAST(NULL AS BIGINT) AS loss_start,
+           CAST(NULL AS BIGINT) AS loss_end,
+           CAST(NULL AS BIGINT) AS attn_seg
     FROM c
+    UNION ALL
+    SELECT 'nostraddle' AS kind, example_id AS doc_id, n_tokens,
+           bin_id, pack_pos,
+           CAST(NULL AS BIGINT) AS loss_start,
+           CAST(NULL AS BIGINT) AS loss_end,
+           CAST(NULL AS BIGINT) AS attn_seg
+    FROM packed
+    UNION ALL
+    SELECT 'sft' AS kind, example_id AS doc_id, n_tokens,
+           bin_id, pack_pos,
+           pack_pos + n_tokens // 3 AS loss_start,
+           pack_pos + n_tokens AS loss_end,
+           row_number() OVER (
+               PARTITION BY bin_id ORDER BY pack_pos, example_id
+           ) - 1 AS attn_seg
+    FROM packed
     """,
-    doc="Sequence packing (sample packing for LLM training): documents "
-        "laid out in doc_id order get the 512-BPE-token bin their "
-        "start offset falls in. Implemented as a two-level distributed "
-        "prefix sum (range-bucket -> per-bucket totals -> tiny-table "
-        "offset window -> partitioned within-bucket window) so no "
-        "stage runs a global single-task sort — the oracle's flat "
-        "window IS that single task, which is exactly what this shape "
-        "avoids at 100 TB. operators/packing.py",
+    doc="Sequence-packing surface, three legs in one "
+        "kind-discriminated frame (operators/packing.py). "
+        "kind='straddle' (sample packing for LLM pre-training): "
+        "documents laid out in doc_id order get the 512-BPE-token bin "
+        "their start offset falls in; a two-level distributed prefix "
+        "sum (range-bucket -> per-bucket totals -> tiny-table offset "
+        "window -> partitioned within-bucket window) so no stage runs "
+        "a global single-task sort — the oracle's flat window IS that "
+        "single task, which is exactly what this shape avoids at "
+        "100 TB. kind='nostraddle' (round 11, "
+        "pack_examples_nostraddle): greedy whole-example packing — "
+        "bins never split an example and never cross the 100-doc "
+        "alignment buckets, so the greedy fold runs per-bucket as a "
+        "bounded F.aggregate, parallel across buckets; the oracle "
+        "replays the fold with a recursive CTE. kind='sft' (round 11, "
+        "sft_pack_with_loss_mask): the instruction-tuning layout over "
+        "the same fold — per-example loss-mask spans (prompt masked, "
+        "completion in [pack_pos + p, pack_pos + n)) and "
+        "block-diagonal attention segment ids; prompt = n // 3 "
+        "derives deterministically from the token counts",
 )
 def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators import text as T
-    from formula1_data_pipeline_spark.operators.packing import pack_sequences
+    from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.packing import (
+        pack_examples_nostraddle,
+        pack_sequences,
+        sft_pack_with_loss_mask,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return pack_sequences(
-        docs, T.bpe_token_count(F.col("text")), budget=512,
+    straddle = pack_sequences(
+        docs, T.bpe_token_count(F.col("text")), budget=_Q64_B,
         id_col="doc_id", bucket_size=1000,
+    ).select(
+        F.lit("straddle").alias("kind"),
+        "doc_id", "n_tokens", "bin_id", "pack_pos",
+    )
+
+    ex = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n"),
+    ).filter(F.col("n") <= _Q64_B)
+    nostraddle = pack_examples_nostraddle(
+        ex, F.col("n"), budget=_Q64_B, id_col="example_id",
+        bucket_size=_Q64_S,
+    ).select(
+        F.lit("nostraddle").alias("kind"),
+        F.col("example_id").alias("doc_id"),
+        "n_tokens", "bin_id", "pack_pos",
+    )
+
+    sft = sft_pack_with_loss_mask(
+        ex.select(
+            "example_id",
+            F.expr("n DIV 3").alias("p"),
+            F.expr("n - n DIV 3").alias("c"),
+        ),
+        F.col("p"), F.col("c"), budget=_Q64_B,
+        id_col="example_id", bucket_size=_Q64_S,
+    ).select(
+        F.lit("sft").alias("kind"),
+        F.col("example_id").alias("doc_id"),
+        "n_tokens", "bin_id", "pack_pos",
+        "loss_start", "loss_end", "attn_seg",
+    )
+
+    return (
+        straddle.unionByName(nostraddle, allowMissingColumns=True)
+        .unionByName(sft, allowMissingColumns=True)
+        .select(
+            "kind", "doc_id", "n_tokens", "bin_id", "pack_pos",
+            "loss_start", "loss_end", "attn_seg",
+        )
     )
 
 
-@register(
-    "q65_repetition_filter",
-    f"""
-    WITH t AS (
+#: q65 CMS-leg gate sizing (draft-proven at sf0.001 AND sf0.01): a
+#: 2^8-bucket sketch at threshold 40 puts both verdict paths — exact
+#: heavies and collision-inflated near-misses — under the value hash
+_Q65_CMS_W_BITS = 8
+_Q65_CMS_T = 40
+
+# doc_id%3 augmentation for the LM leg (the q44 pattern): the raw
+# synthetic corpus draws from a ~30-word vocabulary the reference
+# slice covers completely, so without augmentation every doc lands in
+# one bucket and the cond/backoff/bucket columns gate nothing.
+# %3==0 -> fully OOV (tail probe), %3==1 -> original + OOV twin +
+# in-vocab coda (middle + backoff probe), %3==2 -> untouched (the
+# reference slice + head probe).
+_Q65_AUG_OOV_SQL = (
+    "array_to_string(list_transform(toks, "
+    "x -> x || '-' || CAST(doc_id AS VARCHAR)), ' ')"
+)
+
+
+def _q65_oracle() -> str:
+    w = 1 << _Q65_CMS_W_BITS
+    t = _Q65_CMS_T
+    quality = _sql_quality("toks", "list_distinct(toks)")
+    bucket_sql = "".join(
+        f"""
+           CAST(('0x' || substr(md5(gram || '|' || 'cms{i}'), 1, 15))
+                AS BIGINT) % {w} AS b{i},"""
+        for i in range(4)
+    ).rstrip(",")
+    return f"""
+    WITH rt AS (
         SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-    ), g AS (
+    ), rg AS (
         SELECT doc_id,
                CASE WHEN len(toks) >= 2 THEN
                    list_transform(range(0, len(toks) - 1), i ->
                        toks[i + 1] || ' ' || toks[i + 2])
                ELSE [] END AS grams
-        FROM t
+        FROM rt
+    ), cg AS (
+        SELECT unnest(grams) AS gram FROM rg
+    ), h AS (
+        SELECT gram,{bucket_sql}
+        FROM cg
+    ), c0 AS (SELECT b0 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b0),
+       c1 AS (SELECT b1 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b1),
+       c2 AS (SELECT b2 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b2),
+       c3 AS (SELECT b3 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b3),
+       dg AS (
+        SELECT gram, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n
+        FROM h GROUP BY gram, b0, b1, b2, b3
+    ), aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN {_Q65_AUG_OOV_SQL}
+                    WHEN doc_id % 3 = 1 THEN
+                        text || ' ' || {_Q65_AUG_OOV_SQL} || ' scan merge'
+                    ELSE text END AS text
+        FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    ), flagged AS (
+        SELECT doc_id, toks,
+               doc_id % 3 = 2 AND ({quality}) >= 0.7 AS is_ref
+        FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM aug)
+    ), ref_tok AS (
+        SELECT unnest(toks) AS w FROM flagged WHERE is_ref
+    ), uni AS (
+        SELECT w, count(*) AS c1 FROM ref_tok GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n_ref_tokens FROM ref_tok
+    ), idx AS (
+        SELECT doc_id, is_ref, toks,
+               unnest(range(2, len(toks) + 1)) AS i
+        FROM flagged
+    ), lpairs AS (
+        SELECT doc_id, is_ref, toks[i - 1] AS w1, toks[i] AS w2 FROM idx
+    ), big AS (
+        SELECT w1, w2, count(*) AS c2 FROM lpairs WHERE is_ref
+        GROUP BY 1, 2
+    ), joined AS (
+        SELECT p.doc_id, b.c2, u1.c1 AS c1_prefix, u2.c1 AS c1_cont
+        FROM lpairs p
+        LEFT JOIN big b USING (w1, w2)
+        LEFT JOIN uni u1 ON u1.w = p.w1
+        LEFT JOIN uni u2 ON u2.w = p.w2
+    ), lagg AS (
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+               sum(CASE WHEN c1_cont IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               sum(CASE WHEN c2 IS NOT NULL THEN c2 ELSE 0 END) AS hit_num,
+               sum(CASE WHEN c2 IS NOT NULL THEN c1_prefix ELSE 0 END)
+                   AS hit_den,
+               sum(CASE WHEN c2 IS NULL THEN coalesce(c1_cont, 0)
+                   ELSE 0 END) AS miss_num
+        FROM joined GROUP BY 1
     )
-    SELECT doc_id,
+    SELECT 'rep' AS kind, doc_id,
            len(grams) AS n_bigrams,
            len(list_distinct(grams)) AS n_distinct,
            CASE WHEN len(grams) > 0 THEN
@@ -814,23 +1032,103 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(grams) > 0 THEN
                round(CAST(len(grams) - len(list_distinct(grams))
                           AS DOUBLE) / len(grams), 6) > 0.2
-           END AS is_repetitive
-    FROM g
-    """,
-    doc="Gopher-style repetition quality filter: fraction of word "
-        "bigrams that repeat an earlier bigram in the same document; "
-        "docs above 0.2 flagged as boilerplate/low-quality. Bulk shape "
+           END AS is_repetitive,
+           CAST(NULL AS VARCHAR) AS gram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BOOLEAN) AS is_heavy,
+           CAST(NULL AS BIGINT) AS n_hits,
+           CAST(NULL AS BIGINT) AS n_oov,
+           CAST(NULL AS DOUBLE) AS hit_rate,
+           CAST(NULL AS DOUBLE) AS cond_score,
+           CAST(NULL AS DOUBLE) AS backoff_score,
+           CAST(NULL AS VARCHAR) AS quality_bucket
+    FROM rg
+    UNION ALL
+    SELECT 'heavy' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_bigrams,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS dup_fraction,
+           CAST(NULL AS BOOLEAN) AS is_repetitive,
+           dg.gram,
+           dg.n AS n_occurrences,
+           least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count,
+           dg.n >= {t} AS is_heavy,
+           CAST(NULL AS BIGINT) AS n_hits,
+           CAST(NULL AS BIGINT) AS n_oov,
+           CAST(NULL AS DOUBLE) AS hit_rate,
+           CAST(NULL AS DOUBLE) AS cond_score,
+           CAST(NULL AS DOUBLE) AS backoff_score,
+           CAST(NULL AS VARCHAR) AS quality_bucket
+    FROM dg
+    JOIN c0 ON dg.b0 = c0.k JOIN c1 ON dg.b1 = c1.k
+    JOIN c2 ON dg.b2 = c2.k JOIN c3 ON dg.b3 = c3.k
+    WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= {t}
+    UNION ALL
+    SELECT 'lm' AS kind, d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS dup_fraction,
+           CAST(NULL AS BOOLEAN) AS is_repetitive,
+           CAST(NULL AS VARCHAR) AS gram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BOOLEAN) AS is_heavy,
+           coalesce(a.n_hits, 0) AS n_hits,
+           coalesce(a.n_oov, 0) AS n_oov,
+           round(CAST(a.n_hits AS DOUBLE)
+                 / CAST(nullif(a.n_bigrams, 0) AS DOUBLE), 6) AS hit_rate,
+           round(CAST(a.hit_num AS DOUBLE)
+                 / CAST(nullif(a.hit_den, 0) AS DOUBLE), 6) AS cond_score,
+           round(CAST(2 * a.miss_num AS DOUBLE)
+                 / CAST(5 * t.n_ref_tokens
+                        * nullif(a.n_bigrams - a.n_hits, 0) AS DOUBLE), 6)
+               AS backoff_score,
+           CASE WHEN a.n_bigrams IS NULL OR a.n_bigrams = 0 THEN NULL
+                WHEN a.n_hits * 2 >= a.n_bigrams THEN 'head'
+                WHEN a.n_hits * 5 >= a.n_bigrams THEN 'middle'
+                ELSE 'tail' END AS quality_bucket
+    FROM documents d LEFT JOIN lagg a USING (doc_id) CROSS JOIN tot t
+    """
+
+
+@register(
+    "q65_repetition_filter",
+    _q65_oracle(),
+    doc="Corpus n-gram surface, three legs in one kind-discriminated "
+        "frame. kind='rep' (Gopher-style repetition filter): fraction "
+        "of word bigrams that repeat an earlier bigram in the same "
+        "document; docs above 0.2 flagged as boilerplate. Bulk shape "
         "= posexplode + lead() window + one hash aggregate per doc "
-        "(all codegen'd; one narrow shuffle on doc id). The column "
-        "form (text.py::repeated_ngram_fraction) is interpreted-HOF "
-        "and re-evaluates the gram array per referencing column — "
-        "measured 32 s vs 1.5 s at sf0.1 — so the bulk shape is the "
-        "production path, exactly as with shingle fingerprints",
+        "(all codegen'd; one narrow shuffle on doc id) — the column "
+        "form (text.py::repeated_ngram_fraction) is interpreted-HOF, "
+        "measured 32 s vs 1.5 s at sf0.1. kind='heavy' (round 11, "
+        "operators/sketch.py::corpus_heavy_ngrams): corpus-level "
+        "frequent bigrams via the Count-Min prefilter -> exact-count "
+        "pattern — a d x 2^w integer counter table built map-side, "
+        "probed with d broadcast joins + one least() projection; CMS "
+        "never undercounts, so est >= T flags a deterministic "
+        "SUPERSET and the oracle replays the counter table "
+        "bit-for-bit, collision overestimates included (both verdict "
+        "paths under the hash at the gate-sized w_bits=8/T=40). "
+        "kind='lm' (round 11, operators/lm.py full surface): the "
+        "bigram LM trained on the clean doc_id%3==2 reference slice "
+        "scores every augmented doc — hit_rate plus the cond_score / "
+        "backoff_score / quality_bucket columns q100 does not pin; "
+        "integer sums, one 6-dp divide per score",
 )
 def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from formula1_data_pipeline_spark.operators.dedup import tokens
+    from formula1_data_pipeline_spark.operators.lm import (
+        score_ngram_lm,
+        train_ngram_lm,
+    )
+    from formula1_data_pipeline_spark.operators.sketch import (
+        corpus_heavy_ngrams,
+    )
+    from formula1_data_pipeline_spark.operators.text import quality_score
 
     docs = load(spark, sf_dir, "documents")["documents"]
     ex = docs.select(
@@ -852,10 +1150,11 @@ def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_bigrams") - F.col("n_distinct")).cast("double")
         / F.col("n_bigrams"), 6,
     )
-    return (
+    rep = (
         docs.select("doc_id")
         .join(stats, "doc_id", "left")
         .select(
+            F.lit("rep").alias("kind"),
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
@@ -864,6 +1163,62 @@ def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_repetitive"),
         )
     )
+
+    heavy = corpus_heavy_ngrams(
+        docs, n=2, threshold=_Q65_CMS_T, w_bits=_Q65_CMS_W_BITS,
+    ).select(
+        F.lit("heavy").alias("kind"),
+        "gram", "n_occurrences", "est_count", "is_heavy",
+    )
+
+    oov = F.array_join(
+        F.transform(
+            tokens(F.col("text")),
+            lambda x: F.concat(
+                x, F.lit("-"), F.col("doc_id").cast("string")
+            ),
+        ),
+        " ",
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, oov)
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit(" "), oov, F.lit(" scan merge")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    is_ref = (F.col("doc_id") % 3 == 2) & (
+        quality_score(F.col("text")) >= 0.7
+    )
+    model = train_ngram_lm(aug, is_ref)
+    lm = score_ngram_lm(aug, model).select(
+        F.lit("lm").alias("kind"),
+        "doc_id", "n_bigrams", "n_hits", "n_oov",
+        "hit_rate", "cond_score", "backoff_score", "quality_bucket",
+    )
+
+    return (
+        rep.unionByName(heavy, allowMissingColumns=True)
+        .unionByName(lm, allowMissingColumns=True)
+        .select(
+            "kind", "doc_id", "n_bigrams", "n_distinct",
+            "dup_fraction", "is_repetitive", "gram", "n_occurrences",
+            "est_count", "is_heavy", "n_hits", "n_oov", "hit_rate",
+            "cond_score", "backoff_score", "quality_bucket",
+        )
+    )
+
+
+#: q66 Bloom-leg gate sizing: 2^12 bits keeps deterministic false
+#: positives inside the value hash (production default stays 2^20,
+#: operators/bloom.py::N_BITS); 4 double-hash probes per key
+_BLOOM_GATE_BITS = 1 << 12
+_BLOOM_K = 4
 
 
 @register(
@@ -888,23 +1243,65 @@ def q65_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.doc_id, count(*) AS n_hits
         FROM corpus c JOIN bench b USING (h)
         GROUP BY 1
+    ), ks AS (
+        SELECT unnest(range(0, {_BLOOM_K})) AS j
+    ), bpos AS (
+        SELECT DISTINCT
+               ((h % {_BLOOM_GATE_BITS})
+                + j * (((h >> 20) % ({_BLOOM_GATE_BITS} - 1)) + 1))
+               % {_BLOOM_GATE_BITS} AS p
+        FROM bench, ks
+    ), bwords AS (
+        SELECT p // 63 AS word_idx,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+        FROM bpos GROUP BY 1
+    ), cprobes AS (
+        SELECT doc_id, h,
+               ((h % {_BLOOM_GATE_BITS})
+                + j * (((h >> 20) % ({_BLOOM_GATE_BITS} - 1)) + 1))
+               % {_BLOOM_GATE_BITS} AS p
+        FROM corpus, ks
+    ), chit AS (
+        SELECT doc_id, h, count(*) AS nset
+        FROM cprobes JOIN bwords ON cprobes.p // 63 = bwords.word_idx
+        WHERE (bits & (1::BIGINT << CAST(p % 63 AS INT)))
+              = (1::BIGINT << CAST(p % 63 AS INT))
+        GROUP BY 1, 2
+    ), bloomhits AS (
+        SELECT doc_id, count(*) AS n_bloom_hits
+        FROM chit WHERE nset = {_BLOOM_K} GROUP BY 1
     )
     SELECT s.doc_id,
            COALESCE(hits.n_hits, 0) AS n_hits,
-           COALESCE(hits.n_hits, 0) > 0 AS contaminated
+           COALESCE(hits.n_hits, 0) > 0 AS contaminated,
+           COALESCE(b.n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(b.n_bloom_hits, 0) > 0 AS bloom_contaminated
     FROM sh s LEFT JOIN hits USING (doc_id)
+    LEFT JOIN bloomhits b USING (doc_id)
     WHERE s.doc_id % 97 <> 0
     """,
-    doc="Benchmark-contamination check: corpus documents sharing any "
-        "3-gram shingle hash (q28's md5 scheme) with a held-out "
-        "benchmark set (doc_id % 97 = 0 here; a real eval set in "
-        "production) are flagged with their hit count. The benchmark "
-        "shingle set broadcasts (eval sets are small), so the corpus "
-        "side never shuffles for the membership join — scales as a "
-        "narrow scan + broadcast semi-join at 100 TB. "
-        "operators/text.py::shingle_hashes_df",
+    doc="Benchmark-contamination check, exact + Bloom tiers. Exact "
+        "(n_hits/contaminated): corpus documents sharing any 3-gram "
+        "shingle hash (q28's md5 scheme) with a held-out benchmark "
+        "set (doc_id % 97 = 0 here; a real eval set in production) "
+        "are flagged with their hit count; the benchmark shingle set "
+        "broadcasts (eval sets are small), so the corpus side never "
+        "shuffles for the membership join — a narrow scan + broadcast "
+        "semi-join at 100 TB. Bloom tier (round 11, "
+        "operators/bloom.py): n_bloom_hits/bloom_contaminated from a "
+        "63-bit-word Bloom filter over the same benchmark hashes — "
+        "the fixed-size (~130 KiB at the 2^20 production default) "
+        "broadcast prefilter that replaces the exact set when the "
+        "eval corpus outgrows a broadcast; never undercounts, so the "
+        "verdicts are a deterministic SUPERSET. The GATE filter is "
+        "deliberately 2^12 bits so deterministic false positives sit "
+        "under the value hash (the oracle replays the double-hash "
+        "probes and the bit table word-for-word)",
 )
 def q66_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.bloom import (
+        bloom_contamination,
+    )
     from formula1_data_pipeline_spark.operators.text import shingle_hashes_df
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -917,14 +1314,21 @@ def q66_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench_h), "h")
         .groupBy("id").agg(F.count("*").alias("n_hits"))
     )
+    bloom = bloom_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0), bench_h,
+        n_bits=_BLOOM_GATE_BITS, n_hashes=_BLOOM_K,
+    )
     return (
         docs.filter(F.col("doc_id") % 97 != 0)
         .select("doc_id")
         .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(bloom, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+            "n_bloom_hits",
+            "bloom_contaminated",
         )
     )
 

@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from formula1_data_pipeline_spark.queries import load, register
+from formula1_data_pipeline_spark.curation_diversity import (
+    PER_CELL as _DIV_PER_CELL,
+    diversity_cte_body as _diversity_cte_body,
+)
 
 # DuckDB twin of operators.dedup.tokens / token_set
 _SQL_TOKS = (
@@ -404,27 +408,53 @@ def q26_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                6) AS cos_sim
         FROM bucketed a JOIN bucketed b USING (bucket)
         WHERE a.vec_id < b.vec_id
-    )
-    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    ), {_diversity_cte_body()}
+    SELECT 'neardup' AS kind, a_id, b_id, cos_sim,
+           CAST(NULL AS INT) AS center_rank
+    FROM pairs WHERE cos_sim >= 0.4
+    UNION ALL
+    SELECT 'diversity' AS kind, vec_id AS a_id,
+           CAST(NULL AS BIGINT) AS b_id, cos_sim, center_rank
+    FROM quota WHERE rn2 <= {_DIV_PER_CELL}
     """,
-    doc="Embedding-cosine near-dup pairs (§2.12): LSH-bucket blocking "
-        "(same 8-plane sketch as q26) then exact cosine >= threshold "
-        "within buckets — the embedding-space analogue of MinHash "
-        "dedup. The operator's production default is 0.99; the GATE "
-        "runs at 0.4 because the synthetic embeddings top out at "
-        "cos~0.51 (no true near-dups exist), and a 0-row match proves "
-        "nothing — at 0.4 the bucket join, the generator-barrier "
-        "threshold filter, and every emitted cos_sim are value-hashed",
+    doc="Embedding-space surface, two legs in one kind-discriminated "
+        "frame. kind='neardup' (§2.12): LSH-bucket blocking (same "
+        "8-plane sketch as q26) then exact cosine >= threshold within "
+        "buckets — the embedding-space analogue of MinHash dedup. The "
+        "operator's production default is 0.99; the GATE runs at 0.4 "
+        "because the synthetic embeddings top out at cos~0.51 (no "
+        "true near-dups exist), and a 0-row match proves nothing — at "
+        "0.4 the bucket join, the generator-barrier threshold filter, "
+        "and every emitted cos_sim are value-hashed. kind='diversity' "
+        "(round 11, queries_curation.diversity_downsample): greedy "
+        "k-center exemplars -> nearest-exemplar assignment -> "
+        "per-cell md5 quota — cap-every-region diversity "
+        "downsampling; the oracle composes the standalone pipeline's "
+        "exact CTE text (unrolled k-center trace, argmax assignment, "
+        "stratified_topn's ordering), so the full downsample sits "
+        "under this value hash",
 )
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
+    from formula1_data_pipeline_spark.curation_diversity import (
+        diversity_downsample,
+    )
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return embedding_neardup_pairs(
+    pairs = embedding_neardup_pairs(
         emb, dim=64, n_planes=8, threshold=0.4,
         id_col="vec_id", vec_col="embedding",
+    ).select(F.lit("neardup").alias("kind"), "a_id", "b_id", "cos_sim")
+    div = diversity_downsample(spark, sf_dir).select(
+        F.lit("diversity").alias("kind"),
+        F.col("vec_id").alias("a_id"),
+        "cos_sim",
+        "center_rank",
+    )
+    return pairs.unionByName(div, allowMissingColumns=True).select(
+        "kind", "a_id", "b_id", "cos_sim", "center_rank"
     )
 
 
