@@ -942,16 +942,55 @@ _Q65_AUG_OOV_SQL = (
 )
 
 
-def _q65_oracle() -> str:
-    w = 1 << _Q65_CMS_W_BITS
-    t = _Q65_CMS_T
-    quality = _sql_quality("toks", "list_distinct(toks)")
+def _cms_heavy_ctes(gram_cte: str, w_bits: int) -> str:
+    """The Count-Min counter-table replay as a composable WITH-body
+    fragment over ``gram_cte`` (one gram occurrence per row): per-salt
+    bucket hashes -> d bucket-count tables (c0..c3) -> distinct-gram
+    occurrence counts (dg). ONE definition shared by the q65 batch
+    gate and the q88 streaming gate (the streamed state is bit-for-bit
+    the one-shot table, so both replay the same SQL) — a sketch-math
+    change cannot silently leave one oracle behind."""
+    w = 1 << w_bits
     bucket_sql = "".join(
         f"""
            CAST(('0x' || substr(md5(gram || '|' || 'cms{i}'), 1, 15))
                 AS BIGINT) % {w} AS b{i},"""
         for i in range(4)
     ).rstrip(",")
+    return f"""h AS (
+        SELECT gram,{bucket_sql}
+        FROM {gram_cte}
+    ), c0 AS (SELECT b0 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b0),
+       c1 AS (SELECT b1 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b1),
+       c2 AS (SELECT b2 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b2),
+       c3 AS (SELECT b3 AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM h GROUP BY b3),
+       dg AS (
+        SELECT gram, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n
+        FROM h GROUP BY gram, b0, b1, b2, b3
+    )"""
+
+
+#: the heavy-enumeration tail over _cms_heavy_ctes' dg/c0..c3 (same
+#: sharing rationale): emits (gram, n_occurrences, est_count,
+#: is_heavy) for every sketch survivor at threshold {t}
+_CMS_HEAVY_SELECT = """
+    SELECT dg.gram,
+           dg.n AS n_occurrences,
+           least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count,
+           dg.n >= {t} AS is_heavy
+    FROM dg
+    JOIN c0 ON dg.b0 = c0.k JOIN c1 ON dg.b1 = c1.k
+    JOIN c2 ON dg.b2 = c2.k JOIN c3 ON dg.b3 = c3.k
+    WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= {t}"""
+
+
+def _q65_oracle() -> str:
+    t = _Q65_CMS_T
+    quality = _sql_quality("toks", "list_distinct(toks)")
     return f"""
     WITH rt AS (
         SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
@@ -964,21 +1003,7 @@ def _q65_oracle() -> str:
         FROM rt
     ), cg AS (
         SELECT unnest(grams) AS gram FROM rg
-    ), h AS (
-        SELECT gram,{bucket_sql}
-        FROM cg
-    ), c0 AS (SELECT b0 AS k, CAST(count(*) AS BIGINT) AS cnt
-              FROM h GROUP BY b0),
-       c1 AS (SELECT b1 AS k, CAST(count(*) AS BIGINT) AS cnt
-              FROM h GROUP BY b1),
-       c2 AS (SELECT b2 AS k, CAST(count(*) AS BIGINT) AS cnt
-              FROM h GROUP BY b2),
-       c3 AS (SELECT b3 AS k, CAST(count(*) AS BIGINT) AS cnt
-              FROM h GROUP BY b3),
-       dg AS (
-        SELECT gram, b0, b1, b2, b3, CAST(count(*) AS BIGINT) AS n
-        FROM h GROUP BY gram, b0, b1, b2, b3
-    ), aug AS (
+    ), {_cms_heavy_ctes('cg', _Q65_CMS_W_BITS)}, aug AS (
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN {_Q65_AUG_OOV_SQL}
                     WHEN doc_id % 3 = 1 THEN
@@ -1050,20 +1075,14 @@ def _q65_oracle() -> str:
            CAST(NULL AS BIGINT) AS n_distinct,
            CAST(NULL AS DOUBLE) AS dup_fraction,
            CAST(NULL AS BOOLEAN) AS is_repetitive,
-           dg.gram,
-           dg.n AS n_occurrences,
-           least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count,
-           dg.n >= {t} AS is_heavy,
+           gram, n_occurrences, est_count, is_heavy,
            CAST(NULL AS BIGINT) AS n_hits,
            CAST(NULL AS BIGINT) AS n_oov,
            CAST(NULL AS DOUBLE) AS hit_rate,
            CAST(NULL AS DOUBLE) AS cond_score,
            CAST(NULL AS DOUBLE) AS backoff_score,
            CAST(NULL AS VARCHAR) AS quality_bucket
-    FROM dg
-    JOIN c0 ON dg.b0 = c0.k JOIN c1 ON dg.b1 = c1.k
-    JOIN c2 ON dg.b2 = c2.k JOIN c3 ON dg.b3 = c3.k
-    WHERE least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) >= {t}
+    FROM ({_CMS_HEAVY_SELECT.format(t=t)})
     UNION ALL
     SELECT 'lm' AS kind, d.doc_id,
            coalesce(a.n_bigrams, 0) AS n_bigrams,
@@ -1962,6 +1981,11 @@ def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q18 systematic-leg grid size (draft-proven): exactly 100 PPS
+#: selections over the n_chars weight line
+_Q18_SYS_N = 100
+
+
 @register(
     "q18_importance_resample",
     f"""
@@ -1975,31 +1999,64 @@ def q93_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(sum(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS s,
                count(*) AS n
         FROM weighted
+    ), syss AS (
+        SELECT doc_id,
+               CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+                   AS sw,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || 'syssample-v1'), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    ), sysc AS (
+        SELECT doc_id, sw,
+               COALESCE(SUM(sw) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb,
+               SUM(sw) OVER () AS tot
+        FROM syss
     )
-    SELECT doc_id, w,
-           {_resample_kept_sql('doc_id', 'w', 0.5)} AS kept
+    SELECT 'bernoulli' AS kind, doc_id, w,
+           {_resample_kept_sql('doc_id', 'w', 0.5)} AS kept,
+           CAST(NULL AS BIGINT) AS n_hits,
+           CAST(NULL AS BOOLEAN) AS sampled
     FROM weighted, stats
+    UNION ALL
+    SELECT 'systematic' AS kind, doc_id,
+           CAST(NULL AS DOUBLE) AS w,
+           CAST(NULL AS BOOLEAN) AS kept,
+           CAST(CAST(cb + sw AS HUGEINT) * {_Q18_SYS_N} // tot
+                - CAST(cb AS HUGEINT) * {_Q18_SYS_N} // tot AS BIGINT)
+               AS n_hits,
+           (CAST(cb + sw AS HUGEINT) * {_Q18_SYS_N} // tot
+                - CAST(cb AS HUGEINT) * {_Q18_SYS_N} // tot) > 0
+               AS sampled
+    FROM sysc
     """,
-    doc="DSIR importance RESAMPLING (§2.12) — the second half of Xie "
-        "et al. 2023 on top of q93's weights: keep each doc with "
-        "probability proportional to its importance weight, scaled so "
-        "the expected kept fraction is 0.5; acceptance is "
+    doc="Weighted-selection surface, two legs in one "
+        "kind-discriminated frame. kind='bernoulli' (DSIR importance "
+        "RESAMPLING, §2.12 — the second half of Xie et al. 2023 on "
+        "top of q93's weights): keep each doc with probability "
+        "proportional to its importance weight, scaled so the "
+        "expected kept fraction is 0.5; acceptance is "
         "hash_uniform(doc_id) < w * k with k = target/mean(w) — no "
         "per-row RNG, so membership is a pure function of (id, salt, "
-        "weights), reproducible across runs/engines/partitionings. "
-        "Built+parity-proven round 8 (tests/test_r9_gate_drafts.py), "
-        "gated round 9 when the budget freed. Scale shape: one "
-        "map-side DECIMAL aggregate for the mean (exact, order-"
-        "independent, so the oracle replays the normalizer bit-for-"
-        "bit) + a shuffle-free filter projection on top of q93's "
-        "counting pipeline; NULL weights coalesce to 0.0 on both "
-        "sides of the math (round-8 ADVICE), so kept is always a "
-        "true boolean",
+        "weights). One map-side DECIMAL aggregate for the mean + a "
+        "shuffle-free filter projection on q93's counting pipeline; "
+        "NULL weights coalesce to 0.0 on both sides. "
+        "kind='systematic' (round 11, "
+        "sampling.py::systematic_sample — Madow 1949 PPS): the "
+        "missing cell of the sampling matrix, exact-size AND "
+        "weighted — rows on a cumulative-weight line in md5-shuffled "
+        "order, exactly 100 grid hits at stride W/100, multiplicity "
+        "in n_hits (a fixed-total with-replacement epoch resampler). "
+        "All integer math: 6-dp scaled weights, DECIMAL(38,0) "
+        "two-level prefix sum (no global single-task sort), pure "
+        "integer grid test — the oracle replays it bit-for-bit",
 )
 def q18_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
         importance_weights,
         resample_by_weight,
+        systematic_sample,
     )
     from formula1_data_pipeline_spark.operators.text import quality_score
 
@@ -2007,8 +2064,17 @@ def q18_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     iw = importance_weights(docs, quality_score(F.col("text")) >= 0.7)
     weighted = iw.select(
         "doc_id", F.coalesce("importance", F.lit(0.0)).alias("w"))
-    return resample_by_weight(weighted, F.col("w"), 0.5).select(
-        "doc_id", "w", "kept")
+    bern = resample_by_weight(weighted, F.col("w"), 0.5).select(
+        F.lit("bernoulli").alias("kind"), "doc_id", "w", "kept")
+    syst = systematic_sample(
+        docs, F.col("n_chars").cast("double"), _Q18_SYS_N,
+    ).select(
+        F.lit("systematic").alias("kind"),
+        "doc_id", "n_hits", "sampled",
+    )
+    return bern.unionByName(syst, allowMissingColumns=True).select(
+        "kind", "doc_id", "w", "kept", "n_hits", "sampled"
+    )
 
 
 @register(

@@ -890,6 +890,58 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q84 line-leg augmentation (the q44 pattern — testdata docs are
+# single-line, so line-level ops would be degenerate on the raw
+# table): ' scan ' separators become newlines; doc_id%4 injects
+# boilerplate chrome the policies must handle
+_Q84_AUG_CTES = """aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN
+                        'Subscribe to our newsletter' || chr(10) || base
+                        || chr(10) || 'cookie policy notice'
+                    WHEN doc_id % 4 = 1 THEN
+                        '  SUBSCRIBE TO OUR NEWSLETTER  ' || chr(10)
+                        || base
+                    WHEN doc_id % 4 = 2 THEN
+                        base || chr(10) || chr(10)
+                        || 'cookie policy notice'
+                    ELSE base END AS text
+        FROM (SELECT doc_id, replace(text, ' scan ', chr(10)) AS base
+              FROM documents)
+    ), lin AS (
+        SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+               trim(lower(parts[i])) AS nline
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+                     unnest(range(1,
+                         len(string_split(text, chr(10))) + 1)) AS i
+              FROM aug)
+    ), hot AS (
+        SELECT nline FROM (
+            SELECT nline, count(DISTINCT doc_id) AS line_df
+            FROM lin WHERE nline <> '' GROUP BY 1
+        ) WHERE line_df >= 2
+    ), firsts AS (
+        SELECT doc_id, pos, nline, row_number() OVER (
+            PARTITION BY nline ORDER BY doc_id, pos
+        ) AS rn
+        FROM lin WHERE nline <> ''
+    ), kept AS (
+        SELECT l.* FROM lin l
+        LEFT JOIN hot ON hot.nline = l.nline
+        LEFT JOIN firsts f
+            ON f.nline = l.nline AND f.doc_id = l.doc_id
+               AND f.pos = l.pos
+        WHERE hot.nline IS NULL OR f.rn = 1
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+                   AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_lines FROM lin GROUP BY 1
+    )"""
+
+
 @register(
     "q84_document_chunking",
     f"""
@@ -904,27 +956,131 @@ def q71_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, toks, n, unnest(range(0, greatest(n - 8, 1), 24))
             AS start
         FROM nn
-    )
-    SELECT id,
+    ), {_Q84_AUG_CTES}
+    SELECT 'chunk' AS kind, id,
            CAST(start // 24 AS INT) AS chunk_idx,
            CAST(least(32, n - start) AS INT) AS n_tokens,
            array_to_string(list_slice(toks, start + 1, start + 32), ' ')
-               AS chunk_text
+               AS chunk_text,
+           CAST(NULL AS VARCHAR) AS text_clean,
+           CAST(NULL AS BIGINT) AS n_lines,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_removed,
+           CAST(NULL AS VARCHAR) AS line,
+           CAST(NULL AS BIGINT) AS line_df,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS INT) AS rank
     FROM starts
+    UNION ALL
+    SELECT 'linededup' AS kind, d.doc_id AS id,
+           CAST(NULL AS INT) AS chunk_idx,
+           CAST(NULL AS INT) AS n_tokens,
+           CAST(NULL AS VARCHAR) AS chunk_text,
+           coalesce(r.text_clean, '') AS text_clean,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(t.n_lines, 0) - coalesce(r.n_kept, 0) AS n_removed,
+           CAST(NULL AS VARCHAR) AS line,
+           CAST(NULL AS BIGINT) AS line_df,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS INT) AS rank
+    FROM aug d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    UNION ALL
+    SELECT 'boilerplate' AS kind, CAST(NULL AS BIGINT) AS id,
+           CAST(NULL AS INT) AS chunk_idx,
+           CAST(NULL AS INT) AS n_tokens,
+           CAST(NULL AS VARCHAR) AS chunk_text,
+           CAST(NULL AS VARCHAR) AS text_clean,
+           CAST(NULL AS BIGINT) AS n_lines,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS n_removed,
+           line, line_df, n_occurrences, rank
+    FROM (
+        SELECT nline AS line,
+               count(DISTINCT doc_id) AS line_df,
+               count(*) AS n_occurrences,
+               CAST(row_number() OVER (
+                   ORDER BY count(DISTINCT doc_id) DESC, nline
+               ) AS INT) AS rank
+        FROM lin WHERE nline <> ''
+        GROUP BY nline
+        ORDER BY line_df DESC, line
+        LIMIT 10
+    )
     """,
-    doc="Document chunking (§2.12): token-budget splits (32 tokens, "
-        "8 overlap) — the pre-embedding preprocessing step, the "
-        "inverse of q64's sequence packing. Shuffle-free single "
-        "codegen'd projection pass (tokens -> start sequence -> "
-        "clipped slices, explode fans out in place); at 100 TB the "
-        "chunker is a map-only stage that feeds the embedding UDF "
-        "batches directly",
+    doc="Document text-structure surface, three legs in one "
+        "kind-discriminated frame. kind='chunk' (§2.12): token-budget "
+        "splits (32 tokens, 8 overlap) — the pre-embedding "
+        "preprocessing step, the inverse of q64's packing; a "
+        "shuffle-free codegen'd projection (tokens -> start sequence "
+        "-> clipped slices), a map-only stage at 100 TB. "
+        "kind='linededup' (round 11, operators/lines.py keep='first'): "
+        "the CCNet-policy line dedup — the corpus-wide first "
+        "(doc_id, pos) occurrence of each hot line survives, every "
+        "other copy drops; map-side partial-agg doc-frequency "
+        "counting, one narrow shuffle on the normalized line. "
+        "kind='boilerplate' (round 11, top_boilerplate_lines): the "
+        "audit twin — top-10 most widespread normalized lines by "
+        "distinct-doc frequency, what an operator reads before "
+        "choosing min_docs. Both line legs run over the "
+        "deterministic doc_id%4 chrome augmentation so hot lines "
+        "exist at every scale",
 )
 def q84_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.lines import (
+        dedup_lines,
+        top_boilerplate_lines,
+    )
     from formula1_data_pipeline_spark.operators.text import chunk_documents
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("kind"),
+        "id", "chunk_idx", "n_tokens", "chunk_text",
+    )
+
+    base = F.replace(F.col("text"), F.lit(" scan "), F.lit("\n"))
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("Subscribe to our newsletter\n"),
+                base,
+                F.lit("\ncookie policy notice"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("  SUBSCRIBE TO OUR NEWSLETTER  \n"), base),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("\n\ncookie policy notice")),
+        )
+        .otherwise(base)
+        .alias("text"),
+    )
+    lines = dedup_lines(aug, min_docs=2, keep="first").select(
+        F.lit("linededup").alias("kind"),
+        F.col("doc_id").alias("id"),
+        "text_clean", "n_lines", "n_kept", "n_removed",
+    )
+    audit = top_boilerplate_lines(aug, k=10).select(
+        F.lit("boilerplate").alias("kind"),
+        "line", "line_df", "n_occurrences", "rank",
+    )
+    return (
+        chunks.unionByName(lines, allowMissingColumns=True)
+        .unionByName(audit, allowMissingColumns=True)
+        .select(
+            "kind", "id", "chunk_idx", "n_tokens", "chunk_text",
+            "text_clean", "n_lines", "n_kept", "n_removed",
+            "line", "line_df", "n_occurrences", "rank",
+        )
+    )
 
 
 @register(

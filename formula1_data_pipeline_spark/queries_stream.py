@@ -499,45 +499,98 @@ def q55_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_nearest(media).unionByName(frame_sample(media))
 
 
+#: q88 streaming-CMS leg sizing — the q65 gate constants (the
+#: streamed counter state is bit-for-bit the one-shot table, so both
+#: gates replay the SAME counter SQL)
+_Q88_CMS_W_BITS = 8
+_Q88_CMS_T = 40
+
+
 def _q88_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_datapipe import (
+        _CMS_HEAVY_SELECT,
+        _cms_heavy_ctes,
+    )
     from formula1_data_pipeline_spark.queries_llm import (
+        _SQL_TOKS,
         _lsh_verified_pairs_ctes,
     )
 
     return f"""
     WITH {_lsh_verified_pairs_ctes()},
-    dropped AS (SELECT DISTINCT b_id FROM vp WHERE jaccard >= 0.8)
-    SELECT doc_id, doc_id NOT IN (SELECT b_id FROM dropped) AS kept
+    dropped AS (SELECT DISTINCT b_id FROM vp WHERE jaccard >= 0.8),
+    rt AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), cg AS (
+        SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+            list_transform(range(0, len(toks) - 1), i ->
+                toks[i + 1] || ' ' || toks[i + 2])
+            ELSE [] END) AS gram
+        FROM rt
+    ), {_cms_heavy_ctes('cg', _Q88_CMS_W_BITS)}
+    SELECT 'neardup' AS kind, doc_id,
+           doc_id NOT IN (SELECT b_id FROM dropped) AS kept,
+           CAST(NULL AS VARCHAR) AS gram,
+           CAST(NULL AS BIGINT) AS n_occurrences,
+           CAST(NULL AS BIGINT) AS est_count,
+           CAST(NULL AS BOOLEAN) AS is_heavy
     FROM documents
+    UNION ALL
+    SELECT 'heavy' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BOOLEAN) AS kept,
+           gram, n_occurrences, est_count, is_heavy
+    FROM ({_CMS_HEAVY_SELECT.format(t=_Q88_CMS_T)})
     """
 
 
 @register(
     "q88_stream_neardup_dedup",
     _q88_oracle(),
-    doc="STREAMING near-dup dedup (§2.10 x §2.12 composition, round "
-        "6): documents replayed as a 3-file stream; each micro-batch "
-        "signatures only its own docs, txn-appends (id, bands, token "
-        "set) to the seen-index, band-self-joins the index restricted "
-        "to pairs touching this batch (so every near-dup pair is "
-        "discovered exactly in the batch of its later-ARRIVING "
-        "member), verifies exact jaccard >= 0.8 on candidates only, "
-        "and merge-upserts per-doc verdicts where dropped outranks "
-        "kept — a retro-discovered smaller-id near-dup flips an "
-        "earlier kept verdict, never the reverse. The converged "
-        "landed state is therefore independent of the (hash, "
-        "non-id-ordered) file split, and the oracle replays it "
-        "directly: dropped iff a verified near-dup with a smaller id "
-        "exists, over the q21-shared pair CTEs",
+    doc="STREAMING corpus-state surface, two legs in one "
+        "kind-discriminated frame. kind='neardup' (§2.10 x §2.12 "
+        "composition, round 6): documents replayed as a 3-file "
+        "stream; each micro-batch signatures only its own docs, "
+        "txn-appends (id, bands, token set) to the seen-index, "
+        "band-self-joins the index restricted to pairs touching this "
+        "batch (so every near-dup pair is discovered exactly in the "
+        "batch of its later-ARRIVING member), verifies exact "
+        "jaccard >= 0.8 on candidates only, and merge-upserts "
+        "per-doc verdicts where dropped outranks kept. The converged "
+        "landed state is independent of the file split, and the "
+        "oracle replays it directly: dropped iff a verified near-dup "
+        "with a smaller id exists, over the q21-shared pair CTEs. "
+        "kind='heavy' (round 11, streaming/heavyhitters.py): the "
+        "Count-Min counter state maintained per micro-batch as "
+        "delta-log segments (sum-mergeable, so the landed state is "
+        "bit-for-bit the one-shot build under ANY split), then the "
+        "batch enumeration consumes the LANDED state — row-identical "
+        "to q65's batch operator, which is exactly what the shared "
+        "counter-replay oracle asserts",
 )
 def q88_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from formula1_data_pipeline_spark.streaming import stream_neardup_dedup
+    from formula1_data_pipeline_spark.streaming.heavyhitters import (
+        stream_heavy_ngrams,
+    )
 
     landed = stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet")
     # landing is all-string (S4 semantics); cast back for comparison
-    return landed.select(
+    neardup = landed.select(
+        F.lit("neardup").alias("kind"),
         F.col("doc_id").cast("long").alias("doc_id"),
         (F.col("kept") == "true").alias("kept"),
+    )
+    heavy = stream_heavy_ngrams(
+        spark, f"{sf_dir}/documents.parquet", n=2,
+        threshold=_Q88_CMS_T, d=4, w_bits=_Q88_CMS_W_BITS,
+        n_source_files=3,
+    ).select(
+        F.lit("heavy").alias("kind"),
+        "gram", "n_occurrences", "est_count", "is_heavy",
+    )
+    return neardup.unionByName(heavy, allowMissingColumns=True).select(
+        "kind", "doc_id", "kept", "gram", "n_occurrences",
+        "est_count", "is_heavy",
     )
