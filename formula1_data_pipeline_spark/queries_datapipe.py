@@ -2213,6 +2213,9 @@ def _q97_sql(n_merges: int = 10) -> str:
     _span_ctes, _iw_ctes + _resample_kept_sql, _bpe_train_ctes, the
     q64 packing window, the q94 rank), so the composition cannot
     drift from the pieces."""
+    from formula1_data_pipeline_spark.queries_curation import (
+        _SQL_CLEANED,
+    )
     from formula1_data_pipeline_spark.queries_llm import (
         _bpe_sql_pattern,
         _bpe_train_ctes,
@@ -2222,8 +2225,15 @@ def _q97_sql(n_merges: int = 10) -> str:
     bpe = ",\n    ".join(_bpe_train_ctes(n_merges, "resampled"))
     q = _sql_quality(_SQL_TOKS, f"list_distinct({_SQL_TOKS})", "text")
     return f"""
-    WITH src97 AS (
-        SELECT doc_id, text FROM documents WHERE ({q}) >= 0.5
+    WITH cur97 AS MATERIALIZED (
+        -- curation stages 0/1 (round 11): q100's exact cleaned-corpus
+        -- CTE text, nested as its own scope so its CTE names cannot
+        -- collide with this chain's (the composition discipline,
+        -- isolation included)
+        SELECT doc_id, text_clean AS text
+        FROM (WITH {_SQL_CLEANED} SELECT doc_id, text_clean FROM cleaned)
+    ), src97 AS (
+        SELECT doc_id, text FROM cur97 WHERE ({q}) >= 0.5
     ), {_span_ctes(8, 'src97')},
     tokrows AS (
         SELECT id, unnest(toks) AS t,
@@ -2302,15 +2312,19 @@ def _q97_sql(n_merges: int = 10) -> str:
     "q97_corpus_to_trainer_flagship",
     _q97_sql(10),
     doc="Corpus-to-trainer FLAGSHIP (round 8; round 9 adds the DSIR "
-        "stage): the complete training-data pipeline composed "
-        "end-to-end in one gated query — quality filter (q25 "
-        "heuristic >= 0.5) -> cross-doc span dedup cut (q90/q91, "
-        "k=8) -> DSIR importance weights (q93) + deterministic "
-        "importance resampling (q18, target fraction 0.8) on the "
-        "cleaned corpus -> BPE merge training ON the resampled "
-        "corpus (q95, 10 merges) -> trained-vocab token counts "
-        "(bpe_encode_count) -> 512-token sequence packing (q64) -> "
-        "seeded epoch shuffle + fixed-16-row shard slices (q94). "
+        "stage; round 11 absorbs curation stages 0/1): the complete "
+        "training-data pipeline composed end-to-end in one gated "
+        "query — text normalization + C4 line-level dedup (q100's "
+        "stages 0/1, over the same deterministic chrome "
+        "augmentation, so the curation stages sit under TWO "
+        "independent gates) -> quality filter (q25 heuristic >= "
+        "0.5) -> cross-doc span dedup cut (q90/q91, k=8) -> DSIR "
+        "importance weights (q93) + deterministic importance "
+        "resampling (q18, target fraction 0.8) on the cleaned "
+        "corpus -> BPE merge training ON the resampled corpus (q95, "
+        "10 merges) -> trained-vocab token counts (bpe_encode_count) "
+        "-> 512-token sequence packing (q64) -> seeded epoch "
+        "shuffle + fixed-16-row shard slices (q94). "
         "Every stage is the standalone operator, and the oracle "
         "reuses each stage's exact CTE builder, so the composition "
         "is replayed step-for-step and cannot drift from the pieces. "
@@ -2334,15 +2348,28 @@ def q97_corpus_to_trainer_flagship(spark: SparkSession,
         resample_by_weight,
     )
     from formula1_data_pipeline_spark.operators.shards import epoch_shuffle
+    from formula1_data_pipeline_spark.functions.textnorm import (
+        normalize_text,
+    )
+    from formula1_data_pipeline_spark.operators.lines import dedup_lines
     from formula1_data_pipeline_spark.operators.substring import (
         cut_duplicate_spans,
     )
     from formula1_data_pipeline_spark.operators.text import quality_score
+    from formula1_data_pipeline_spark.queries_curation import _augment
     from formula1_data_pipeline_spark.scratch import scratch_dir
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    filtered = docs.filter(quality_score(F.col("text")) >= 0.5) \
-                   .select("doc_id", "text")
+    # curation stages 0/1 (round 11): normalize + C4 line dedup —
+    # exactly q100's stage code over the same augmentation
+    aug = _augment(docs).select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    cur = dedup_lines(aug, min_docs=2, keep="none").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    filtered = cur.filter(quality_score(F.col("text")) >= 0.5) \
+                  .select("doc_id", "text")
     cleaned = cut_duplicate_spans(filtered, min_span_tokens=8).select(
         "doc_id", F.col("clean_text").alias("text"))
     base = scratch_dir("q97-")

@@ -1227,6 +1227,8 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ivf_lloyd_beats_hash', 100, true
     UNION ALL
     SELECT 'lsh', 100, true
+    UNION ALL
+    SELECT 'ivf_index', 21, true
     """,
     doc="ANN recall gate on CLUSTERED embeddings (round 7; closes the "
         "round-6 finding that the driver-shipped structure-free "
@@ -1245,7 +1247,12 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LSH >= 0.90. Lloyd centroids are float means (partial-sum "
         "order varies), so the gate asserts BOUNDS, never value-"
         "hashes — the reason trained quantizers are gated here and "
-        "not in q34's exact-replay oracle",
+        "not in q34's exact-replay oracle. Fifth row (round 11): the "
+        "PERSISTED incremental IVF index (operators/vecindex.py) — "
+        "build + landed-state probe on a second clustered fixture, "
+        "top-1 recall >= 0.85 vs exact; q34's r10 gate pins the "
+        "index MECHANICS under a value hash, this row pins the "
+        "trained-quantizer QUALITY the mechanics hash cannot see",
 )
 def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
@@ -1280,7 +1287,29 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding",
             centroid_coefs=coefs))
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def index_row():
+        # the persisted-index leg (round 11): its own smaller
+        # clustered fixture + scratch index dir; build is Lloyd
+        # training + three txn commits, probe reads the LANDED
+        # cluster-partitioned lists (file-level pruning)
+        from formula1_data_pipeline_spark.operators.vecindex import (
+            ivf_index_build,
+            ivf_index_topk,
+        )
+        from formula1_data_pipeline_spark.scratch import scratch_dir
+
+        emb_s = clustered_embeddings(spark, n=600, dim=16,
+                                     n_clusters=8)
+        idx = str(scratch_dir(prefix="q92_ivfidx_"))
+        ivf_index_build(spark, emb_s, idx, n_centroids=8, n_iter=5)
+        q2 = emb_s.filter(F.col("vec_id") % 29 == 0)
+        approx = pairs(ivf_index_topk(spark, idx, q2, k=1, n_probe=3))
+        exact2 = pairs(cosine_topk(emb_s, q2, k=1, id_col="vec_id",
+                                   vec_col="embedding"))
+        rec = len(exact2 & approx) / max(len(exact2), 1)
+        return ("ivf_index", len(exact2), rec >= 0.85)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_exact = pool.submit(pairs, cosine_topk(
             emb, queries, k=5, id_col="vec_id", vec_col="embedding"))
         f_lsh = pool.submit(pairs, ann_lsh_topk(
@@ -1290,9 +1319,11 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, queries, dim=16, k=5, n_centroids=20, n_probe=1,
             id_col="vec_id", vec_col="embedding"))
         f_lloyd = pool.submit(lloyd_pairs)
+        f_index = pool.submit(index_row)
         exact = f_exact.result()
         lsh, hash_p, lloyd_p = (f_lsh.result(), f_hash.result(),
                                 f_lloyd.result())
+        idx_row = f_index.result()
     r_hash = len(exact & hash_p) / len(exact)
     r_lloyd = len(exact & lloyd_p) / len(exact)
     rows = [
@@ -1300,6 +1331,7 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_lloyd", len(exact), r_lloyd >= 0.85),
         ("ivf_lloyd_beats_hash", len(exact), r_lloyd >= r_hash),
         ("lsh", len(exact), len(exact & lsh) >= 0.90 * len(exact)),
+        idx_row,
     ]
     return spark.createDataFrame(
         rows, "method string, n_exact long, recall_ok boolean"
