@@ -343,16 +343,60 @@ def bm25_index_compact(spark, index_dir: str) -> None:
         read_table(spark, t[_DFDELTA]), committed
     ).groupBy("term").agg(
         F.sum("df_delta").cast("long").alias("df_delta"))
-    txn_overwrite(spark, dfd.select("*", tag), t[_DFDELTA],
-                  stats_cols=["term"], auto_vacuum=True)
+    _overwrite_preserving_late(
+        spark, dfd.select("*", tag), t[_DFDELTA],
+        committed + [attempt], stats_cols=["term"],
+    )
     stats = _committed_only(
         read_table(spark, t[_STATSDELTA]), committed
     ).agg(
         F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
         F.sum("n_tokens_delta").cast("long").alias("n_tokens_delta"),
     )
-    txn_overwrite(spark, stats.select("*", tag), t[_STATSDELTA],
-                  auto_vacuum=True)
+    _overwrite_preserving_late(
+        spark, stats.select("*", tag), t[_STATSDELTA],
+        committed + [attempt],
+    )
+
+
+def _overwrite_preserving_late(spark, df: DataFrame, table: str,
+                               known_attempts: list[str],
+                               stats_cols: list[str] | None = None,
+                               _pre_publish_hook=None) -> None:
+    """``txn_overwrite`` that cannot drop a CONCURRENT append's rows
+    (round-10 ADVICE): compaction snapshots the committed-attempt set,
+    computes the folded rows, and overwrites — but an append whose
+    delta rows land between the snapshot read and the overwrite's
+    publish would be silently discarded (the overwrite's conflict
+    retry republishes the staged fold, which was computed before the
+    append existed), permanently corrupting df/stats while the skip
+    marking keeps the lost docs from ever re-indexing.
+
+    Detection is version arithmetic: the overwrite read version ``v0``
+    before staging; if it publishes ``> v0 + 1``, at least one
+    concurrent commit interleaved, and every interleaved row is still
+    readable in the just-superseded version (vacuum deferred — the
+    overwrite runs with ``auto_vacuum=False`` and reclamation waits
+    for the table's normal compaction cadence). Rows whose attempt is
+    outside the snapshot ∪ {this compaction} are re-appended: they are
+    either in-flight appends (must survive) or crashed-attempt
+    orphans (harmless — readers filter on committed markers; the next
+    compaction drops them)."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+        read_table,
+        txn_append,
+        txn_overwrite,
+    )
+
+    v0 = current_version(spark, table) or 0
+    ver = txn_overwrite(spark, df, table, stats_cols=stats_cols,
+                        auto_vacuum=False,
+                        pre_publish_hook=_pre_publish_hook)
+    if ver > v0 + 1:
+        prev = read_table(spark, table, version=ver - 1)
+        late = prev.filter(~F.col("attempt").isin(known_attempts))
+        txn_append(spark, late, table, stats_cols=stats_cols)
 
 
 def bm25_index_topk(
@@ -381,13 +425,18 @@ def bm25_index_topk(
     # IN-list below is what turns the postings scan into a pruned
     # point lookup; a join could not push the terms into the scan
     qterms_local = sorted({t_ for r in qrows for t_ in r["terms"]})
+    # the qid type is the CALLER's (bm25_topk preserves it too) — a
+    # hardcoded `query_id string` made an integer-id frame raise in
+    # createDataFrame and gave the empty result a diverging schema
+    # (round-10 ADVICE)
+    qid_type = dict(queries_df.dtypes)[qid_col]
     if not qterms_local:
         return spark.createDataFrame(
-            [], "query_id string, doc_id long, n_terms_matched long, "
-                "score double, rank int")
+            [], f"query_id {qid_type}, doc_id long, "
+                "n_terms_matched long, score double, rank int")
     qterms = spark.createDataFrame(
         [(r["query_id"], t_) for r in qrows for t_ in r["terms"]],
-        f"query_id string, term string",
+        f"query_id {qid_type}, term string",
     )
     hit = F.col("term").isin(qterms_local)
     prune = {"term": (min(qterms_local), max(qterms_local))}

@@ -146,8 +146,13 @@ def ivf_index_build(
     landed = _read_centroids(spark, index_dir)
     rows = _assign_rows(emb.filter(F.col(id_col).isNotNull()), landed,
                         n_assign, id_col, vec_col)
+    # id stats in the manifest let appends prune the landed-id skip
+    # to segments whose [min, max] id range can intersect the batch —
+    # without them the skip's anti-join scans every landed segment,
+    # so append cost grows with INDEX size instead of batch size
+    # (round-10 verdict finding)
     txn_overwrite(spark, rows, t[_LISTS], key="cluster",
-                  auto_vacuum=True)
+                  auto_vacuum=True, stats_cols=["id"])
     # meta LAST: the build marker carries the landed quantizer's
     # content hash, and readers (_check_consistent) refuse the index
     # until it matches — so a crash between the three commits is a
@@ -178,9 +183,19 @@ def ivf_index_append(
 ) -> int:
     """Fold new vectors into the landed index against the FROZEN
     quantizer; returns the number of NEW vectors indexed. Landed ids
-    are skipped via one column-pruned anti-join (re-delivered batches
-    are idempotent — the S8 discipline); the append commits
-    atomically and touches only the new rows' cluster partitions."""
+    are skipped via one column-pruned anti-join whose landed side is
+    MANIFEST-PRUNED to the batch's id range (re-delivered batches
+    are idempotent — the S8 discipline): segments whose recorded
+    [min, max] id cannot intersect the batch are never scanned, so
+    the skip's cost tracks the batch's id locality, not the index
+    size — the delta-log invariant the BM25 index pins, closed here
+    for the vector index (round-10 verdict finding; under
+    monotonically increasing ingestion ids, old segments never
+    overlap a new batch and the skip reads ~1 segment however large
+    the index has grown). Pruning is fail-open (stats-less segments
+    are scanned), so correctness never depends on it. The append
+    commits atomically and touches only the new rows' cluster
+    partitions."""
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
         txn_append,
@@ -189,8 +204,15 @@ def ivf_index_append(
     t = _tables(index_dir)
     _check_consistent(spark, index_dir)
     new = emb.filter(F.col(id_col).isNotNull())
-    landed_ids = read_table(spark, t[_LISTS]).select(
-        F.col("id").cast("long").alias(id_col)).distinct()
+    bounds = new.agg(
+        F.min(F.col(id_col).cast("long")).alias("lo"),
+        F.max(F.col(id_col).cast("long")).alias("hi"),
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return 0  # empty batch — nothing to skip or index
+    landed_ids = read_table(
+        spark, t[_LISTS], prune={"id": (bounds["lo"], bounds["hi"])}
+    ).select(F.col("id").cast("long").alias(id_col)).distinct()
     new = new.join(landed_ids, id_col, "left_anti")
     rows = _assign_rows(new, _read_centroids(spark, index_dir),
                         n_assign, id_col, vec_col)
@@ -198,7 +220,8 @@ def ivf_index_append(
     try:
         n = rows.select("id").distinct().count()
         if n:
-            txn_append(spark, rows, t[_LISTS], key="cluster")
+            txn_append(spark, rows, t[_LISTS], key="cluster",
+                       stats_cols=["id"])
         return n
     finally:
         rows.unpersist()

@@ -39,8 +39,14 @@ from formula1_data_pipeline_spark.operators._guards import (
 def morton_sql(cols: list[str], bits: int) -> str:
     """The Morton interleave of ``bits`` low bits of k integer
     columns as ONE SQL expression string (bit i of column j lands at
-    position i*k + j): usable verbatim in both engines — shift/AND
-    arithmetic only, total width k*bits <= 62."""
+    position i*k + j), total width k*bits <= 62. SPARK-ONLY:
+    ``shiftleft``/``shiftright`` are not DuckDB scalar functions —
+    an oracle needs the ``<<``-based twin
+    (``tests/test_r11_gate_drafts._morton_terms_sql``), with every
+    shift term parenthesized because DuckDB binds ``+`` tighter
+    than ``<<`` (round-10 ADVICE: the previous 'usable verbatim in
+    both engines' claim invited pasting a string DuckDB cannot
+    parse)."""
     k = len(cols)
     if k * bits > 62:
         raise ValueError(
@@ -70,12 +76,18 @@ def scaled_cols(df: DataFrame, cols: list[str],
     ])
     out = df.crossJoin(F.broadcast(agg))
     for j, c in enumerate(cols):
+        # both subtractions in DECIMAL(38,0), never BIGINT: an
+        # extreme-range column (max - min > 2^63) would silently
+        # wrap in non-ANSI mode and z-order garbage (round-10
+        # ADVICE) — the same discipline the multiply/DIV already use
         out = out.withColumn(
             f"_s{j}",
             F.expr(
-                f"CAST(CAST({c} - _mn_{j} AS DECIMAL(38,0)) * {top} "
-                f"DIV CAST(greatest(1, _mx_{j} - _mn_{j}) "
-                f"AS DECIMAL(38,0)) AS BIGINT)"
+                f"CAST((CAST({c} AS DECIMAL(38,0)) "
+                f"- CAST(_mn_{j} AS DECIMAL(38,0))) * {top} "
+                f"DIV greatest(CAST(1 AS DECIMAL(38,0)), "
+                f"CAST(_mx_{j} AS DECIMAL(38,0)) "
+                f"- CAST(_mn_{j} AS DECIMAL(38,0))) AS BIGINT)"
             ),
         )
     return out.drop(*[f"_{nm}_{j}" for j in range(len(cols))

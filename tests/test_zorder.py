@@ -48,6 +48,21 @@ def test_non_integral_column_rejected(spark):
         Z.scaled_cols(df, ["x"])
 
 
+def test_extreme_range_does_not_wrap(spark):
+    """Round-10 ADVICE regression: with the subtractions in BIGINT, a
+    column whose range exceeds 2^63 silently wrapped in non-ANSI mode
+    and produced a meaningless layout. In DECIMAL(38,0) the scaled
+    values must span [0, 2^bits) monotonically."""
+    lo, hi = -(1 << 62), (1 << 62)  # range 2^63 > BIGINT max
+    df = spark.createDataFrame(
+        [(0, lo), (1, 0), (2, hi)], "id long, x long")
+    got = {r["id"]: r["_s0"]
+           for r in Z.scaled_cols(df, ["x"], bits=8).collect()}
+    top = (1 << 8) - 1
+    assert got[0] == 0 and got[2] == top
+    assert 0 < got[1] < top and got[0] < got[1] < got[2]
+
+
 def test_box_queries_prune_on_both_dims(spark, grid):
     """The layout property itself: cut the 32x32 grid into 16
     segments; a quarter-range predicate on EITHER dimension must
