@@ -107,10 +107,14 @@ def test_range_join_is_equi_join_not_nlj(spark):
 
 
 def test_packing_prefix_sum_shape(spark):
-    """q64's distributed prefix sum: exactly ONE single-partition
-    exchange (the tiny bucket-offset window), never the data path."""
+    """q64's distributed prefix sums: exactly ONE single-partition
+    exchange PER LEG — each is the tiny bucket-offset window over
+    per-bucket TOTALS (bucket-count-sized rows), never the data path.
+    Three legs since round 11 (straddle + nostraddle + sft), so
+    exactly three; a fourth would mean a global sort leaked onto a
+    data-sized frame."""
     plan = plan_of(spark, "q64_sequence_packing")
-    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 3, plan
 
 
 def test_contamination_broadcasts_benchmark(spark):
