@@ -499,3 +499,108 @@ def resample_by_weight(df, weight: Column, target_fraction: float,
     # hash_uniform in [0, 1): the 60-bit keyed hash over 2^60
     u = md5_hash60(F.col(id_col), salt).cast("double") / float(1 << 60)
     return df.withColumn("kept", u < w * F.lit(k))
+
+
+def priority_sample(df, weight: Column, k: int,
+                    id_col: str = "doc_id",
+                    salt: str = "priosample-v1"):
+    """Exact-size weighted sampling WITHOUT replacement with unbiased
+    subset-sum estimation — priority sampling (Duffield, Lund &
+    Thorup, "Priority sampling for estimation of arbitrary subset
+    sums", JACM 2007). Completes the sampling matrix's last cell:
+    ``systematic_sample`` is exact-size PPS WITH replacement (a row
+    wider than the stride absorbs several hits); this draws ``k``
+    DISTINCT rows and hands back a Horvitz-Thompson weight
+    (``ht_weight = max(w, tau)``, ``tau`` = the (k+1)-th priority)
+    whose sample-sum is an unbiased estimator of ANY subset's total
+    weight — the primitive for auditing a curated corpus from a
+    fixed-size sample ("estimate total tokens per source from 10k
+    docs").
+
+    Each row races with priority ``q = w / u``, ``u`` uniform from
+    the 60-bit keyed hash (``u = (h+1) / 2^60`` — never 0); the k
+    largest priorities win. Determinism end to end, no RNG and no
+    libm: the race key is the DOUBLE quotient ``(h+1) / w``
+    (ascending == priority descending) — a single IEEE division of
+    identically-constructed operands, CORRECTLY ROUNDED by the
+    standard and therefore bit-identical across JVM and DuckDB
+    (unlike ln/pow, whose last ulp is libm's — the repo's no-libm
+    gate discipline; the q18 bernoulli leg already gates on exactly
+    this +-*/-only double determinism), with ids breaking the
+    (2^-53-rare) quantized ties. ``tau`` and ``ht_weight`` are the
+    same discipline: exact integers through IEEE multiply/divide
+    only, so the full output value-hashes. An earlier draft raced on
+    ``(h+1) * 10^18 DIV w_int`` in DECIMAL(38,0) — Spark's ``DIV``
+    returns BIGINT whatever its operands, and the ~1e27 quotients
+    wrapped silently (the zorder ADVICE trap); the double form is
+    both simpler and exactly engine-portable.
+
+    Scale shape: the bottom-(k+1) runs as ``TakeOrderedAndProject``
+    — per-partition partial top-k, merge on the driver, NO global
+    sort or shuffle; the only windows are over the (k+1)-row
+    candidate frame. Because selection is "k smallest race keys",
+    reservoirs MERGE: the bottom-k of a union is the bottom-k of
+    the parts' bottom-k's, so per-shard reservoirs union and
+    re-select without touching shard data again (property-tested) —
+    the streaming/mergeable weighted-reservoir story at 100 TB.
+
+    NULL and zero weights sit out the race (inclusion probability
+    proportional to w = 0 — they can never be sampled); negative
+    weights raise loudly (the systematic_sample discipline). If the
+    population has <= k positive-weight rows the whole population
+    returns with ``tau = 0`` and ``ht_weight = w`` (the DLT
+    degenerate case: the sample IS the population, estimates exact).
+
+    Returns the sampled rows: ``df``'s columns + ``w`` (double),
+    ``prio_rank`` (1 = highest priority), ``tau``, ``ht_weight``.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    w_raw = weight.cast("double")
+    w_guard = F.when(
+        w_raw < 0,
+        F.raise_error(F.concat(
+            F.lit("priority_sample: negative weight "),
+            w_raw.cast("string"),
+        )),
+    ).otherwise(F.coalesce(w_raw, F.lit(0.0)))
+    u_int = md5_hash60(F.col(id_col), salt) + F.lit(1)
+    d = (
+        df.select("*", w_guard.alias("_w"), u_int.alias("_u"))
+        .filter(F.col("_w") > 0)
+        .withColumn("_r", F.col("_u").cast("double") / F.col("_w"))
+    )
+    # bottom-(k+1) by the race key: Catalyst compiles orderBy+limit to
+    # TakeOrderedAndProject (per-partition heap, driver merge) — the
+    # scale-correct global top-k, no Exchange. localCheckpoint pins
+    # the (k+1)-row result so the tau leg below reuses it instead of
+    # re-running the corpus scan (two TakeOrderedAndProject legs =
+    # two full scans, the one-sample-two-scans anti-shape).
+    cand = (
+        d.orderBy(F.col("_r").asc(), F.col(id_col).asc()).limit(k + 1)
+        .localCheckpoint(eager=False)
+    )
+    w_rank = Window.orderBy(F.col("_r").asc(), F.col(id_col).asc())
+    ranked = cand.withColumn("prio_rank", F.row_number().over(w_rank))
+    # tau = the (k+1)-th priority in WEIGHT units: w * 2^60 / (h+1) —
+    # IEEE */ over exact operands; the oracle twin spells the
+    # identical left-associated expression so both engines round
+    # identically step by step
+    tau_expr = (
+        F.col("_w") * F.lit(float(1 << 60))
+        / F.col("_u").cast("double")
+    )
+    tau_1row = (
+        ranked.filter(F.col("prio_rank") == k + 1)
+        .agg(F.max(tau_expr).alias("_tau_raw"))
+    )
+    return (
+        ranked.filter(F.col("prio_rank") <= k)
+        .crossJoin(F.broadcast(tau_1row))
+        .withColumn("tau", F.coalesce(F.col("_tau_raw"), F.lit(0.0)))
+        .withColumn("w", F.col("_w"))
+        .withColumn("ht_weight", F.greatest(F.col("w"), F.col("tau")))
+        .select(*df.columns, "w", "prio_rank", "tau", "ht_weight")
+    )

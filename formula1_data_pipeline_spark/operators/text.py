@@ -354,6 +354,91 @@ def repeated_ngram_fraction(col: Column, n: int = 2) -> Column:
     )
 
 
+def lexical_diversity_df(docs, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-document lexical-diversity / dominance quality signals —
+    the no-libm complement of ``quality_score``'s TTR term and the
+    ``repeated_ngram_fraction`` repetition filter:
+
+    * ``ttr`` — type-token ratio (distinct/total tokens);
+    * ``simpson_diversity`` — the Gini-Simpson index
+      ``1 - sum(c^2)/n^2``: the probability two independently drawn
+      tokens differ. The standard transcendental-free diversity
+      measure (low = repetitive/boilerplate — the signal Shannon
+      entropy carries, as an exact rational);
+    * ``top_token_ratio`` — dominance of the single most frequent
+      token (Gopher's top-n-gram-coverage rule at n = 1).
+
+    All three are one IEEE division (plus exact-integer products)
+    over exact counts — correctly rounded, bit-identical across
+    engines, so the full output value-hashes (the no-libm gate
+    discipline; true Shannon entropy lives in
+    :func:`token_entropy_df`, bounds-only). Zero-token docs are
+    KEPT with ``n_tokens = 0`` and ratios 0.0 (the quality_score
+    convention — a vanished row would silently pass every filter).
+
+    Scale shape: explode -> two partial-agg reductions ((id, token)
+    counts, then per-id moments) -> one broadcast-free left join
+    back onto ids only for the zero-token guard. Both aggregates
+    map-side combine; nothing is corpus-width after the first
+    reduction. Rides q25's r12 re-gate as added columns per the
+    CHANGELOG landing plan (pre-staged round 11).
+    """
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    per_tok = ex.groupBy("id", "t").agg(F.count("*").alias("c"))
+    mom = per_tok.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+        F.max("c").cast("long").alias("maxc"),
+    )
+    nd = F.col("n").cast("double")
+    out = docs.select(F.col(id_col).alias("id")).join(mom, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_tokens_lex"),
+        F.coalesce(F.col("types"), F.lit(0)).alias("n_types"),
+        F.coalesce(
+            F.col("types").cast("double") / nd, F.lit(0.0)).alias("ttr"),
+        F.coalesce(
+            F.lit(1.0) - F.col("c2").cast("double") / (nd * nd),
+            F.lit(0.0),
+        ).alias("simpson_diversity"),
+        F.coalesce(
+            F.col("maxc").cast("double") / nd, F.lit(0.0)
+        ).alias("top_token_ratio"),
+    )
+
+
+def token_entropy_df(docs, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-document Shannon entropy (bits) of the token distribution:
+    ``-sum((c/n) * log2(c/n))``. LIBM PATH — ``log2``'s last ulp is
+    the platform's, so this column must NEVER enter a value-hashed
+    gate (the lm.py/retrieval.py rule); bound it in tests or rank
+    with it. For a gate-safe diversity signal use
+    :func:`lexical_diversity_df`'s Gini-Simpson index. Same exploded
+    two-reduction scale shape."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    )
+    per_tok = ex.groupBy("id", "t").agg(F.count("*").alias("c"))
+    with_n = per_tok.withColumn(
+        "_n", F.sum("c").over(Window.partitionBy("id")).cast("double"))
+    p = F.col("c").cast("double") / F.col("_n")
+    return (
+        with_n.groupBy("id")
+        .agg((-F.sum(p * F.log2(p))).alias("token_entropy"))
+        .select(F.col("id").alias(id_col), "token_entropy")
+    )
+
+
 def shingle_hashes_df(docs, text_col: str = "text",
                       id_col: str = "doc_id", k: int = SHINGLE_K):
     """ALL distinct k-gram shingle hashes per doc as exploded
