@@ -1,0 +1,203 @@
+"""Embedding dimensionality reduction — deterministic sparse random
+projection (exact, oracle-replayable) + Gram-matrix PCA (trained).
+
+The ANN tier (``operators/similarity.py`` / ``vecindex.py``) probes
+64-dim embeddings. At 100 TB the standard preconditioning step is to
+shrink the vectors first — candidate generation in a cheaper space,
+exact re-rank in the original — and the two canonical reducers have
+opposite determinism profiles, so both live here:
+
+* **Sparse random projection** (Achlioptas 2003, JL lemma): project
+  onto k rows of signs in {+1, -1}, scale by 1/sqrt(k). The sign
+  matrix is derived from md5 over (row, col, seed) — the repo's
+  standard deterministic-randomness device (q18/q80 sampling, shard
+  shuffle) — so BOTH engines (and the gate oracle) reconstruct the
+  identical matrix from the identical formula; no RNG state, no
+  fitted parameters. Each output component is an ordered left fold
+  of products (Spark ``aggregate(zip_with(...))`` == DuckDB
+  ``list_reduce(list_zip(...))``, the q24 cosine discipline), so
+  projected values are BIT-IDENTICAL across engines and sit under
+  the full value hash. Projection is a shuffle-free codegen'd
+  per-row map: 100 TB cost = one corpus scan, no exchange.
+
+* **PCA via the Gram matrix**: one distributed aggregate pass folds
+  X^T X (d x d, d=64 -> 2080 upper-triangle cells) with map-side
+  partial aggregation — the shuffle carries <= n_tasks x 2080 tiny
+  rows regardless of corpus size — then the driver eigendecomposes
+  the 64x64 matrix (numpy, O(d^3) ~ microseconds) and the top-k
+  eigenvectors become literal projection rows applied with the same
+  fold. Eigenvectors are TRAINED floats (sum order varies with
+  partitioning), so per the repo's trained/estimated-floats rule
+  the gate pins exact structural facts + deterministic bounds
+  booleans (orthonormality, descending eigenvalues, captured-
+  variance floor), never the eigenvector values.
+
+Pre-staged round 11 (third session); LANDING ROUTE: rides q24's r12
+re-gate (q24 owns the exact-cosine surface, r10-gated, due r12) as
+kind-discriminated legs beside the exact top-k rows: kind='rp'
+(projected top-k + exact projected values under the hash) and
+kind='pca' (bounds booleans). Draft: tests/test_r14_gate_drafts.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: seed namespace for the sign matrix; versioned so a future change
+#: re-keys rather than silently re-projecting.
+RP_SEED = "dimred-rp-v1"
+
+
+def rp_sign(i: int, j: int, seed: str = RP_SEED) -> int:
+    """The (i, j) entry of the sign matrix: +1 when the first hex
+    nibble of md5("{i}|{j}|{seed}") is even, else -1. Pure function
+    of the indices — both engines and the oracle SQL reconstruct it
+    identically (md5 is md5 everywhere)."""
+    h = hashlib.md5(f"{i}|{j}|{seed}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def rp_matrix(d: int, k: int, seed: str = RP_SEED) -> list[list[float]]:
+    """k rows of d signs, as floats (+1.0/-1.0): row j dotted with a
+    d-dim embedding gives projected component j (before 1/sqrt(k))."""
+    return [[float(rp_sign(i, j, seed)) for i in range(d)]
+            for j in range(k)]
+
+
+def _fold_dot(vec, row: list[float]):
+    """Ordered left fold of vec . row — the q24 cosine shape
+    (aggregate over zip_with), bit-identical to DuckDB's
+    list_reduce(list_zip(...)). ``row`` entries become literals, so
+    the whole expression is codegen'd JVM-side."""
+    lit_row = F.array(*[F.lit(x) for x in row])
+    return F.aggregate(
+        F.zip_with(vec, lit_row, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    d: int,
+    k: int,
+    out_col: str = "proj",
+    seed: str = RP_SEED,
+) -> DataFrame:
+    """Append ``out_col``: the k-dim sparse random projection of the
+    d-dim ``vec_col``, each component ``(vec . signs_j) / sqrt(k)``.
+    Shuffle-free narrow projection; with k a perfect square the scale
+    is exact and results are bit-identical to the oracle replay.
+    Floats are upcast to double once (exactly) before the fold."""
+    scale = 1.0 / math.sqrt(k)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = [(_fold_dot(vec, row) * F.lit(scale)).alias(f"_c{j}")
+             for j, row in enumerate(rp_matrix(d, k, seed))]
+    tmp = df.select("*", *comps)
+    return tmp.select(
+        *df.columns,
+        F.array(*[F.col(f"_c{j}") for j in range(k)]).alias(out_col),
+    )
+
+
+def rp_oracle_expr(vec_sql: str, d: int, k: int,
+                   seed: str = RP_SEED) -> str:
+    """DuckDB twin of ``random_project``'s output column: a LIST
+    expression replaying the identical folds over literal sign rows
+    (the signs are embedded as literals so the SQL is self-contained
+    for the driver's oracle runner). ``vec_sql`` must already be a
+    DOUBLE list expression."""
+    scale = repr(1.0 / math.sqrt(k))
+    comps = []
+    for row in rp_matrix(d, k, seed):
+        lits = "[" + ", ".join(repr(x) for x in row) + "]"
+        # DuckDB's list_reduce has no init-value form; prepending the
+        # 0.0 init to the list replays Spark's aggregate fold exactly:
+        # ((0.0 + p1) + p2) + ... in both engines.
+        comps.append(
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(list_zip({vec_sql}, {lits}), "
+            f"p -> p[1] * p[2])), (acc, x) -> acc + x) * {scale}"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+def gram_matrix(df: DataFrame, vec_col: str, d: int) -> list[list[float]]:
+    """X^T X as a d x d python matrix, from ONE distributed pass:
+    explode the upper-triangle (i, j, v_i * v_j) cells per row and
+    sum per cell. Map-side partial aggregation bounds the shuffle at
+    n_tasks x d(d+1)/2 rows — corpus-size-independent — and the
+    driver result is d^2 doubles. NULL vectors are skipped."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cells = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(vec.alias("v"))
+        .select(
+            F.explode(
+                F.flatten(F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(d - 1)),
+                        lambda j: F.struct(
+                            i.alias("i"), j.alias("j"),
+                            (F.element_at(F.col("v"), i + 1)
+                             * F.element_at(F.col("v"), j + 1))
+                            .alias("x"),
+                        ),
+                    ),
+                ))
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.x").alias("g"))
+        .collect()
+    )
+    gram = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        gram[r["i"]][r["j"]] = r["g"]
+        gram[r["j"]][r["i"]] = r["g"]
+    return gram
+
+
+def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
+    """Top-k principal directions of the (uncentered) Gram matrix.
+    Returns (eigvals desc [k], components [k][d]) — driver-resident
+    trained floats (d x d eigh on the gram_matrix pass). Uncentered
+    on purpose: centering subtracts the mean vector, which is one
+    more 1-row broadcast if a caller wants it, and uncentered PCA
+    (a.k.a. latent semantic projection) is the common retrieval
+    preconditioner."""
+    import numpy as np
+
+    g = np.array(gram_matrix(df, vec_col, d))
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = [float(vals[o]) for o in order]
+    components = [[float(vecs[i][o]) for i in range(d)] for o in order]
+    return eigvals, components
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    components: list[list[float]],
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append ``out_col``: projection onto the fitted components —
+    the same shuffle-free literal-row fold as ``random_project``
+    (components are trained, so downstream gates bound, never hash,
+    these values)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = [_fold_dot(vec, row).alias(f"_p{j}")
+             for j, row in enumerate(components)]
+    tmp = df.select("*", *comps)
+    return tmp.select(
+        *df.columns,
+        F.array(*[F.col(f"_p{j}")
+                  for j in range(len(components))]).alias(out_col),
+    )

@@ -1,0 +1,115 @@
+"""Dimensionality reduction (operators/dimred.py): bit-exact
+engine-parity of the sparse random projection (the oracle twin
+replays the identical IEEE fold), JL distance preservation, PCA
+structural guarantees (Gram symmetry, orthonormality, descending
+eigenvalues, better-than-isotropic variance capture), and the
+shuffle-free plan shape of both projections."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators import dimred as DR
+
+SF = "/root/testdata/sf0.001"
+D, K = 64, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_sign_matrix_is_deterministic_and_balanced():
+    m = DR.rp_matrix(D, K)
+    assert m == DR.rp_matrix(D, K)
+    assert all(v in (1.0, -1.0) for row in m for v in row)
+    # md5-driven signs are near-balanced (not degenerate)
+    total = sum(v for row in m for v in row)
+    assert abs(total) < 0.25 * D * K
+
+
+def test_projection_bit_identical_to_oracle(spark, emb):
+    import duckdb
+
+    got = {r["vec_id"]: list(r["proj"]) for r in
+           DR.random_project(emb, "embedding", d=D, k=K)
+           .select("vec_id", "proj").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    expr = DR.rp_oracle_expr(
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))", D, K)
+    for vid, p in con.sql(
+            f"SELECT vec_id, {expr} FROM embeddings").fetchall():
+        assert got[vid] == list(p)  # exact float equality
+
+
+def test_jl_distance_preservation(spark, emb):
+    """Pairwise squared distances in the projected space concentrate
+    around the originals (the JL property the reducer exists for):
+    median ratio within 1 +- 0.15 and the central 90% within
+    [0.4, 2.2] on a 50-vector sample — k=16 keeps a wide single-pair
+    tail, so the extremes are deliberately not bounded."""
+    rows = (DR.random_project(emb, "embedding", d=D, k=K)
+            .filter(F.col("vec_id") < 50)
+            .select("vec_id", "embedding", "proj").collect())
+    ratios = []
+    for i in range(len(rows)):
+        vi = np.array(rows[i]["embedding"], dtype=np.float64)
+        pi = np.array(rows[i]["proj"])
+        for j in range(i + 1, len(rows)):
+            dv = vi - np.array(rows[j]["embedding"], dtype=np.float64)
+            dp = pi - np.array(rows[j]["proj"])
+            d2 = float(dv @ dv)
+            if d2 > 0:
+                ratios.append(float(dp @ dp) / d2)
+    ratios.sort()
+    n = len(ratios)
+    assert abs(ratios[n // 2] - 1.0) < 0.15
+    assert 0.4 < ratios[int(n * 0.05)] and ratios[int(n * 0.95)] < 2.2
+
+
+def test_projection_plan_is_shuffle_free(spark, emb):
+    plan = (DR.random_project(emb, "embedding", d=D, k=K)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_gram_matrix_matches_numpy(spark, emb):
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    g = np.array(DR.gram_matrix(emb, "embedding", D))
+    assert g.shape == (D, D)
+    assert np.allclose(g, g.T, atol=0.0)  # exact symmetry by construction
+    assert np.allclose(g, X.T @ X, rtol=1e-9)
+
+
+def test_pca_structure_and_variance_capture(spark, emb):
+    ev, comps = DR.pca_fit(emb, "embedding", d=D, k=8)
+    assert all(ev[i] >= ev[i + 1] for i in range(7))
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(8), atol=1e-8)
+    g = np.array(DR.gram_matrix(emb, "embedding", D))
+    # top-8 directions must beat the isotropic floor 8/64
+    assert sum(ev) / np.trace(g) > 8 / 64
+
+
+def test_pca_projection_matches_numpy(spark, emb):
+    ev, comps = DR.pca_fit(emb, "embedding", d=D, k=4)
+    got = {r["vec_id"]: np.array(r["pca"]) for r in
+           DR.pca_project(emb, "embedding", comps)
+           .select("vec_id", "pca").collect()}
+    C = np.array(comps)
+    for r in emb.select("vec_id", "embedding").limit(20).collect():
+        want = C @ np.array(r["embedding"], dtype=np.float64)
+        assert np.allclose(got[r["vec_id"]], want, rtol=1e-9)
+
+
+def test_scale_is_exact_for_square_k():
+    # k=16 -> 1/sqrt(k) = 0.25 exactly; the projection introduces no
+    # scale rounding beyond the fold itself
+    assert 1.0 / math.sqrt(16) == 0.25

@@ -1,0 +1,159 @@
+"""Round-12-tier gate drafts — operators pre-staged late in round 11
+whose catalog landings ride CHANGED extensions of queries due in r12
+(the catalog is at the 100-entry / 50-row alternation ceiling: zero
+free rows, riders only). File named r14 for the fallback window: if
+an r12 host's window is tight, both targets re-gate again in r14.
+
+  * persisted incremental aggregate mart (``operators/aggmart.py`` —
+    landed mergeable partial aggregates: per-batch (n, sum, min,
+    max, sumsq) rows, query-time fold, rollup over any group
+    subset, batch-id exactly-once appends). LANDING ROUTE: rides
+    q79's r12 re-gate (q79 owns the profiling surface, r10-gated,
+    due r12) as kind='aggmart' rows — EXACT values under the full
+    hash, derived floats replaying the documented expression shape.
+
+  * sparse random projection (``operators/dimred.py`` — Achlioptas
+    JL projection with an md5-derived sign matrix; ordered-fold dot
+    products make projected values BIT-IDENTICAL across engines).
+    LANDING ROUTE: rides q24's r12 re-gate (q24 owns the
+    exact-cosine surface, r10-gated, due r12) as kind='rp' rows
+    under the full value hash.
+
+  * Gram-matrix PCA (``dimred.py::pca_fit/pca_project`` — one
+    distributed X^T X pass, driver d x d eigh). Eigenvectors are
+    TRAINED floats, so the gate pins deterministic structure
+    booleans (descending eigenvalues, orthonormality, captured
+    variance above the isotropic floor) — the HLL est_ok
+    discipline. LANDING ROUTE: q24's r12 re-gate, kind='pca' row.
+
+Each draft runs the full driver-style compare (schema + rows +
+order-insensitive canonical values) at sf0.001 and sf0.01 — the
+exact acceptance its landing round promotes into __spark_entry__.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark import queries  # noqa: F401
+from formula1_data_pipeline_spark.operators import dimred as DR
+from tests.oracle_compare import canon, run_oracle
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+_D, _K = 64, 16
+
+#: the q79 rider leg: a 3-batch mart over documents (doc_id % 3,
+#: batch-1 deliberately re-delivered — must be a no-op), read back at
+#: (source) grain plus the grand total. The oracle replays the exact
+#: derived-float shape from agg_mart_stats' docstring contract.
+_AGGMART_ORACLE = """
+WITH m AS (
+    SELECT source,
+           CAST(count(n_chars) AS BIGINT) AS n,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+           CAST(min(n_chars) AS BIGINT) AS mn,
+           CAST(max(n_chars) AS BIGINT) AS mx,
+           CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                AS BIGINT) AS ssq
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY GROUPING SETS ((source), ())
+)
+SELECT 'aggmart' AS kind, COALESCE(source, '_total') AS source,
+       n AS n_rows, s AS sum_value, mn AS min_value, mx AS max_value,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+       CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var_pop,
+       sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS stddev_pop
+FROM m
+"""
+
+
+def _rp_oracle() -> str:
+    expr = DR.rp_oracle_expr(
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))", _D, _K)
+    return f"""
+    SELECT 'rp' AS kind, vec_id, {expr} AS proj FROM embeddings
+    """
+
+
+_PCA_ORACLE = """
+SELECT 'pca' AS kind, TRUE AS eig_desc_ok, TRUE AS orthonormal_ok,
+       TRUE AS variance_floor_ok
+"""
+
+
+def _compare(spark_df, oracle_sql: str, sf_dir: str):
+    sdf = spark_df.toPandas()
+    odf = run_oracle(oracle_sql, sf_dir)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), (len(sdf), len(odf))
+    a, b = canon(sdf), canon(odf)
+    assert a == b, [(x, y) for x, y in zip(a, b) if x != y][:3]
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_aggmart_kind(spark, sf_dir, tmp_path):
+    from formula1_data_pipeline_spark.operators.aggmart import (
+        agg_mart_append,
+        agg_mart_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mart = str(tmp_path / "mart")
+    for b in range(3):
+        agg_mart_append(spark, docs.filter(F.col("doc_id") % 3 == b),
+                        mart, ["source"], "n_chars", f"gate-{b}")
+    # deliberate re-delivery: exactly-once means the stats are
+    # unaffected, which the value hash then pins
+    assert agg_mart_append(
+        spark, docs.filter(F.col("doc_id") % 3 == 1),
+        mart, ["source"], "n_chars", "gate-1",
+    ) == 0
+    by_source = agg_mart_stats(spark, mart, ["source"])
+    total = agg_mart_stats(spark, mart, []).select(
+        F.lit("_total").alias("source"), "n_rows", "sum_value",
+        "min_value", "max_value", "mean_value", "var_pop", "stddev_pop",
+    )
+    out = by_source.unionByName(total).select(
+        F.lit("aggmart").alias("kind"), "source", "n_rows",
+        F.col("sum_value").cast("long").alias("sum_value"),
+        "min_value", "max_value", "mean_value", "var_pop", "stddev_pop",
+    )
+    _compare(out, _AGGMART_ORACLE, sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_rp_kind(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = (
+        DR.random_project(emb, "embedding", d=_D, k=_K)
+        .select(F.lit("rp").alias("kind"), "vec_id", "proj")
+    )
+    _compare(out, _rp_oracle(), sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_pca_bounds_kind(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 8
+    ev, comps = DR.pca_fit(emb, "embedding", d=_D, k=k)
+    C = np.array(comps)
+    g = np.array(DR.gram_matrix(emb, "embedding", _D))
+    out = spark.createDataFrame(
+        [(
+            "pca",
+            bool(all(ev[i] >= ev[i + 1] for i in range(k - 1))),
+            bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8)),
+            bool(sum(ev) / float(np.trace(g)) > k / _D),
+        )],
+        "kind string, eig_desc_ok boolean, orthonormal_ok boolean, "
+        "variance_floor_ok boolean",
+    )
+    _compare(out, _PCA_ORACLE, sf_dir)
