@@ -32,11 +32,20 @@ opposite determinism profiles, so both live here:
   booleans (orthonormality, descending eigenvalues, captured-
   variance floor), never the eigenvector values.
 
+PCA is additionally INCREMENTAL: X^T X decomposes over row blocks,
+so ``gram_mart_append`` lands each ingest batch's d(d+1)/2 cell
+sums under the aggmart batch-id exactly-once discipline and
+``pca_fit_from_mart`` refits anytime from the landed cells without
+rescanning the corpus (cell sums are floats, so mart-vs-one-shot
+equality is tolerance-level, and all PCA gating stays bounds-only).
+
 Pre-staged round 11 (third session); LANDING ROUTE: rides q24's r12
 re-gate (q24 owns the exact-cosine surface, r10-gated, due r12) as
 kind-discriminated legs beside the exact top-k rows: kind='rp'
 (projected top-k + exact projected values under the hash) and
-kind='pca' (bounds booleans). Draft: tests/test_r14_gate_drafts.py.
+kind='pca' (bounds booleans, fitted FROM the mart so the
+incremental path is the gated one). Draft:
+tests/test_r14_gate_drafts.py.
 """
 
 from __future__ import annotations
@@ -133,8 +142,38 @@ def gram_matrix(df: DataFrame, vec_col: str, d: int) -> list[list[float]]:
     sum per cell. Map-side partial aggregation bounds the shuffle at
     n_tasks x d(d+1)/2 rows — corpus-size-independent — and the
     driver result is d^2 doubles. NULL vectors are skipped."""
+    cells = _gram_cells(df, vec_col, d).collect()
+    gram = [[0.0] * d for _ in range(d)]
+    for r in cells:
+        gram[r["i"]][r["j"]] = r["g"]
+        gram[r["j"]][r["i"]] = r["g"]
+    return gram
+
+
+def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
+    """Top-k principal directions of the (uncentered) Gram matrix.
+    Returns (eigvals desc [k], components [k][d]) — driver-resident
+    trained floats (d x d eigh on the gram_matrix pass). Uncentered
+    on purpose: centering subtracts the mean vector, which is one
+    more 1-row broadcast if a caller wants it, and uncentered PCA
+    (a.k.a. latent semantic projection) is the common retrieval
+    preconditioner."""
+    import numpy as np
+
+    g = np.array(gram_matrix(df, vec_col, d))
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = [float(vals[o]) for o in order]
+    components = [[float(vecs[i][o]) for i in range(d)] for o in order]
+    return eigvals, components
+
+
+def _gram_cells(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """(i, j, g) upper-triangle partial sums for one batch — the
+    single distributed pass ``gram_matrix`` runs, kept as a frame so
+    it can either collect (one-shot fit) or land (the mart)."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cells = (
+    return (
         df.filter(F.col(vec_col).isNotNull())
         .select(vec.alias("v"))
         .select(
@@ -155,27 +194,91 @@ def gram_matrix(df: DataFrame, vec_col: str, d: int) -> list[list[float]]:
         )
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg(F.sum("c.x").alias("g"))
+    )
+
+
+def gram_mart_append(
+    spark,
+    batch: DataFrame,
+    mart_dir: str,
+    vec_col: str,
+    d: int,
+    batch_id: str,
+) -> int:
+    """Fold a batch's Gram contribution into a persisted mart: ONE
+    pass produces the batch's d(d+1)/2 upper-triangle cell sums,
+    landed marker-last under the caller's ``batch_id`` (exactly-once
+    via an O(1) marker existence probe — Gram cells ADD, so
+    re-delivery must be caught; the ``aggmart`` discipline). Returns
+    cells appended (0 on re-delivery or an empty batch).
+
+    This is what makes PCA INCREMENTAL at 100 TB: X^T X decomposes
+    over row blocks, so per-ingest-batch appends of 2080 tiny cells
+    let ``pca_fit_from_mart`` refit anytime without rescanning
+    landed data. Cell sums are floats folded in batch/partition
+    order, so a mart-refit equals a full-corpus fit only to
+    float-sum tolerance — gates bound PCA structure, never hash it
+    (module docstring)."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        is_txn_table,
+        read_table,
+        txn_append,
+    )
+
+    cells_t = f"{mart_dir}/cells"
+    commits_t = f"{mart_dir}/commits"
+    if is_txn_table(spark, commits_t) and (
+        read_table(spark, commits_t)
+        .filter(F.col("attempt") == batch_id).limit(1).count()
+    ):
+        return 0
+    seg = (_gram_cells(batch, vec_col, d)
+           .withColumn("attempt", F.lit(batch_id)))
+    seg = seg.persist()
+    try:
+        n_cells = seg.count()
+        if n_cells == 0:
+            return 0
+        txn_append(spark, seg, cells_t)
+        txn_append(spark,
+                   spark.createDataFrame([(batch_id,)], "attempt string"),
+                   commits_t)
+        return n_cells
+    finally:
+        seg.unpersist()
+
+
+def gram_from_mart(spark, mart_dir: str, d: int) -> list[list[float]]:
+    """X^T X folded from LANDED cells only (committed attempts; the
+    corpus is never read — the mart is |cells| x |batches| tiny rows,
+    2080 per batch at d=64)."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        _committed_attempts,
+    )
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    committed = _committed_attempts(spark, mart_dir)
+    rows = (
+        read_table(spark, f"{mart_dir}/cells")
+        .filter(F.col("attempt").isin(committed or ["-"]))
+        .groupBy("i", "j").agg(F.sum("g").alias("g"))
         .collect()
     )
     gram = [[0.0] * d for _ in range(d)]
-    for r in cells:
+    for r in rows:
         gram[r["i"]][r["j"]] = r["g"]
         gram[r["j"]][r["i"]] = r["g"]
     return gram
 
 
-def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
-    """Top-k principal directions of the (uncentered) Gram matrix.
-    Returns (eigvals desc [k], components [k][d]) — driver-resident
-    trained floats (d x d eigh on the gram_matrix pass). Uncentered
-    on purpose: centering subtracts the mean vector, which is one
-    more 1-row broadcast if a caller wants it, and uncentered PCA
-    (a.k.a. latent semantic projection) is the common retrieval
-    preconditioner."""
+def pca_fit_from_mart(spark, mart_dir: str, d: int, k: int):
+    """``pca_fit`` from the landed Gram mart — identical driver-side
+    eigh, zero corpus reads. Refitting after N ingest batches costs
+    one fold over N x 2080 tiny rows."""
     import numpy as np
 
-    g = np.array(gram_matrix(df, vec_col, d))
-    vals, vecs = np.linalg.eigh(g)  # ascending
+    g = np.array(gram_from_mart(spark, mart_dir, d))
+    vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:k]
     eigvals = [float(vals[o]) for o in order]
     components = [[float(vecs[i][o]) for i in range(d)] for o in order]

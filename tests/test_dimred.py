@@ -109,6 +109,39 @@ def test_pca_projection_matches_numpy(spark, emb):
         assert np.allclose(got[r["vec_id"]], want, rtol=1e-9)
 
 
+def test_gram_mart_fold_matches_one_shot(spark, emb, tmp_path):
+    mart = str(tmp_path / "gm")
+    for b in range(3):
+        n = DR.gram_mart_append(
+            spark, emb.filter(F.col("vec_id") % 3 == b),
+            mart, "embedding", D, f"b{b}")
+        assert n == D * (D + 1) // 2
+    # re-delivery is caught by the marker probe
+    assert DR.gram_mart_append(
+        spark, emb.filter(F.col("vec_id") % 3 == 0),
+        mart, "embedding", D, "b0") == 0
+    got = np.array(DR.gram_from_mart(spark, mart, D))
+    want = np.array(DR.gram_matrix(emb, "embedding", D))
+    assert np.allclose(got, want, rtol=1e-9)
+
+
+def test_pca_fit_from_mart_matches_full_fit(spark, emb, tmp_path):
+    """Refit from landed cells == full-corpus fit to float-sum
+    tolerance: eigenvalues close, and the spanned subspaces agree
+    (projector comparison — eigenVECTOR signs are arbitrary)."""
+    mart = str(tmp_path / "gm")
+    for b in range(4):
+        DR.gram_mart_append(
+            spark, emb.filter(F.col("vec_id") % 4 == b),
+            mart, "embedding", D, f"b{b}")
+    ev_m, comps_m = DR.pca_fit_from_mart(spark, mart, D, 6)
+    ev_f, comps_f = DR.pca_fit(emb, "embedding", D, 6)
+    assert np.allclose(ev_m, ev_f, rtol=1e-8)
+    Pm = np.array(comps_m).T @ np.array(comps_m)
+    Pf = np.array(comps_f).T @ np.array(comps_f)
+    assert np.allclose(Pm, Pf, atol=1e-6)
+
+
 def test_scale_is_exact_for_square_k():
     # k=16 -> 1/sqrt(k) = 0.25 exactly; the projection introduces no
     # scale rounding beyond the fold itself

@@ -92,7 +92,7 @@ def _rp_oracle() -> str:
 
 _PCA_ORACLE = """
 SELECT 'pca' AS kind, TRUE AS eig_desc_ok, TRUE AS orthonormal_ok,
-       TRUE AS variance_floor_ok
+       TRUE AS variance_floor_ok, TRUE AS mart_matches_one_shot_ok
 """
 
 #: the streaming-mart rider leg (rides whichever of q31/q54's r12
@@ -183,22 +183,35 @@ def test_draft_rp_kind(spark, sf_dir):
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
-def test_draft_pca_bounds_kind(spark, sf_dir):
+def test_draft_pca_bounds_kind(spark, sf_dir, tmp_path):
+    """The INCREMENTAL path is the gated one: the fit consumes a
+    3-batch Gram mart (with a deliberate re-delivery that must
+    no-op), and a dedicated boolean pins mart-fold == one-shot
+    Gram to float-sum tolerance."""
     import numpy as np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     k = 8
-    ev, comps = DR.pca_fit(emb, "embedding", d=_D, k=k)
+    mart = str(tmp_path / "gm")
+    for b in range(3):
+        DR.gram_mart_append(spark, emb.filter(F.col("vec_id") % 3 == b),
+                            mart, "embedding", _D, f"gate-{b}")
+    assert DR.gram_mart_append(
+        spark, emb.filter(F.col("vec_id") % 3 == 1),
+        mart, "embedding", _D, "gate-1") == 0
+    ev, comps = DR.pca_fit_from_mart(spark, mart, _D, k)
     C = np.array(comps)
-    g = np.array(DR.gram_matrix(emb, "embedding", _D))
+    g_mart = np.array(DR.gram_from_mart(spark, mart, _D))
+    g_full = np.array(DR.gram_matrix(emb, "embedding", _D))
     out = spark.createDataFrame(
         [(
             "pca",
             bool(all(ev[i] >= ev[i + 1] for i in range(k - 1))),
             bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8)),
-            bool(sum(ev) / float(np.trace(g)) > k / _D),
+            bool(sum(ev) / float(np.trace(g_mart)) > k / _D),
+            bool(np.allclose(g_mart, g_full, rtol=1e-9)),
         )],
         "kind string, eig_desc_ok boolean, orthonormal_ok boolean, "
-        "variance_floor_ok boolean",
+        "variance_floor_ok boolean, mart_matches_one_shot_ok boolean",
     )
     _compare(out, _PCA_ORACLE, sf_dir)
