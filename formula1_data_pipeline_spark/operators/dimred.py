@@ -168,6 +168,94 @@ def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
     return eigvals, components
 
 
+def rp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d: int,
+    k_proj: int = 16,
+    n_candidates: int = 30,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = RP_SEED,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-stage ANN via the random projection: candidate generation
+    by cosine in the k_proj-dim JL space (d/k_proj x fewer
+    multiply-adds per pair on the corpus-sized scan), exact re-rank
+    of the ``n_candidates`` survivors in the original space. Output:
+    q_id, n_id, cos_sim, rank (the ``cosine_topk`` shape).
+
+    The distinguishing property vs the LSH/IVF tier: FULLY
+    DETERMINISTIC AND ORACLE-REPLAYABLE. Projections are
+    bit-identical cross-engine (module docstring), sqrt and division
+    are IEEE correctly-rounded, and scores round to ``round_dp``
+    before ranking with an id tiebreak — so the entire two-stage
+    output sits under a full value hash, where LSH/IVF gate recall
+    bounds only. Scale shape: one projected corpus scan + a
+    broadcast of the (tiny) query side, a per-query candidate
+    window, and an exact fold on candidates only.
+
+    Recall honesty: JL preserves distances to (1 +- eps), eps ~
+    sqrt(8 ln n / k_proj) — candidate generation recovers true
+    neighbors only where inter-point margins exceed eps. On
+    clustered corpora recall@5 >= 0.9 at n_candidates=30
+    (test-pinned); on near-isotropic data the margins sit below eps
+    and n_candidates must grow accordingly (measured curve in
+    tests/test_dimred.py)."""
+    from pyspark.sql import Window
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine_from_norms,
+        norm,
+    )
+
+    cp = random_project(corpus, vec_col, d, k_proj, out_col="_proj",
+                        seed=seed).select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+        F.col("_proj").alias("n_proj"),
+    ).withColumn("n_pnorm", norm(F.col("n_proj")))
+    qp = random_project(queries, vec_col, d, k_proj, out_col="_proj",
+                        seed=seed).select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        F.col("_proj").alias("q_proj"),
+    ).withColumn("q_pnorm", norm(F.col("q_proj")))
+
+    w_cand = Window.partitionBy("q_id").orderBy(
+        F.col("proj_cos").desc(), F.col("n_id").asc())
+    cand = (
+        cp.join(F.broadcast(qp), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id", "q_vec", "n_vec",
+            F.round(
+                cosine_from_norms(F.col("q_proj"), F.col("n_proj"),
+                                  F.col("q_pnorm"), F.col("n_pnorm")),
+                round_dp,
+            ).alias("proj_cos"),
+        )
+        .withColumn("cand_rank", F.row_number().over(w_cand))
+        .filter(F.col("cand_rank") <= n_candidates)
+    )
+    w_final = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        cand.select(
+            "q_id", "n_id",
+            F.round(
+                cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
+                                  norm(F.col("q_vec")),
+                                  norm(F.col("n_vec"))),
+                round_dp,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def _gram_cells(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     """(i, j, g) upper-triangle partial sums for one batch — the
     single distributed pass ``gram_matrix`` runs, kept as a frame so

@@ -142,6 +142,72 @@ def test_pca_fit_from_mart_matches_full_fit(spark, emb, tmp_path):
     assert np.allclose(Pm, Pf, atol=1e-6)
 
 
+def test_rp_topk_recall_on_clustered_data(spark):
+    """Binding recall on a CLUSTERED fixture (the q92 Lloyd-gate
+    discipline): JL projection preserves distances to (1 +- eps) with
+    eps ~ sqrt(8 ln n / k), so candidate generation recovers true
+    neighbors when inter-point margins exceed eps — i.e. on data
+    with structure. On the near-isotropic synthetic embeddings table
+    the top-5 margins sit BELOW eps at k=16 (measured: recall@5 0.38
+    at m=30, rising monotonically to 0.62 at m=100), which is the
+    JL bound behaving, not a defect — so the binding assertion lives
+    here, where margins are real: 8 md5-derived centroids, 40 points
+    each with small deterministic perturbations, recall@5 >= 0.9 at
+    m=30."""
+    import hashlib
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    def unit(tag, i):
+        h = hashlib.md5(f"{tag}|{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    rows = []
+    vid = 0
+    for c in range(8):
+        cent = [unit(f"cent{c}", i) for i in range(D)]
+        for p in range(40):
+            vec = [cent[i] + 0.15 * unit(f"pt{c}|{p}", i)
+                   for i in range(D)]
+            rows.append((vid, vec))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 40 == 0)  # one per cluster
+    got = DR.rp_topk(df, queries, d=D, k_proj=K, n_candidates=30,
+                     top_k=5).collect()
+    exact = cosine_topk(df, queries, k=5).collect()
+    exact_pairs = {(r["q_id"], r["n_id"]) for r in exact}
+    exact_scores = {(r["q_id"], r["n_id"]): r["cos_sim"] for r in exact}
+    hit = sum((r["q_id"], r["n_id"]) in exact_pairs for r in got)
+    assert hit / len(exact_pairs) >= 0.9
+    # re-rank IS exact on survivors: returned scores equal the exact
+    # cosine wherever the pair is a true top-5 member
+    for r in got:
+        key = (r["q_id"], r["n_id"])
+        if key in exact_scores:
+            assert r["cos_sim"] == exact_scores[key]
+
+
+def test_rp_topk_full_candidates_equals_exact(spark, emb):
+    """With n_candidates covering the whole corpus the re-rank IS the
+    exact search — row-identical to cosine_topk."""
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    got = sorted(
+        tuple(r) for r in
+        DR.rp_topk(emb, queries, d=D, k_proj=K, n_candidates=n,
+                   top_k=5).collect())
+    want = sorted(tuple(r) for r in
+                  cosine_topk(emb, queries, k=5).collect())
+    assert got == want
+
+
 def test_scale_is_exact_for_square_k():
     # k=16 -> 1/sqrt(k) = 0.25 exactly; the projection introduces no
     # scale rounding beyond the fold itself

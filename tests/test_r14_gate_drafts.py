@@ -90,6 +90,64 @@ def _rp_oracle() -> str:
     """
 
 
+def _fold_dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of similarity.dot's init-seeded fold."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _rp_topk_oracle() -> str:
+    """Full two-stage replay of rp_topk (q24 rider kind='rp_topk'):
+    JL-space candidate rank -> exact re-rank, every fold/round/
+    tiebreak mirrored — the one ANN whose VALUES gate, not just a
+    recall bound."""
+    proj = DR.rp_oracle_expr(
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))", _D, _K)
+
+    def cos(a, b):
+        return (f"round({_fold_dot_sql(a, b)} / nullif("
+                f"sqrt({_fold_dot_sql(a, a)}) * "
+                f"sqrt({_fold_dot_sql(b, b)}), 0.0), 6)")
+
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS n_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS n_vec,
+               {proj} AS n_proj
+        FROM embeddings
+    ), q AS (
+        SELECT n_id AS q_id, n_vec AS q_vec, n_proj AS q_proj
+        FROM c WHERE n_id < 10
+    ), s1 AS (
+        SELECT q_id, n_id, q_vec, n_vec,
+               {cos('q_proj', 'n_proj')} AS proj_cos
+        FROM c CROSS JOIN q WHERE q_id <> n_id
+    ), r1 AS (
+        SELECT q_id, n_id, q_vec, n_vec,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY proj_cos DESC, n_id ASC) AS cand_rank
+        FROM s1
+    ), s2 AS (
+        SELECT q_id, n_id, {cos('q_vec', 'n_vec')} AS cos_sim
+        FROM r1 WHERE cand_rank <= 30
+    ), r2 AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY cos_sim DESC, n_id ASC) AS rank
+        FROM s2
+    )
+    SELECT 'rp_topk' AS kind, q_id, n_id, cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM r2 WHERE rank <= 5
+    """
+
+
 _PCA_ORACLE = """
 SELECT 'pca' AS kind, TRUE AS eig_desc_ok, TRUE AS orthonormal_ok,
        TRUE AS variance_floor_ok, TRUE AS mart_matches_one_shot_ok
@@ -180,6 +238,19 @@ def test_draft_rp_kind(spark, sf_dir):
         .select(F.lit("rp").alias("kind"), "vec_id", "proj")
     )
     _compare(out, _rp_oracle(), sf_dir)
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_rp_topk_kind(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = (
+        DR.rp_topk(emb, queries, d=_D, k_proj=_K,
+                   n_candidates=30, top_k=5)
+        .select(F.lit("rp_topk").alias("kind"), "q_id", "n_id",
+                "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+    _compare(out, _rp_topk_oracle(), sf_dir)
 
 
 @pytest.mark.parametrize("sf_dir", SFS)
