@@ -31,13 +31,17 @@ do. Shared disciplines, one deliberate difference:
   to one row per group cannot drop a concurrent append (round-10
   ADVICE race fix, shared code path).
 * **Re-delivery is HARMFUL here** — sums add, so the HLL table's
-  by-construction idempotence does not hold. The attempt id is
-  therefore the CALLER'S ``batch_id``, and an append whose batch_id
-  already has a commit marker is a no-op: exactly-once per batch via
-  an O(1) existence probe on the marker table (filter + limit(1),
-  the streaming bid-skip discipline — never a collect of the marker
-  history; the vecindex/bm25 landed-id anti-joins are unnecessary
-  because the unit of idempotence is the batch, not the row).
+  by-construction idempotence does not hold. Idempotence is keyed on
+  the CALLER'S ``batch_id``: the marker row records it, and an
+  append whose batch_id already has a commit marker is a no-op via
+  an O(1) existence probe (filter + limit(1), the streaming
+  bid-skip discipline — never a collect of the marker history; the
+  vecindex/bm25 landed-id anti-joins are unnecessary because the
+  unit of idempotence is the batch, not the row). The SEGMENT
+  attempt id is batch_id + a fresh uuid (the bm25 discipline), so a
+  crash between the data append and the marker append leaves rows
+  that stay uncommitted forever — a retry under the bare batch_id
+  would otherwise retroactively bless them and double-count.
 
 Rollups over any SUBSET of the stored group columns come free at
 query time — n/sum/sumsq re-add and min/max re-fold across the
@@ -59,6 +63,8 @@ values under the full hash. Draft: tests/test_r14_gate_drafts.py.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,7 +110,16 @@ def agg_mart_append(
     (marker-last). Returns group rows appended — 0 when ``batch_id``
     is already committed (exactly-once re-delivery no-op) or the
     batch has no non-NULL values. ``value_col`` must be integral
-    (long-castable); NULLs are ignored (SQL aggregate semantics)."""
+    (long-castable); NULLs are ignored (SQL aggregate semantics).
+
+    The segment attempt id is ``batch_id`` + a fresh uuid — NOT the
+    bare batch_id. With the bare id, a crash between the data append
+    and the marker append would leave orphan partial rows that the
+    re-delivery's marker then retroactively blesses, double-counting
+    the batch (the bm25 fresh-uuid discipline; session review
+    finding). With the uuid suffix the crashed try's rows stay
+    forever uncommitted (invisible to readers, reclaimed at the next
+    compaction) and the retry commits exactly one segment."""
     from formula1_data_pipeline_spark.sources.txn import (
         is_txn_table,
         read_table,
@@ -117,16 +132,17 @@ def agg_mart_append(
     # a collect of the whole marker history.
     if is_txn_table(spark, t[_COMMITS]) and (
         read_table(spark, t[_COMMITS])
-        .filter(F.col("attempt") == batch_id).limit(1).count()
+        .filter(F.col("batch_id") == batch_id).limit(1).count()
     ):
         return 0
+    attempt = f"{batch_id}~{uuid.uuid4().hex[:12]}"
     v = F.col(value_col).cast("long")
     part = (
         batch.filter(v.isNotNull())
         .groupBy(*group_cols)
         .agg(*_partial_aggs(v))
         .select(*group_cols, *_MOMENTS,
-                F.lit(batch_id).alias("attempt"))
+                F.lit(attempt).alias("attempt"))
     )
     part = part.persist()
     try:
@@ -134,7 +150,8 @@ def agg_mart_append(
         if n_groups == 0:
             return 0
         txn_append(spark, part, t[_PARTIALS], stats_cols=group_cols)
-        marker = spark.createDataFrame([(batch_id,)], "attempt string")
+        marker = spark.createDataFrame(
+            [(attempt, batch_id)], "attempt string, batch_id string")
         txn_append(spark, marker, t[_COMMITS])
         return n_groups
     finally:
@@ -180,9 +197,20 @@ def agg_mart_stats(
     Derived-float expression shape (the oracle contract, replayed
     verbatim by the gate SQL): exact DECIMAL/LONG moments are each
     cast to DOUBLE (correctly rounded in both engines), then
-    ``mean = s/n``, ``var_pop = ssq/n - (s/n)*(s/n)``,
+    ``mean = s/n``, ``var_pop = greatest(ssq/n - (s/n)*(s/n), 0.0)``,
     ``stddev_pop = sqrt(var_pop)`` — every step one IEEE
-    correctly-rounded op on identically-constructed operands."""
+    correctly-rounded op on identically-constructed operands.
+
+    Moment-method precision: the two-moment variance cancels
+    catastrophically once ``v^2`` exceeds 2^53 (|v| >~ 9.5e7) — a
+    constant high-magnitude column can yield a NEGATIVE raw
+    difference (session review repro: three rows of 6.9e14 gave
+    -7e13), so the ``greatest(..., 0.0)`` clamp keeps var_pop in
+    range and sqrt defined in both engines. Within |v| < 9.5e7 the
+    moments are exact in double and the clamp is a no-op; beyond it
+    variance precision degrades as with any moment-decomposed
+    accumulator (mean/min/max/sum stay exact — they come from the
+    DECIMAL/LONG moments directly)."""
     partials = _committed_partials(spark, mart_dir)
     keys = ([c for c in partials.columns if c not in _MOMENTS]
             if group_cols is None else list(group_cols))
@@ -191,7 +219,7 @@ def agg_mart_stats(
     s_d = F.col("s").cast("double")
     ssq_d = F.col("ssq").cast("double")
     mean = s_d / n_d
-    var_pop = ssq_d / n_d - mean * mean
+    var_pop = F.greatest(ssq_d / n_d - mean * mean, F.lit(0.0))
     return m.select(
         *keys,
         F.col("n").alias("n_rows"),
@@ -211,20 +239,40 @@ def agg_mart_compact(spark: SparkSession, mart_dir: str) -> None:
     Marker-first + late-append-preserving overwrite: the exact
     crash/concurrency discipline of ``bm25_index_compact`` — a
     concurrent append's rows are re-appended from the superseded
-    version, never dropped."""
-    import uuid
+    version, never dropped.
 
-    from formula1_data_pipeline_spark.sources.txn import txn_append
+    The fold filters on the SAME committed-attempt snapshot it later
+    passes to ``_overwrite_preserving_late`` as ``known_attempts``
+    (the bm25 discipline) — re-reading the committed set after the
+    marker append would admit an append that committed in between
+    into the fold while the late-preservation path ALSO re-appends
+    its rows as unknown, double-counting it (sums are not
+    idempotent, so the hll shape this module started from is not
+    safe here; session review finding). The partials version ``v0``
+    is read BEFORE the snapshot so the late-preservation arithmetic
+    also catches an append landing between the snapshot and the
+    overwrite (deterministic interleaving test)."""
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+        read_table,
+        txn_append,
+    )
 
     t = _tables(mart_dir)
+    v0 = current_version(spark, t[_PARTIALS]) or 0
     committed = _committed_attempts(spark, mart_dir)
     attempt = "compact-" + uuid.uuid4().hex[:16]
     txn_append(
         spark,
-        spark.createDataFrame([(attempt,)], "attempt string"),
+        spark.createDataFrame(
+            [(attempt, attempt)], "attempt string, batch_id string"),
         t[_COMMITS],
     )
-    partials = _committed_partials(spark, mart_dir)
+    partials = (
+        read_table(spark, t[_PARTIALS])
+        .filter(F.col("attempt").isin(committed or ["-"]))
+        .drop("attempt")
+    )
     keys = [c for c in partials.columns if c not in _MOMENTS]
     folded = (
         _fold(keys, partials)
@@ -232,5 +280,5 @@ def agg_mart_compact(spark: SparkSession, mart_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, folded, t[_PARTIALS],
-        committed + [attempt], stats_cols=keys,
+        committed + [attempt], stats_cols=keys, v0=v0,
     )

@@ -78,16 +78,13 @@ def rp_matrix(d: int, k: int, seed: str = RP_SEED) -> list[list[float]]:
 
 
 def _fold_dot(vec, row: list[float]):
-    """Ordered left fold of vec . row — the q24 cosine shape
-    (aggregate over zip_with), bit-identical to DuckDB's
-    list_reduce(list_zip(...)). ``row`` entries become literals, so
-    the whole expression is codegen'd JVM-side."""
-    lit_row = F.array(*[F.lit(x) for x in row])
-    return F.aggregate(
-        F.zip_with(vec, lit_row, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Ordered left fold of vec . (literal row) — delegates to
+    ``similarity.dot`` so exactly ONE copy of the engine-parity-
+    critical fold shape exists (init value, fold order); DuckDB twin
+    is list_reduce over list_zip with the init prepended."""
+    from formula1_data_pipeline_spark.operators.similarity import dot
+
+    return dot(vec, F.array(*[F.lit(x) for x in row]))
 
 
 def random_project(
@@ -136,18 +133,38 @@ def rp_oracle_expr(vec_sql: str, d: int, k: int,
     return "[" + ", ".join(comps) + "]"
 
 
+def _assemble_gram(rows, d: int) -> list[list[float]]:
+    """Symmetric d x d matrix from collected (i, j, g) upper-triangle
+    rows — the one assembly loop shared by the one-shot and mart
+    paths."""
+    gram = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        gram[r["i"]][r["j"]] = r["g"]
+        gram[r["j"]][r["i"]] = r["g"]
+    return gram
+
+
+def _eigh_topk(gram: list[list[float]], k: int):
+    """(eigvals desc [k], components [k][d]) from a symmetric matrix
+    — the one eigendecomposition block shared by the one-shot and
+    mart fits."""
+    import numpy as np
+
+    vals, vecs = np.linalg.eigh(np.array(gram))  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    eigvals = [float(vals[o]) for o in order]
+    d = len(gram)
+    components = [[float(vecs[i][o]) for i in range(d)] for o in order]
+    return eigvals, components
+
+
 def gram_matrix(df: DataFrame, vec_col: str, d: int) -> list[list[float]]:
     """X^T X as a d x d python matrix, from ONE distributed pass:
     explode the upper-triangle (i, j, v_i * v_j) cells per row and
     sum per cell. Map-side partial aggregation bounds the shuffle at
     n_tasks x d(d+1)/2 rows — corpus-size-independent — and the
     driver result is d^2 doubles. NULL vectors are skipped."""
-    cells = _gram_cells(df, vec_col, d).collect()
-    gram = [[0.0] * d for _ in range(d)]
-    for r in cells:
-        gram[r["i"]][r["j"]] = r["g"]
-        gram[r["j"]][r["i"]] = r["g"]
-    return gram
+    return _assemble_gram(_gram_cells(df, vec_col, d).collect(), d)
 
 
 def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
@@ -158,14 +175,7 @@ def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
     more 1-row broadcast if a caller wants it, and uncentered PCA
     (a.k.a. latent semantic projection) is the common retrieval
     preconditioner."""
-    import numpy as np
-
-    g = np.array(gram_matrix(df, vec_col, d))
-    vals, vecs = np.linalg.eigh(g)  # ascending
-    order = np.argsort(vals)[::-1][:k]
-    eigvals = [float(vals[o]) for o in order]
-    components = [[float(vecs[i][o]) for i in range(d)] for o in order]
-    return eigvals, components
+    return _eigh_topk(gram_matrix(df, vec_col, d), k)
 
 
 def rp_topk(
@@ -211,25 +221,29 @@ def rp_topk(
         norm,
     )
 
+    # norms precomputed per VECTOR (projected and original) — never
+    # per pair, the similarity.dot discipline
     cp = random_project(corpus, vec_col, d, k_proj, out_col="_proj",
                         seed=seed).select(
         F.col(id_col).alias("n_id"),
         _as_double(F.col(vec_col)).alias("n_vec"),
         F.col("_proj").alias("n_proj"),
-    ).withColumn("n_pnorm", norm(F.col("n_proj")))
+    ).withColumn("n_pnorm", norm(F.col("n_proj"))) \
+     .withColumn("n_norm", norm(F.col("n_vec")))
     qp = random_project(queries, vec_col, d, k_proj, out_col="_proj",
                         seed=seed).select(
         F.col(id_col).alias("q_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
         F.col("_proj").alias("q_proj"),
-    ).withColumn("q_pnorm", norm(F.col("q_proj")))
+    ).withColumn("q_pnorm", norm(F.col("q_proj"))) \
+     .withColumn("q_norm", norm(F.col("q_vec")))
 
     w_cand = Window.partitionBy("q_id").orderBy(
         F.col("proj_cos").desc(), F.col("n_id").asc())
     cand = (
         cp.join(F.broadcast(qp), F.col("q_id") != F.col("n_id"))
         .select(
-            "q_id", "n_id", "q_vec", "n_vec",
+            "q_id", "n_id", "q_vec", "n_vec", "q_norm", "n_norm",
             F.round(
                 cosine_from_norms(F.col("q_proj"), F.col("n_proj"),
                                   F.col("q_pnorm"), F.col("n_pnorm")),
@@ -246,8 +260,7 @@ def rp_topk(
             "q_id", "n_id",
             F.round(
                 cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
-                                  norm(F.col("q_vec")),
-                                  norm(F.col("n_vec"))),
+                                  F.col("q_norm"), F.col("n_norm")),
                 round_dp,
             ).alias("cos_sim"),
         )
@@ -306,7 +319,15 @@ def gram_mart_append(
     landed data. Cell sums are floats folded in batch/partition
     order, so a mart-refit equals a full-corpus fit only to
     float-sum tolerance — gates bound PCA structure, never hash it
-    (module docstring)."""
+    (module docstring).
+
+    The segment attempt id is batch_id + a fresh uuid (the
+    bm25/aggmart discipline): a crash between the cells append and
+    the marker append leaves rows that stay uncommitted forever —
+    a retry under the bare batch_id would retroactively bless them
+    and double-count the batch's X^T X contribution."""
+    import uuid
+
     from formula1_data_pipeline_spark.sources.txn import (
         is_txn_table,
         read_table,
@@ -317,11 +338,12 @@ def gram_mart_append(
     commits_t = f"{mart_dir}/commits"
     if is_txn_table(spark, commits_t) and (
         read_table(spark, commits_t)
-        .filter(F.col("attempt") == batch_id).limit(1).count()
+        .filter(F.col("batch_id") == batch_id).limit(1).count()
     ):
         return 0
+    attempt = f"{batch_id}~{uuid.uuid4().hex[:12]}"
     seg = (_gram_cells(batch, vec_col, d)
-           .withColumn("attempt", F.lit(batch_id)))
+           .withColumn("attempt", F.lit(attempt)))
     seg = seg.persist()
     try:
         n_cells = seg.count()
@@ -329,7 +351,9 @@ def gram_mart_append(
             return 0
         txn_append(spark, seg, cells_t)
         txn_append(spark,
-                   spark.createDataFrame([(batch_id,)], "attempt string"),
+                   spark.createDataFrame(
+                       [(attempt, batch_id)],
+                       "attempt string, batch_id string"),
                    commits_t)
         return n_cells
     finally:
@@ -352,25 +376,14 @@ def gram_from_mart(spark, mart_dir: str, d: int) -> list[list[float]]:
         .groupBy("i", "j").agg(F.sum("g").alias("g"))
         .collect()
     )
-    gram = [[0.0] * d for _ in range(d)]
-    for r in rows:
-        gram[r["i"]][r["j"]] = r["g"]
-        gram[r["j"]][r["i"]] = r["g"]
-    return gram
+    return _assemble_gram(rows, d)
 
 
 def pca_fit_from_mart(spark, mart_dir: str, d: int, k: int):
     """``pca_fit`` from the landed Gram mart — identical driver-side
     eigh, zero corpus reads. Refitting after N ingest batches costs
     one fold over N x 2080 tiny rows."""
-    import numpy as np
-
-    g = np.array(gram_from_mart(spark, mart_dir, d))
-    vals, vecs = np.linalg.eigh(g)
-    order = np.argsort(vals)[::-1][:k]
-    eigvals = [float(vals[o]) for o in order]
-    components = [[float(vecs[i][o]) for i in range(d)] for o in order]
-    return eigvals, components
+    return _eigh_topk(gram_from_mart(spark, mart_dir, d), k)
 
 
 def pca_project(

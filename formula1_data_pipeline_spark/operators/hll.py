@@ -179,9 +179,17 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
     overwrite: the exact crash/concurrency discipline of
     ``bm25_index_compact`` (a concurrent append's rows are re-appended
     from the superseded version, never dropped)."""
-    from formula1_data_pipeline_spark.sources.txn import txn_append
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+        txn_append,
+    )
 
     t = _tables(index_dir)
+    # version BEFORE the snapshot: closes the snapshot-to-overwrite
+    # drop window (see retrieval._overwrite_preserving_late on v0) —
+    # a sketch row dropped there would lose the distinct values only
+    # that batch saw, despite register-union idempotence
+    v0 = current_version(spark, t[_SKETCHES]) or 0
     committed = _committed(spark, index_dir)
     attempt = uuid.uuid4().hex[:16]
     txn_append(
@@ -189,7 +197,18 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
         spark.createDataFrame([(attempt,)], "attempt string"),
         t[_COMMITS],
     )
-    sk = _committed_sketches(spark, index_dir)
+    from formula1_data_pipeline_spark.sources.txn import read_table
+
+    # fold the SNAPSHOT, not a re-read (the bm25/aggmart snapshot
+    # discipline): an append committing after the marker would
+    # otherwise be folded AND late-re-appended — merely redundant
+    # rows here (register union is idempotent), but the snapshot
+    # keeps the three marts' compaction semantics identical
+    sk = (
+        read_table(spark, t[_SKETCHES])
+        .filter(F.col("attempt").isin(committed or ["-"]))
+        .drop("attempt")
+    )
     keys = [c for c in sk.columns if c != "sketch"]
     folded = (
         sk.groupBy(*keys)
@@ -198,5 +217,5 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, folded, t[_SKETCHES],
-        committed + [attempt], stats_cols=keys,
+        committed + [attempt], stats_cols=keys, v0=v0,
     )

@@ -321,6 +321,15 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     )
 
     t = _index_tables(index_dir)
+    # table versions BEFORE the attempt snapshot, so the
+    # late-preservation arithmetic catches appends landing between
+    # the snapshot and each overwrite (see _overwrite_preserving_late
+    # on v0)
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+    )
+    v0_df = current_version(spark, t[_DFDELTA]) or 0
+    v0_stats = current_version(spark, t[_STATSDELTA]) or 0
     committed = _committed_attempts(spark, index_dir)
     # the compacted rows need a COMMITTED attempt of their own, and
     # its marker must land FIRST: if the marker lands and the rewrite
@@ -345,7 +354,7 @@ def bm25_index_compact(spark, index_dir: str) -> None:
         F.sum("df_delta").cast("long").alias("df_delta"))
     _overwrite_preserving_late(
         spark, dfd.select("*", tag), t[_DFDELTA],
-        committed + [attempt], stats_cols=["term"],
+        committed + [attempt], stats_cols=["term"], v0=v0_df,
     )
     stats = _committed_only(
         read_table(spark, t[_STATSDELTA]), committed
@@ -355,14 +364,15 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, stats.select("*", tag), t[_STATSDELTA],
-        committed + [attempt],
+        committed + [attempt], v0=v0_stats,
     )
 
 
 def _overwrite_preserving_late(spark, df: DataFrame, table: str,
                                known_attempts: list[str],
                                stats_cols: list[str] | None = None,
-                               _pre_publish_hook=None) -> None:
+                               _pre_publish_hook=None,
+                               v0: int | None = None) -> None:
     """``txn_overwrite`` that cannot drop a CONCURRENT append's rows
     (round-10 ADVICE): compaction snapshots the committed-attempt set,
     computes the folded rows, and overwrites — but an append whose
@@ -381,7 +391,16 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
     outside the snapshot ∪ {this compaction} are re-appended: they are
     either in-flight appends (must survive) or crashed-attempt
     orphans (harmless — readers filter on committed markers; the next
-    compaction drops them)."""
+    compaction drops them).
+
+    ``v0``: pass the table version read BEFORE the caller took its
+    committed-attempt snapshot (session review, round 11): with v0
+    read here — after the snapshot — an append committing in the
+    snapshot-to-here window bumps the version early enough that
+    ``ver == v0 + 1`` and its fold-excluded rows are silently
+    dropped. Reading v0 first closes the window: anything newer than
+    the snapshot is also newer than v0, so the arithmetic catches
+    it. ``None`` keeps the legacy read-here behavior."""
     from formula1_data_pipeline_spark.sources.txn import (
         current_version,
         read_table,
@@ -389,7 +408,8 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
         txn_overwrite,
     )
 
-    v0 = current_version(spark, table) or 0
+    if v0 is None:
+        v0 = current_version(spark, table) or 0
     ver = txn_overwrite(spark, df, table, stats_cols=stats_cols,
                         auto_vacuum=False,
                         pre_publish_hook=_pre_publish_hook)

@@ -20,7 +20,12 @@ D, K = 64, 16
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    # yield + unpersist: a leaked cache over a raw parquet scan leaks
+    # InMemoryTableScan into later tests' plans over the same file
+    # (see test_aggmart.docs)
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_sign_matrix_is_deterministic_and_balanced():

@@ -72,12 +72,13 @@ WITH m AS (
 SELECT 'aggmart' AS kind, COALESCE(source, '_total') AS source,
        n AS n_rows, s AS sum_value, mn AS min_value, mx AS max_value,
        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
-       CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+       greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS var_pop,
-       sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) AS var_pop,
+       sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
          - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS stddev_pop
+           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+           AS stddev_pop
 FROM m
 """
 
