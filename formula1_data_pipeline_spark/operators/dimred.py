@@ -38,6 +38,10 @@ sums under the aggmart batch-id exactly-once discipline and
 ``pca_fit_from_mart`` refits anytime from the landed cells without
 rescanning the corpus (cell sums are floats, so mart-vs-one-shot
 equality is tolerance-level, and all PCA gating stays bounds-only).
+The same pass/mart also carries the d sum-vector cells and the
+count cell, so CENTERED (covariance) PCA is free from the same
+state — centered Gram = G - s s^T / n, and centered projection is
+fold(v, c) - (c . mu) with the offset a per-component literal.
 
 Pre-staged round 11 (third session); LANDING ROUTE: rides q24's r12
 re-gate (q24 owns the exact-cosine surface, r10-gated, due r12) as
@@ -158,24 +162,41 @@ def _eigh_topk(gram: list[list[float]], k: int):
     return eigvals, components
 
 
+def _moments(df: DataFrame, vec_col: str, d: int):
+    """(gram, sum vector, n) from the one-pass moment cells."""
+    gram_rows, s, n = _split_moments(
+        _gram_cells(df, vec_col, d).collect(), d)
+    return _assemble_gram(gram_rows, d), s, n
+
+
 def gram_matrix(df: DataFrame, vec_col: str, d: int) -> list[list[float]]:
     """X^T X as a d x d python matrix, from ONE distributed pass:
     explode the upper-triangle (i, j, v_i * v_j) cells per row and
     sum per cell. Map-side partial aggregation bounds the shuffle at
-    n_tasks x d(d+1)/2 rows — corpus-size-independent — and the
-    driver result is d^2 doubles. NULL vectors are skipped."""
-    return _assemble_gram(_gram_cells(df, vec_col, d).collect(), d)
+    n_tasks x (d(d+1)/2 + d + 1) rows — corpus-size-independent —
+    and the driver result is d^2 doubles. NULL vectors are skipped."""
+    return _moments(df, vec_col, d)[0]
 
 
-def pca_fit(df: DataFrame, vec_col: str, d: int, k: int):
-    """Top-k principal directions of the (uncentered) Gram matrix.
-    Returns (eigvals desc [k], components [k][d]) — driver-resident
-    trained floats (d x d eigh on the gram_matrix pass). Uncentered
-    on purpose: centering subtracts the mean vector, which is one
-    more 1-row broadcast if a caller wants it, and uncentered PCA
-    (a.k.a. latent semantic projection) is the common retrieval
-    preconditioner."""
-    return _eigh_topk(gram_matrix(df, vec_col, d), k)
+def pca_fit(df: DataFrame, vec_col: str, d: int, k: int,
+            center: bool = False):
+    """Top-k principal directions. Returns (eigvals desc [k],
+    components [k][d]) — driver-resident trained floats (d x d eigh
+    on the one moment pass). ``center=False`` (default) fits the
+    uncentered Gram (a.k.a. latent semantic projection, the common
+    retrieval preconditioner); ``center=True`` fits the centered
+    Gram C = G - s s^T / n — canonical covariance PCA — derived
+    from the SAME pass via the sum-vector/count cells (no extra
+    corpus read; pair with ``pca_project(..., mean=...)``)."""
+    gram, s, n = _moments(df, vec_col, d)
+    return _eigh_topk(_center_gram(gram, s, n) if center else gram, k)
+
+
+def pca_mean(df: DataFrame, vec_col: str, d: int) -> list[float]:
+    """The mean vector from the moment pass — the ``mean`` operand
+    for centered ``pca_project``."""
+    _, s, n = _moments(df, vec_col, d)
+    return [x / n for x in s]
 
 
 def rp_topk(
@@ -202,9 +223,13 @@ def rp_topk(
     are IEEE correctly-rounded, and scores round to ``round_dp``
     before ranking with an id tiebreak — so the entire two-stage
     output sits under a full value hash, where LSH/IVF gate recall
-    bounds only. Scale shape: one projected corpus scan + a
-    broadcast of the (tiny) query side, a per-query candidate
-    window, and an exact fold on candidates only.
+    bounds only. Scale shape: one projected corpus scan against a
+    broadcast query side, a NARROW candidate window (ids + score
+    only), then a second corpus scan with the candidate pairs
+    broadcast to fetch vectors for the exact fold — candidates-only
+    re-rank, no vector ever rides a pairs-sized shuffle (measured:
+    the carry-vectors form was 2x slower than exact; this form beats
+    exact from ~300 queries up and scales flat in |Q|, SCALE.md).
 
     Recall honesty: JL preserves distances to (1 +- eps), eps ~
     sqrt(8 ln n / k_proj) — candidate generation recovers true
@@ -222,28 +247,31 @@ def rp_topk(
     )
 
     # norms precomputed per VECTOR (projected and original) — never
-    # per pair, the similarity.dot discipline
+    # per pair, the similarity.dot discipline. The candidate stage
+    # carries ONLY (q_id, n_id, proj_cos) through its window — an
+    # earlier draft carried both 64-dim vectors per PAIR through the
+    # candidate exchange and measured 2x SLOWER than the exact scan
+    # at 10x corpus (|pairs| x 128 doubles shuffled); the re-rank
+    # instead re-fetches vectors with a candidates-broadcast join
+    # back to the corpus (candidates are |Q| x n_candidates rows —
+    # tiny), trading one extra corpus scan for a pairs-sized shuffle.
     cp = random_project(corpus, vec_col, d, k_proj, out_col="_proj",
                         seed=seed).select(
         F.col(id_col).alias("n_id"),
-        _as_double(F.col(vec_col)).alias("n_vec"),
         F.col("_proj").alias("n_proj"),
-    ).withColumn("n_pnorm", norm(F.col("n_proj"))) \
-     .withColumn("n_norm", norm(F.col("n_vec")))
+    ).withColumn("n_pnorm", norm(F.col("n_proj")))
     qp = random_project(queries, vec_col, d, k_proj, out_col="_proj",
                         seed=seed).select(
         F.col(id_col).alias("q_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
         F.col("_proj").alias("q_proj"),
-    ).withColumn("q_pnorm", norm(F.col("q_proj"))) \
-     .withColumn("q_norm", norm(F.col("q_vec")))
+    ).withColumn("q_pnorm", norm(F.col("q_proj")))
 
     w_cand = Window.partitionBy("q_id").orderBy(
         F.col("proj_cos").desc(), F.col("n_id").asc())
     cand = (
         cp.join(F.broadcast(qp), F.col("q_id") != F.col("n_id"))
         .select(
-            "q_id", "n_id", "q_vec", "n_vec", "q_norm", "n_norm",
+            "q_id", "n_id",
             F.round(
                 cosine_from_norms(F.col("q_proj"), F.col("n_proj"),
                                   F.col("q_pnorm"), F.col("n_pnorm")),
@@ -252,11 +280,22 @@ def rp_topk(
         )
         .withColumn("cand_rank", F.row_number().over(w_cand))
         .filter(F.col("cand_rank") <= n_candidates)
+        .select("q_id", "n_id")
     )
+    cf = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _as_double(F.col(vec_col)).alias("n_vec"),
+    ).withColumn("n_norm", norm(F.col("n_vec")))
+    qf = queries.select(
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     w_final = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
     return (
-        cand.select(
+        cf.join(F.broadcast(cand), "n_id")
+        .join(F.broadcast(qf), "q_id")
+        .select(
             "q_id", "n_id",
             F.round(
                 cosine_from_norms(F.col("q_vec"), F.col("n_vec"),
@@ -269,33 +308,76 @@ def rp_topk(
     )
 
 
+#: sentinel j for the sum-vector cells (i, _SUM_J, sum v_i) and the
+#: count cell (_SUM_J, _SUM_J, n) that ride the gram explode — the
+#: extra d + 1 cells per pass that make CENTERED PCA derivable from
+#: the same landed state (centered Gram = G - s s^T / n).
+_SUM_J = -1
+
+
 def _gram_cells(df: DataFrame, vec_col: str, d: int) -> DataFrame:
-    """(i, j, g) upper-triangle partial sums for one batch — the
-    single distributed pass ``gram_matrix`` runs, kept as a frame so
-    it can either collect (one-shot fit) or land (the mart)."""
+    """(i, j, g) partial sums for one batch from ONE explode +
+    groupBy pass: the d(d+1)/2 upper-triangle Gram cells, plus the d
+    sum-vector cells at j = _SUM_J and the count cell at
+    (_SUM_J, _SUM_J) — everything a centered or uncentered fit
+    needs. Kept as a frame so it can either collect (one-shot fit)
+    or land (the mart)."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = F.col("v")
+    gram = F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.transform(
+            F.sequence(i, F.lit(d - 1)),
+            lambda j: F.struct(
+                i.alias("i"), j.alias("j"),
+                (F.element_at(v, i + 1)
+                 * F.element_at(v, j + 1)).alias("x"),
+            ),
+        ),
+    ))
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.struct(
+            i.alias("i"), F.lit(_SUM_J).alias("j"),
+            F.element_at(v, i + 1).alias("x"),
+        ),
+    )
+    count = F.array(F.struct(
+        F.lit(_SUM_J).alias("i"), F.lit(_SUM_J).alias("j"),
+        F.lit(1.0).alias("x"),
+    ))
     return (
         df.filter(F.col(vec_col).isNotNull())
         .select(vec.alias("v"))
-        .select(
-            F.explode(
-                F.flatten(F.transform(
-                    F.sequence(F.lit(0), F.lit(d - 1)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(d - 1)),
-                        lambda j: F.struct(
-                            i.alias("i"), j.alias("j"),
-                            (F.element_at(F.col("v"), i + 1)
-                             * F.element_at(F.col("v"), j + 1))
-                            .alias("x"),
-                        ),
-                    ),
-                ))
-            ).alias("c")
-        )
+        .select(F.explode(
+            F.concat(gram, sums, count)).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg(F.sum("c.x").alias("g"))
     )
+
+
+def _split_moments(rows, d: int):
+    """(gram rows, sum vector, n) from collected moment cells."""
+    gram_rows = [r for r in rows if r["j"] != _SUM_J]
+    s = [0.0] * d
+    n = 0.0
+    for r in rows:
+        if r["j"] == _SUM_J:
+            if r["i"] == _SUM_J:
+                n = r["g"]
+            else:
+                s[r["i"]] = r["g"]
+    return gram_rows, s, n
+
+
+def _center_gram(gram: list[list[float]], s: list[float],
+                 n: float) -> list[list[float]]:
+    """Centered Gram C = G - s s^T / n (== n x covariance): the
+    driver-side arithmetic that makes centered PCA come from the
+    same landed moments."""
+    d = len(gram)
+    return [[gram[i][j] - s[i] * s[j] / n for j in range(d)]
+            for i in range(d)]
 
 
 def gram_mart_append(
@@ -360,10 +442,10 @@ def gram_mart_append(
         seg.unpersist()
 
 
-def gram_from_mart(spark, mart_dir: str, d: int) -> list[list[float]]:
-    """X^T X folded from LANDED cells only (committed attempts; the
-    corpus is never read — the mart is |cells| x |batches| tiny rows,
-    2080 per batch at d=64)."""
+def moments_from_mart(spark, mart_dir: str, d: int):
+    """(gram, sum vector, n) folded from LANDED cells only
+    (committed attempts; the corpus is never read — the mart is
+    |cells| x |batches| tiny rows, 2145 per batch at d=64)."""
     from formula1_data_pipeline_spark.operators.retrieval import (
         _committed_attempts,
     )
@@ -376,14 +458,24 @@ def gram_from_mart(spark, mart_dir: str, d: int) -> list[list[float]]:
         .groupBy("i", "j").agg(F.sum("g").alias("g"))
         .collect()
     )
-    return _assemble_gram(rows, d)
+    gram_rows, s, n = _split_moments(rows, d)
+    return _assemble_gram(gram_rows, d), s, n
 
 
-def pca_fit_from_mart(spark, mart_dir: str, d: int, k: int):
+def gram_from_mart(spark, mart_dir: str, d: int) -> list[list[float]]:
+    """X^T X folded from LANDED cells only (see moments_from_mart)."""
+    return moments_from_mart(spark, mart_dir, d)[0]
+
+
+def pca_fit_from_mart(spark, mart_dir: str, d: int, k: int,
+                      center: bool = False):
     """``pca_fit`` from the landed Gram mart — identical driver-side
     eigh, zero corpus reads. Refitting after N ingest batches costs
-    one fold over N x 2080 tiny rows."""
-    return _eigh_topk(gram_from_mart(spark, mart_dir, d), k)
+    one fold over N x 2145 tiny rows. ``center=True`` fits the
+    centered Gram from the same landed moments (the sum-vector /
+    count cells every append already lands)."""
+    gram, s, n = moments_from_mart(spark, mart_dir, d)
+    return _eigh_topk(_center_gram(gram, s, n) if center else gram, k)
 
 
 def pca_project(
@@ -391,14 +483,25 @@ def pca_project(
     vec_col: str,
     components: list[list[float]],
     out_col: str = "pca",
+    mean: list[float] | None = None,
 ) -> DataFrame:
     """Append ``out_col``: projection onto the fitted components —
     the same shuffle-free literal-row fold as ``random_project``
     (components are trained, so downstream gates bound, never hash,
-    these values)."""
+    these values). For a centered fit pass ``mean``: projecting
+    (v - mu) onto row c is fold(v, c) - (c . mu), and the second
+    term is a per-component CONSTANT — centering costs one literal
+    subtraction per component, never a second fold."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    comps = [_fold_dot(vec, row).alias(f"_p{j}")
-             for j, row in enumerate(components)]
+    if mean is not None:
+        offsets = [sum(c * m for c, m in zip(row, mean))
+                   for row in components]
+        comps = [(_fold_dot(vec, row) - F.lit(off)).alias(f"_p{j}")
+                 for j, (row, off)
+                 in enumerate(zip(components, offsets))]
+    else:
+        comps = [_fold_dot(vec, row).alias(f"_p{j}")
+                 for j, row in enumerate(components)]
     tmp = df.select("*", *comps)
     return tmp.select(
         *df.columns,

@@ -120,7 +120,8 @@ def test_gram_mart_fold_matches_one_shot(spark, emb, tmp_path):
         n = DR.gram_mart_append(
             spark, emb.filter(F.col("vec_id") % 3 == b),
             mart, "embedding", D, f"b{b}")
-        assert n == D * (D + 1) // 2
+        # gram upper triangle + d sum cells + the count cell
+        assert n == D * (D + 1) // 2 + D + 1
     # re-delivery is caught by the marker probe
     assert DR.gram_mart_append(
         spark, emb.filter(F.col("vec_id") % 3 == 0),
@@ -141,6 +142,49 @@ def test_pca_fit_from_mart_matches_full_fit(spark, emb, tmp_path):
             mart, "embedding", D, f"b{b}")
     ev_m, comps_m = DR.pca_fit_from_mart(spark, mart, D, 6)
     ev_f, comps_f = DR.pca_fit(emb, "embedding", D, 6)
+    assert np.allclose(ev_m, ev_f, rtol=1e-8)
+    Pm = np.array(comps_m).T @ np.array(comps_m)
+    Pf = np.array(comps_f).T @ np.array(comps_f)
+    assert np.allclose(Pm, Pf, atol=1e-6)
+
+
+def test_centered_pca_matches_numpy_covariance(spark, emb):
+    """center=True must equal numpy PCA on the centered data: same
+    eigenvalues and the same spanned subspace, from BOTH the one-shot
+    fit and a 3-batch mart refit (the sum/count cells every append
+    lands make centering free)."""
+    X = np.array([r["embedding"] for r in
+                  emb.select("embedding").collect()], dtype=np.float64)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    vals, vecs = np.linalg.eigh(Xc.T @ Xc)
+    want = np.sort(vals)[::-1][:6]
+
+    ev, comps = DR.pca_fit(emb, "embedding", d=D, k=6, center=True)
+    assert np.allclose(ev, want, rtol=1e-8)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(6), atol=1e-8)
+
+    # mean from the same moment pass
+    got_mu = np.array(DR.pca_mean(emb, "embedding", D))
+    assert np.allclose(got_mu, mu, rtol=1e-9)
+
+    # centered projection: literal offsets, never a second fold
+    got = {r["vec_id"]: np.array(r["pca"]) for r in
+           DR.pca_project(emb, "embedding", comps, mean=list(got_mu))
+           .select("vec_id", "pca").collect()}
+    for r in emb.select("vec_id", "embedding").limit(10).collect():
+        wantp = C @ (np.array(r["embedding"], dtype=np.float64) - got_mu)
+        assert np.allclose(got[r["vec_id"]], wantp, atol=1e-6)
+
+
+def test_centered_fit_from_mart_matches_full(spark, emb, tmp_path):
+    mart = str(tmp_path / "gm")
+    for b in range(3):
+        DR.gram_mart_append(spark, emb.filter(F.col("vec_id") % 3 == b),
+                            mart, "embedding", D, f"b{b}")
+    ev_m, comps_m = DR.pca_fit_from_mart(spark, mart, D, 6, center=True)
+    ev_f, comps_f = DR.pca_fit(emb, "embedding", D, 6, center=True)
     assert np.allclose(ev_m, ev_f, rtol=1e-8)
     Pm = np.array(comps_m).T @ np.array(comps_m)
     Pf = np.array(comps_f).T @ np.array(comps_f)
