@@ -35,6 +35,18 @@ an r12 host's window is tight, both targets re-gate again in r14.
     of q31/q54's r12 streaming re-gates the streaming histogram
     does not take, as kind='aggmart_stream' rows.
 
+  * dataset version diff (``operators/diff.py::dataset_diff`` —
+    added/removed/changed via one null-safe hash-compare full outer
+    join; the readable face of time travel, and ``txn_delete_keys``'
+    deleted keys must surface as 'removed'). LANDING ROUTE: rides
+    q75's r12 re-gate (time travel + targeted delete, r10-gated,
+    due r12) as kind='diff' rows under the full value hash.
+
+  * two-stage JL-compressed ANN (``dimred.py::rp_topk`` — narrow
+    candidate window + candidates-broadcast vector re-fetch; fully
+    deterministic, both stages oracle-replayed fold-for-fold).
+    LANDING ROUTE: q24's r12 re-gate, kind='rp_topk' rows.
+
 Each draft runs the full driver-style compare (schema + rows +
 order-insensitive canonical values) at sf0.001 and sf0.01 — the
 exact acceptance its landing round promotes into __spark_entry__.
@@ -169,6 +181,62 @@ SELECT 'aggmart_stream' AS kind, source,
 FROM documents WHERE n_chars IS NOT NULL
 GROUP BY source
 """
+
+
+def _diff_oracle() -> str:
+    """q75 rider kind='diff': documents vs a deterministic mutation
+    (doc_id % 11 removed, % 7 changed) — the time-travel diff report
+    under the full value hash."""
+    from formula1_data_pipeline_spark.operators.diff import (
+        content_hash_sql,
+    )
+
+    h = content_hash_sql(["n_chars", "source", "text"])
+    return f"""
+    WITH old AS (
+        SELECT doc_id, {h} AS old_hash FROM documents
+    ), new_side AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                    ELSE n_chars END AS n_chars,
+               source, text
+        FROM documents WHERE doc_id % 11 <> 0
+    ), newh AS (
+        SELECT doc_id, {h} AS new_hash FROM new_side
+    ), j AS (
+        SELECT doc_id, old_hash, new_hash
+        FROM old FULL OUTER JOIN newh USING (doc_id)
+    )
+    SELECT 'diff' AS kind,
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+           END AS status,
+           doc_id, old_hash, new_hash
+    FROM j WHERE (old_hash IS NULL OR new_hash IS NULL
+                  OR old_hash <> new_hash)
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_diff_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.diff import (
+        dataset_diff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "text", "n_chars")
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .withColumn("n_chars",
+                    F.when(F.col("doc_id") % 7 == 0,
+                           F.col("n_chars") + 1)
+                    .otherwise(F.col("n_chars")))
+    )
+    out = (dataset_diff(docs, new, ["doc_id"])
+           .select(F.lit("diff").alias("kind"), "status", "doc_id",
+                   "old_hash", "new_hash"))
+    _compare(out, _diff_oracle(), sf_dir)
 
 
 def _compare(spark_df, oracle_sql: str, sf_dir: str):
