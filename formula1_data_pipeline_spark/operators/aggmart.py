@@ -130,11 +130,17 @@ def agg_mart_append(
     # exactly-once per batch: O(1) existence probe for THIS batch_id
     # (filter + limit(1), the streaming bid-skip discipline) — never
     # a collect of the whole marker history.
-    if is_txn_table(spark, t[_COMMITS]) and (
-        read_table(spark, t[_COMMITS])
-        .filter(F.col("batch_id") == batch_id).limit(1).count()
-    ):
-        return 0
+    if is_txn_table(spark, t[_COMMITS]):
+        commits = read_table(spark, t[_COMMITS])
+        if "batch_id" not in commits.columns:
+            raise ValueError(
+                "agg_mart_append: commits table has no batch_id "
+                "column — a mart written by the pre-release bare-"
+                "batch_id format; rebuild it (mixing formats would "
+                "break re-delivery idempotence)")
+        if commits.filter(
+                F.col("batch_id") == batch_id).limit(1).count():
+            return 0
     attempt = f"{batch_id}~{uuid.uuid4().hex[:12]}"
     v = F.col(value_col).cast("long")
     part = (
@@ -248,18 +254,17 @@ def agg_mart_compact(spark: SparkSession, mart_dir: str) -> None:
     into the fold while the late-preservation path ALSO re-appends
     its rows as unknown, double-counting it (sums are not
     idempotent, so the hll shape this module started from is not
-    safe here; session review finding). The partials version ``v0``
-    is read BEFORE the snapshot so the late-preservation arithmetic
-    also catches an append landing between the snapshot and the
-    overwrite (deterministic interleaving test)."""
+    safe here; session review finding). The late-preservation diff
+    in ``_overwrite_preserving_late`` is unconditional, so an append
+    landing ANYWHERE between the snapshot and the overwrite's
+    publish is re-appended exactly once (deterministic interleaving
+    test)."""
     from formula1_data_pipeline_spark.sources.txn import (
-        current_version,
         read_table,
         txn_append,
     )
 
     t = _tables(mart_dir)
-    v0 = current_version(spark, t[_PARTIALS]) or 0
     committed = _committed_attempts(spark, mart_dir)
     attempt = "compact-" + uuid.uuid4().hex[:16]
     txn_append(
@@ -280,5 +285,5 @@ def agg_mart_compact(spark: SparkSession, mart_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, folded, t[_PARTIALS],
-        committed + [attempt], stats_cols=keys, v0=v0,
+        committed + [attempt], stats_cols=keys,
     )

@@ -20,14 +20,21 @@ Semantics:
 * unchanged rows are dropped (the report is the delta, not the
   corpus) — at 100 TB the output is |changes|, not |rows|.
 
-Content hash: md5 over '|'-joined columns with NULLs coalesced to a
-sentinel BEFORE joining — ``concat_ws`` silently SKIPS nulls, so
-("a", NULL, "b") and ("a", "b", NULL) would otherwise collide (the
-scaffold fingerprint lives with fixed column sets where that is
-safe; a diff cannot assume it). The same expression is DuckDB-
+Content hash: md5 over the CONCATENATION OF PER-COLUMN md5s, with
+NULL contributing a literal '-' token. Three aliasing traps this
+closes (second round-11 review pass): ``concat_ws`` silently SKIPS
+nulls, so ("a", NULL, "b") and ("a", "b", NULL) collide; a raw
+'|'-join lets values containing the separator shift across column
+boundaries, so ("a|b", "c") collides with ("a", "b|c"); and a NULL
+sentinel collides with a literal occurrence of the sentinel string.
+Per-column tokens are either exactly 32 hex chars or the 1-char '-'
+(not a hex digit), so the token sequence decomposes unambiguously —
+no value can alias another row's. The same expression is DuckDB-
 replayable verbatim, so diff reports sit under the full value hash.
 
-Scale shape: one hash-partitioned full outer join on the key — both
+Scale shape: one hash-partitioned full outer join on the key (a
+NULL-SAFE equality — NULL keys match each other, so an unchanged
+NULL-keyed row is not reported as a phantom remove+add) — both
 sides shuffle once on the join key, the hash is a codegen'd
 projection, and the filter drops unchanged rows before any further
 stage. No window, no driver state.
@@ -45,25 +52,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: NULL sentinel inside the content hash — printable, identical
-#: literal in Spark and DuckDB SQL.
-NULL_MARK = "␀"
+#: per-column NULL token inside the content hash — one char, not a
+#: hex digit, so it can never alias part of a neighbouring md5.
+NULL_MARK = "-"
 
 
 def content_hash(cols: list[str]) -> F.Column:
-    """md5 over the null-coalesced '|'-join of ``cols`` — the
-    row-content fingerprint both engines compute identically."""
-    return F.md5(F.concat_ws("|", *[
-        F.coalesce(F.col(c).cast("string"), F.lit(NULL_MARK))
+    """md5 over the concatenated per-column md5s (NULL -> '-') — the
+    alias-proof row-content fingerprint both engines compute
+    identically (module docstring)."""
+    if not cols:
+        return F.md5(F.lit(""))
+    return F.md5(F.concat(*[
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit(NULL_MARK))
         for c in cols
     ]))
 
 
 def content_hash_sql(cols: list[str]) -> str:
-    """DuckDB twin of ``content_hash`` (same sentinel, same order)."""
-    joined = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), '{NULL_MARK}')" for c in cols)
-    return f"md5(concat_ws('|', {joined}))"
+    """DuckDB twin of ``content_hash`` (same tokens, same order)."""
+    if not cols:
+        return "md5('')"
+    toks = ", ".join(
+        f"coalesce(md5(CAST({c} AS VARCHAR)), '{NULL_MARK}')"
+        for c in cols)
+    return f"md5(concat({toks}))"
 
 
 def dataset_diff(
@@ -79,11 +92,19 @@ def dataset_diff(
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = sorted(shared - set(key_cols))
-    o = old.select(*key_cols,
-                   content_hash(compare_cols).alias("old_hash"))
-    n = new.select(*key_cols,
-                   content_hash(compare_cols).alias("new_hash"))
-    joined = o.join(n, on=key_cols, how="full_outer")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        content_hash(compare_cols).alias("old_hash"))
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        content_hash(compare_cols).alias("new_hash"))
+    # NULL-SAFE key equality: a NULL-keyed row present unchanged on
+    # both sides must match itself, not surface as remove+add
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, on=cond, how="full_outer")
     status = (
         F.when(F.col("old_hash").isNull(), F.lit("added"))
         .when(F.col("new_hash").isNull(), F.lit("removed"))
@@ -93,7 +114,12 @@ def dataset_diff(
     return (
         joined.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select("status", *key_cols, "old_hash", "new_hash")
+        .select(
+            "status",
+            *[F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}"))
+              .alias(k) for k in key_cols],
+            "old_hash", "new_hash",
+        )
     )
 
 

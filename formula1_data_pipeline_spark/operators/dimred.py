@@ -21,8 +21,9 @@ opposite determinism profiles, so both live here:
   per-row map: 100 TB cost = one corpus scan, no exchange.
 
 * **PCA via the Gram matrix**: one distributed aggregate pass folds
-  X^T X (d x d, d=64 -> 2080 upper-triangle cells) with map-side
-  partial aggregation — the shuffle carries <= n_tasks x 2080 tiny
+  X^T X (d x d, d=64 -> 2145 cells: 2080 upper-triangle + 64 sum
+  + 1 count) with map-side partial aggregation — the shuffle
+  carries <= n_tasks x 2145 tiny
   rows regardless of corpus size — then the driver eigendecomposes
   the 64x64 matrix (numpy, O(d^3) ~ microseconds) and the top-k
   eigenvectors become literal projection rows applied with the same
@@ -33,8 +34,8 @@ opposite determinism profiles, so both live here:
   variance floor), never the eigenvector values.
 
 PCA is additionally INCREMENTAL: X^T X decomposes over row blocks,
-so ``gram_mart_append`` lands each ingest batch's d(d+1)/2 cell
-sums under the aggmart batch-id exactly-once discipline and
+so ``gram_mart_append`` lands each ingest batch's moment cells
+under the aggmart batch-id exactly-once discipline and
 ``pca_fit_from_mart`` refits anytime from the landed cells without
 rescanning the corpus (cell sums are floats, so mart-vs-one-shot
 equality is tolerance-level, and all PCA gating stays bounds-only).
@@ -192,10 +193,27 @@ def pca_fit(df: DataFrame, vec_col: str, d: int, k: int,
     return _eigh_topk(_center_gram(gram, s, n) if center else gram, k)
 
 
+def pca_fit_full(df: DataFrame, vec_col: str, d: int, k: int,
+                 center: bool = False):
+    """(eigvals, components, mean) from ONE moment pass — the entry
+    point for the centered workflow (``pca_project(...,
+    mean=mean)``); calling ``pca_fit`` + ``pca_mean`` separately
+    would run the distributed pass twice."""
+    gram, s, n = _moments(df, vec_col, d)
+    if n == 0:
+        raise ValueError("pca_fit_full: no non-NULL vectors")
+    ev, comps = _eigh_topk(
+        _center_gram(gram, s, n) if center else gram, k)
+    return ev, comps, [x / n for x in s]
+
+
 def pca_mean(df: DataFrame, vec_col: str, d: int) -> list[float]:
-    """The mean vector from the moment pass — the ``mean`` operand
-    for centered ``pca_project``."""
+    """The mean vector from a STANDALONE moment pass. When you also
+    need the fit, use ``pca_fit_full`` — it returns the mean from
+    the same single pass instead of re-scanning the corpus."""
     _, s, n = _moments(df, vec_col, d)
+    if n == 0:
+        raise ValueError("pca_mean: no non-NULL vectors")
     return [x / n for x in s]
 
 
@@ -374,7 +392,15 @@ def _center_gram(gram: list[list[float]], s: list[float],
                  n: float) -> list[list[float]]:
     """Centered Gram C = G - s s^T / n (== n x covariance): the
     driver-side arithmetic that makes centered PCA come from the
-    same landed moments."""
+    same landed moments. Raises on n == 0 — an empty/all-NULL input,
+    or a gram mart written before the sum/count cells existed (a
+    legacy mart has no count cell; rebuild it — a MIXED mart, some
+    batches pre-dating the cells, cannot be detected post-fold and
+    must likewise be rebuilt, see ``gram_mart_append``)."""
+    if n == 0:
+        raise ValueError(
+            "centered fit needs the count cell (n > 0): empty input, "
+            "or a gram mart written before sum/count cells — rebuild")
     d = len(gram)
     return [[gram[i][j] - s[i] * s[j] / n for j in range(d)]
             for i in range(d)]
@@ -396,7 +422,7 @@ def gram_mart_append(
     cells appended (0 on re-delivery or an empty batch).
 
     This is what makes PCA INCREMENTAL at 100 TB: X^T X decomposes
-    over row blocks, so per-ingest-batch appends of 2080 tiny cells
+    over row blocks, so per-ingest-batch appends of 2145 tiny cells
     let ``pca_fit_from_mart`` refit anytime without rescanning
     landed data. Cell sums are floats folded in batch/partition
     order, so a mart-refit equals a full-corpus fit only to
@@ -418,11 +444,17 @@ def gram_mart_append(
 
     cells_t = f"{mart_dir}/cells"
     commits_t = f"{mart_dir}/commits"
-    if is_txn_table(spark, commits_t) and (
-        read_table(spark, commits_t)
-        .filter(F.col("batch_id") == batch_id).limit(1).count()
-    ):
-        return 0
+    if is_txn_table(spark, commits_t):
+        commits = read_table(spark, commits_t)
+        if "batch_id" not in commits.columns:
+            raise ValueError(
+                "gram_mart_append: commits table has no batch_id "
+                "column — a mart written by the pre-release format; "
+                "rebuild it (it also predates the sum/count cells a "
+                "centered fit needs)")
+        if commits.filter(
+                F.col("batch_id") == batch_id).limit(1).count():
+            return 0
     attempt = f"{batch_id}~{uuid.uuid4().hex[:12]}"
     seg = (_gram_cells(batch, vec_col, d)
            .withColumn("attempt", F.lit(attempt)))

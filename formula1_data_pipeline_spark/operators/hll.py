@@ -179,17 +179,9 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
     overwrite: the exact crash/concurrency discipline of
     ``bm25_index_compact`` (a concurrent append's rows are re-appended
     from the superseded version, never dropped)."""
-    from formula1_data_pipeline_spark.sources.txn import (
-        current_version,
-        txn_append,
-    )
+    from formula1_data_pipeline_spark.sources.txn import txn_append
 
     t = _tables(index_dir)
-    # version BEFORE the snapshot: closes the snapshot-to-overwrite
-    # drop window (see retrieval._overwrite_preserving_late on v0) —
-    # a sketch row dropped there would lose the distinct values only
-    # that batch saw, despite register-union idempotence
-    v0 = current_version(spark, t[_SKETCHES]) or 0
     committed = _committed(spark, index_dir)
     attempt = uuid.uuid4().hex[:16]
     txn_append(
@@ -217,5 +209,5 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, folded, t[_SKETCHES],
-        committed + [attempt], stats_cols=keys, v0=v0,
+        committed + [attempt], stats_cols=keys,
     )

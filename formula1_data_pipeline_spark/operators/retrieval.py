@@ -321,15 +321,6 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     )
 
     t = _index_tables(index_dir)
-    # table versions BEFORE the attempt snapshot, so the
-    # late-preservation arithmetic catches appends landing between
-    # the snapshot and each overwrite (see _overwrite_preserving_late
-    # on v0)
-    from formula1_data_pipeline_spark.sources.txn import (
-        current_version,
-    )
-    v0_df = current_version(spark, t[_DFDELTA]) or 0
-    v0_stats = current_version(spark, t[_STATSDELTA]) or 0
     committed = _committed_attempts(spark, index_dir)
     # the compacted rows need a COMMITTED attempt of their own, and
     # its marker must land FIRST: if the marker lands and the rewrite
@@ -354,7 +345,7 @@ def bm25_index_compact(spark, index_dir: str) -> None:
         F.sum("df_delta").cast("long").alias("df_delta"))
     _overwrite_preserving_late(
         spark, dfd.select("*", tag), t[_DFDELTA],
-        committed + [attempt], stats_cols=["term"], v0=v0_df,
+        committed + [attempt], stats_cols=["term"],
     )
     stats = _committed_only(
         read_table(spark, t[_STATSDELTA]), committed
@@ -364,15 +355,14 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     )
     _overwrite_preserving_late(
         spark, stats.select("*", tag), t[_STATSDELTA],
-        committed + [attempt], v0=v0_stats,
+        committed + [attempt],
     )
 
 
 def _overwrite_preserving_late(spark, df: DataFrame, table: str,
                                known_attempts: list[str],
                                stats_cols: list[str] | None = None,
-                               _pre_publish_hook=None,
-                               v0: int | None = None) -> None:
+                               _pre_publish_hook=None) -> None:
     """``txn_overwrite`` that cannot drop a CONCURRENT append's rows
     (round-10 ADVICE): compaction snapshots the committed-attempt set,
     computes the folded rows, and overwrites — but an append whose
@@ -382,41 +372,40 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
     append existed), permanently corrupting df/stats while the skip
     marking keeps the lost docs from ever re-indexing.
 
-    Detection is version arithmetic: the overwrite read version ``v0``
-    before staging; if it publishes ``> v0 + 1``, at least one
-    concurrent commit interleaved, and every interleaved row is still
-    readable in the just-superseded version (vacuum deferred — the
+    Preservation is UNCONDITIONAL (second round-11 review pass): the
+    just-superseded version is always re-read (vacuum deferred — the
     overwrite runs with ``auto_vacuum=False`` and reclamation waits
-    for the table's normal compaction cadence). Rows whose attempt is
-    outside the snapshot ∪ {this compaction} are re-appended: they are
-    either in-flight appends (must survive) or crashed-attempt
+    for the table's normal compaction cadence), and every row whose
+    attempt is outside the snapshot ∪ {this compaction} is
+    re-appended — in-flight appends (must survive) or crashed-attempt
     orphans (harmless — readers filter on committed markers; the next
-    compaction drops them).
-
-    ``v0``: pass the table version read BEFORE the caller took its
-    committed-attempt snapshot (session review, round 11): with v0
-    read here — after the snapshot — an append committing in the
-    snapshot-to-here window bumps the version early enough that
-    ``ver == v0 + 1`` and its fold-excluded rows are silently
-    dropped. Reading v0 first closes the window: anything newer than
-    the snapshot is also newer than v0, so the arithmetic catches
-    it. ``None`` keeps the legacy read-here behavior."""
+    compaction drops them). Two earlier drafts gated the re-append on
+    version arithmetic (publish version vs a pre-staging read) and
+    each left an ordering window: an append whose DATA landed before
+    the version read but whose marker landed after the snapshot made
+    the publish look non-concurrent (ver == v0 + 1) while the fold
+    had excluded its rows — silent data loss. The unconditional diff
+    has no ordering assumptions; its cost is one read of the
+    superseded version per compaction (maintenance cadence)."""
     from formula1_data_pipeline_spark.sources.txn import (
-        current_version,
         read_table,
         txn_append,
         txn_overwrite,
     )
 
-    if v0 is None:
-        v0 = current_version(spark, table) or 0
     ver = txn_overwrite(spark, df, table, stats_cols=stats_cols,
                         auto_vacuum=False,
                         pre_publish_hook=_pre_publish_hook)
-    if ver > v0 + 1:
-        prev = read_table(spark, table, version=ver - 1)
-        late = prev.filter(~F.col("attempt").isin(known_attempts))
-        txn_append(spark, late, table, stats_cols=stats_cols)
+    if ver <= 1:
+        return  # first version: nothing preceded the overwrite
+    prev = read_table(spark, table, version=ver - 1)
+    late = prev.filter(~F.col("attempt").isin(known_attempts))
+    late = late.persist()
+    try:
+        if late.limit(1).count():
+            txn_append(spark, late, table, stats_cols=stats_cols)
+    finally:
+        late.unpersist()
 
 
 def bm25_index_topk(

@@ -139,12 +139,12 @@ def test_compaction_preserves_concurrent_append(spark, docs, tmp_path):
 
     orig = _overwrite_preserving_late
 
-    def racy(spark_, df, table, known, stats_cols=None, v0=None):
+    def racy(spark_, df, table, known, stats_cols=None):
         def hook():
             agg_mart_append(spark, docs.filter(F.col("doc_id") % 2 == 1),
                             d, ["source"], "n_chars", "late")
         orig(spark_, df, table, known, stats_cols=stats_cols,
-             _pre_publish_hook=hook, v0=v0)
+             _pre_publish_hook=hook)
 
     M._overwrite_preserving_late = racy
     try:
@@ -228,6 +228,45 @@ def test_compact_does_not_double_count_interleaved_append(
         agg_mart_compact(spark, d)
     finally:
         T.txn_append = orig
+    assert _mart_stats(spark, d, ["source"]) == \
+        _one_shot(docs, ["source"])
+
+
+def test_compact_preserves_data_landed_before_marker(spark, docs,
+                                                     tmp_path):
+    """Second review pass: an append whose DATA landed before the
+    compaction ran but whose marker lands only AFTER it must survive
+    — the version-arithmetic drafts made the publish look
+    non-concurrent for exactly this ordering and silently dropped
+    the rows. The unconditional late-preservation diff re-appends
+    them; once the marker commits, the batch is fully counted."""
+    from formula1_data_pipeline_spark.sources.txn import txn_append
+
+    d = str(tmp_path / "m")
+    agg_mart_append(spark, docs.filter(F.col("doc_id") % 2 == 0), d,
+                    ["source"], "n_chars", "b0")
+    # in-flight append: data landed, marker NOT yet
+    v = F.col("n_chars").cast("long")
+    part = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .filter(v.isNotNull()).groupBy("source")
+        .agg(F.count(v).alias("n"),
+             F.sum(v.cast("decimal(38,0)")).alias("s"),
+             F.min(v).alias("mn"), F.max(v).alias("mx"),
+             F.sum(v.cast("decimal(38,0)") * v.cast("decimal(38,0)"))
+             .alias("ssq"))
+        .select("source", "n", "s", "mn", "mx", "ssq",
+                F.lit("b1~inflight").alias("attempt"))
+    )
+    txn_append(spark, part, f"{d}/partials", stats_cols=["source"])
+    agg_mart_compact(spark, d)
+    # the appender finishes: its marker commits
+    txn_append(
+        spark,
+        spark.createDataFrame([("b1~inflight", "b1")],
+                              "attempt string, batch_id string"),
+        f"{d}/commits",
+    )
     assert _mart_stats(spark, d, ["source"]) == \
         _one_shot(docs, ["source"])
 

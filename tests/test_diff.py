@@ -50,14 +50,45 @@ def test_unchanged_rows_dropped(spark, pair):
 
 def test_null_shift_is_a_change(spark):
     """The concat_ws null-skip trap: ("a", NULL, "b") must NOT hash
-    equal to ("a", "b", NULL) — the sentinel coalesce makes NULL
-    position significant."""
+    equal to ("a", "b", NULL) — per-column tokens make NULL position
+    significant."""
     old = spark.createDataFrame([(1, "a", None, "b")],
                                 "id long, x string, y string, z string")
     new = spark.createDataFrame([(1, "a", "b", None)],
                                 "id long, x string, y string, z string")
     got = dataset_diff(old, new, ["id"]).collect()
     assert len(got) == 1 and got[0]["status"] == "changed"
+
+
+def test_separator_shift_is_a_change(spark):
+    """The raw-join aliasing trap (second review pass): ("a|b", "c")
+    must NOT hash equal to ("a", "b|c") — per-column md5 tokens make
+    column boundaries unambiguous regardless of value content."""
+    old = spark.createDataFrame([(1, "a|b", "c")],
+                                "id long, x string, y string")
+    new = spark.createDataFrame([(1, "a", "b|c")],
+                                "id long, x string, y string")
+    got = dataset_diff(old, new, ["id"]).collect()
+    assert len(got) == 1 and got[0]["status"] == "changed"
+
+
+def test_null_key_rows_match_null_safely(spark):
+    """A NULL-keyed row present unchanged on both sides must NOT
+    surface as a phantom remove+add (null-safe key equality), and a
+    genuinely changed NULL-keyed row reports as 'changed'."""
+    old = spark.createDataFrame([(None, "same"), (1, "x")],
+                                "id string, v string")
+    new = spark.createDataFrame([(None, "same"), (1, "y")],
+                                "id string, v string")
+    got = {(r["status"], r["id"])
+           for r in dataset_diff(old, new, ["id"]).collect()}
+    assert got == {("changed", "1")}
+
+    new2 = spark.createDataFrame([(None, "DIFFERENT"), (1, "x")],
+                                 "id string, v string")
+    got2 = {(r["status"], r["id"])
+            for r in dataset_diff(old, new2, ["id"]).collect()}
+    assert got2 == {("changed", None)}
 
 
 def test_compare_cols_subset(spark, pair):
