@@ -378,8 +378,14 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
     for the table's normal compaction cadence), and every row whose
     attempt is outside the snapshot ∪ {this compaction} is
     re-appended — in-flight appends (must survive) or crashed-attempt
-    orphans (harmless — readers filter on committed markers; the next
-    compaction drops them). Two earlier drafts gated the re-append on
+    orphans. Orphans are indistinguishable from in-flight appends
+    (the regression tests pin an append whose marker lands only
+    AFTER the compaction), so they are carried forward rather than
+    dropped: harmless to readers (committed-marker filter), storage
+    bounded by crashed-attempt count x group rows — tiny and rare;
+    an operator can reclaim them by filtering rows whose attempt has
+    no marker once all writers are known quiesced. Two earlier
+    drafts gated the re-append on
     version arithmetic (publish version vs a pre-staging read) and
     each left an ordering window: an append whose DATA landed before
     the version read but whose marker landed after the snapshot made
