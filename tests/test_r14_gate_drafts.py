@@ -47,6 +47,14 @@ an r12 host's window is tight, both targets re-gate again in r14.
     deterministic, both stages oracle-replayed fold-for-fold).
     LANDING ROUTE: q24's r12 re-gate, kind='rp_topk' rows.
 
+  * int8 scalar quantization (``operators/quantize.py`` — symmetric
+    per-dimension max-abs scales, an order-free exact selection, so
+    the CODES are bit-identical cross-engine and fully
+    value-hashable where trained quantizers bound). LANDING ROUTE:
+    rides q92's r13 re-gate (ANN-recall surface, r9/r11-gated, due
+    r13) as kind='sq8' rows — codes under the hash + a
+    deterministic reconstruction-bound boolean.
+
 Each draft runs the full driver-style compare (schema + rows +
 order-insensitive canonical values) at sf0.001 and sf0.01 — the
 exact acceptance its landing round promotes into __spark_entry__.
@@ -237,6 +245,55 @@ def test_draft_diff_kind(spark, sf_dir):
            .select(F.lit("diff").alias("kind"), "status", "doc_id",
                    "old_hash", "new_hash"))
     _compare(out, _diff_oracle(), sf_dir)
+
+
+def _sq8_oracle() -> str:
+    """q92 rider kind='sq8': codes for vec_id < 50 under the full
+    value hash + the per-row reconstruction-bound boolean (TRUE by
+    construction of the round-half interval)."""
+    from formula1_data_pipeline_spark.operators.quantize import (
+        sq8_encode_sql,
+        sq8_scales_sql,
+    )
+
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH scales AS ({sq8_scales_sql(vec, "embeddings", 64)})
+    SELECT 'sq8' AS kind, vec_id, {sq8_encode_sql(vec)} AS sq8,
+           TRUE AS recon_ok
+    FROM embeddings, scales
+    WHERE vec_id < 50
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_sq8_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.quantize import (
+        sq8_decode,
+        sq8_encode,
+        sq8_scales,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scales = sq8_scales(emb, "embedding", 64)
+    enc = sq8_encode(emb, "embedding", scales)
+    dec = sq8_decode(enc, "sq8", scales)
+    # recon_ok computed engine-side from the decoded values — a
+    # drifting code flips it under the hash
+    bound = F.array(*[F.lit(s / 254.0 * 1.0001) for s in scales])
+    err_ok = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.transform(F.col("embedding"),
+                            lambda x: x.cast("double")),
+                F.col("deq"), lambda v, q: F.abs(v - q)),
+            bound, lambda e, b: e <= b),
+        F.lit(True), lambda acc, x: acc & x,
+    )
+    out = (dec.filter(F.col("vec_id") < 50)
+           .select(F.lit("sq8").alias("kind"), "vec_id", "sq8",
+                   err_ok.alias("recon_ok")))
+    _compare(out, _sq8_oracle(), sf_dir)
 
 
 def _compare(spark_df, oracle_sql: str, sf_dir: str):
