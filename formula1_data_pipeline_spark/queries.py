@@ -923,49 +923,51 @@ from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-11 diff, BEHAVIOR/physical-path changes only. All r10
-    # entries were driver-gated green in r10 (CORRECTNESS_r10:
-    # 50/50), so the list reset to the round-11 diff. Budget math:
-    # the 50 r9-gated queries are due in r11 and exactly fill the
-    # 50-row window; every r11 rider below targets an r9-gated query,
-    # so no entry burns an extra slot.
+    # round-12 diff, BEHAVIOR/physical-path changes only. All r11
+    # entries were driver-gated green in r11 (CORRECTNESS_r11:
+    # 50/50), so the list reset to the round-12 diff. Budget math:
+    # the 50 r10-gated queries are due in r12 and exactly fill the
+    # 50-row window; every r12 rider below targets an r10-gated
+    # query, so no entry burns an extra slot.
     #
-    # q27: diversity_downsample leg (queries_curation.py — k-center
-    #      seeded greedy over the near-dup embeddings) unioned as a
-    #      kind-discriminated extension beside the near-dup pairs
-    "q27_embedding_neardup",
-    # q65: corpus-level CMS heavy-hitter n-grams (operators/sketch.py)
-    #      + standalone bigram-LM columns (cond_score / backoff_score
-    #      / quality_bucket) as extra kinds beside the per-doc
-    #      repetition rows
-    "q65_repetition_filter",
-    # q66: Bloom contamination prefilter (operators/bloom.py) —
-    #      n_bloom_hits / bloom_contaminated columns with the
-    #      2^12-bit gate filter beside the exact contamination legs
-    "q66_contamination_check",
-    # q64: no-straddle greedy packing + SFT loss-mask layout
-    #      (operators/packing.py) as kind-discriminated extensions
-    #      beside the straddle-allowed pack_sequences rows
-    "q64_sequence_packing",
-    # q84: keep-first line-dedup policy + top_boilerplate_lines audit
-    #      (operators/lines.py) as extra kinds beside the chunk rows
-    "q84_document_chunking",
-    # q18: systematic PPS sampling (sampling.py::systematic_sample)
-    #      as a second kind beside the Bernoulli resample
-    "q18_importance_resample",
-    # q88: streaming CMS heavy-hitter state (streaming/heavyhitters)
-    #      as a heavy-hitter kind beside the streaming near-dup rows
-    "q88_stream_neardup_dedup",
-    # q92: Lloyd-quality recall bound extended to the PERSISTED IVF
-    #      index (operators/vecindex.py) beside the live-leg bound
-    "q92_ann_recall_clustered",
-    # q97: flagship absorbs curation stages 0/1 (normalize +
-    #      line-level dedup ahead of the quality cut)
-    "q97_corpus_to_trainer_flagship",
-    # NOTE: the temporal split + embargo rider (CHANGELOG r11 plan)
-    # moved to r12 — its planned host q85_leakage_safe_split turned
-    # out to be r10-gated (due r12), so listing it here would steal a
-    # window slot from the r9 cohort.
+    # q39: incremental BM25 index (operators/retrieval.py::
+    #      bm25_index_*) as a third kind ('bm25_idx') whose rows must
+    #      equal the live-scan bm25 kind's
+    "q39_tfidf_top_terms",
+    # q98: unigram-LM Viterbi tokenizer + tokenizer-eval scorecard
+    #      (operators/unigram.py) as kind='unigram'/'eval' rows
+    "q98_bpe_tokenize",
+    # q82: z-order interleaved layout (operators/zorder.py) as a
+    #      z-layout leg with both-column pruning assertions
+    "q82_stats_pruned_read",
+    # q78: mergeable quantile histogram (quality.py::
+    #      quantile_histogram) as p*_approx columns beside exact picks
+    "q78_stat_moments",
+    # q75: targeted delete (txn.py::txn_delete_keys) before/after
+    #      legs + dataset version diff (operators/diff.py) kind rows
+    "q75_time_travel",
+    # q85: temporal split + embargo leakage report
+    #      (sampling.py::temporal_split) as kind='temporal' rows —
+    #      the rider that moved out of r11's window
+    "q85_leakage_safe_split",
+    # q80: priority sampling (sampling.py::priority_sample) as
+    #      kind='priority' beside the stratified top-n rows
+    "q80_stratified_topn",
+    # q25: lexical-diversity columns (text.py::lexical_diversity_df)
+    #      beside n_tokens/n_unique/lang_pred/quality
+    "q25_text_stats",
+    # q79: incremental aggregate mart (operators/aggmart.py) as
+    #      kind='aggmart' rows beside the profiling surface
+    "q79_table_profile",
+    # q24: random projection + PCA + rp_topk tier
+    #      (operators/dimred.py) as kind='rp'/'pca'/'rp_topk' legs
+    "q24_cosine_topk",
+    # q31: streaming histogram state (streaming/histogram.py) as a
+    #      kind-discriminated extension of the windowed-agg stream
+    "q31_stream_windowed_agg",
+    # q54: streaming aggregate mart (streaming/aggmart.py) as a
+    #      kind-discriminated extension of the static-join stream
+    "q54_stream_static_join",
 ]
 
 
