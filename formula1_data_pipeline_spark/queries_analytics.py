@@ -449,6 +449,44 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN cum >= ceil(0.95 * tot) THEN value END) AS p95,
                min(CASE WHEN cum >= ceil(0.99 * tot) THEN value END) AS p99
         FROM ranked GROUP BY 1
+    ), hs AS (
+        SELECT event_type,
+               CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+                   AS vs
+        FROM ev
+    ), hb AS (
+        SELECT event_type,
+               CASE WHEN vs > 0 THEN 1 WHEN vs < 0 THEN -1 ELSE 0 END
+                   AS cls,
+               abs(vs) AS mag
+        FROM hs
+    ), hm AS (
+        SELECT event_type, cls, mag,
+               CAST(CASE WHEN mag > 0 THEN length(bin(mag)) - 1
+                    ELSE 0 END AS INT) AS msb
+        FROM hb
+    ), hhist AS (
+        SELECT event_type,
+               cls * ((mag >> greatest(0, msb - 3))
+                      << greatest(0, msb - 3)) AS rep,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM hm GROUP BY ALL
+    ), hr AS (
+        SELECT event_type, rep,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY rep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM hhist
+    ), hq AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p50_approx,
+               MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p95_approx,
+               MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p99_approx
+        FROM hr GROUP BY event_type
     )
     SELECT m.event_type, n,
            round(mean, 6) AS mean,
@@ -457,8 +495,10 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(m4 / (m2 ^ 2) - 3, 6) AS kurtosis,
            round(corr_vt, 6) AS corr_vt,
            round(covar_vt, 4) AS covar_vt,
-           p25, p50, p75, p95, p99
+           p25, p50, p75, p95, p99,
+           p50_approx, p95_approx, p99_approx
     FROM m JOIN q ON m.event_type = q.event_type
+    JOIN hq ON m.event_type = hq.event_type
     """,
     doc="Statistical-moment aggregate family (map-side-mergeable, the "
         "100 TB path for distribution diagnostics): var_samp, skewness "
@@ -472,11 +512,22 @@ def q59_subquery_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(quality.grouped_quantiles — type-1 value at rank ceil(p*n): "
         "rows collapse to (group, value) counts before the per-group "
         "ordered pass, and each quantile is a picked input double, no "
-        "arithmetic, so the hash needs no rounding discipline)",
+        "arithmetic, so the hash needs no rounding discipline). "
+        "Round 12 adds p50/p95/p99_approx from the MERGEABLE quantile "
+        "histogram (quality.quantile_histogram — the 100 TB closure "
+        "of grouped_quantiles' single-huge-group seam: per-group "
+        "state capped at ~2*63*2^3 DDSketch-style buckets however "
+        "many distinct values the group holds, batch histograms "
+        "merge by summing counts). All integer bucket math (1e6 "
+        "scaling, bin()-length msb, shift/AND mantissa truncation, "
+        "DECIMAL rank arithmetic) so the approx picks sit under the "
+        "full value hash too",
 )
 def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.quality import (
         grouped_quantiles,
+        histogram_quantiles,
+        quantile_histogram,
     )
 
     ev = (
@@ -506,7 +557,11 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quants = grouped_quantiles(
         ev, "value", ["event_type"], [0.25, 0.5, 0.75, 0.95, 0.99]
     )
-    return moments.join(quants, "event_type")
+    approx = histogram_quantiles(
+        quantile_histogram(ev, "value", ["event_type"]),
+        ["event_type"], [0.5, 0.95, 0.99],
+    )
+    return moments.join(quants, "event_type").join(approx, "event_type")
 
 
 @register(

@@ -239,6 +239,9 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
     UNION ALL
     SELECT 'bm25', query_id, doc_id, CAST(n AS BIGINT), score, rank
     FROM bm_ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'bm25_idx', query_id, doc_id, CAST(n AS BIGINT), score, rank
+    FROM bm_ranked WHERE rank <= 10
     """,
     doc="Term/document relevance surface, both directions in one long "
         "(kind, key, doc_id, n, score, rank) shape (§2.12). "
@@ -252,7 +255,15 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
         "6-dp term scores summed as DECIMAL for order-independence; "
         "the tiny query-term table broadcasts onto the posting lists "
         "so candidate generation touches only query-term postings). "
-        "Both legs reuse the same tf aggregate",
+        "kind='bm25_idx': the SAME top-10 pages from the MAINTAINED "
+        "incremental index (retrieval.py::bm25_index_*) — built via "
+        "three id-ranged appends (batch 2 RE-DELIVERS half of batch "
+        "1; the landed-id anti-join must skip it) plus one delta-log "
+        "compaction, then queried from the landed postings with the "
+        "probe terms pushed as IN-lists + manifest term-range "
+        "pruning. Row-identity with the live-scan kind is the gated "
+        "contract, so one oracle CTE replays both. "
+        "Legs 1-2 reuse the same tf aggregate",
 )
 def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.dedup import tokens
@@ -325,7 +336,41 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
-    return tfidf.unionByName(bm25)
+
+    # kind='bm25_idx': the maintained-index path over the SAME landed
+    # corpus — three id-ranged batches with a re-delivered overlap
+    # (idempotent-skip under the gate), one compaction (delta-log fold
+    # under the gate), then the pruned-scan query. Must rank
+    # row-for-row identically to the live kind above.
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_topk,
+    )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
+
+    idx = scratch_dir(prefix="q39_bm25idx_") + "/idx"
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    b1, b2 = mx // 3, (2 * mx) // 3
+    bm25_index_append(spark, docs.filter(F.col("doc_id") <= b1), idx)
+    bm25_index_append(
+        spark,
+        docs.filter(
+            (F.col("doc_id") > b1 // 2) & (F.col("doc_id") <= b2)
+        ),
+        idx,
+    )
+    bm25_index_compact(spark, idx)
+    bm25_index_append(spark, docs.filter(F.col("doc_id") > b2), idx)
+    bm25_idx = bm25_index_topk(spark, idx, qdf, k=10).select(
+        F.lit("bm25_idx").alias("kind"),
+        F.col("query_id").alias("key"),
+        "doc_id",
+        F.col("n_terms_matched").alias("n"),
+        "score",
+        "rank",
+    )
+    return tfidf.unionByName(bm25).unionByName(bm25_idx)
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

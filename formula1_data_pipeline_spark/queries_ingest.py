@@ -502,49 +502,139 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morton_terms_duck(ca: str, cb: str, bits: int) -> str:
+    """DuckDB twin of operators/zorder.py::morton_sql for two
+    columns: bit i of column j lands at i*2 + j. Every term fully
+    parenthesized — DuckDB (PostgreSQL precedence) binds ``+``
+    TIGHTER than ``<<``, so an unwrapped ``a << 5 + b << 7`` parses
+    as ``a << (5 + (b << 7))`` and overflows (round-10 lesson)."""
+    return " + ".join(
+        f"(((({c}) >> {i}) & 1) << {i * 2 + j})"
+        for i in range(bits) for j, c in enumerate((ca, cb))
+    )
+
+
+_Z_BITS, _Z_NF = 16, 8
+
+#: DuckDB replay of zorder_assignment over orders (o_orderkey,
+#: o_custkey): exact HUGEINT min-max scaling quotients, the Morton
+#: interleave, and the equal-count cut by exact rank
+_Z_ASSIGN_SQL = f"""
+        SELECT id, zvalue,
+               CAST(CAST(rnk AS HUGEINT) * {_Z_NF} // n AS BIGINT)
+                   AS file_id
+        FROM (
+            SELECT id, zvalue,
+                   row_number() OVER (ORDER BY zvalue, id) - 1 AS rnk,
+                   count(*) OVER () AS n
+            FROM (
+                SELECT id,
+                       {_morton_terms_duck("sx", "sy", _Z_BITS)}
+                           AS zvalue
+                FROM (
+                    SELECT o_orderkey AS id,
+                           CAST(CAST(o_orderkey - mnx AS HUGEINT)
+                                * {(1 << _Z_BITS) - 1}
+                                // CAST(greatest(1, mxx - mnx)
+                                        AS HUGEINT) AS BIGINT) AS sx,
+                           CAST(CAST(o_custkey - mny AS HUGEINT)
+                                * {(1 << _Z_BITS) - 1}
+                                // CAST(greatest(1, mxy - mny)
+                                        AS HUGEINT) AS BIGINT) AS sy
+                    FROM orders, (
+                        SELECT min(o_orderkey) AS mnx,
+                               max(o_orderkey) AS mxx,
+                               min(o_custkey)  AS mny,
+                               max(o_custkey)  AS mxy
+                        FROM orders
+                    ) m
+                ) s
+            ) z
+        ) r
+"""
+
+
 @register(
     "q82_stats_pruned_read",
-    """
+    f"""
     WITH b AS (
-        SELECT CAST(floor(max(o_orderkey) * 3.0 / 4.0) AS BIGINT) AS lo
+        SELECT CAST(floor(max(o_orderkey) * 3.0 / 4.0) AS BIGINT) AS lo,
+               CAST(floor(max(o_custkey) / 4.0) AS BIGINT) AS chi
         FROM orders
     )
-    SELECT o.o_orderstatus,
+    SELECT 'stats' AS kind, o.o_orderstatus AS key,
            count(*) AS n_orders,
            CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                AS total_price
     FROM orders o, b
     WHERE o.o_orderkey >= b.lo
-    GROUP BY 1
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'zorder', CAST(file_id AS VARCHAR), count(*),
+           CAST(sum(zvalue) AS DOUBLE)
+    FROM ({_Z_ASSIGN_SQL}) za
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'zprune_okey', 'box', count(*),
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders o, b
+    WHERE o.o_orderkey >= b.lo
+    UNION ALL
+    SELECT 'zprune_ckey', 'box', count(*),
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+    FROM orders o, b
+    WHERE o.o_custkey <= b.chi
     """,
     doc="Manifest-level data skipping under the gate (sources/txn.py "
-        "stats): orders lands in two txn commits (low/high o_orderkey "
-        "halves) with per-segment min/max stats; "
-        "read_table(prune={o_orderkey: (3/4*max, inf)}) must plan "
-        "strictly fewer input files than the full read (asserted "
-        "in-query — the low half's segments are skipped from the "
-        "manifest alone, before Spark lists a file), and the pruned "
-        "scan + real filter must agree with the oracle's plain "
-        "WHERE over the source table (superset contract: pruning "
-        "drops only segments that cannot match)",
+        "stats). kind='stats': orders lands in two txn commits "
+        "(low/high o_orderkey halves) with per-segment min/max "
+        "stats; read_table(prune={o_orderkey: (3/4*max, inf)}) must "
+        "plan strictly fewer input files than the full read "
+        "(asserted in-query — the low half's segments are skipped "
+        "from the manifest alone, before Spark lists a file), and "
+        "the pruned scan + real filter must agree with the oracle's "
+        "plain WHERE over the source table (superset contract: "
+        "pruning drops only segments that cannot match). "
+        "kind='zorder' (round 12, operators/zorder.py): the Morton "
+        "multi-column layout — orders interleaved on (o_orderkey, "
+        "o_custkey) at 16 bits, cut into 8 equal-count z-runs; the "
+        "per-file (count, sum(zvalue)) rows pin the scaling "
+        "quotients, the interleave, and the exact-rank cut "
+        "bit-for-bit (all integer math, no RNG/libm). "
+        "kind='zprune_okey'/'zprune_ckey': the layout's POINT — "
+        "after zorder_land, a box prune on EITHER interleaved "
+        "column must plan strictly fewer input files than the full "
+        "landed read (both asserted in-query; a single-column sort "
+        "leaves the second column's ranges useless), and each "
+        "pruned+filtered aggregate must equal the oracle's plain "
+        "WHERE over the source",
 )
 def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.zorder import (
+        zorder_assignment,
+        zorder_land,
+    )
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
         txn_append,
     )
 
     orders = load(spark, sf_dir, "orders")["orders"].select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
-    lo, half = mx * 3 // 4, mx // 2
+    agg = orders.agg(
+        F.max("o_orderkey").alias("mx"), F.max("o_custkey").alias("mc")
+    ).collect()[0]
+    mx, lo, half = agg["mx"], agg["mx"] * 3 // 4, agg["mx"] // 2
+    chi = agg["mc"] // 4
     path = scratch_dir(prefix="q82_stats_") + "/t"
-    txn_append(spark, orders.filter(F.col("o_orderkey") <= half), path,
+    txn_append(spark, orders.drop("o_custkey")
+               .filter(F.col("o_orderkey") <= half), path,
                key="o_orderstatus", stats_cols=["o_orderkey"],
                compact_threshold=None)
     # second commit inherits the table's recorded stats columns
-    txn_append(spark, orders.filter(F.col("o_orderkey") > half), path,
+    txn_append(spark, orders.drop("o_custkey")
+               .filter(F.col("o_orderkey") > half), path,
                key="o_orderstatus", compact_threshold=None)
     full = read_table(spark, path)
     pruned = read_table(spark, path, prune={"o_orderkey": (lo, None)})
@@ -552,15 +642,58 @@ def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             "manifest stats pruned no segments — data skipping regressed"
         )
-    return (
+    price_sum = (F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                 .cast("double").alias("total_price"))
+    stats_leg = (
         pruned.filter(F.col("o_orderkey") >= lo)
         .groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .cast("double").alias("total_price"),
-        )
+        .agg(F.count("*").alias("n_orders"), price_sum)
+        .select(F.lit("stats").alias("kind"),
+                F.col("o_orderstatus").alias("key"),
+                "n_orders", "total_price")
     )
+
+    # z-order leg: land the same orders as 8 Morton-ordered segments
+    # with stats on BOTH interleaved columns, assert a box on EITHER
+    # column prunes files, and pin the layout function itself
+    zcols = ["o_orderkey", "o_custkey"]
+    zpath = scratch_dir(prefix="q82_zorder_") + "/z"
+    zorder_land(spark, orders, zcols, _Z_NF, zpath,
+                "o_orderkey", bits=_Z_BITS)
+    zfull = read_table(spark, zpath)
+    n_all = len(zfull.inputFiles())
+    z_ok = read_table(spark, zpath, prune={"o_orderkey": (lo, None)})
+    z_ck = read_table(spark, zpath, prune={"o_custkey": (None, chi)})
+    if not (len(z_ok.inputFiles()) < n_all
+            and len(z_ck.inputFiles()) < n_all):
+        raise AssertionError(
+            "z-order layout pruned no segments on one of the "
+            "interleaved columns — multi-column skipping regressed"
+        )
+    za = zorder_assignment(orders, zcols, _Z_NF, "o_orderkey",
+                           bits=_Z_BITS)
+    z_leg = (
+        za.groupBy("file_id")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum("zvalue").cast("double").alias("total_price"))
+        .select(F.lit("zorder").alias("kind"),
+                F.col("file_id").cast("string").alias("key"),
+                "n_orders", "total_price")
+    )
+    zp_ok = (
+        z_ok.filter(F.col("o_orderkey") >= lo)
+        .agg(F.count("*").alias("n_orders"), price_sum)
+        .select(F.lit("zprune_okey").alias("kind"),
+                F.lit("box").alias("key"), "n_orders", "total_price")
+    )
+    zp_ck = (
+        z_ck.filter(F.col("o_custkey") <= chi)
+        .agg(F.count("*").alias("n_orders"), price_sum)
+        .select(F.lit("zprune_ckey").alias("kind"),
+                F.lit("box").alias("key"), "n_orders", "total_price")
+    )
+    return (stats_leg.unionByName(z_leg)
+            .unionByName(zp_ok).unionByName(zp_ck))
 
 
 @register(

@@ -1560,9 +1560,170 @@ def _bpe_tokenize_sql(n_merges: int = 10) -> str:
     """
 
 
+#: q98 unigram legs: seed-vocab size (below the corpus's distinct
+#: piece count at every tested sf so the top-multi LIMIT and the
+#: (count desc, piece) rank ties BIND) and the shared word twin of
+#: the oracle's words CTE (lower/trim/whitespace split — NOT
+#: bpe.word_freqs, whose GPT-2 pre-tokenizer keeps case and leading
+#: spaces no plain-SQL oracle can reproduce)
+_UNIGRAM_V = 120
+
+# DuckDB twin of the unigram word table + seed vocabulary + span
+# lattice, shared by the kind='unigram' Viterbi leg and the
+# kind='eval' scorecard leg (each instantiates it inside its own
+# subquery scope — the piece scores differ: rank-valued vs uniform)
+_UNIGRAM_BASE_CTES = r"""words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq, length(w) AS len
+        FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(
+                       trim(lower(text)), '\s+'), x -> x <> '')) AS w
+            FROM documents
+        )
+        WHERE length(w) <= 32
+        GROUP BY w
+    ), subs AS (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq, unnest(flatten(
+                list_transform(range(0, len), i ->
+                    list_transform(range(i + 1,
+                                         least(i + {P}, len) + 1),
+                                   j -> substring(w, i + 1, j - i)))
+            )) AS piece
+            FROM words
+        )
+        GROUP BY piece
+    ), uchars AS (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+    ), umulti AS (
+        SELECT piece, cnt FROM subs WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece
+        LIMIT {V} - (SELECT count(*) FROM uchars)
+    ), useed AS (
+        SELECT * FROM uchars UNION ALL SELECT * FROM umulti
+    ), spans_all AS (
+        SELECT w, i, j, substring(w, i + 1, j - i) AS piece
+        FROM (
+            SELECT w, len, i,
+                   unnest(range(i + 1, least(i + {P}, len) + 1)) AS j
+            FROM (SELECT w, len, unnest(range(0, len)) AS i
+                  FROM words)
+        )
+    )"""
+
+#: the shared Viterbi DP over a `spans` CTE (w, i, j, logp) — one
+#: list-typed accumulator per word, position-ordered adds
+_UNIGRAM_DP_CTES = r"""dp AS (
+        SELECT w, len, 0 AS j, [CAST(0 AS DOUBLE)] AS best FROM words
+        UNION ALL
+        SELECT d.w, d.len, d.j + 1,
+               list_append(d.best,
+                   COALESCE(MAX(d.best[sp.i + 1] + sp.logp), -1e300))
+        FROM dp d LEFT JOIN spans sp
+             ON sp.w = d.w AND sp.j = d.j + 1
+        WHERE d.j < d.len
+        GROUP BY d.w, d.len, d.j, d.best
+    )"""
+
+
+def _q98_sql(n_merges: int = 10) -> str:
+    """q98's oracle: the BPE positioned token stream (kind='bpe'),
+    the unigram Viterbi score lattice under the rank-valued seed
+    vocab (kind='unigram' — logp := -rank(piece), integer-valued
+    doubles, adds-only, no libm on either engine; the q92 rule's
+    exact-mechanics half, trained EM floats stay bounds-gated in
+    tests/test_unigram.py), and the tokenizer-eval scorecard at
+    UNIFORM weights (kind='eval' — -score = n_pieces + 1023*n_unk
+    decomposes uniquely, so min-token fertility/compression/UNK/
+    coverage are trained-float-free). Each leg keeps its own WITH
+    scope — the BPE chain and the two unigram lattices share CTE
+    names (vocab, chars) that must not collide."""
+    import textwrap
+
+    P, V = 8, _UNIGRAM_V  # MAX_PIECE_LEN twin; asserted in tests
+    base = (_UNIGRAM_BASE_CTES
+            .replace("{P}", str(P)).replace("{V}", str(V)))
+    uni_leg = f"""
+    WITH RECURSIVE {base}, uvocab AS (
+        SELECT piece,
+               -CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                     AS DOUBLE) AS logp
+        FROM useed
+    ), spans AS (
+        SELECT s.w, s.i, s.j, v.logp
+        FROM spans_all s JOIN uvocab v USING (piece)
+        UNION ALL
+        SELECT s.w, s.i, s.j, CAST(-20.0 AS DOUBLE) AS logp
+        FROM spans_all s ANTI JOIN uvocab v USING (piece)
+        WHERE s.j = s.i + 1
+    ), {_UNIGRAM_DP_CTES}
+    SELECT w, CAST(j AS BIGINT) AS pos, best[j + 1] AS score
+    FROM (SELECT w, len, best, unnest(range(1, len + 1)) AS j
+          FROM dp WHERE j = len)
+    """
+    eval_leg = f"""
+    WITH RECURSIVE {base}, spans AS (
+        SELECT s.w, s.i, s.j, CAST(-1 AS DOUBLE) AS logp
+        FROM spans_all s JOIN useed v USING (piece)
+        UNION ALL
+        SELECT s.w, s.i, s.j, CAST(-1024 AS DOUBLE) AS logp
+        FROM spans_all s ANTI JOIN useed v USING (piece)
+        WHERE s.j = s.i + 1
+    ), {_UNIGRAM_DP_CTES}, stats AS (
+        SELECT w, CAST(len AS BIGINT) AS n_chars,
+               CAST(floor(-best[len + 1] / 1023) AS BIGINT) AS n_unk,
+               CAST(-best[len + 1]
+                    - 1023 * floor(-best[len + 1] / 1023) AS BIGINT)
+                   AS n_pieces
+        FROM dp WHERE j = len
+    ), agg AS (
+        SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+               CAST(sum(freq * n_pieces) AS BIGINT) AS n_tokens,
+               CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(freq * n_unk) AS BIGINT) AS n_unk,
+               CAST(sum(CASE WHEN n_unk = 0 THEN freq ELSE 0 END)
+                    AS BIGINT) AS n_covered
+        FROM stats JOIN words USING (w)
+    )
+    SELECT key, n, score FROM (
+        SELECT 'n_words' AS key, n_words AS n,
+               CAST(NULL AS DOUBLE) AS score FROM agg
+        UNION ALL SELECT 'n_tokens', n_tokens, NULL FROM agg
+        UNION ALL SELECT 'n_chars', n_chars, NULL FROM agg
+        UNION ALL SELECT 'n_unk', n_unk, NULL FROM agg
+        UNION ALL SELECT 'n_covered', n_covered, NULL FROM agg
+        UNION ALL SELECT 'fertility', NULL,
+            round(CAST(n_tokens AS DOUBLE) / n_words, 6) FROM agg
+        UNION ALL SELECT 'chars_per_token', NULL,
+            round(CAST(n_chars AS DOUBLE) / n_tokens, 6) FROM agg
+        UNION ALL SELECT 'unk_rate', NULL,
+            round(CAST(n_unk AS DOUBLE) / n_tokens, 6) FROM agg
+        UNION ALL SELECT 'coverage', NULL,
+            round(CAST(n_covered AS DOUBLE) / n_words, 6) FROM agg
+    )
+    """
+    bpe = textwrap.indent(_bpe_tokenize_sql(n_merges), "    ")
+    return f"""
+    SELECT 'bpe' AS kind, sym AS key, doc_id,
+           pos, CAST(token_id AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS score
+    FROM (
+    {bpe}
+    ) bleg
+    UNION ALL
+    SELECT 'unigram', w, CAST(NULL AS BIGINT), pos,
+           CAST(NULL AS BIGINT), score
+    FROM ({uni_leg}) uleg
+    UNION ALL
+    SELECT 'eval', key, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n, score
+    FROM ({eval_leg}) eleg
+    """
+
+
 @register(
     "q98_bpe_tokenize",
-    _bpe_tokenize_sql(10),
+    _q98_sql(10),
     doc="Trained-vocab corpus tokenization (round 8): encode every "
         "document with the q95-trained merges into the positioned "
         "token-id stream — (doc_id, pos, sym, token_id), ids "
@@ -1577,9 +1738,22 @@ def _bpe_tokenize_sql(n_merges: int = 10) -> str:
         "+ one broadcast vocab join + one per-doc window for pos; "
         "out-of-vocab symbols -1, delimiter words degrade to raw "
         "chars rather than lying. The oracle replays training via "
-        "the shared CTE chain and the encoding exactly",
+        "the shared CTE chain and the encoding exactly. "
+        "kind='unigram' (round 12): the SECOND subword algorithm "
+        "(operators/unigram.py, Kudo 2018) — the full Viterbi score "
+        "lattice per (word, position) under the rank-valued seed "
+        "vocab (logp := -rank; integer doubles, adds-only, zero "
+        "libm => every DP cell sits under the value hash; EM-trained "
+        "floats stay bounds-gated in tests/test_unigram.py per the "
+        "q92 rule). kind='eval': the tokenizer-quality scorecard "
+        "(fertility / chars_per_token / unk_rate / coverage) at "
+        "UNIFORM piece weights, where -score = n_pieces + 1023*n_unk "
+        "decomposes uniquely — vocabulary quality with no trained "
+        "floats anywhere. Both unigram legs cost O(distinct words), "
+        "never corpus-shaped",
 )
 def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import unigram as U
     from formula1_data_pipeline_spark.operators.bpe import (
         bpe_tokenize,
         build_vocab,
@@ -1597,9 +1771,65 @@ def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = build_vocab(spark, docs, trained, words=words)
     finally:
         words.unpersist()
-    return bpe_tokenize(docs, trained, vocab).select(
-        "doc_id", "pos", "sym", "token_id",
+    nul_l = F.lit(None).cast("bigint")
+    bpe = bpe_tokenize(docs, trained, vocab).select(
+        F.lit("bpe").alias("kind"),
+        F.col("sym").alias("key"),
+        "doc_id",
+        "pos",
+        F.col("token_id").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("score"),
     )
+
+    # unigram legs share one (word, freq) table — the oracle's words
+    # CTE twin (plain lower/trim/whitespace split, len <= 32)
+    uwords = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+            .alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= U.MAX_WORD_LEN))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    seed = U.seed_pieces(uwords, _UNIGRAM_V)
+    # rank-valued scores over a TOTAL (count desc, piece) order — the
+    # global window is vocabulary-sized (<= _UNIGRAM_V rows), not
+    # data-scale (the audited WindowExec-warning class)
+    rank_w = Window.orderBy(F.col("count").desc(), F.col("piece"))
+    uvocab = seed.select(
+        "piece",
+        (-F.row_number().over(rank_w)).cast("double").alias("logp"),
+    )
+    uni = U.viterbi_scores(uwords, uvocab).select(
+        F.lit("unigram").alias("kind"),
+        F.col("w").alias("key"),
+        nul_l.alias("doc_id"),
+        F.col("j").cast("bigint").alias("pos"),
+        nul_l.alias("n"),
+        F.col("best").alias("score"),
+    )
+    ev = U.tokenizer_eval(uwords, seed.select("piece"))
+    counts = ["n_words", "n_tokens", "n_chars", "n_unk", "n_covered"]
+    ratios = ["fertility", "chars_per_token", "unk_rate", "coverage"]
+    stack = ", ".join(
+        [f"'{c}', cast({c} as bigint), cast(null as double)"
+         for c in counts]
+        + [f"'{c}', cast(null as bigint), {c}" for c in ratios]
+    )
+    ev_long = ev.selectExpr(
+        f"stack(9, {stack}) as (key, n, score)"
+    ).select(
+        F.lit("eval").alias("kind"),
+        "key",
+        nul_l.alias("doc_id"),
+        nul_l.alias("pos"),
+        "n",
+        "score",
+    )
+    return bpe.unionByName(uni).unionByName(ev_long)
 
 
 @register(
