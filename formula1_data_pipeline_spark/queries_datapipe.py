@@ -1503,9 +1503,11 @@ def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIO_K = 100
+
 @register(
     "q80_stratified_topn",
-    """
+    f"""
     WITH ranked AS (
         SELECT event_type, event_id, user_id,
                row_number() OVER (
@@ -1516,34 +1518,96 @@ def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        event_id ASC
                ) AS rn
         FROM events
+    ), pracers AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || 'priosample-v1'), 1, 15)) AS BIGINT) + 1
+                   AS u
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), pranked AS (
+        SELECT doc_id, w, u,
+               row_number() OVER (
+                   ORDER BY CAST(u AS DOUBLE) / w ASC, doc_id ASC
+               ) AS prio_rank
+        FROM pracers
+    ), ptau AS (
+        SELECT COALESCE(max(w * 1152921504606846976.0
+                            / CAST(u AS DOUBLE)), 0.0) AS tau
+        FROM pranked WHERE prio_rank = {_PRIO_K + 1}
     )
-    SELECT event_type, event_id, user_id
+    SELECT 'stratified' AS kind, event_type AS grp, event_id AS key,
+           user_id, CAST(NULL AS DOUBLE) AS w,
+           CAST(NULL AS INTEGER) AS prio_rank,
+           CAST(NULL AS DOUBLE) AS tau,
+           CAST(NULL AS DOUBLE) AS ht_weight
     FROM ranked WHERE rn <= 200
+    UNION ALL
+    SELECT 'priority', NULL, r.doc_id, NULL, r.w,
+           CAST(r.prio_rank AS INTEGER), t.tau,
+           greatest(r.w, t.tau)
+    FROM pranked r, ptau t
+    WHERE r.prio_rank <= {_PRIO_K}
     """,
-    doc="Fixed-size stratified sample (exactly 200 events per "
-        "event_type) by deterministic 60-bit hash rank — the "
-        "fixed-budget mixture primitive complementing q38's rate-based "
-        "splits. Round 10: the physical path is "
-        "sampling.stratified_topn_bucketed — the RefinedWeb per-domain "
-        "quota cap as a skew-proof two-level prefix sum (range-bucket "
-        "the hash, map-side-partial count per (stratum, bucket), "
-        "prefix-sum the tiny count table, PRUNE buckets past the "
-        "quota) so the in-stratum sort window touches ~n rows per "
-        "stratum instead of single-tasking a billion-row domain; "
-        "row-for-row identical to the window form (property-tested), "
-        "so the oracle still replays the plain hash ranking",
+    doc="Fixed-size sampling surface, two kinds. kind='stratified': "
+        "exactly 200 events per event_type by deterministic 60-bit "
+        "hash rank — the fixed-budget mixture primitive "
+        "complementing q38's rate-based splits. Round 10: the "
+        "physical path is sampling.stratified_topn_bucketed — the "
+        "RefinedWeb per-domain quota cap as a skew-proof two-level "
+        "prefix sum (range-bucket the hash, map-side-partial count "
+        "per (stratum, bucket), prefix-sum the tiny count table, "
+        "PRUNE buckets past the quota) so the in-stratum sort window "
+        "touches ~n rows per stratum instead of single-tasking a "
+        "billion-row domain; row-for-row identical to the window "
+        "form (property-tested), so the oracle still replays the "
+        "plain hash ranking. kind='priority' (round 12, sampling.py::"
+        "priority_sample): Duffield-Lund-Thorup weighted bottom-k — "
+        "exactly k documents by n_chars weight with Horvitz-Thompson "
+        "ht_weight = max(w, tau) making any subset-sum estimate "
+        "unbiased; priorities are md5-derived (no RNG), every "
+        "arithmetic step an IEEE correctly-rounded op on identically "
+        "constructed operands, so the whole leg value-hash-gates. "
+        "One TakeOrderedAndProject scan, k-flat driver state",
 )
 def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
+        priority_sample,
         stratified_topn_bucketed,
     )
 
     ev = load(spark, sf_dir, "events")["events"].select(
         "event_type", "event_id", "user_id"
     )
-    return stratified_topn_bucketed(
+    nul_d = F.lit(None).cast("double")
+    strat = stratified_topn_bucketed(
         ev, ["event_type"], F.col("event_id"), n=200
+    ).select(
+        F.lit("stratified").alias("kind"),
+        F.col("event_type").alias("grp"),
+        F.col("event_id").alias("key"),
+        "user_id",
+        nul_d.alias("w"),
+        F.lit(None).cast("int").alias("prio_rank"),
+        nul_d.alias("tau"),
+        nul_d.alias("ht_weight"),
     )
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "n_chars"
+    )
+    prio = priority_sample(
+        docs, F.col("n_chars").cast("double"), _PRIO_K
+    ).select(
+        F.lit("priority").alias("kind"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "w",
+        "prio_rank",
+        "tau",
+        "ht_weight",
+    )
+    return strat.unionByName(prio)
 
 
 @register(
@@ -1646,19 +1710,94 @@ def q83_incremental_corpus_dedup(spark: SparkSession,
 @register(
     "q85_leakage_safe_split",
     f"""
-    WITH RECURSIVE {_SQL_CC_CTES}
-    SELECT id AS doc_id, comp AS cluster_id,
-           {_sql_split('comp')} AS split
+    WITH RECURSIVE {_SQL_CC_CTES},
+    tc AS (
+        SELECT ts, count(*) AS cnt FROM events
+        WHERE ts IS NOT NULL GROUP BY ts
+    ), tr AS (
+        SELECT ts,
+               SUM(cnt) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(cnt) OVER () AS tot
+        FROM tc
+    ), tcut AS (
+        SELECT min(ts) AS cutoff FROM tr
+        WHERE cum >= ceil(CAST(0.8 AS DECIMAL(20,12)) * tot)
+    ), tlab AS (
+        SELECT e.event_id, e.user_id,
+               CASE WHEN e.ts IS NULL THEN NULL
+                    WHEN epoch_us(e.ts) <= epoch_us(cutoff)
+                        THEN 'train'
+                    WHEN epoch_us(e.ts) <= epoch_us(cutoff)
+                            + 86400000000
+                        THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events e CROSS JOIN tcut
+    ), tent AS (
+        SELECT user_id,
+               max(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                   AS in_train,
+               max(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                   AS in_test
+        FROM tlab WHERE split IN ('train', 'test')
+        GROUP BY user_id
+    ), trep AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_entities,
+               CAST(sum(CASE WHEN in_train = 1 AND in_test = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train_only,
+               CAST(sum(CASE WHEN in_train = 0 AND in_test = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_test_only,
+               CAST(sum(CASE WHEN in_train = 1 AND in_test = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+               round(CAST(sum(CASE WHEN in_train = 1 AND in_test = 1
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                   AS straddle_fraction
+        FROM tent
+    )
+    SELECT 'cluster' AS kind, id AS key, comp AS cluster_id,
+           {_sql_split('comp')} AS split, CAST(NULL AS DOUBLE) AS frac
     FROM cc
+    UNION ALL
+    SELECT 'temporal', event_id, CAST(NULL AS BIGINT), split, NULL
+    FROM tlab
+    UNION ALL
+    SELECT 'temporal_report', n_entities, NULL, 'n_entities', NULL
+    FROM trep
+    UNION ALL
+    SELECT 'temporal_report', n_train_only, NULL, 'n_train_only',
+           NULL
+    FROM trep
+    UNION ALL
+    SELECT 'temporal_report', n_test_only, NULL, 'n_test_only', NULL
+    FROM trep
+    UNION ALL
+    SELECT 'temporal_report', n_straddling, NULL, 'n_straddling',
+           NULL
+    FROM trep
+    UNION ALL
+    SELECT 'temporal_report', CAST(NULL AS BIGINT), NULL,
+           'straddle_fraction', straddle_fraction
+    FROM trep
     """,
-    doc="Leakage-safe train/val/test split (§2.12 composite): the "
-        "split key is the near-dup CLUSTER id (q37's connected "
-        "components), not the document id, so near-duplicates can "
-        "never straddle train and test — the contamination failure "
-        "q38's per-doc hash split cannot prevent. Same deterministic "
-        "md5 bucketing as q38 (reproducible across runs, engines, "
-        "partitionings); at 100 TB this is one CC pass + a "
-        "shuffle-free projection",
+    doc="Leakage-safe train/val/test split (§2.12 composite), now "
+        "both leakage axes under one (kind, key, cluster_id, split, "
+        "frac) shape. kind='cluster': the split key is the near-dup "
+        "CLUSTER id (q37's connected components), not the document "
+        "id, so near-duplicates can never straddle train and test — "
+        "the contamination failure q38's per-doc hash split cannot "
+        "prevent. Same deterministic md5 bucketing as q38 "
+        "(reproducible across runs, engines, partitionings); at "
+        "100 TB this is one CC pass + a shuffle-free projection. "
+        "kind='temporal' (round 12, sampling.py::temporal_split): "
+        "the TIME-axis complement — train <= cutoff < 1-day embargo "
+        "band <= cutoff+gap < test, cutoff the type-1 0.8-quantile "
+        "of event time, embargo rows LABELED not dropped (the "
+        "auditable form), exact-microsecond arithmetic end to end. "
+        "kind='temporal_report' (temporal_leakage_report): does any "
+        "entity (user_id) straddle train and test — the go/no-go "
+        "row a time-split pipeline gates deployment on; one "
+        "entity-keyed aggregate, counts + a 6-dp fraction",
 )
 def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.cluster import (
@@ -1667,17 +1806,54 @@ def q85_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
         assign_split,
         hash_bucket,
+        temporal_leakage_report,
+        temporal_split,
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
     clusters = neardup_clusters(docs, text_col="text", id_col="doc_id",
                                 max_distance=3)
     bucket = hash_bucket(F.col("cluster_id"), "split-v1")
-    return clusters.select(
-        "doc_id",
+    nul_l = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    cluster_leg = clusters.select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("key"),
         "cluster_id",
         assign_split(bucket, train_pct=80, val_pct=10).alias("split"),
+        nul_d.alias("frac"),
     )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    split = temporal_split(ev, "ts", train_frac=0.8,
+                           embargo_seconds=86400)
+    temporal_leg = split.select(
+        F.lit("temporal").alias("kind"),
+        F.col("event_id").alias("key"),
+        nul_l.alias("cluster_id"),
+        "split",
+        nul_d.alias("frac"),
+    )
+    rep = temporal_leakage_report(split, "user_id")
+    counts = ["n_entities", "n_train_only", "n_test_only",
+              "n_straddling"]
+    stack = ", ".join(
+        [f"cast({c} as bigint), '{c}', cast(null as double)"
+         for c in counts]
+        + ["cast(null as bigint), 'straddle_fraction', "
+           "straddle_fraction"]
+    )
+    rep_leg = rep.selectExpr(
+        f"stack(5, {stack}) as (key, split, frac)"
+    ).select(
+        F.lit("temporal_report").alias("kind"),
+        "key",
+        nul_l.alias("cluster_id"),
+        "split",
+        "frac",
+    )
+    return (cluster_leg.unionByName(temporal_leg)
+            .unionByName(rep_leg))
 
 
 def _q87_oracle() -> str:

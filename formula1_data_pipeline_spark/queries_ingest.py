@@ -443,9 +443,13 @@ def q72_session_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q75_time_travel",
-    """
+def _q75_sql() -> str:
+    from formula1_data_pipeline_spark.operators.diff import (
+        content_hash_sql,
+    )
+
+    h = content_hash_sql(["n_chars", "source", "text"])
+    return f"""
     WITH sup AS (
         SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey <= 30
     ), v1 AS (
@@ -455,23 +459,88 @@ def q72_session_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100.0
                     ELSE s_acctbal END AS s_acctbal
         FROM sup
+    ), m AS (
+        SELECT CAST(max(o_orderkey) // 2 AS BIGINT) AS half FROM orders
+    ), dold AS (
+        SELECT doc_id, {h} AS old_hash FROM documents
+    ), dnew_side AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                    ELSE n_chars END AS n_chars,
+               source, text
+        FROM documents WHERE doc_id % 11 <> 0
+    ), dnewh AS (
+        SELECT doc_id, {h} AS new_hash FROM dnew_side
+    ), dj AS (
+        SELECT doc_id, old_hash, new_hash
+        FROM dold FULL OUTER JOIN dnewh USING (doc_id)
     )
-    SELECT 1 AS version, CAST(s_suppkey AS VARCHAR) AS s_suppkey,
-           s_acctbal
+    SELECT 'travel' AS kind, CAST(s_suppkey AS VARCHAR) AS key,
+           CAST(1 AS BIGINT) AS ver, s_acctbal AS val,
+           CAST(NULL AS VARCHAR) AS status,
+           CAST(NULL AS VARCHAR) AS old_hash,
+           CAST(NULL AS VARCHAR) AS new_hash
     FROM v1
     UNION ALL
-    SELECT 2, CAST(s_suppkey AS VARCHAR), s_acctbal FROM v2
-    """,
-    doc="Manifest-table snapshot reads (time travel) under the gate: "
-        "two merge_upsert commits build versions 1 and 2 of a landed "
-        "table; read_table(version=1) must still serve the pre-merge "
-        "state byte-exactly AFTER version 2 is live (immutable data "
-        "dirs + pinned manifest — the property object-store readers "
-        "rely on for consistent scans), while the default read serves "
-        "version 2. The oracle replays both states from the source "
-        "table (sources/txn.py; the r4 transactional-commit protocol)",
+    SELECT 'travel', CAST(s_suppkey AS VARCHAR), 2, s_acctbal,
+           NULL, NULL, NULL
+    FROM v2
+    UNION ALL
+    SELECT 'del_after', CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS BIGINT),
+           CAST(o_totalprice AS DOUBLE), NULL, NULL, NULL
+    FROM orders, m
+    WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey <= m.half)
+    UNION ALL
+    SELECT 'del_before', 'snapshot', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE),
+           NULL, NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'diff', CAST(doc_id AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE),
+           CASE WHEN old_hash IS NULL THEN 'added'
+                WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash <> new_hash THEN 'changed'
+           END,
+           old_hash, new_hash
+    FROM dj WHERE (old_hash IS NULL OR new_hash IS NULL
+                   OR old_hash <> new_hash)
+    """
+
+
+@register(
+    "q75_time_travel",
+    _q75_sql(),
+    doc="Manifest-table versioned-read surface, four legs under one "
+        "(kind, key, ver, val, status, old_hash, new_hash) shape. "
+        "kind='travel': two merge_upsert commits build versions 1 "
+        "and 2 of a landed table; read_table(version=1) must still "
+        "serve the pre-merge state byte-exactly AFTER version 2 is "
+        "live (immutable data dirs + pinned manifest — the property "
+        "object-store readers rely on for consistent scans), while "
+        "the default read serves version 2 (sources/txn.py; the r4 "
+        "transactional-commit protocol). "
+        "kind='del_after'/'del_before' (round 12, txn_delete_keys): "
+        "the right-to-be-forgotten path — delete keys concentrated "
+        "in the LOW o_orderkey half rewrite ONLY the segments whose "
+        "[min,max] key stats can intersect the delete set (the "
+        "untouched high segment must carry into the new manifest BY "
+        "REFERENCE — asserted in-query on segment dirs; at 100 TB "
+        "this is rewriting a handful of segments, not the table), "
+        "del_after pins the surviving rows against the plain "
+        "anti-join oracle, and del_before proves the PRE-delete "
+        "version still reads complete (vacuum, not delete, is what "
+        "destroys rows — the retention clock). "
+        "kind='diff' (round 12, operators/diff.py::dataset_diff): "
+        "the readable face of time travel — added/removed/changed "
+        "between the corpus and a deterministic mutation (doc_id%11 "
+        "removed, %7 changed) via ONE null-safe hash-compare full "
+        "outer join; output is |changes|-sized, never corpus-sized",
 )
 def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.diff import dataset_diff
+    from formula1_data_pipeline_spark.sources import txn
     from formula1_data_pipeline_spark.sources.sinks import merge_upsert
     from formula1_data_pipeline_spark.sources.txn import read_table
 
@@ -490,16 +559,94 @@ def q75_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  order=[F.col("batch").desc_nulls_last()],
                  order_cols=["batch"])
 
+    nul_s = F.lit(None).cast("string")
+
     def probe(df: DataFrame, version: int) -> DataFrame:
         return df.select(
-            F.lit(version).alias("version"),
-            F.col("s_suppkey"),
-            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.lit("travel").alias("kind"),
+            F.col("s_suppkey").alias("key"),
+            F.lit(version).cast("bigint").alias("ver"),
+            F.col("s_acctbal").cast("double").alias("val"),
+            nul_s.alias("status"),
+            nul_s.alias("old_hash"),
+            nul_s.alias("new_hash"),
         )
 
-    return probe(read_table(spark, path, version=1), 1).unionByName(
+    travel = probe(read_table(spark, path, version=1), 1).unionByName(
         probe(read_table(spark, path), 2)
     )
+
+    # targeted-delete legs: two stats-carrying commits, delete keys
+    # concentrated in the low half, stats-pruned segment rewrite
+    orders = load(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    half = mx // 2
+    dpath = scratch_dir(prefix="q75_delete_") + "/t"
+    txn.txn_append(spark, orders.filter(F.col("o_orderkey") <= half),
+                   dpath, stats_cols=["o_orderkey"],
+                   compact_threshold=None)
+    txn.txn_append(spark, orders.filter(F.col("o_orderkey") > half),
+                   dpath, compact_threshold=None)
+    keys = orders.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= half)
+    ).select("o_orderkey")
+    before = [s["dir"] for s in txn._read_manifest(
+        spark, dpath, txn.current_version(spark, dpath))["segments"]]
+    v = txn.txn_delete_keys(spark, keys, dpath, "o_orderkey")
+    after = [s["dir"] for s in txn._read_manifest(
+        spark, dpath, v)["segments"]]
+    if before[1] not in after or before[0] in after:
+        raise AssertionError(
+            "txn_delete_keys did not prune the rewrite to the "
+            "intersecting segment — stats-pruned delete regressed"
+        )
+    del_after = read_table(spark, dpath).select(
+        F.lit("del_after").alias("kind"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("o_custkey").cast("bigint").alias("ver"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        nul_s.alias("status"),
+        nul_s.alias("old_hash"),
+        nul_s.alias("new_hash"),
+    )
+    del_before = read_table(spark, dpath, version=v - 1).agg(
+        F.count("*").cast("bigint").alias("ver"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double").alias("val"),
+    ).select(
+        F.lit("del_before").alias("kind"),
+        F.lit("snapshot").alias("key"),
+        "ver", "val",
+        nul_s.alias("status"),
+        nul_s.alias("old_hash"),
+        nul_s.alias("new_hash"),
+    )
+
+    # diff leg: the corpus vs a deterministic mutation
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+            .otherwise(F.col("n_chars")),
+        )
+    )
+    diff = dataset_diff(docs, new, ["doc_id"]).select(
+        F.lit("diff").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(None).cast("bigint").alias("ver"),
+        F.lit(None).cast("double").alias("val"),
+        "status",
+        "old_hash",
+        "new_hash",
+    )
+    return (travel.unionByName(del_after).unionByName(del_before)
+            .unionByName(diff))
 
 
 def _morton_terms_duck(ca: str, cb: str, bits: int) -> str:

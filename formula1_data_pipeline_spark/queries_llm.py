@@ -595,7 +595,18 @@ def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ['le','la','et','les','des','un','une','est'])) AS fr
         FROM s
     )
-    SELECT doc_id,
+    , lcnt AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+        GROUP BY 1, 2
+    ), lmom AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS types,
+               CAST(sum(c * c) AS BIGINT) AS c2,
+               CAST(max(c) AS BIGINT) AS maxc
+        FROM lcnt GROUP BY 1
+    )
+    SELECT h.doc_id,
            len(toks) AS n_tokens,
            len(tset) AS n_unique,
            CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
@@ -604,26 +615,46 @@ def q28_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN de = greatest(en, es, de, fr) THEN 'de'
                 WHEN fr = greatest(en, es, de, fr) THEN 'fr'
            END AS lang_pred,
-           {_sql_quality('toks', 'tset')} AS quality
-    FROM hits
+           {_sql_quality('toks', 'tset')} AS quality,
+           COALESCE(n, 0) AS n_tokens_lex,
+           COALESCE(types, 0) AS n_types,
+           COALESCE(CAST(types AS DOUBLE) / CAST(n AS DOUBLE), 0.0)
+               AS ttr,
+           COALESCE(1.0 - CAST(c2 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)
+               AS simpson_diversity,
+           COALESCE(CAST(maxc AS DOUBLE) / CAST(n AS DOUBLE), 0.0)
+               AS top_token_ratio
+    FROM hits h LEFT JOIN lmom USING (doc_id)
     """,
     doc="Text analysis (§2.12): token counts, stopword-argmax "
         "language-ID, and the 0-1 quality heuristic — one narrow "
-        "shuffle-free codegen'd projection over documents",
+        "shuffle-free codegen'd projection over documents. Round 12 "
+        "adds the lexical-diversity tier (operators/text.py::"
+        "lexical_diversity_df): type-token ratio, Gini-Simpson "
+        "diversity 1 - sum(c^2)/n^2, and top-token dominance — the "
+        "repetitiveness axis quality_score's character ratios miss, "
+        "as exact rationals (the no-libm twin of Shannon entropy, so "
+        "every value sits under the cross-engine hash). One (doc, "
+        "token) count aggregate feeds all three",
 )
 def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators import text as T
+    from formula1_data_pipeline_spark.operators.text import (
+        lexical_diversity_df,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
     toks = T.tokens(F.col("text"))
     tset = T.token_set(F.col("text"))
-    return docs.select(
+    stats = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(tset).alias("n_unique"),
         T.predict_lang(tset).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     )
+    return stats.join(lexical_diversity_df(docs), "doc_id")
 
 
 # BPE pattern with SQL apostrophes doubled for the DuckDB literal.
