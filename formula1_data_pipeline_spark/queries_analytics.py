@@ -625,6 +625,17 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(abs(share_old - share_new), 6) AS abs_delta
         FROM rep
     )
+    , am AS (
+        SELECT source,
+               CAST(count(n_chars) AS BIGINT) AS n,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+               CAST(min(n_chars) AS BIGINT) AS mn,
+               CAST(max(n_chars) AS BIGINT) AS mx,
+               CAST(sum(CAST(n_chars AS BIGINT)
+                        * CAST(n_chars AS BIGINT)) AS BIGINT) AS ssq
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY GROUPING SETS ((source), ())
+    )
     SELECT 'profile' AS kind, "column", n_rows, n_nulls, n_distinct,
            min_value, max_value, approx_ok,
            CAST(NULL AS VARCHAR) AS value,
@@ -634,19 +645,39 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS share_new,
            CAST(NULL AS DOUBLE) AS abs_delta,
            CAST(NULL AS BIGINT) AS n_values,
-           CAST(NULL AS DOUBLE) AS tv_distance
+           CAST(NULL AS DOUBLE) AS tv_distance,
+           CAST(NULL AS BIGINT) AS sum_value,
+           CAST(NULL AS BIGINT) AS min_value_num,
+           CAST(NULL AS BIGINT) AS max_value_num,
+           CAST(NULL AS DOUBLE) AS mean_value,
+           CAST(NULL AS DOUBLE) AS var_pop,
+           CAST(NULL AS DOUBLE) AS stddev_pop
     FROM prof
     UNION ALL
     SELECT 'drift', "column", NULL, NULL, NULL, NULL, NULL, NULL,
            value, cnt_old, cnt_new, share_old, share_new, abs_delta,
-           NULL, NULL
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM rep2
     UNION ALL
     SELECT 'drift_tv', "column", NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
            count(*),
-           CAST(sum(CAST(abs_delta AS DECIMAL(18,6))) AS DOUBLE) / 2.0
+           CAST(sum(CAST(abs_delta AS DECIMAL(18,6))) AS DOUBLE) / 2.0,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM rep2 GROUP BY "column"
+    UNION ALL
+    SELECT 'aggmart', COALESCE(source, '_total'), n,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL,
+           s, mn, mx,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+           greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0),
+           sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+    FROM am
     """,
     doc="Table reconnaissance surface, three kinds in one long frame "
         "(§2.12 monitoring tier). kind='profile': one-pass per-column "
@@ -664,14 +695,27 @@ def q78_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deltas, one final divide). Scale: two single-pass "
         "exploded-pairs counts + one value-cardinality-sized outer "
         "join — scan cost independent of how many columns are "
-        "monitored",
+        "monitored. kind='aggmart' (round 12, operators/aggmart.py): "
+        "the PERSISTED incremental profile — documents arrive as "
+        "three batches of mergeable partial aggregates (n, sum, min, "
+        "max, sumsq per source), one batch deliberately RE-DELIVERED "
+        "(the batch-id exactly-once skip must no-op, asserted "
+        "in-query), then read back at (source) grain plus the grand "
+        "total with derived mean/var_pop/stddev_pop — landed data is "
+        "never rescanned, so a 100 TB corpus profiles at "
+        "delta-log cost",
 )
 def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.aggmart import (
+        agg_mart_append,
+        agg_mart_stats,
+    )
     from formula1_data_pipeline_spark.operators.quality import (
         drift_report,
         drift_summary,
         profile_table,
     )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     cust = load(spark, sf_dir, "customer")["customer"]
     prof = profile_table(
@@ -687,9 +731,37 @@ def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drift = rep.select(F.lit("drift").alias("kind"), "*")
     tv = drift_summary(rep).select(F.lit("drift_tv").alias("kind"), "*")
+
+    mart = scratch_dir(prefix="q79_aggmart_") + "/m"
+    for b in range(3):
+        agg_mart_append(spark, docs.filter(F.col("doc_id") % 3 == b),
+                        mart, ["source"], "n_chars", f"gate-{b}")
+    if agg_mart_append(
+            spark, docs.filter(F.col("doc_id") % 3 == 1),
+            mart, ["source"], "n_chars", "gate-1") != 0:
+        raise AssertionError(
+            "agg_mart_append re-delivery was not a no-op — "
+            "exactly-once regressed"
+        )
+    by_source = agg_mart_stats(spark, mart, ["source"])
+    total = agg_mart_stats(spark, mart, []).select(
+        F.lit("_total").alias("source"), "n_rows", "sum_value",
+        "min_value", "max_value", "mean_value", "var_pop",
+        "stddev_pop",
+    )
+    am = by_source.unionByName(total).select(
+        F.lit("aggmart").alias("kind"),
+        F.col("source").alias("column"),
+        "n_rows",
+        F.col("sum_value").cast("long").alias("sum_value"),
+        F.col("min_value").alias("min_value_num"),
+        F.col("max_value").alias("max_value_num"),
+        "mean_value", "var_pop", "stddev_pop",
+    )
     return (
         prof.unionByName(drift, allowMissingColumns=True)
         .unionByName(tv, allowMissingColumns=True)
+        .unionByName(am, allowMissingColumns=True)
     )
 
 

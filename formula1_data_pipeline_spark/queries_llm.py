@@ -269,25 +269,31 @@ _SQL_DOT = (
 )
 
 
-@register(
-    "q24_cosine_topk",
-    f"""
+_RP_K = 16  # JL target dimension for the q24 rp/rp_topk legs
+
+
+def _q24_sql() -> str:
+    from formula1_data_pipeline_spark.operators.dimred import (
+        rp_oracle_expr,
+    )
+
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    proj = rp_oracle_expr(vec, 64, _RP_K)
+
+    def cos(a: str, b: str) -> str:
+        return (f"round({_SQL_DOT.format(a=a, b=b)} / nullif("
+                f"sqrt({_SQL_DOT.format(a=a, b=a)}) * "
+                f"sqrt({_SQL_DOT.format(a=b, b=b)}), 0.0), 6)")
+
+    return f"""
     WITH c AS (
-        SELECT vec_id AS n_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec
+        SELECT vec_id AS n_id, {vec} AS n_vec, {proj} AS n_proj
         FROM embeddings
     ), q AS (
-        SELECT vec_id AS q_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec
-        FROM embeddings WHERE vec_id < 10
+        SELECT n_id AS q_id, n_vec AS q_vec, n_proj AS q_proj
+        FROM c WHERE n_id < 10
     ), scored AS (
-        SELECT q_id, n_id,
-               round(
-                   {_SQL_DOT.format(a='q_vec', b='n_vec')}
-                   / nullif(sqrt({_SQL_DOT.format(a='q_vec', b='q_vec')})
-                            * sqrt({_SQL_DOT.format(a='n_vec', b='n_vec')}),
-                            0.0),
-               6) AS cos_sim
+        SELECT q_id, n_id, {cos('q_vec', 'n_vec')} AS cos_sim
         FROM c CROSS JOIN q
         WHERE q_id <> n_id
     ), ranked AS (
@@ -296,22 +302,156 @@ _SQL_DOT = (
                    PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
                ) AS rank
         FROM scored
+    ), s1 AS (
+        SELECT q_id, n_id, q_vec, n_vec,
+               {cos('q_proj', 'n_proj')} AS proj_cos
+        FROM c CROSS JOIN q WHERE q_id <> n_id
+    ), r1 AS (
+        SELECT q_id, n_id, q_vec, n_vec,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY proj_cos DESC, n_id ASC) AS cand_rank
+        FROM s1
+    ), s2 AS (
+        SELECT q_id, n_id, {cos('q_vec', 'n_vec')} AS cos_sim
+        FROM r1 WHERE cand_rank <= 30
+    ), r2 AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY cos_sim DESC, n_id ASC) AS rank
+        FROM s2
     )
-    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
-    """,
-    doc="Brute-force exact cosine top-5 per query vector (§2.12): "
-        "broadcast the query set, sequential-fold dot products in "
-        "double, per-query rank. The ANN correctness baseline; "
-        "ann_lsh_topk is the bucketed scale path",
+    SELECT 'exact' AS kind, q_id, n_id, cos_sim,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(NULL AS DOUBLE[]) AS proj,
+           CAST(NULL AS VARCHAR) AS note,
+           CAST(NULL AS BOOLEAN) AS ok
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'rp', vec_id, NULL, NULL, NULL, {proj}, NULL, NULL
+    FROM embeddings
+    UNION ALL
+    SELECT 'rp_topk', q_id, n_id, cos_sim, CAST(rank AS INTEGER),
+           NULL, NULL, NULL
+    FROM r2 WHERE rank <= 5
+    UNION ALL
+    SELECT 'pca', NULL, NULL, NULL, NULL, NULL, chk, TRUE
+    FROM (SELECT unnest(['eig_desc_ok', 'orthonormal_ok',
+                         'variance_floor_ok',
+                         'mart_matches_one_shot_ok']) AS chk)
+    """
+
+
+@register(
+    "q24_cosine_topk",
+    _q24_sql(),
+    doc="Vector-similarity surface, four kinds in one long frame. "
+        "kind='exact': brute-force exact cosine top-5 per query "
+        "vector (§2.12) — broadcast the query set, sequential-fold "
+        "dot products in double, per-query rank. The ANN correctness "
+        "baseline; ann_lsh_topk is the bucketed scale path. "
+        "kind='rp' (round 12, operators/dimred.py::random_project): "
+        "sparse Achlioptas JL projection 64->16 with an md5-derived "
+        "sign matrix and ordered folds, so every projected value is "
+        "BIT-IDENTICAL across engines (full value hash — no other "
+        "dimensionality reducer can claim that). "
+        "kind='rp_topk' (dimred.py::rp_topk): the two-stage "
+        "JL-compressed ANN — candidate rank in 16-dim space (window "
+        "30), exact re-rank of candidates only; the NARROW-candidates "
+        "+ broadcast re-fetch plan A/B-measured in SCALE.md r11 "
+        "(vectors never ride a pairs-sized shuffle). Deterministic "
+        "end to end, so the VALUES gate, not just a recall bound. "
+        "kind='pca' (dimred.py::pca_fit_from_mart): Gram-matrix PCA "
+        "fitted from the INCREMENTAL 3-batch gram-cell mart (one "
+        "re-delivered batch must no-op — exactly-once under the "
+        "gate); eigenvectors are trained floats, so the row pins "
+        "structure booleans (descending eigenvalues, orthonormality, "
+        "captured variance above the isotropic floor, mart-fold == "
+        "one-shot Gram) per the q92 rule",
 )
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from formula1_data_pipeline_spark.operators.similarity import cosine_topk
+    import numpy as np
+
+    from formula1_data_pipeline_spark.operators import dimred as DR
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5,
-        id_col="vec_id", vec_col="embedding", dim=64,
+    nul_l = F.lit(None).cast("bigint")
+    nul_d = F.lit(None).cast("double")
+    nul_p = F.lit(None).cast("array<double>")
+    nul_s = F.lit(None).cast("string")
+    nul_b = F.lit(None).cast("boolean")
+
+    def widen(df, kind):
+        cols = {c: F.col(c) for c in df.columns}
+        return df.select(
+            F.lit(kind).alias("kind"),
+            cols.get("q_id", nul_l).alias("q_id"),
+            cols.get("n_id", nul_l).alias("n_id"),
+            cols.get("cos_sim", nul_d).alias("cos_sim"),
+            (cols["rank"].cast("int") if "rank" in cols
+             else F.lit(None).cast("int")).alias("rank"),
+            cols.get("proj", nul_p).alias("proj"),
+            nul_s.alias("note"),
+            nul_b.alias("ok"),
+        )
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = widen(
+        cosine_topk(emb, queries, k=5,
+                    id_col="vec_id", vec_col="embedding", dim=64),
+        "exact",
     )
+    rp = widen(
+        DR.random_project(emb, "embedding", d=64, k=_RP_K)
+        .withColumnRenamed("vec_id", "q_id"),
+        "rp",
+    )
+    rpk = widen(
+        DR.rp_topk(emb, queries, d=64, k_proj=_RP_K,
+                   n_candidates=30, top_k=5),
+        "rp_topk",
+    )
+
+    # incremental-Gram PCA: 3 batches + a re-delivery that must no-op
+    k = 8
+    mart = scratch_dir(prefix="q24_gram_") + "/gm"
+    for b in range(3):
+        DR.gram_mart_append(spark, emb.filter(F.col("vec_id") % 3 == b),
+                            mart, "embedding", 64, f"gate-{b}")
+    if DR.gram_mart_append(
+            spark, emb.filter(F.col("vec_id") % 3 == 1),
+            mart, "embedding", 64, "gate-1") != 0:
+        raise AssertionError(
+            "gram_mart_append re-delivery was not a no-op — "
+            "exactly-once regressed"
+        )
+    ev, comps = DR.pca_fit_from_mart(spark, mart, 64, k)
+    C = np.array(comps)
+    g_mart = np.array(DR.gram_from_mart(spark, mart, 64))
+    g_full = np.array(DR.gram_matrix(emb, "embedding", 64))
+    checks = [
+        ("eig_desc_ok",
+         bool(all(ev[i] >= ev[i + 1] for i in range(k - 1)))),
+        ("orthonormal_ok",
+         bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8))),
+        ("variance_floor_ok",
+         bool(sum(ev) / float(np.trace(g_mart)) > k / 64)),
+        ("mart_matches_one_shot_ok",
+         bool(np.allclose(g_mart, g_full, rtol=1e-9))),
+    ]
+    pca = spark.createDataFrame(
+        [("pca", None, None, None, None, None, name, ok)
+         for name, ok in checks],
+        "kind string, q_id bigint, n_id bigint, cos_sim double, "
+        "rank int, proj array<double>, note string, ok boolean",
+    )
+    return (exact.unionByName(rp).unionByName(rpk)
+            .unionByName(pca))
 
 
 _SQL_PLANE = (

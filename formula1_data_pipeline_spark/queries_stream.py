@@ -46,27 +46,114 @@ def q30_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
     ), m AS (
         SELECT max(ts) AS max_ts FROM ev
+    ), hs AS (
+        SELECT event_type,
+               CAST(round(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+                   AS vs
+        FROM events WHERE value IS NOT NULL
+    ), hb AS (
+        SELECT event_type,
+               CASE WHEN vs > 0 THEN 1 WHEN vs < 0 THEN -1 ELSE 0 END
+                   AS cls,
+               abs(vs) AS mag
+        FROM hs
+    ), hm AS (
+        SELECT event_type, cls, mag,
+               CAST(CASE WHEN mag > 0 THEN length(bin(mag)) - 1
+                    ELSE 0 END AS INT) AS msb
+        FROM hb
+    ), hhist AS (
+        SELECT event_type,
+               cls * ((mag >> greatest(0, msb - 3))
+                      << greatest(0, msb - 3)) AS rep,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM hm GROUP BY ALL
+    ), hr AS (
+        SELECT event_type, rep,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY rep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM hhist
+    ), hq AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= ceil(CAST(0.5 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p50_approx,
+               MIN(CASE WHEN cum >= ceil(CAST(0.95 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p95_approx,
+               MIN(CASE WHEN cum >= ceil(CAST(0.99 AS DECIMAL(20,12))
+                   * tot) THEN rep END) AS p99_approx
+        FROM hr GROUP BY event_type
     )
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    SELECT 'window' AS kind,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
                AS window_end,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value,
+           CAST(NULL AS BIGINT) AS p50_approx,
+           CAST(NULL AS BIGINT) AS p95_approx,
+           CAST(NULL AS BIGINT) AS p99_approx
     FROM ev, m
-    GROUP BY 1, 2, 3, m.max_ts
+    GROUP BY 2, 3, 4, m.max_ts
     HAVING window_end <= max_ts - INTERVAL '10 minutes'
+    UNION ALL
+    SELECT 'histq', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           event_type, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           p50_approx, p95_approx, p99_approx
+    FROM hq
     """,
-    doc="Structured Streaming tumbling-window agg (§2.10 upgrade): "
-        "parquet file stream -> withWatermark(10 min) -> 1h window "
-        "count/sum -> AvailableNow -> memory sink. Append mode emits "
-        "exactly the windows closed by the final watermark, which the "
-        "oracle's HAVING clause mirrors",
+    doc="Structured Streaming aggregation surface, two kinds. "
+        "kind='window' (§2.10 upgrade): parquet file stream -> "
+        "withWatermark(10 min) -> 1h window count/sum -> AvailableNow "
+        "-> memory sink. Append mode emits exactly the windows closed "
+        "by the final watermark, which the oracle's HAVING clause "
+        "mirrors. kind='histq' (round 12, streaming/histogram.py::"
+        "stream_quantile_histogram): the STREAMING mergeable quantile "
+        "histogram — events replayed as 3 file micro-batches, each "
+        "folding its bucket deltas into manifest-txn state "
+        "(sum-mergeable, so the landed state equals the one-shot "
+        "quality.quantile_histogram build under ANY split — the q88 "
+        "convergence contract); the gated rows are the per-group "
+        "p50/p95/p99 rank picks over the LANDED state, identical to "
+        "q78's batch approx columns by construction, all integer "
+        "bucket math under the full value hash",
 )
 def q31_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.quality import (
+        histogram_quantiles,
+    )
     from formula1_data_pipeline_spark.streaming import stream_windowed_agg
+    from formula1_data_pipeline_spark.streaming.histogram import (
+        stream_quantile_histogram,
+    )
 
-    return stream_windowed_agg(spark, f"{sf_dir}/events.parquet")
+    nul_l = F.lit(None).cast("bigint")
+    win = stream_windowed_agg(spark, f"{sf_dir}/events.parquet").select(
+        F.lit("window").alias("kind"),
+        "window_start", "window_end", "event_type",
+        "n_events", "sum_value",
+        nul_l.alias("p50_approx"),
+        nul_l.alias("p95_approx"),
+        nul_l.alias("p99_approx"),
+    )
+    state = stream_quantile_histogram(
+        spark, f"{sf_dir}/events.parquet", "value", ["event_type"],
+    )
+    histq = histogram_quantiles(
+        state, ["event_type"], [0.5, 0.95, 0.99],
+    ).select(
+        F.lit("histq").alias("kind"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.lit(None).cast("timestamp").alias("window_end"),
+        "event_type",
+        nul_l.alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        "p50_approx", "p95_approx", "p99_approx",
+    )
+    return win.unionByName(histq)
 
 
 @register(
@@ -222,7 +309,11 @@ def _q54_drift_slice_sql(i: int, n: int) -> str:
                "column",
                count(*) AS n_values,
                CAST(sum(CAST(round(abs(share_old - share_new), 6)
-                    AS DECIMAL(18,6))) AS DOUBLE) / 2.0 AS tv_distance
+                    AS DECIMAL(18,6))) AS DOUBLE) / 2.0 AS tv_distance,
+               CAST(NULL AS BIGINT) AS am_sum,
+               CAST(NULL AS BIGINT) AS am_min,
+               CAST(NULL AS BIGINT) AS am_max,
+               CAST(NULL AS DOUBLE) AS am_mean
         FROM (
             SELECT coalesce(rc."column", bc."column") AS "column",
                    round(coalesce(rc.cnt, 0)
@@ -275,14 +366,29 @@ _Q54_DRIFT_SLICES = 3
            CAST(NULL AS BIGINT) AS n_rows,
            CAST(NULL AS VARCHAR) AS "column",
            CAST(NULL AS BIGINT) AS n_values,
-           CAST(NULL AS DOUBLE) AS tv_distance
+           CAST(NULL AS DOUBLE) AS tv_distance,
+           CAST(NULL AS BIGINT) AS am_sum,
+           CAST(NULL AS BIGINT) AS am_min,
+           CAST(NULL AS BIGINT) AS am_max,
+           CAST(NULL AS DOUBLE) AS am_mean
     FROM ev e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 2, 3
     """ + "".join(
         "UNION ALL" + _q54_drift_slice_sql(i, _Q54_DRIFT_SLICES)
         for i in range(_Q54_DRIFT_SLICES)
-    ),
+    ) + """
+    UNION ALL
+    SELECT 'aggmart_stream', NULL, NULL, NULL, NULL, NULL,
+           CAST(count(n_chars) AS BIGINT), source, NULL, NULL,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT),
+           CAST(min(n_chars) AS BIGINT),
+           CAST(max(n_chars) AS BIGINT),
+           CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+             / CAST(count(n_chars) AS DOUBLE)
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY source
+    """,
     doc="Stream-vs-static surface, two legs in one kind-discriminated "
         "frame. kind='join' (§2.10 extension): the events file stream "
         "enriched per micro-batch with the broadcast customer "
@@ -298,11 +404,25 @@ _Q54_DRIFT_SLICES = 3
         "total-variation rows. The oracle replays both legs in batch "
         "SQL — over a bounded replay they are identical; the drift "
         "math (6-dp share divides, null-safe buckets, decimal TV "
-        "sum) is shared verbatim with the q79 batch operator",
+        "sum) is shared verbatim with the q79 batch operator. "
+        "kind='aggmart_stream' (round 12, streaming/aggmart.py::"
+        "stream_agg_mart): the STREAMING maintainer of q79's "
+        "aggregate mart — documents replayed as 3 file micro-batches, "
+        "foreachBatch folding each through agg_mart_append with the "
+        "stream's batch id as the mart's exactly-once batch id; the "
+        "distributive (n, sum, min, max) fold makes the landed stats "
+        "bit-for-bit the one-shot groupBy for ANY split, which the "
+        "oracle replays directly over the source table ('column' "
+        "carries the source grain, n_rows the count — the q79 long "
+        "shape reused)",
 )
 def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.scratch import scratch_dir
     from formula1_data_pipeline_spark.streaming import (
         stream_static_join_agg,
+    )
+    from formula1_data_pipeline_spark.streaming.aggmart import (
+        stream_agg_mart,
     )
     from formula1_data_pipeline_spark.streaming.drift import (
         stream_drift_monitor,
@@ -328,11 +448,26 @@ def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         "column", "n_values", "tv_distance",
     )
+    sam = stream_agg_mart(
+        spark, f"{sf_dir}/documents.parquet", ["source"], "n_chars",
+        work_dir=scratch_dir(prefix="q54_sam_"),
+    ).select(
+        F.lit("aggmart_stream").alias("kind"),
+        F.col("source").alias("column"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_value").cast("long").alias("am_sum"),
+        F.col("min_value").cast("long").alias("am_min"),
+        F.col("max_value").cast("long").alias("am_max"),
+        F.col("mean_value").alias("am_mean"),
+    )
     return joined.unionByName(
         monitor, allowMissingColumns=True
+    ).unionByName(
+        sam, allowMissingColumns=True
     ).select(
         "kind", "c_mktsegment", "event_type", "n_events", "sum_value",
         "batch_id", "n_rows", "column", "n_values", "tv_distance",
+        "am_sum", "am_min", "am_max", "am_mean",
     )
 
 
