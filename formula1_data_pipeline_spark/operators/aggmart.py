@@ -258,13 +258,46 @@ def agg_mart_compact(spark: SparkSession, mart_dir: str) -> None:
     in ``_overwrite_preserving_late`` is unconditional, so an append
     landing ANYWHERE between the snapshot and the overwrite's
     publish is re-appended exactly once (deterministic interleaving
-    test)."""
+    test).
+
+    CONCURRENT COMPACTIONS are serialized by a lease (round-12
+    ADVICE): without it, two compacts snapshotting the same committed
+    set each publish a fold, and the later publisher's unconditional
+    late-preservation re-appends the earlier's fold — two committed
+    folds of the same data, which readers SUM (register-union marts
+    survive that; these sums silently double). A contended call
+    returns without compacting — compaction is optional
+    maintenance."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
         txn_append,
     )
 
+    lease = acquire_compaction_lease(mart_dir)
+    if lease is None:
+        return
+    try:
+        _agg_mart_compact_locked(spark, mart_dir, read_table,
+                                 txn_append)
+    finally:
+        release_compaction_lease(lease)
+
+
+def _agg_mart_compact_locked(spark, mart_dir, read_table,
+                             txn_append) -> None:
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        recover_pending_late,
+    )
+
     t = _tables(mart_dir)
+    # heal any prior compaction's crashed late-preservation BEFORE
+    # snapshotting (see recover_pending_late — order is correctness)
+    keys_hint = None  # stats cols unknown here; recovery passes None
+    recover_pending_late(spark, t[_PARTIALS], stats_cols=keys_hint)
     committed = _committed_attempts(spark, mart_dir)
     attempt = "compact-" + uuid.uuid4().hex[:16]
     txn_append(

@@ -29,8 +29,20 @@ boundaries, so ("a|b", "c") collides with ("a", "b|c"); and a NULL
 sentinel collides with a literal occurrence of the sentinel string.
 Per-column tokens are either exactly 32 hex chars or the 1-char '-'
 (not a hex digit), so the token sequence decomposes unambiguously —
-no value can alias another row's. The same expression is DuckDB-
-replayable verbatim, so diff reports sit under the full value hash.
+no value can alias another row's.
+
+Cross-engine parity scope (round-12 ADVICE): the hash goes through
+each engine's value->string rendering (Spark ``cast("string")`` vs
+DuckDB ``CAST(AS VARCHAR)``), and those renderings agree ONLY for
+integral and string columns. DOUBLE/FLOAT diverge at the
+scientific-notation threshold (Spark '1.0E-7' vs DuckDB '1e-07'),
+and TIMESTAMP/array renderings differ too — the diff itself stays
+internally consistent for any types (both sides of the join use the
+same engine), but the DuckDB-replayable full-value-hash claim holds
+only when ``compare_cols`` are integral/string. Canonicalize floats
+and timestamps to strings yourself (fixed-format ``format_number``/
+``date_format`` twins) before handing them to a cross-engine-gated
+diff.
 
 Scale shape: one hash-partitioned full outer join on the key (a
 NULL-SAFE equality — NULL keys match each other, so an unchanged

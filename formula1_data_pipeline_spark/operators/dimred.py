@@ -106,7 +106,20 @@ def random_project(
     is exact and results are bit-identical to the oracle replay.
     Floats are upcast to double once (exactly) before the fold."""
     scale = 1.0 / math.sqrt(k)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # loud shape guard (round-12 ADVICE, the _gram_cells twin): a
+    # short or NULL-element vector would poison the folds silently
+    vec = F.when(
+        (F.size(raw) == d)
+        & (F.size(F.filter(raw, lambda x: x.isNull())) == 0),
+        raw,
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"random_project: vector is not a NULL-free "
+                  f"length-{d} array; size="),
+            F.size(raw).cast("string"),
+        ))
+    )
     comps = [(_fold_dot(vec, row) * F.lit(scale)).alias(f"_c{j}")
              for j, row in enumerate(rp_matrix(d, k, seed))]
     tmp = df.select("*", *comps)
@@ -364,9 +377,26 @@ def _gram_cells(df: DataFrame, vec_col: str, d: int) -> DataFrame:
         F.lit(_SUM_J).alias("i"), F.lit(_SUM_J).alias("j"),
         F.lit(1.0).alias("x"),
     ))
+    # loud shape guard (round-12 ADVICE): a vector shorter than d (or
+    # holding NULL elements) would make element_at yield NULLs whose
+    # products F.sum silently DROPS — the landed mart undercounts with
+    # no error and is undetectable post-fold. Raise at the input edge
+    # instead, the module's loud-failure style.
+    good = (
+        (F.size(vec) == d)
+        & (F.size(F.filter(vec, lambda x: x.isNull())) == 0)
+    )
+    checked = F.when(good, vec).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"_gram_cells: vector is not a NULL-free length-{d} "
+                  "array — a short/NULL vector would silently "
+                  "undercount the Gram mart; size="),
+            F.size(vec).cast("string"),
+        ))
+    )
     return (
         df.filter(F.col(vec_col).isNotNull())
-        .select(vec.alias("v"))
+        .select(checked.alias("v"))
         .select(F.explode(
             F.concat(gram, sums, count)).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))

@@ -178,10 +178,34 @@ def hll_sketch_compact(spark: SparkSession, index_dir: str) -> None:
     on the maintenance cadence. Marker-first + late-append-preserving
     overwrite: the exact crash/concurrency discipline of
     ``bm25_index_compact`` (a concurrent append's rows are re-appended
-    from the superseded version, never dropped)."""
+    from the superseded version, never dropped), including its
+    compaction lease — register union is idempotent, so a concurrent
+    double-fold here is merely redundant rows, but the three marts'
+    compaction semantics stay identical."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
     from formula1_data_pipeline_spark.sources.txn import txn_append
 
+    lease = acquire_compaction_lease(index_dir)
+    if lease is None:
+        return
+    try:
+        _hll_sketch_compact_locked(spark, index_dir, txn_append)
+    finally:
+        release_compaction_lease(lease)
+
+
+def _hll_sketch_compact_locked(spark, index_dir, txn_append) -> None:
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        recover_pending_late,
+    )
+
     t = _tables(index_dir)
+    # heal any prior compaction's crashed late-preservation BEFORE
+    # snapshotting (see recover_pending_late — order is correctness)
+    recover_pending_late(spark, t[_SKETCHES])
     committed = _committed(spark, index_dir)
     attempt = uuid.uuid4().hex[:16]
     txn_append(

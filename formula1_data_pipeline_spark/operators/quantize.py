@@ -58,16 +58,30 @@ def sq8_encode(
 ) -> DataFrame:
     """Append ``out_col``: int8 codes ``round(v_i * 127 / s_i)``
     with the scales inlined as literals (shuffle-free projection).
-    A zero scale (all-zero dimension) encodes 0. |v_i| <= s_i by
-    construction, so codes lie in [-127, 127] without clipping."""
+    A zero scale (all-zero dimension) encodes 0.
+
+    Codes are CLAMPED to [-127, 127] (round-12 ADVICE): when the
+    scales were fit on the exact corpus being encoded, |v_i| <= s_i
+    by construction and the clamp is a no-op — but encoding a NEW
+    batch against landed scales can exceed them, and an unclamped
+    code would silently break int8 downstream storage and the
+    documented s/254 reconstruction bound. A clamped out-of-range
+    value saturates (the standard SQ8 behavior); refresh the scales
+    via a rebuild when saturation matters."""
     lit_s = F.array(*[F.lit(s) for s in scales])
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     codes = F.zip_with(
         vec, lit_s,
-        lambda v, s: F.coalesce(
-            F.round(v * F.lit(127.0) / F.nullif(s, F.lit(0.0)), 0)
-            .cast("int"),
-            F.lit(0),
+        lambda v, s: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.coalesce(
+                    F.round(v * F.lit(127.0) / F.nullif(s, F.lit(0.0)),
+                            0).cast("int"),
+                    F.lit(0),
+                ),
+            ),
         ),
     )
     return df.withColumn(out_col, codes)
@@ -101,9 +115,10 @@ def sq8_scales_sql(vec_sql: str, table: str, d: int) -> str:
 
 def sq8_encode_sql(vec_sql: str, scales_col: str = "s") -> str:
     """DuckDB twin of ``sq8_encode``'s code list (same NULL-guarded
-    division, same round-then-cast)."""
+    division, same round-then-cast, same [-127, 127] clamp)."""
     return (
         f"list_transform(list_zip({vec_sql}, {scales_col}), "
-        f"p -> coalesce(CAST(round(p[1] * 127.0 / nullif(p[2], 0.0), 0)"
-        f" AS INTEGER), 0))"
+        f"p -> greatest(-127, least(127, "
+        f"coalesce(CAST(round(p[1] * 127.0 / nullif(p[2], 0.0), 0)"
+        f" AS INTEGER), 0))))"
     )

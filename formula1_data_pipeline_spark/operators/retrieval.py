@@ -311,16 +311,31 @@ def bm25_index_compact(spark, index_dir: str) -> None:
     deltas), statsdelta one row total. Query results are invariant
     (readers always sum the deltas); compaction only bounds the log
     length between appends — run it on the maintenance cadence, not
-    the ingest path."""
+    the ingest path. Compactions are SERIALIZED by a lease (df deltas
+    are sums — see ``acquire_compaction_lease``); a contended call
+    returns without compacting."""
+    lease = acquire_compaction_lease(index_dir)
+    if lease is None:
+        return
+    try:
+        _bm25_index_compact_locked(spark, index_dir)
+    finally:
+        release_compaction_lease(lease)
+
+
+def _bm25_index_compact_locked(spark, index_dir: str) -> None:
     import uuid
 
     from formula1_data_pipeline_spark.sources.txn import (
         read_table,
         txn_append,
-        txn_overwrite,
     )
 
     t = _index_tables(index_dir)
+    # heal any prior compaction's crashed late-preservation BEFORE
+    # snapshotting (see recover_pending_late — order is correctness)
+    recover_pending_late(spark, t[_DFDELTA], stats_cols=["term"])
+    recover_pending_late(spark, t[_STATSDELTA])
     committed = _committed_attempts(spark, index_dir)
     # the compacted rows need a COMMITTED attempt of their own, and
     # its marker must land FIRST: if the marker lands and the rewrite
@@ -357,6 +372,65 @@ def bm25_index_compact(spark, index_dir: str) -> None:
         spark, stats.select("*", tag), t[_STATSDELTA],
         committed + [attempt],
     )
+
+
+def acquire_compaction_lease(root_dir: str,
+                             lease_sec: int = 3600) -> str | None:
+    """Mutual exclusion for COMPACTORS of non-idempotent marts
+    (round-12 ADVICE): two compactions snapshotting the same
+    committed set each publish a fold of it, and whichever publishes
+    second re-appends the first's fold through the late-preservation
+    diff (the first's attempt is outside the second's snapshot) —
+    readers then SUM two folds of the same data. Register-union (hll)
+    survives that; sums (aggmart/gram/bm25 df) silently double. The
+    race exists only between CONCURRENT snapshots — a crashed
+    compactor's published fold carries a committed marker, so the
+    next (serialized) compaction folds it like any other committed
+    rows — so a lease serializing live compactors closes it outright.
+
+    Returns a lease token (the lock path) or ``None`` when another
+    compactor holds a fresh lease — compaction is optional
+    maintenance, so the caller just skips. The lock is one atomic
+    ``os.mkdir`` under the mart root; a lease older than
+    ``lease_sec`` is presumed crashed and stolen (rmdir+mkdir — the
+    steal itself has a tiny two-stealer window that needs a crashed
+    holder AND two simultaneous stealers; acceptable for a
+    maintenance path whose worst case is the original race's
+    frequency times that coincidence). Local-FS primitive; the
+    object-store seam (sources/stores.py) replaces it with a
+    conditional-put lease object."""
+    import os
+    import time
+
+    lock = os.path.join(root_dir, "_compact_lease")
+    os.makedirs(root_dir, exist_ok=True)
+    for _ in range(2):
+        try:
+            os.mkdir(lock)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder released between our two calls
+            if age <= lease_sec:
+                return None
+            try:  # stale: presumed crashed holder — steal once
+                os.rmdir(lock)
+            except OSError:
+                return None
+    return None
+
+
+def release_compaction_lease(token: str | None) -> None:
+    import os
+
+    if token is None:
+        return
+    try:
+        os.rmdir(token)
+    except OSError:
+        pass  # already stolen as stale — nothing to release
 
 
 def _overwrite_preserving_late(spark, df: DataFrame, table: str,
@@ -404,6 +478,20 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
                         pre_publish_hook=_pre_publish_hook)
     if ver <= 1:
         return  # first version: nothing preceded the overwrite
+    # Crash-window accounting (round-12 ADVICE): a crash between the
+    # publish above and the late append below would otherwise drop a
+    # concurrent append's rows PERMANENTLY (they exist only in the
+    # superseded version, which the next compaction never reads). The
+    # pending-late marker makes the window recoverable: it records
+    # the superseded version + snapshot before the diff runs, and the
+    # NEXT compaction of this table re-runs the diff from it
+    # (idempotently — recovery skips attempts already present in the
+    # live table). The only remaining loss window is publish ->
+    # marker-write: one small local file write, vs the Spark job the
+    # diff itself costs. Readers between a crash and the healing
+    # compaction see the superseded-only rows as missing — the
+    # recovery restores them at maintenance cadence, not read time.
+    _write_pending_late(table, ver - 1, known_attempts)
     prev = read_table(spark, table, version=ver - 1)
     late = prev.filter(~F.col("attempt").isin(known_attempts))
     late = late.persist()
@@ -412,6 +500,82 @@ def _overwrite_preserving_late(spark, df: DataFrame, table: str,
             txn_append(spark, late, table, stats_cols=stats_cols)
     finally:
         late.unpersist()
+    _clear_pending_late(table)
+
+
+def _pending_late_path(table: str) -> str:
+    import os
+
+    return os.path.join(table, "_pending_late.json")
+
+
+def _write_pending_late(table: str, superseded_version: int,
+                        known_attempts: list[str]) -> None:
+    import json
+    import os
+
+    os.makedirs(table, exist_ok=True)
+    tmp = _pending_late_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"superseded_version": superseded_version,
+                   "known_attempts": known_attempts}, f)
+    os.replace(tmp, _pending_late_path(table))
+
+
+def _clear_pending_late(table: str) -> None:
+    import os
+
+    try:
+        os.remove(_pending_late_path(table))
+    except FileNotFoundError:
+        pass
+
+
+def recover_pending_late(spark, table: str,
+                         stats_cols: list[str] | None = None) -> None:
+    """Heal a compaction that crashed between its overwrite's publish
+    and its late-preservation append (the marker is still on disk):
+    re-run the late diff against the RECORDED superseded version.
+    Idempotent — an attempt already present in the live table was
+    either preserved before the crash or re-appended by an earlier
+    recovery, so only still-missing attempts are restored.
+
+    MUST run at the start of the next compaction, BEFORE it snapshots
+    the committed set (every ``*_compact_locked`` body does): the
+    crashed-away rows' attempts carry committed markers, so a fold
+    snapshotted before recovery would list them as known while its
+    data excludes them — the overwrite would drop them a second time,
+    unrecoverably (this ordering was the first draft's bug)."""
+    import json
+
+    from formula1_data_pipeline_spark.sources.txn import (
+        read_table,
+        txn_append,
+    )
+
+    try:
+        with open(_pending_late_path(table)) as f:
+            pend = json.load(f)
+    except FileNotFoundError:
+        return
+    prev = read_table(spark, table,
+                      version=pend["superseded_version"])
+    known = pend["known_attempts"]
+    late = prev.filter(~F.col("attempt").isin(known))
+    live_attempts = [
+        r["attempt"]
+        for r in read_table(spark, table)
+        .filter(~F.col("attempt").isin(known))
+        .select("attempt").distinct().collect()
+    ]  # bounded: attempts, not rows
+    missing = late.filter(~F.col("attempt").isin(live_attempts or ["-"]))
+    missing = missing.persist()
+    try:
+        if missing.limit(1).count():
+            txn_append(spark, missing, table, stats_cols=stats_cols)
+    finally:
+        missing.unpersist()
+    _clear_pending_late(table)
 
 
 def bm25_index_topk(

@@ -308,3 +308,116 @@ def test_append_never_reads_landed_partials(spark, docs, tmp_path):
     n = agg_mart_append(spark, docs.limit(10), d,
                         ["source"], "n_chars", "b-new")
     assert n > 0
+
+
+def test_concurrent_compaction_serialized_by_lease(spark, docs,
+                                                   tmp_path):
+    """Round-12 ADVICE (medium): two concurrent compactions both
+    snapshotting the same committed set would each publish a fold and
+    the later publisher's unconditional late-preservation re-appends
+    the earlier's — readers then SUM two folds. The lease closes it:
+    a compact that cannot acquire the lease is a no-op (stats and
+    version unchanged), a released lease lets the next compact run,
+    and a STALE lease (crashed holder) is stolen."""
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
+    from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
+    )
+
+    d = str(tmp_path / "mart")
+    for b in range(2):
+        agg_mart_append(
+            spark, docs.filter(F.col("doc_id") % 2 == b), d,
+            ["source"], "n_chars", f"batch-{b}",
+        )
+    baseline = sorted(
+        tuple(r) for r in agg_mart_stats(spark, d, ["source"]).collect()
+    )
+    partials_tbl = f"{d}/partials"
+    v0 = current_version(spark, partials_tbl)
+
+    # contended: another compactor holds the lease -> no-op
+    held = acquire_compaction_lease(d)
+    assert held is not None
+    agg_mart_compact(spark, d)
+    assert current_version(spark, partials_tbl) == v0
+    release_compaction_lease(held)
+
+    # released: the next compact proceeds and values are invariant
+    agg_mart_compact(spark, d)
+    v1 = current_version(spark, partials_tbl)
+    assert v1 > v0
+    after = sorted(
+        tuple(r) for r in agg_mart_stats(spark, d, ["source"]).collect()
+    )
+    assert after == baseline
+
+    # stale lease (crashed holder): stolen, compact proceeds
+    import os
+    import time
+
+    stale = acquire_compaction_lease(d)
+    assert stale is not None
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    agg_mart_compact(spark, d)
+    assert current_version(spark, partials_tbl) > v1
+    assert sorted(
+        tuple(r) for r in agg_mart_stats(spark, d, ["source"]).collect()
+    ) == baseline
+
+def test_pending_late_recovery_restores_crashed_diff(spark, tmp_path,
+                                                     monkeypatch):
+    """Round-12 ADVICE: a crash BETWEEN a compaction overwrite's
+    publish and its late-preservation append used to drop a
+    concurrent append's rows permanently (they survive only in the
+    superseded version, which nothing ever re-read). The pending-late
+    marker + recover_pending_late make the next compaction re-run the
+    recorded diff — restored exactly once (idempotent), marker
+    cleared."""
+    import os
+
+    import formula1_data_pipeline_spark.sources.txn as T
+    from formula1_data_pipeline_spark.operators import retrieval as R
+
+    t = str(tmp_path / "t")
+    T.txn_append(spark, spark.createDataFrame(
+        [(1, 10, "a")], "k int, v int, attempt string"), t)
+    # the concurrent append: lands after the compaction's snapshot
+    # (its attempt 'b' is outside known_attempts below)
+    T.txn_append(spark, spark.createDataFrame(
+        [(2, 20, "b")], "k int, v int, attempt string"), t)
+    fold = spark.createDataFrame(
+        [(1, 10, "c")], "k int, v int, attempt string")
+
+    orig_append = T.txn_append
+
+    def crash(spark_, df_, table_, **kw):
+        raise RuntimeError("injected crash before late append")
+
+    monkeypatch.setattr(T, "txn_append", crash)
+    with pytest.raises(RuntimeError):
+        R._overwrite_preserving_late(spark, fold, t, ["a", "c"])
+    monkeypatch.setattr(T, "txn_append", orig_append)
+
+    # crash state: 'b' is gone from the live table, marker on disk
+    assert os.path.exists(R._pending_late_path(t))
+    assert {r["attempt"] for r in T.read_table(spark, t).collect()} \
+        == {"c"}
+
+    R.recover_pending_late(spark, t)
+    got = sorted((r["k"], r["v"], r["attempt"])
+                 for r in T.read_table(spark, t).collect())
+    assert got == [(1, 10, "c"), (2, 20, "b")] or \
+        got == sorted([(1, 10, "c"), (2, 20, "b")])
+    assert not os.path.exists(R._pending_late_path(t))
+
+    # idempotence: a second recovery (stale marker replay) is a no-op
+    R._write_pending_late(t, 2, ["a", "c"])
+    R.recover_pending_late(spark, t)
+    again = sorted((r["k"], r["v"], r["attempt"])
+                   for r in T.read_table(spark, t).collect())
+    assert again == got
+    assert not os.path.exists(R._pending_late_path(t))

@@ -261,3 +261,27 @@ def test_scale_is_exact_for_square_k():
     # k=16 -> 1/sqrt(k) = 0.25 exactly; the projection introduces no
     # scale rounding beyond the fold itself
     assert 1.0 / math.sqrt(16) == 0.25
+
+
+def test_short_or_null_vectors_raise_loudly(spark):
+    """Round-12 ADVICE: a short or NULL-element vector used to make
+    element_at yield NULLs whose products the sum silently dropped —
+    an undetectably undercounted Gram mart. Both the gram pass and
+    random_project must fail LOUDLY instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from formula1_data_pipeline_spark.operators import dimred as DR
+
+    bad_short = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, None, 3.0])], "vec_id int, embedding array<double>")
+    for bad in (bad_short, bad_null):
+        with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                           match="NULL-free length-3"):
+            DR._gram_cells(bad, "embedding", 3).collect()
+        with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                           match="NULL-free length-3"):
+            DR.random_project(bad, "embedding", d=3, k=4).collect()

@@ -106,3 +106,31 @@ def test_encode_plan_is_shuffle_free(spark, emb, scales):
     plan = (sq8_encode(emb, "embedding", scales)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_out_of_scale_batch_clamps_to_int8_range(spark):
+    """Round-12 ADVICE: encoding a NEW batch against LANDED scales
+    can exceed them — codes must saturate at +/-127 (both engines),
+    never escape int8 range."""
+    import duckdb
+
+    from formula1_data_pipeline_spark.operators.quantize import (
+        sq8_encode,
+        sq8_encode_sql,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, [2.0, -3.0, 0.5]), (2, [0.5, 0.5, -0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    scales = [1.0, 1.0, 1.0]  # landed scales the batch exceeds
+    got = {r["vec_id"]: r["sq8"] for r in
+           sq8_encode(batch, "embedding", scales).collect()}
+    assert got[1] == [127, -127, 64]
+    assert got[2] == [64, 64, -64]
+    expr = sq8_encode_sql("v")
+    exp = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT [2.0, -3.0, 0.5] AS v, "
+        "[1.0, 1.0, 1.0] AS s)"
+    ).fetchone()[0]
+    assert exp == [127, -127, 64]
