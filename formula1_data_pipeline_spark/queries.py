@@ -968,6 +968,18 @@ CHANGED_SINCE_GATE = [
     # q54: streaming aggregate mart (streaming/aggmart.py) as a
     #      kind-discriminated extension of the static-join stream
     "q54_stream_static_join",
+    # q34: ivf_index_append's landed-id skip gained the Bloom
+    #      sidecar prefilter (operators/vecindex.py — the
+    #      unconditional append-cost bound under random ids); q34
+    #      executes build+append+query of the persisted index
+    "q34_ivf_flat_topk",
+    # NOTE: q92 also executes the changed vecindex path but is
+    # r11-gated — listing it would evict one due r10-gated query
+    # from the 50-row window and leave it 2 rounds stale (the
+    # tripwire). Triage: the changed code is verified this round by
+    # the builder's full-catalog sf0.01 AND sf0.1 parity sweeps
+    # (both include q92), and q92's r13 re-gate (the planned sq8
+    # rider host) driver-gates it next round.
 ]
 
 

@@ -185,3 +185,36 @@ def test_kcenter_incremental_releases_checkpoint_blocks(spark):
     # itself leaves NO NEW persisted RDDs behind
     leaked = persisted_ids() - before
     assert not leaked, leaked
+
+
+def test_release_local_checkpoint_seam_resolves_and_frees(spark):
+    """Round-12 verdict item #4: _release_local_checkpoint reaches
+    through PySpark private API (queryExecution().analyzed().rdd())
+    and was try/except-guarded, so a Spark upgrade moving the seam
+    would SILENTLY stop releasing checkpoint storage. This test holds
+    a LIVE reference to the checkpointed frame — the ContextCleaner
+    never collects a referenced RDD, so the blocks can only disappear
+    through the private-API path. If the seam stops resolving, the
+    blocks stay and this fails loudly."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.coreset import (
+        _release_local_checkpoint,
+    )
+
+    def persisted_ids():
+        return {info.id() for info in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = persisted_ids()
+    ck = (spark.range(50_000)
+          .withColumn("x", (F.col("id") * 3).cast("double"))
+          .localCheckpoint(eager=True))
+    created = persisted_ids() - before
+    assert created, "localCheckpoint left no persisted blocks — " \
+        "the fixture itself is broken"
+    _release_local_checkpoint(ck)
+    still = persisted_ids() & created
+    assert not still, (
+        "private-API release path no longer frees checkpoint blocks "
+        f"(Spark upgrade moved the seam?): {still}")

@@ -1,0 +1,112 @@
+"""Landed-id Bloom sidecar for the persisted IVF index (round-12
+verdict item #2 — the UNCONDITIONAL append-cost bound): under
+non-monotonic (random/UUID-style) ingestion ids the id-range manifest
+prune degenerates to a full landed-id scan; the Bloom prefilter makes
+a fresh batch skip the landed lists entirely under ANY id
+distribution, with exact verification only for the (bounded,
+deterministic) hit stream."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from formula1_data_pipeline_spark.operators.vecindex import (
+    ivf_index_append,
+    ivf_index_build,
+    ivf_index_topk,
+)
+
+DIM = 8
+
+
+def _scrambled(spark, n, offset=0):
+    """n vectors with RANDOM-looking 60-bit ids (md5-scrambled
+    sequence — the adversarial distribution for range pruning)."""
+    return spark.range(offset, offset + n).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id") * 31 + i), 97)
+                       .cast("double") / 97.0),
+        ).alias("embedding"),
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vecbloom") / "idx")
+    ivf_index_build(spark, _scrambled(spark, 300), d,
+                    n_centroids=4, n_iter=2, id_col="vec_id",
+                    vec_col="embedding")
+    return d
+
+
+def test_fresh_random_batch_never_reads_landed_lists(spark, idx,
+                                                     monkeypatch):
+    """An all-new batch of random ids must MISS the Bloom for every
+    id and skip the landed lists read entirely — the flat-append
+    contract. (A miss is definite: no false negatives.)"""
+    import formula1_data_pipeline_spark.sources.txn as T
+
+    reads = []
+    orig = T.read_table
+
+    def spy(spark_, table_, **kw):
+        reads.append(table_)
+        return orig(spark_, table_, **kw)
+
+    monkeypatch.setattr(T, "read_table", spy)
+    # fresh ids, disjoint from the built corpus by construction
+    n = ivf_index_append(spark, _scrambled(spark, 50, offset=10_000),
+                         idx, id_col="vec_id", vec_col="embedding")
+    monkeypatch.undo()
+    assert n == 50
+    lists_reads = [t for t in reads if t.endswith("/lists")]
+    assert lists_reads == [], (
+        "fresh random-id batch read the landed lists — the Bloom "
+        f"skip regressed (reads: {reads})")
+
+
+def test_redelivered_random_batch_skipped_exactly(spark, idx):
+    """Re-delivery under random ids: every id HITS the Bloom, the
+    exact verify confirms them landed, zero rows re-indexed — and
+    the queryable state equals one-shot indexing of the union."""
+    batch = _scrambled(spark, 40, offset=20_000)
+    assert ivf_index_append(spark, batch, idx,
+                            id_col="vec_id", vec_col="embedding") == 40
+    # exact re-delivery must be a no-op
+    assert ivf_index_append(spark, batch, idx,
+                            id_col="vec_id", vec_col="embedding") == 0
+    # partial overlap: only the novel half lands
+    half_new = _scrambled(spark, 40, offset=20_020)  # 20 old + 20 new
+    assert ivf_index_append(spark, half_new, idx,
+                            id_col="vec_id", vec_col="embedding") == 20
+
+
+def test_index_still_queryable_and_exact_after_bloom_appends(spark,
+                                                             idx):
+    queries = _scrambled(spark, 3)
+    out = ivf_index_topk(spark, idx, queries, k=3, n_probe=2,
+                         id_col="vec_id", vec_col="embedding")
+    rows = out.collect()
+    assert len(rows) == 9
+    assert all(r["rank"] in (1, 2, 3) for r in rows)
+
+
+def test_legacy_index_without_sidecar_falls_back(spark, tmp_path):
+    """An index built before the sidecar (simulated by removing the
+    idbloom table) must keep appending correctly via the
+    batch-range-pruned anti-join — fail-open."""
+    import shutil
+
+    d = str(tmp_path / "idx")
+    base = _scrambled(spark, 100)
+    ivf_index_build(spark, base, d, n_centroids=4, n_iter=2,
+                    id_col="vec_id", vec_col="embedding")
+    shutil.rmtree(f"{d}/idbloom")
+    batch = _scrambled(spark, 30, offset=5_000)
+    assert ivf_index_append(spark, batch, d,
+                            id_col="vec_id", vec_col="embedding") == 30
+    assert ivf_index_append(spark, batch, d,
+                            id_col="vec_id", vec_col="embedding") == 0
