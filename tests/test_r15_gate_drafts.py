@@ -163,3 +163,109 @@ def test_draft_phash_kinds(spark, sf_dir):
     kinds = Counter(r["kind"] for r in out.collect())
     assert kinds["apair"] >= 1
     assert kinds["ahash"] == kinds["dhash"] > 500
+
+
+# --------------------------------------------------------------------
+# MMR diversity re-ranking (operators/mmr.py, round 12) — the
+# retrieval-diversification step between ANN candidates and
+# consumption. LANDING ROUTE: rides q24's r14 re-gate (q24 owns the
+# vector-similarity surface; r12-gated, due r14) as kind='mmr' rows:
+# the full greedy selection trace (q_id, n_id, mmr_rank, cos_sim,
+# mmr_score) under the FULL value hash — 6-dp-rounded sims before
+# every comparison, HALF_UP in both engines, n_id tiebreaks.
+
+_MMR_K, _MMR_POOL, _MMR_LAM = 5, 15, 0.7
+
+
+def _mmr_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import _SQL_DOT
+
+    def cos(a, b):
+        return (f"round({_SQL_DOT.format(a=a, b=b)} / nullif("
+                f"sqrt({_SQL_DOT.format(a=a, b=a)}) * "
+                f"sqrt({_SQL_DOT.format(a=b, b=b)}), 0.0), 6)")
+
+    # exact decimal blend (see operators/mmr.py docstring: the
+    # rounded-double form hit the shortest-repr tie trap at sf0.01)
+    lam = f"CAST({_MMR_LAM:.3f} AS DECIMAL(4,3))"
+    one_m = f"CAST({1 - _MMR_LAM:.3f} AS DECIMAL(4,3))"
+    head = f"""
+    WITH c AS (
+        SELECT vec_id AS n_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS n_vec
+        FROM embeddings
+    ), q AS (
+        SELECT n_id AS q_id, n_vec AS q_vec FROM c WHERE n_id < 10
+    ), cand AS (
+        SELECT q_id, n_id, cos_sim FROM (
+            SELECT q_id, n_id, {cos('q_vec', 'n_vec')} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY {cos('q_vec', 'n_vec')} DESC,
+                                n_id ASC) AS rnk
+            FROM c CROSS JOIN q WHERE q_id <> n_id
+        ) WHERE rnk <= {_MMR_POOL}
+    ), ps AS (
+        SELECT x.q_id, x.n_id AS a_id, y.n_id AS b_id,
+               {cos('xa.n_vec', 'yb.n_vec')} AS pair_sim
+        FROM cand x JOIN cand y
+          ON x.q_id = y.q_id AND x.n_id <> y.n_id
+        JOIN c xa ON xa.n_id = x.n_id
+        JOIN c yb ON yb.n_id = y.n_id
+    ), s1 AS (
+        SELECT q_id, n_id, cos_sim,
+               {lam} * CAST(cos_sim AS DECIMAL(18,6)) AS mmr_dec,
+               CAST(1 AS INTEGER) AS mmr_rank
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY {lam} * CAST(cos_sim AS DECIMAL(18,6)) DESC,
+                     n_id ASC) = 1
+    )"""
+    parts = [head]
+    for r in range(2, _MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT q_id, n_id FROM s{i}" for i in range(1, r))
+        parts.append(f"""
+    , sel{r} AS ({prev_sel})
+    , sc{r} AS (
+        SELECT cd.q_id, cd.n_id, cd.cos_sim,
+               {lam} * CAST(cd.cos_sim AS DECIMAL(18,6))
+               - {one_m} * CAST(coalesce((
+                   SELECT max(ps.pair_sim) FROM ps
+                   JOIN sel{r} s ON s.q_id = ps.q_id
+                                AND s.n_id = ps.b_id
+                   WHERE ps.q_id = cd.q_id AND ps.a_id = cd.n_id
+               ), 0.0) AS DECIMAL(18,6)) AS mmr_dec
+        FROM cand cd
+        ANTI JOIN sel{r} s2 ON s2.q_id = cd.q_id
+                           AND s2.n_id = cd.n_id
+    ), s{r} AS (
+        SELECT q_id, n_id, cos_sim, mmr_dec,
+               CAST({r} AS INTEGER) AS mmr_rank
+        FROM sc{r}
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY mmr_dec DESC, n_id ASC) = 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT 'mmr' AS kind, q_id, n_id, mmr_rank, cos_sim, "
+        f"CAST(mmr_dec AS DOUBLE) AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1))
+    return "".join(parts) + "\n    " + union
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_mmr_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.mmr import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM, dim=64,
+    ).select(
+        F.lit("mmr").alias("kind"),
+        "q_id", "n_id", "mmr_rank", "cos_sim", "mmr_score",
+    )
+    _compare(out, _mmr_oracle(), sf_dir)
