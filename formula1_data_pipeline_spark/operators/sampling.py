@@ -604,3 +604,41 @@ def priority_sample(df, weight: Column, k: int,
         .withColumn("ht_weight", F.greatest(F.col("w"), F.col("tau")))
         .select(*df.columns, "w", "prio_rank", "tau", "ht_weight")
     )
+
+
+def dedup_weighted_sample(docs, k: int, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_distance: int = 3,
+                          salt: str = "priosample-v1"):
+    """Duplication-neutral corpus sampling: priority-sample exactly
+    ``k`` documents with weight 1 / near-dup-cluster-size, so every
+    near-duplicate CLUSTER contributes equal expected mass however
+    many copies of it the raw crawl holds — the sampling-time
+    counterpart of dedup-then-sample (which destroys provenance) and
+    the standard correction when audits/evals must run on the RAW
+    corpus. Composes two gated operators verbatim:
+    ``cluster.neardup_clusters`` (SimHash + pigeonhole CC — supplies
+    cluster_size) and ``priority_sample`` (exact-size, no-RNG,
+    Horvitz-Thompson ht_weight, so subset-sum estimates over the
+    sample remain unbiased UNDER the dedup weighting — e.g.
+    "distinct-content tokens per source" straight from the sample).
+
+    Weight is ONE IEEE division of identically-constructed operands
+    (1.0 / int-cast-to-double), correctly rounded in both engines —
+    the priority_sample determinism contract holds end to end.
+
+    Output: (doc_id, cluster_id, cluster_size, w, prio_rank, tau,
+    ht_weight). LANDING ROUTE: rides q37's r14 re-gate (q37 owns the
+    near-dup-cluster surface) as kind='dedup_sample' rows; draft in
+    tests/test_r15_gate_drafts.py."""
+    from formula1_data_pipeline_spark.operators.cluster import (
+        neardup_clusters,
+    )
+
+    cl = neardup_clusters(docs, text_col=text_col, id_col=id_col,
+                          max_distance=max_distance)
+    return priority_sample(
+        cl.select(id_col, "cluster_id", "cluster_size"),
+        F.lit(1.0) / F.col("cluster_size").cast("double"),
+        k, id_col=id_col, salt=salt,
+    )

@@ -374,3 +374,78 @@ def test_draft_ivf_stream_kind(spark, sf_dir, tmp_path):
         k=5, n_probe=4,
     ).select(F.lit("ivf_stream").alias("kind"), "*")
     _compare(out, _ivf_stream_oracle(), sf_dir)
+
+
+# --------------------------------------------------------------------
+# Dedup-weighted sampling (sampling.py::dedup_weighted_sample, round
+# 12) — priority sampling at weight 1/near-dup-cluster-size, so every
+# cluster contributes equal expected mass however duplicated the raw
+# crawl is. LANDING ROUTE: rides q37's r14 re-gate (q37 owns the
+# near-dup-cluster surface; in the r12 window, due r14) as
+# kind='dedup_sample' rows under the full value hash — both composed
+# operators (CC clustering, priority race) are already individually
+# gated, and the oracle composes their exact CTE texts.
+
+_DWS_K = 100
+
+
+def _dws_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_datapipe import (
+        _SQL_CC_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SQL_CC_CTES},
+    sizes AS (
+        SELECT comp AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY comp
+    ), dwb AS (
+        SELECT cc.id AS doc_id, s.cluster_id, s.cluster_size,
+               1.0 / CAST(s.cluster_size AS DOUBLE) AS w
+        FROM cc JOIN sizes s ON s.cluster_id = cc.comp
+    ), dwracers AS (
+        SELECT doc_id, cluster_id, cluster_size, w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || 'priosample-v1'), 1, 15)) AS BIGINT) + 1
+                   AS u
+        FROM dwb WHERE w IS NOT NULL AND w > 0
+    ), dwranked AS (
+        SELECT doc_id, cluster_id, cluster_size, w, u,
+               row_number() OVER (
+                   ORDER BY CAST(u AS DOUBLE) / w ASC, doc_id ASC
+               ) AS prio_rank
+        FROM dwracers
+    ), dwtau AS (
+        SELECT COALESCE(max(w * 1152921504606846976.0
+                            / CAST(u AS DOUBLE)), 0.0) AS tau
+        FROM dwranked WHERE prio_rank = {_DWS_K + 1}
+    )
+    SELECT 'dedup_sample' AS kind, r.doc_id, r.cluster_id,
+           r.cluster_size, r.w,
+           CAST(r.prio_rank AS INTEGER) AS prio_rank, t.tau,
+           greatest(r.w, t.tau) AS ht_weight
+    FROM dwranked r, dwtau t
+    WHERE r.prio_rank <= {_DWS_K}
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_dedup_weighted_sample_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.sampling import (
+        dedup_weighted_sample,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = dedup_weighted_sample(docs, _DWS_K).select(
+        F.lit("dedup_sample").alias("kind"),
+        "doc_id", "cluster_id", "cluster_size",
+        "w", "prio_rank", "tau", "ht_weight",
+    )
+    _compare(out, _dws_oracle(), sf_dir)
+    # duplication-neutrality sanity: a multi-doc cluster's members
+    # carry proportionally smaller weight
+    rows = out.collect()
+    assert len(rows) == _DWS_K
+    assert all(r["w"] == 1.0 / r["cluster_size"] for r in rows)
