@@ -421,3 +421,34 @@ def test_pending_late_recovery_restores_crashed_diff(spark, tmp_path,
                    for r in T.read_table(spark, t).collect())
     assert again == got
     assert not os.path.exists(R._pending_late_path(t))
+
+
+def test_threaded_concurrent_compactions_never_double_count(
+        spark, docs, tmp_path):
+    """Two REAL threads race agg_mart_compact on the same mart: the
+    lease serializes them (one folds, the other no-ops or runs after
+    release) — under every interleaving the summed stats must equal
+    the one-shot groupBy. Complements the deterministic lease tests
+    with an actual race."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    d = str(tmp_path / "mart")
+    for b in range(4):
+        agg_mart_append(
+            spark, docs.filter(F.col("doc_id") % 4 == b), d,
+            ["source"], "n_chars", f"batch-{b}",
+        )
+    baseline = sorted(
+        tuple(r) for r in agg_mart_stats(spark, d, ["source"]).collect()
+    )
+    for _ in range(2):  # two race rounds
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(agg_mart_compact, spark, d)
+                    for _ in range(2)]
+            for f in futs:
+                f.result()
+        got = sorted(
+            tuple(r)
+            for r in agg_mart_stats(spark, d, ["source"]).collect()
+        )
+        assert got == baseline
