@@ -511,6 +511,10 @@ def _pending_late_path(table: str) -> str:
 
 def _write_pending_late(table: str, superseded_version: int,
                         known_attempts: list[str]) -> None:
+    """Local-FS primitive (write + atomic rename), like the
+    compaction lease: the object-store seam (sources/stores.py)
+    replaces both with conditional puts. Only ever written/cleared
+    under the compaction lease, so there is exactly one writer."""
     import json
     import os
 
