@@ -813,3 +813,82 @@ def seen_index_neardup_dropped(
         jaccard_verified(attached, threshold=threshold)
         .select(F.col("b_id").alias("id")).distinct()
     )
+
+
+def fuzzy_contamination(docs: DataFrame, bench: DataFrame,
+                        threshold: float = 0.5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_text_col: str = "text",
+                        bench_id_col: str = "bench_id",
+                        n_hashes: int = N_HASHES,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """FUZZY benchmark decontamination — the third tier of the
+    contamination surface (exact shingle membership and the Bloom
+    prefilter catch verbatim inclusion; this catches light rewrites:
+    an eval question paraphrased, re-tokenized, or padded into a
+    training document, the Llama-style near-match decontamination).
+
+    Mechanism: cross-corpus MinHash-LSH. Corpus and benchmark sides
+    both get the repo's integer minhash signatures + 62-bit Horner
+    band keys (``_sig_agg``/``minhash_bands`` — the q21-gated family,
+    bit-identical in SQL); candidates are (doc, bench) rows sharing
+    >= 1 band, generated by a BROADCAST join of the benchmark's band
+    table (benchmark-sized, tiny by the q66 contract — the corpus
+    side never shuffles); candidates verify by exact token-set
+    jaccard (``jaccard_verified`` — one array_intersect per pair).
+
+    Output: one row per DOCUMENT (left join — clean docs included):
+    ``doc_id, n_fuzzy_matches, max_fuzzy_jaccard,
+    fuzzy_contaminated``. Jaccard is an exact integer ratio, so the
+    whole frame value-hash-gates.
+
+    Scale shape: corpus-side cost is one signature aggregate + a
+    band explode (n_bands rows/doc) probed against a broadcast —
+    no corpus shuffle; verify touches candidates only. LANDING
+    ROUTE: rides q66's r13 re-gate (contamination surface;
+    r11-gated, due r13) as kind='fuzzy' rows; draft in
+    tests/test_r15_gate_drafts.py."""
+    dsig = _sig_agg(docs, text_col, id_col, n_hashes).select(
+        "id",
+        minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
+    )
+    d_banded = dsig.select("id", F.explode("bands").alias("band"))
+    bsig = _sig_agg(bench, bench_text_col, bench_id_col,
+                    n_hashes).select(
+        F.col("id").alias("b_id"),
+        minhash_bands(F.col("sig"), n_hashes, band_size).alias("bands"),
+    )
+    b_banded = bsig.select("b_id", F.explode("bands").alias("band"))
+    cand = (
+        d_banded.join(F.broadcast(b_banded), "band")
+        .select(F.col("id").alias("a_id"), F.col("b_id"))
+        .distinct()
+    )
+    dtoks = hashed_token_sets_df(docs, text_col, id_col)
+    btoks = hashed_token_sets_df(bench, bench_text_col, bench_id_col)
+    attached = (
+        cand.join(dtoks.select(F.col("id").alias("a_id"),
+                               F.col("toks").alias("a_toks")),
+                  "a_id")
+        .join(F.broadcast(
+            btoks.select(F.col("id").alias("b_id"),
+                         F.col("toks").alias("b_toks"))), "b_id")
+    )
+    matches = jaccard_verified(attached, threshold)
+    per_doc = matches.groupBy(F.col("a_id").alias("_did")).agg(
+        F.count_distinct("b_id").alias("n_fuzzy_matches"),
+        F.max("jaccard").alias("max_fuzzy_jaccard"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, F.col("doc_id") == F.col("_did"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fuzzy_matches", F.lit(0)).cast("long")
+            .alias("n_fuzzy_matches"),
+            F.col("max_fuzzy_jaccard"),
+            (F.coalesce("n_fuzzy_matches", F.lit(0)) > 0)
+            .alias("fuzzy_contaminated"),
+        )
+    )

