@@ -155,19 +155,42 @@ def phash_groups(media: DataFrame, kind: str = "ahash",
 def phash_neardup_pairs(media: DataFrame, kind: str = "ahash",
                         max_distance: int = 3,
                         id_col: str = "media_id",
-                        payload_col: str = "payload") -> DataFrame:
+                        payload_col: str = "payload",
+                        n_slices: int = 4,
+                        bits_per_slice: int = 15) -> DataFrame:
     """Near-duplicate IMAGE pairs within hamming distance
     [1, max_distance] of each other's perceptual hash — the
     multimodal twin of ``dedup.simhash_neardup_pairs``, sharing its
-    pigeonhole blocking verbatim (60 bits = 4 x 15-bit slices; a
-    pair within distance d < 4 shares >= one slice, candidates join
-    on (slice idx, slice value), exact bit_count(xor) verification
-    on candidates only — never all-pairs)."""
+    pigeonhole blocking verbatim (default 60 bits = 4 x 15-bit
+    slices; a pair within distance d < n_slices shares >= one slice,
+    candidates join on (slice idx, slice value), exact
+    bit_count(xor) verification on candidates only — never
+    all-pairs).
+
+    Pigeonhole completeness REQUIRES n_slices > max_distance (the
+    simhash_neardup_pairs guard, enforced here too — a first draft
+    called the pair stage directly and silently under-reported at
+    distance 8 with 4 slices). For larger distances pick a slicing
+    that still divides the 60 bits evenly (e.g. 10 x 6): more slices
+    = completeness at higher distance, at the price of coarser slice
+    keys (more candidates per bucket) — the standard hamming-join
+    trade."""
     from formula1_data_pipeline_spark.operators.dedup import (
         simhash_group_pairs,
     )
 
+    if n_slices <= max_distance:
+        raise ValueError(
+            "need n_slices > max_distance for pigeonhole "
+            f"completeness: {n_slices} slices, distance "
+            f"{max_distance}")
+    if n_slices * bits_per_slice != GRID_ROWS * GRID_COLS:
+        raise ValueError(
+            f"slicing {n_slices} x {bits_per_slice} does not cover "
+            f"the {GRID_ROWS * GRID_COLS}-bit hash exactly")
     return simhash_group_pairs(
         phash_groups(media, kind, id_col, payload_col),
         max_distance=max_distance,
+        n_slices=n_slices,
+        bits_per_slice=bits_per_slice,
     )

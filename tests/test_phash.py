@@ -79,8 +79,9 @@ def test_near_identical_images_pair_up(spark):
     tweaked[0] ^= 0xFF  # perturb one sampled corner pixel
     noise = hashlib.sha256(b"other").digest() * 5
     media = _media(spark, [(1, base), (2, bytes(tweaked)), (3, noise)])
-    pairs = P.phash_neardup_pairs(media, "ahash",
-                                  max_distance=8).collect()
+    pairs = P.phash_neardup_pairs(media, "ahash", max_distance=8,
+                                  n_slices=10,
+                                  bits_per_slice=6).collect()
     ids = {(r["a_canonical_id"], r["b_canonical_id"]) for r in pairs}
     flat = {x for t in ids for x in t}
     assert flat == {1, 2}

@@ -94,7 +94,7 @@ _MEDIA_CTE = f"""
 _PAIR_SQL = f"""
     , hp AS (
         SELECT media_id,
-               {{AHASH}} AS phash
+               {{DHASH}} AS phash
         FROM mm WHERE h >= 1
     ), g AS (
         SELECT phash, min(media_id) AS cid,
@@ -115,14 +115,14 @@ _PAIR_SQL = f"""
     SELECT acid AS media_id, 'apair' AS kind,
            CAST(hamming AS BIGINT) AS i, CAST(bcid AS BIGINT) AS j,
            CAST(npd AS VARCHAR) AS val
-    FROM pr WHERE hamming BETWEEN 1 AND 8
+    FROM pr WHERE hamming BETWEEN 1 AND 3
 """
 
 
 def _q55_rider_oracle() -> str:
-    ah = P.ahash_expr("hx", "h", duck=True)
+    dh = P.dhash_expr("hx", "h", duck=True)
     return ("WITH " + _MEDIA_CTE
-            + _PAIR_SQL.replace("{AHASH}", ah)
+            + _PAIR_SQL.replace("{DHASH}", dh)
             + " UNION ALL " + _hash_leg_sql("ahash")
             + " UNION ALL " + _hash_leg_sql("dhash"))
 
@@ -138,7 +138,11 @@ def _q55_rider_spark(spark, sf_dir):
             F.lit(-1).cast("long").alias("j"),
             F.col("phash").cast("string").alias("val"),
         ))
-    pairs = P.phash_neardup_pairs(media, "ahash", max_distance=8) \
+    # dhash pairs at distance 3: the one-pixel augmentation moves at
+    # most two gradient bits, and distance 3 is pigeonhole-complete
+    # with the default 4 x 15 slicing (an earlier ahash-at-8 draft
+    # needed an incomplete slicing — caught by the new guard)
+    pairs = P.phash_neardup_pairs(media, "dhash", max_distance=3) \
         .select(
             F.col("a_canonical_id").alias("media_id"),
             F.lit("apair").alias("kind"),
