@@ -923,63 +923,44 @@ from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-12 diff, BEHAVIOR/physical-path changes only. All r11
-    # entries were driver-gated green in r11 (CORRECTNESS_r11:
-    # 50/50), so the list reset to the round-12 diff. Budget math:
-    # the 50 r10-gated queries are due in r12 and exactly fill the
-    # 50-row window; every r12 rider below targets an r10-gated
-    # query, so no entry burns an extra slot.
+    # round-13 diff, BEHAVIOR/physical-path changes only. All r12
+    # entries were driver-gated green in r12 (CORRECTNESS_r12:
+    # 49/50; the one red row, q24, was a canonicalizer schema defect
+    # fixed below, values parity-proven at both SFs), so the list
+    # reset to the round-13 diff. Budget math: the 50 r11-gated
+    # queries are due in r13 and exactly fill the 50-row window;
+    # the five r13 riders below target r11-gated queries (no extra
+    # slot), and the two r14-tier landings (q24/q37, r12-gated) ride
+    # the carve-out: they stay fresh this round (gated newest) and
+    # get changed-priority in r14 once CORRECTNESS_r13 lands.
     #
-    # q39: incremental BM25 index (operators/retrieval.py::
-    #      bm25_index_*) as a third kind ('bm25_idx') whose rows must
-    #      equal the live-scan bm25 kind's
-    "q39_tfidf_top_terms",
-    # q98: unigram-LM Viterbi tokenizer + tokenizer-eval scorecard
-    #      (operators/unigram.py) as kind='unigram'/'eval' rows
-    "q98_bpe_tokenize",
-    # q82: z-order interleaved layout (operators/zorder.py) as a
-    #      z-layout leg with both-column pruning assertions
-    "q82_stats_pruned_read",
-    # q78: mergeable quantile histogram (quality.py::
-    #      quantile_histogram) as p*_approx columns beside exact picks
-    "q78_stat_moments",
-    # q75: targeted delete (txn.py::txn_delete_keys) before/after
-    #      legs + dataset version diff (operators/diff.py) kind rows
-    "q75_time_travel",
-    # q85: temporal split + embargo leakage report
-    #      (sampling.py::temporal_split) as kind='temporal' rows —
-    #      the rider that moved out of r11's window
-    "q85_leakage_safe_split",
-    # q80: priority sampling (sampling.py::priority_sample) as
-    #      kind='priority' beside the stratified top-n rows
-    "q80_stratified_topn",
-    # q25: lexical-diversity columns (text.py::lexical_diversity_df)
-    #      beside n_tokens/n_unique/lang_pred/quality
-    "q25_text_stats",
-    # q79: incremental aggregate mart (operators/aggmart.py) as
-    #      kind='aggmart' rows beside the profiling surface
-    "q79_table_profile",
-    # q24: random projection + PCA + rp_topk tier
-    #      (operators/dimred.py) as kind='rp'/'pca'/'rp_topk' legs
+    # q55: perceptual image hashing (operators/phash.py) as
+    #      kind='ahash'/'dhash' fingerprint rows + kind='apair'
+    #      hamming near-dup pairs over the re-encode augmentation
+    "q55_multimodal_transform",
+    # q53: persisted mergeable HLL sketch table (operators/hll.py)
+    #      as kind='hll_idx' rows — exact counts + accuracy booleans
+    "q53_approx_sketches",
+    # q92: int8 scalar quantization (operators/quantize.py) as
+    #      kind='sq8' rows — serialized codes under the full value
+    #      hash + reconstruction-bound boolean
+    "q92_ann_recall_clustered",
+    # q88: streaming IVF-index maintenance (streaming/ivf.py) as
+    #      kind='ivf_stream' rows replaying the q34 live-IVF oracle
+    "q88_stream_neardup_dedup",
+    # q66: fuzzy benchmark decontamination (dedup.py::
+    #      fuzzy_contamination) as kind='fuzzy' rows — cross-corpus
+    #      MinHash-LSH catching light rewrites the exact tier misses
+    "q66_contamination_check",
+    # q24: canonicalizer-safe schema (the r12 red row: proj
+    #      array<double> exploded to scalar component rows) + MMR
+    #      re-rank rider (operators/mmr.py) as kind='mmr' rows —
+    #      r12-gated, due r14; prioritized there via the carve-out
     "q24_cosine_topk",
-    # q31: streaming histogram state (streaming/histogram.py) as a
-    #      kind-discriminated extension of the windowed-agg stream
-    "q31_stream_windowed_agg",
-    # q54: streaming aggregate mart (streaming/aggmart.py) as a
-    #      kind-discriminated extension of the static-join stream
-    "q54_stream_static_join",
-    # q34: ivf_index_append's landed-id skip gained the Bloom
-    #      sidecar prefilter (operators/vecindex.py — the
-    #      unconditional append-cost bound under random ids); q34
-    #      executes build+append+query of the persisted index
-    "q34_ivf_flat_topk",
-    # NOTE: q92 also executes the changed vecindex path but is
-    # r11-gated — listing it would evict one due r10-gated query
-    # from the 50-row window and leave it 2 rounds stale (the
-    # tripwire). Triage: the changed code is verified this round by
-    # the builder's full-catalog sf0.01 AND sf0.1 parity sweeps
-    # (both include q92), and q92's r13 re-gate (the planned sq8
-    # rider host) driver-gates it next round.
+    # q37: dedup-weighted sampling (sampling.py::
+    #      dedup_weighted_sample) as kind='dedup_sample' rows —
+    #      r12-gated, due r14; prioritized there via the carve-out
+    "q37_neardup_clusters",
 ]
 
 
