@@ -108,8 +108,15 @@ def random_project(
     scale = 1.0 / math.sqrt(k)
     raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # loud shape guard (round-12 ADVICE, the _gram_cells twin): a
-    # short or NULL-element vector would poison the folds silently
+    # short or NULL-element vector would poison the folds silently.
+    # A NULL VECTOR passes through as NULL components (round-12
+    # ADVICE follow-up: size(NULL) is NULL, so without the explicit
+    # branch the WHEN fell to the error arm with a NULL-propagated,
+    # uninformative message); the size term in the message is
+    # coalesced so the raise stays informative for every shape.
     vec = F.when(
+        F.col(vec_col).isNull(), F.lit(None).cast("array<double>")
+    ).when(
         (F.size(raw) == d)
         & (F.size(F.filter(raw, lambda x: x.isNull())) == 0),
         raw,
@@ -117,7 +124,7 @@ def random_project(
         F.raise_error(F.concat(
             F.lit(f"random_project: vector is not a NULL-free "
                   f"length-{d} array; size="),
-            F.size(raw).cast("string"),
+            F.coalesce(F.size(raw).cast("string"), F.lit("NULL")),
         ))
     )
     comps = [(_fold_dot(vec, row) * F.lit(scale)).alias(f"_c{j}")

@@ -106,6 +106,31 @@ def _id_hash(col):
                    16, 10).cast("long"))
 
 
+_INTEGRAL_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def _require_integral_id(df: DataFrame, id_col: str,
+                         where: str) -> None:
+    """Loud id-type contract (round-12 ADVICE): the landed-id skip
+    and manifest range pruning compare ids AS BIGINT — a genuinely
+    non-numeric string id would cast to NULL, the anti-join would
+    silently match nothing, and a re-delivered batch would
+    DOUBLE-INSERT (the skip degrading to wrong rather than slow).
+    "Random/UUID-style id support" means random VALUES in an integral
+    column (the probe's md5-scrambled longs); map string/UUID ids to
+    a stable 63-bit integer first, e.g.
+    ``conv(substr(md5(id), 1, 15), 16, 10)::bigint``."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"{where}: id column {id_col!r} has type {dtype!r}, but "
+            "the index's landed-id skip requires an integral id "
+            "(tinyint/smallint/int/bigint) — a non-castable id would "
+            "silently disable re-delivery skipping and double-insert. "
+            "Hash string/UUID ids to bigint first "
+            "(conv(substr(md5(id),1,15),16,10))")
+
+
 def _bloom_words(ids: DataFrame, n_bits: int,
                  attempt: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.bloom import bloom_build
@@ -193,7 +218,27 @@ def _maybe_fold_id_bloom(spark, index_dir: str, table: str,
 
 def _landed_id_bloom(spark, table: str):
     """(merged word frame, n_bits) from the landed sidecar, or
-    (None, None) for a legacy index built before the sidecar."""
+    (None, None) for a legacy index built before the sidecar.
+
+    Heals a crashed fold FIRST (round-12 ADVICE, the medium item): if
+    a prior ``_maybe_fold_id_bloom`` crashed between its overwrite's
+    publish and its late-preservation append, a concurrent append's
+    words exist only in the superseded version while its list rows
+    are landed — reading the sidecar as-is would produce a false
+    NEGATIVE (a landed id missing from the bloom), and the append
+    contract ("a miss is definitely new") would double-insert on
+    re-delivery. The pending-late marker is a cheap file-existence
+    test; recovery outside the compaction lease is safe for THIS
+    table specifically because bloom words merge by bit_or
+    (idempotent — a racing recovery merely re-appends identical
+    words), unlike the sum-merged bm25/aggmart deltas whose recovery
+    stays lease-serialized."""
+    import os
+
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        _pending_late_path,
+        recover_pending_late,
+    )
     from formula1_data_pipeline_spark.sources.txn import (
         is_txn_table,
         read_table,
@@ -201,6 +246,8 @@ def _landed_id_bloom(spark, table: str):
 
     if not is_txn_table(spark, table):
         return None, None
+    if os.path.exists(_pending_late_path(table)):
+        recover_pending_late(spark, table)
     words = read_table(spark, table)
     first = words.select("n_bits").first()
     if first is None:
@@ -286,6 +333,7 @@ def ivf_index_build(
     everything (auto_vacuum reclaims the old generation)."""
     from formula1_data_pipeline_spark.sources.txn import txn_overwrite
 
+    _require_integral_id(emb, id_col, "ivf_index_build")
     t = _tables(index_dir)
     coefs = (
         centroid_coefs if centroid_coefs is not None
@@ -386,6 +434,7 @@ def ivf_index_append(
         txn_append,
     )
 
+    _require_integral_id(emb, id_col, "ivf_index_append")
     t = _tables(index_dir)
     _check_consistent(spark, index_dir)
     new = emb.filter(F.col(id_col).isNotNull())

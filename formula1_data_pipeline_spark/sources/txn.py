@@ -574,8 +574,20 @@ def _commit(spark: SparkSession, table: str, key: str | None,
     -> list[dict]``. ``stats_cols`` None inherits the table's recorded
     stats columns — resolved from the manifest this loop reads anyway,
     so the common stats-less append pays no extra metadata round-trip.
-    ``pre_publish_hook`` is a test seam to deterministically interleave
-    a competing commit between read and publish."""
+    ``pre_publish_hook`` runs between staging and each publish
+    attempt — a test seam to deterministically interleave a competing
+    commit, and the crash-recovery seam for compaction's pending-late
+    marker (operators/retrieval.py). A hook taking one parameter
+    receives the version this attempt would supersede (``None`` on
+    bootstrap); re-invoked per optimistic retry with the re-based
+    version, so the value the hook last saw always matches the
+    publish that finally lands."""
+    import inspect
+
+    hook_takes_version = (
+        pre_publish_hook is not None
+        and len(inspect.signature(pre_publish_hook).parameters) >= 1
+    )
     for _ in range(_MAX_RETRIES):
         v = current_version(spark, table)
         if v is None:
@@ -601,7 +613,10 @@ def _commit(spark: SparkSession, table: str, key: str | None,
             # table that doesn't exist is a no-op: no version created.
             return 0
         if pre_publish_hook is not None:
-            pre_publish_hook()
+            if hook_takes_version:
+                pre_publish_hook(v)
+            else:
+                pre_publish_hook()
         if _publish(spark, table, next_v, segments, key, effective):
             return next_v
     raise RuntimeError(

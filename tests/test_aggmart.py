@@ -355,18 +355,82 @@ def test_concurrent_compaction_serialized_by_lease(spark, docs,
     )
     assert after == baseline
 
-    # stale lease (crashed holder): stolen, compact proceeds
+    # stale lease (crashed holder): stolen, compact proceeds. The
+    # token is "lockpath\nnonce" (round 13); staleness is the lock
+    # dir's mtime, which the holder's heartbeat (interval lease_sec/6
+    # = 600 s) cannot refresh within this test.
     import os
     import time
 
     stale = acquire_compaction_lease(d)
     assert stale is not None
-    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    lock = stale.partition("\n")[0]
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
     agg_mart_compact(spark, d)
     assert current_version(spark, partials_tbl) > v1
     assert sorted(
         tuple(r) for r in agg_mart_stats(spark, d, ["source"]).collect()
     ) == baseline
+
+
+def test_release_after_steal_does_not_free_thief(tmp_path):
+    """Round-12 verdict item #2: an anonymous rmdir lock let a
+    slow-but-alive holder — whose lease aged past lease_sec and was
+    stolen — free the STEALER's lock on release, re-admitting the
+    double-fold race for a third compactor. The per-holder nonce
+    closes it: the evicted holder's release is a no-op and the
+    thief's lease stays held."""
+    import os
+    import time
+
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
+
+    d = str(tmp_path / "mart")
+    slow = acquire_compaction_lease(d)
+    assert slow is not None
+    lock = slow.partition("\n")[0]
+    # age the lease past staleness while the holder stays ALIVE
+    os.utime(lock, (time.time() - 7200, time.time() - 7200))
+    thief = acquire_compaction_lease(d)
+    assert thief is not None and thief != slow
+
+    # the evicted-but-alive holder finishes its fold and releases:
+    # the thief's lease must survive
+    release_compaction_lease(slow)
+    assert os.path.isdir(lock)
+    assert acquire_compaction_lease(d) is None  # thief still holds
+
+    release_compaction_lease(thief)
+    assert not os.path.exists(lock)
+    again = acquire_compaction_lease(d)  # and the lock works again
+    assert again is not None
+    release_compaction_lease(again)
+
+
+def test_live_holder_heartbeat_prevents_steal(tmp_path):
+    """Round-12 verdict item #2 (second half): a LIVE holder whose
+    fold outlasts lease_sec must not be stolen — the heartbeat
+    daemon refreshes the lock's mtime, so staleness means only a
+    crashed (heartbeat-dead) holder."""
+    import time
+
+    from formula1_data_pipeline_spark.operators.retrieval import (
+        acquire_compaction_lease,
+        release_compaction_lease,
+    )
+
+    d = str(tmp_path / "mart")
+    slow = acquire_compaction_lease(d, lease_sec=2)
+    assert slow is not None
+    time.sleep(3.5)  # > lease_sec; heartbeat fires every ~1 s
+    assert acquire_compaction_lease(d, lease_sec=2) is None
+    release_compaction_lease(slow)
+    again = acquire_compaction_lease(d, lease_sec=2)
+    assert again is not None
+    release_compaction_lease(again)
 
 def test_pending_late_recovery_restores_crashed_diff(spark, tmp_path,
                                                      monkeypatch):
@@ -420,6 +484,45 @@ def test_pending_late_recovery_restores_crashed_diff(spark, tmp_path,
     again = sorted((r["k"], r["v"], r["attempt"])
                    for r in T.read_table(spark, t).collect())
     assert again == got
+    assert not os.path.exists(R._pending_late_path(t))
+
+
+def test_pending_late_marker_written_before_publish(spark, tmp_path,
+                                                    monkeypatch):
+    """Round-12 ADVICE (retrieval.py:494): the marker now lands
+    BEFORE each publish attempt (via the commit loop's pre-publish
+    hook), so even a crash AT the publish itself leaves a marker —
+    there is no publish->marker loss window. A pre-publish crash's
+    marker names a still-live version, so recovery against it is a
+    no-op (idempotence makes early-marking free)."""
+    import os
+
+    import formula1_data_pipeline_spark.sources.txn as T
+    from formula1_data_pipeline_spark.operators import retrieval as R
+
+    t = str(tmp_path / "t")
+    T.txn_append(spark, spark.createDataFrame(
+        [(1, "a")], "k int, attempt string"), t)
+    fold = spark.createDataFrame([(1, "c")], "k int, attempt string")
+
+    orig = T._publish
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash at publish")
+
+    monkeypatch.setattr(T, "_publish", crash)
+    with pytest.raises(RuntimeError):
+        R._overwrite_preserving_late(spark, fold, t, ["a", "c"])
+    monkeypatch.setattr(T, "_publish", orig)
+
+    # the marker exists despite the publish never landing...
+    assert os.path.exists(R._pending_late_path(t))
+    before = sorted((r["k"], r["attempt"])
+                    for r in T.read_table(spark, t).collect())
+    # ...and recovery against the still-live version is a no-op
+    R.recover_pending_late(spark, t)
+    assert sorted((r["k"], r["attempt"])
+                  for r in T.read_table(spark, t).collect()) == before
     assert not os.path.exists(R._pending_late_path(t))
 
 

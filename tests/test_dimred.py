@@ -285,3 +285,22 @@ def test_short_or_null_vectors_raise_loudly(spark):
         with pytest.raises((SparkRuntimeException, Py4JJavaError),
                            match="NULL-free length-3"):
             DR.random_project(bad, "embedding", d=3, k=4).collect()
+
+
+def test_null_vector_passes_through_as_null_components(spark):
+    """Round-12 ADVICE follow-up: size(NULL) is NULL, so the shape
+    guard's WHEN fell to the error arm for a NULL VECTOR — raising
+    with a NULL-propagated, empty message. A NULL vector now passes
+    through (NULL components, the pre-guard behavior _gram_cells'
+    isNotNull filter mirrors); only genuinely malformed vectors
+    raise, and with an informative size in the message."""
+    from formula1_data_pipeline_spark.operators import dimred as DR
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)],
+        "vec_id int, embedding array<double>")
+    rows = {r["vec_id"]: r["proj"]
+            for r in DR.random_project(mixed, "embedding",
+                                       d=3, k=4).collect()}
+    assert all(v is not None for v in rows[1])
+    assert all(v is None for v in rows[2])

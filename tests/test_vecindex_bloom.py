@@ -110,3 +110,87 @@ def test_legacy_index_without_sidecar_falls_back(spark, tmp_path):
                             id_col="vec_id", vec_col="embedding") == 30
     assert ivf_index_append(spark, batch, d,
                             id_col="vec_id", vec_col="embedding") == 0
+
+
+def test_crashed_sidecar_fold_healed_before_append(spark, tmp_path,
+                                                   monkeypatch):
+    """Round-12 ADVICE (medium, vecindex.py:170): a sidecar fold that
+    crashed between its overwrite's publish and its late-preservation
+    append leaves a landed batch's bloom words only in the superseded
+    version — reading the sidecar as-is would produce a FALSE
+    NEGATIVE ("definitely new") and a re-delivered batch would
+    double-insert into the lists. `_landed_id_bloom` now heals from
+    the pending-late marker before any read, so the re-delivery is
+    skipped in full."""
+    import formula1_data_pipeline_spark.operators.vecindex as V
+    import formula1_data_pipeline_spark.sources.txn as T
+    from formula1_data_pipeline_spark.operators import retrieval as R
+
+    d = str(tmp_path / "idx")
+    ivf_index_build(spark, _scrambled(spark, 200), d,
+                    n_centroids=4, n_iter=2, id_col="vec_id",
+                    vec_col="embedding")
+    batch = _scrambled(spark, 40, offset=10_000)
+    assert ivf_index_append(spark, batch, d, id_col="vec_id",
+                            vec_col="embedding") == 40
+
+    sidecar = V._tables(d)[V._IDBLOOM]
+    attempts = {r["attempt"] for r in
+                T.read_table(spark, sidecar)
+                .select("attempt").distinct().collect()}
+    batch_attempt = next(a for a in attempts
+                         if not a.startswith("build-"))
+    known = sorted(attempts - {batch_attempt})
+
+    # simulate the crashed fold: publish a fold of only the KNOWN
+    # attempts, crash before the late-preservation append — the
+    # batch's words survive only in the superseded version
+    snap = (T.read_table(spark, sidecar)
+            .filter(F.col("attempt").isin(known)))
+    folded = (snap.groupBy("word_idx")
+              .agg(F.bit_or("bits").alias("bits"),
+                   F.first("n_bits").alias("n_bits"))
+              .select("word_idx", "bits", "n_bits",
+                      F.lit("foldcrash").alias("attempt")))
+    orig_append = T.txn_append
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before late append")
+
+    monkeypatch.setattr(T, "txn_append", crash)
+    with pytest.raises(RuntimeError):
+        R._overwrite_preserving_late(spark, folded, sidecar,
+                                     known + ["foldcrash"])
+    monkeypatch.setattr(T, "txn_append", orig_append)
+    import os
+
+    assert os.path.exists(R._pending_late_path(sidecar))
+
+    # re-delivery of the crashed-away batch: the heal must restore
+    # its bloom words, so every id is recognized as landed
+    assert ivf_index_append(spark, batch, d, id_col="vec_id",
+                            vec_col="embedding") == 0
+    assert not os.path.exists(R._pending_late_path(sidecar))
+    n_rows = (T.read_table(spark, V._tables(d)[V._LISTS])
+              .join(batch.select(F.col("vec_id").alias("id")), "id")
+              .count())
+    assert n_rows == 40  # n_assign=1 — no double-insert
+
+
+def test_non_integral_id_raises_loudly(spark, tmp_path):
+    """Round-12 ADVICE (vecindex.py:427): the landed-id skip compares
+    ids AS BIGINT — a string id would cast to NULL and silently
+    disable re-delivery skipping. Both entry points refuse
+    non-integral id columns with a mapping hint instead."""
+    d = str(tmp_path / "idx")
+    string_ids = _scrambled(spark, 10).withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    with pytest.raises(TypeError, match="integral"):
+        ivf_index_build(spark, string_ids, d, n_centroids=2,
+                        n_iter=1, id_col="vec_id",
+                        vec_col="embedding")
+    ivf_index_build(spark, _scrambled(spark, 50), d, n_centroids=2,
+                    n_iter=1, id_col="vec_id", vec_col="embedding")
+    with pytest.raises(TypeError, match="integral"):
+        ivf_index_append(spark, string_ids, d, id_col="vec_id",
+                         vec_col="embedding")
