@@ -271,6 +271,76 @@ _SQL_DOT = (
 
 _RP_K = 16  # JL target dimension for the q24 rp/rp_topk legs
 
+#: q24 MMR rider sizing (the r15 draft constants, promoted r13)
+_MMR_K, _MMR_POOL, _MMR_LAM = 5, 15, 0.7
+
+
+def _q24_mmr_ctes() -> str:
+    """MMR greedy-selection replay as appended CTEs over the q24
+    oracle's existing ``c`` (vectors) and ``ranked`` (exact cosine
+    ranks) CTEs: candidate pool = exact top-{pool}, then one CTE pair
+    per greedy round — lam * relevance - (1-lam) * max pair-sim to
+    the already-selected set, EXACT DECIMAL blend (the rounded-double
+    form hit the shortest-repr tie trap at sf0.01 — operators/mmr.py
+    docstring), n_id tiebreaks. Ends with ``mmr_all(q_id, n_id,
+    cos_sim, mmr_dec, mmr_rank)``."""
+    def cos(a: str, b: str) -> str:
+        return (f"round({_SQL_DOT.format(a=a, b=b)} / nullif("
+                f"sqrt({_SQL_DOT.format(a=a, b=a)}) * "
+                f"sqrt({_SQL_DOT.format(a=b, b=b)}), 0.0), 6)")
+
+    lam = f"CAST({_MMR_LAM:.3f} AS DECIMAL(4,3))"
+    one_m = f"CAST({1 - _MMR_LAM:.3f} AS DECIMAL(4,3))"
+    parts = [f"""cand AS (
+        SELECT q_id, n_id, cos_sim FROM ranked
+        WHERE rank <= {_MMR_POOL}
+    ), ps AS (
+        SELECT x.q_id, x.n_id AS a_id, y.n_id AS b_id,
+               {cos('xa.n_vec', 'yb.n_vec')} AS pair_sim
+        FROM cand x JOIN cand y
+          ON x.q_id = y.q_id AND x.n_id <> y.n_id
+        JOIN c xa ON xa.n_id = x.n_id
+        JOIN c yb ON yb.n_id = y.n_id
+    ), m1 AS (
+        SELECT q_id, n_id, cos_sim,
+               {lam} * CAST(cos_sim AS DECIMAL(18,6)) AS mmr_dec,
+               CAST(1 AS INTEGER) AS mmr_rank
+        FROM cand
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY {lam} * CAST(cos_sim AS DECIMAL(18,6)) DESC,
+                     n_id ASC) = 1
+    )"""]
+    for r in range(2, _MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT q_id, n_id FROM m{i}" for i in range(1, r))
+        parts.append(f"""msel{r} AS ({prev_sel}
+    ), msc{r} AS (
+        SELECT cd.q_id, cd.n_id, cd.cos_sim,
+               {lam} * CAST(cd.cos_sim AS DECIMAL(18,6))
+               - {one_m} * CAST(coalesce((
+                   SELECT max(ps.pair_sim) FROM ps
+                   JOIN msel{r} s ON s.q_id = ps.q_id
+                                 AND s.n_id = ps.b_id
+                   WHERE ps.q_id = cd.q_id AND ps.a_id = cd.n_id
+               ), 0.0) AS DECIMAL(18,6)) AS mmr_dec
+        FROM cand cd
+        ANTI JOIN msel{r} s2 ON s2.q_id = cd.q_id
+                            AND s2.n_id = cd.n_id
+    ), m{r} AS (
+        SELECT q_id, n_id, cos_sim, mmr_dec,
+               CAST({r} AS INTEGER) AS mmr_rank
+        FROM msc{r}
+        QUALIFY row_number() OVER (
+            PARTITION BY q_id
+            ORDER BY mmr_dec DESC, n_id ASC) = 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT q_id, n_id, cos_sim, mmr_dec, mmr_rank FROM m{i}"
+        for i in range(1, _MMR_K + 1))
+    parts.append(f"mmr_all AS ({union})")
+    return ", ".join(parts)
+
 
 def _q24_sql() -> str:
     from formula1_data_pipeline_spark.operators.dimred import (
@@ -321,20 +391,25 @@ def _q24_sql() -> str:
                    PARTITION BY q_id
                    ORDER BY cos_sim DESC, n_id ASC) AS rank
         FROM s2
-    )
+    ), {_q24_mmr_ctes()}
     SELECT 'exact' AS kind, q_id, n_id, cos_sim,
            CAST(rank AS INTEGER) AS rank,
-           CAST(NULL AS DOUBLE[]) AS proj,
+           CAST(NULL AS DOUBLE) AS mmr_score,
            CAST(NULL AS VARCHAR) AS note,
            CAST(NULL AS BOOLEAN) AS ok
     FROM ranked WHERE rank <= 5
     UNION ALL
-    SELECT 'rp', vec_id, NULL, NULL, NULL, {proj}, NULL, NULL
-    FROM embeddings
+    SELECT 'rp', n_id, NULL, n_proj[d + 1], CAST(d AS INTEGER),
+           NULL, NULL, NULL
+    FROM c CROSS JOIN (SELECT unnest(range(0, {_RP_K})) AS d)
     UNION ALL
     SELECT 'rp_topk', q_id, n_id, cos_sim, CAST(rank AS INTEGER),
            NULL, NULL, NULL
     FROM r2 WHERE rank <= 5
+    UNION ALL
+    SELECT 'mmr', q_id, n_id, cos_sim, CAST(mmr_rank AS INTEGER),
+           CAST(mmr_dec AS DOUBLE), NULL, NULL
+    FROM mmr_all
     UNION ALL
     SELECT 'pca', NULL, NULL, NULL, NULL, NULL, chk, TRUE
     FROM (SELECT unnest(['eig_desc_ok', 'orthonormal_ok',
@@ -362,18 +437,31 @@ def _q24_sql() -> str:
         "+ broadcast re-fetch plan A/B-measured in SCALE.md r11 "
         "(vectors never ride a pairs-sized shuffle). Deterministic "
         "end to end, so the VALUES gate, not just a recall bound. "
+        "kind='mmr' (round 13, operators/mmr.py::mmr_rerank): "
+        "maximal-marginal-relevance diversity re-rank of the exact "
+        "top-15 pool — greedy lam*relevance - (1-lam)*max-sim-to-"
+        "selected with an EXACT DECIMAL blend (6-dp-rounded sims, "
+        "n_id tiebreaks), so the full greedy trace value-hashes "
+        "cross-engine; candidate pair-sims attach vectors to the "
+        "POOL only (k*pool rows per query), never a corpus shuffle. "
         "kind='pca' (dimred.py::pca_fit_from_mart): Gram-matrix PCA "
         "fitted from the INCREMENTAL 3-batch gram-cell mart (one "
         "re-delivered batch must no-op — exactly-once under the "
         "gate); eigenvectors are trained floats, so the row pins "
         "structure booleans (descending eigenvalues, orthonormality, "
         "captured variance above the isotropic floor, mart-fold == "
-        "one-shot Gram) per the q92 rule",
+        "one-shot Gram) per the q92 rule. Round 13: the rp leg "
+        "emits one SCALAR row per projected component (rank = dim "
+        "index, cos_sim = component value) — the r12 gate's only "
+        "array<double> column broke the driver's pandas sort-based "
+        "canonicalizer (unhashable list cells), so gate outputs are "
+        "scalar-only by rule (tests/oracle_compare.py driver_canon)",
 )
 def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from formula1_data_pipeline_spark.operators import dimred as DR
+    from formula1_data_pipeline_spark.operators.mmr import mmr_rerank
     from formula1_data_pipeline_spark.operators.similarity import (
         cosine_topk,
     )
@@ -382,7 +470,6 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     nul_l = F.lit(None).cast("bigint")
     nul_d = F.lit(None).cast("double")
-    nul_p = F.lit(None).cast("array<double>")
     nul_s = F.lit(None).cast("string")
     nul_b = F.lit(None).cast("boolean")
 
@@ -395,7 +482,7 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cols.get("cos_sim", nul_d).alias("cos_sim"),
             (cols["rank"].cast("int") if "rank" in cols
              else F.lit(None).cast("int")).alias("rank"),
-            cols.get("proj", nul_p).alias("proj"),
+            cols.get("mmr_score", nul_d).alias("mmr_score"),
             nul_s.alias("note"),
             nul_b.alias("ok"),
         )
@@ -406,15 +493,23 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     id_col="vec_id", vec_col="embedding", dim=64),
         "exact",
     )
+    # one scalar row per projected component (driver-canon rule)
     rp = widen(
         DR.random_project(emb, "embedding", d=64, k=_RP_K)
-        .withColumnRenamed("vec_id", "q_id"),
+        .select(F.col("vec_id").alias("q_id"),
+                F.posexplode("proj").alias("rank", "cos_sim")),
         "rp",
     )
     rpk = widen(
         DR.rp_topk(emb, queries, d=64, k_proj=_RP_K,
                    n_candidates=30, top_k=5),
         "rp_topk",
+    )
+    mmr = widen(
+        mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL,
+                   lam=_MMR_LAM, dim=64)
+        .withColumnRenamed("mmr_rank", "rank"),
+        "mmr",
     )
 
     # incremental-Gram PCA: 3 batches + a re-delivery that must no-op
@@ -448,10 +543,10 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("pca", None, None, None, None, None, name, ok)
          for name, ok in checks],
         "kind string, q_id bigint, n_id bigint, cos_sim double, "
-        "rank int, proj array<double>, note string, ok boolean",
+        "rank int, mmr_score double, note string, ok boolean",
     )
     return (exact.unionByName(rp).unionByName(rpk)
-            .unionByName(pca))
+            .unionByName(mmr).unionByName(pca))
 
 
 _SQL_PLANE = (

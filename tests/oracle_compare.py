@@ -58,10 +58,34 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     )
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The DRIVER's canonicalization shape: a raw pandas
+    ``sort_values`` over every column, NO cell stringification —
+    which factorizes object columns and THROWS ``TypeError:
+    unhashable type`` on list/array/dict cells. Round 12's only red
+    gate row (q24) was exactly this: the values matched under
+    ``canon`` (which stringifies cells) while the driver's sort
+    errored on a top-level ``array<double>`` column. Every catalog
+    query's Spark output must survive this, so ``compare_query``
+    probes it and the whole-catalog parity test inherits the check —
+    no future rider can reintroduce a non-scalar gate column
+    silently. (Gate rule: emit arrays as exploded scalar rows or a
+    fixed-format string.)"""
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns))
+
+
 def compare_query(spark, name: str, sf_dir: str) -> dict:
     """Returns {'ok': bool, 'detail': str} for one catalog entry."""
     spec = CATALOG[name]
     sdf = spec.fn(spark, sf_dir).toPandas()
+    try:
+        driver_canon(sdf)
+    except TypeError as e:
+        return {
+            "ok": False,
+            "detail": f"driver-canon unsafe (non-scalar column): {e}",
+        }
     if spec.oracle is None:
         ok = len(sdf) >= 0  # rows-only check, mirrors the driver
         return {"ok": ok, "detail": f"rows-only: {len(sdf)} rows"}
