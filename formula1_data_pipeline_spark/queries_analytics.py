@@ -215,51 +215,120 @@ def q50_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q53_approx_sketches",
     """
-    SELECT event_type,
-           count(DISTINCT user_id) AS exact_users,
-           true AS approx_within_15pct,
-           true AS p50_within_10pct
+    SELECT 'sketch' AS kind, event_type AS grp,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS ok1, true AS ok2
     FROM events
-    GROUP BY 1
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'hll_idx', source,
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           TRUE, CAST(NULL AS BOOLEAN)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'hll_idx', '_total',
+           CAST(count(DISTINCT doc_id) AS BIGINT),
+           TRUE, CAST(NULL AS BOOLEAN)
+    FROM documents
     """,
-    doc="Approximate sketches under an accuracy gate: "
-        "approx_count_distinct (HyperLogLog++) and approx_percentile "
-        "(mergeable quantile sketch) are the 100 TB path for distinct "
-        "counts and quantiles (map-side-mergeable, no per-group sort). "
-        "Their values can't be replayed in another engine, so the gate "
-        "checks deterministic BOUNDS instead: the oracle asserts the "
-        "sketch lands within 15%/10% of the exact answer computed in "
-        "the same query — a drift in either sketch breaks the hash",
+    doc="Approximate-sketch surface, two kinds in one frame. "
+        "kind='sketch': approx_count_distinct (HyperLogLog++) and "
+        "approx_percentile (mergeable quantile sketch) are the "
+        "100 TB path for distinct counts and quantiles "
+        "(map-side-mergeable, no per-group sort). Their values can't "
+        "be replayed in another engine, so the gate checks "
+        "deterministic BOUNDS: ok1/ok2 assert the sketches land "
+        "within 15%/10% of the exact answers computed in the same "
+        "query — a drift in either sketch breaks the hash. "
+        "kind='hll_idx' (round 13, operators/hll.py): the PERSISTED "
+        "mergeable HLL sketch table — incremental distinct counting "
+        "that never rescans landed data. The gate builds the index "
+        "from three id-ranged batches, RE-DELIVERS one (value-level "
+        "idempotence: inserting a represented value is a register "
+        "no-op, so estimates cannot inflate), lease-compacts the "
+        "delta rows, then reads per-source estimates AND the "
+        "grand-total rollup (coarser groups union the finer landed "
+        "sketches — the incremental rollup exact counts can never "
+        "do). Rows carry the EXACT counts plus est-within-bound "
+        "booleans (the q53/q79 HLL++ discipline: estimates are "
+        "bounds-gated, never value-hashed)",
 )
 def q53_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators.hll import (
+        hll_distinct_estimates,
+        hll_sketch_append,
+        hll_sketch_compact,
+    )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
+
     ev = load(spark, sf_dir, "events")["events"]
-    exact_p50 = F.expr(
-        "percentile(value, 0.5)"
-    )
-    approx_p50 = F.expr(
-        "approx_percentile(value, 0.5, 1000)"
-    )
-    return (
+    sketch = (
         ev.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("exact_users"),
+            F.countDistinct("user_id").alias("n_exact"),
             F.approx_count_distinct("user_id").alias("approx_users"),
-            exact_p50.alias("exact_p50"),
-            approx_p50.alias("ap50"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
         )
         .select(
-            "event_type",
-            "exact_users",
+            F.lit("sketch").alias("kind"),
+            F.col("event_type").alias("grp"),
+            "n_exact",
             (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.15 * F.col("exact_users")
-            ).alias("approx_within_15pct"),
+                F.abs(F.col("approx_users") - F.col("n_exact"))
+                <= 0.15 * F.col("n_exact")
+            ).alias("ok1"),
             (
                 F.abs(F.col("ap50") - F.col("exact_p50"))
                 <= 0.10 * F.abs(F.col("exact_p50"))
-            ).alias("p50_within_10pct"),
+            ).alias("ok2"),
         )
     )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    idx = scratch_dir(prefix="q53_hllidx_") + "/idx"
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    for lo, hi in ((-1, mx // 3), (mx // 3, (2 * mx) // 3),
+                   ((2 * mx) // 3, mx)):
+        hll_sketch_append(
+            spark,
+            docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            idx, ["source"], "doc_id")
+    # re-delivery: a register no-op for every represented value —
+    # the estimates below are unchanged, which the bound rows pin
+    hll_sketch_append(
+        spark, docs.filter(F.col("doc_id") <= mx // 3),
+        idx, ["source"], "doc_id")
+    # lease-serialized compaction folds the delta rows to one per
+    # group; register union keeps every estimate invariant
+    hll_sketch_compact(spark, idx)
+    est = hll_distinct_estimates(spark, idx, ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_exact"))
+    bound = F.greatest(
+        F.lit(2.0), F.col("n_exact").cast("double") * 0.05)
+    nul_b = F.lit(None).cast("boolean")
+    per_src = exact.join(est, "source").select(
+        F.lit("hll_idx").alias("kind"),
+        F.col("source").alias("grp"),
+        "n_exact",
+        (F.abs(
+            F.col("n_distinct_est").cast("double")
+            - F.col("n_exact").cast("double")
+        ) <= bound).alias("ok1"),
+        nul_b.alias("ok2"),
+    )
+    tot_est = hll_distinct_estimates(spark, idx, []) \
+        .collect()[0].n_distinct_est
+    tot_exact = docs.select("doc_id").distinct().count()
+    total = spark.createDataFrame(
+        [("hll_idx", "_total", tot_exact,
+          abs(tot_est - tot_exact) <= max(2.0, 0.05 * tot_exact),
+          None)],
+        "kind string, grp string, n_exact long, ok1 boolean, "
+        "ok2 boolean",
+    )
+    return sketch.unionByName(per_src).unionByName(total)
 
 
 @register(

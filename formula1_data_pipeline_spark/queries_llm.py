@@ -1483,19 +1483,37 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q92_sql() -> str:
+    from formula1_data_pipeline_spark.operators.quantize import (
+        sq8_encode_sql,
+        sq8_scales_sql,
+    )
+
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH scales AS ({sq8_scales_sql(vec, "embeddings", 64)})
+    SELECT 'ivf_hash' AS method, 100 AS n_exact, true AS recall_ok,
+           CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS VARCHAR) AS codes
+    UNION ALL
+    SELECT 'ivf_lloyd', 100, true, NULL, NULL
+    UNION ALL
+    SELECT 'ivf_lloyd_beats_hash', 100, true, NULL, NULL
+    UNION ALL
+    SELECT 'lsh', 100, true, NULL, NULL
+    UNION ALL
+    SELECT 'ivf_index', 21, true, NULL, NULL
+    UNION ALL
+    SELECT 'sq8', CAST(NULL AS INTEGER), TRUE, vec_id,
+           array_to_string({sq8_encode_sql(vec)}, ',')
+    FROM embeddings, scales
+    WHERE vec_id < 50
+    """
+
+
 @register(
     "q92_ann_recall_clustered",
-    """
-    SELECT 'ivf_hash' AS method, 100 AS n_exact, true AS recall_ok
-    UNION ALL
-    SELECT 'ivf_lloyd', 100, true
-    UNION ALL
-    SELECT 'ivf_lloyd_beats_hash', 100, true
-    UNION ALL
-    SELECT 'lsh', 100, true
-    UNION ALL
-    SELECT 'ivf_index', 21, true
-    """,
+    _q92_sql(),
     doc="ANN recall gate on CLUSTERED embeddings (round 7; closes the "
         "round-6 finding that the driver-shipped structure-free "
         "gaussian table cannot distinguish a working quantizer from a "
@@ -1518,12 +1536,29 @@ def q89_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "build + landed-state probe on a second clustered fixture, "
         "top-1 recall >= 0.85 vs exact; q34's r10 gate pins the "
         "index MECHANICS under a value hash, this row pins the "
-        "trained-quantizer QUALITY the mechanics hash cannot see",
+        "trained-quantizer QUALITY the mechanics hash cannot see. "
+        "kind='sq8' rows (round 13, operators/quantize.py): int8 "
+        "scalar quantization of the sf embeddings table — the 4x "
+        "storage tier under the ANN stack. Scales are per-dimension "
+        "max(abs) — order-free exact SELECTIONS, not float sums — so "
+        "the codes are bit-identical cross-engine and sit under the "
+        "FULL value hash (serialized to a fixed-format string per "
+        "the driver-canon scalar-only rule), where trained "
+        "quantizers bound; recall_ok carries the per-row "
+        "reconstruction-bound boolean computed engine-side from the "
+        "DECODED values (a drifting code flips it). One d-column "
+        "aggregate pass for scales, then shuffle-free codegen'd "
+        "encode/decode with the scales inlined as literals",
 )
 def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     from formula1_data_pipeline_spark.evalsets import clustered_embeddings
+    from formula1_data_pipeline_spark.operators.quantize import (
+        sq8_decode,
+        sq8_encode,
+        sq8_scales,
+    )
     from formula1_data_pipeline_spark.operators.similarity import (
         ann_lsh_topk,
         cosine_topk,
@@ -1575,7 +1610,36 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = len(exact2 & approx) / max(len(exact2), 1)
         return ("ivf_index", len(exact2), rec >= 0.85)
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    def sq8_rows() -> DataFrame:
+        # the sq8 leg runs on the SF embeddings table (the other legs
+        # use the clustered fixture): scales fit on the corpus, codes
+        # for vec_id < 50 gate under the full value hash, and the
+        # recon bound is computed from the DECODED values so a
+        # drifting code flips recall_ok
+        sf_emb = load(spark, sf_dir, "embeddings")["embeddings"]
+        scales = sq8_scales(sf_emb, "embedding", 64)
+        dec = sq8_decode(
+            sq8_encode(sf_emb, "embedding", scales), "sq8", scales)
+        bound = F.array(*[F.lit(s / 254.0 * 1.0001) for s in scales])
+        err_ok = F.aggregate(
+            F.zip_with(
+                F.zip_with(
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double")),
+                    F.col("deq"), lambda v, q: F.abs(v - q)),
+                bound, lambda e, b: e <= b),
+            F.lit(True), lambda acc, x: acc & x,
+        )
+        return dec.filter(F.col("vec_id") < 50).select(
+            F.lit("sq8").alias("method"),
+            F.lit(None).cast("long").alias("n_exact"),
+            err_ok.alias("recall_ok"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.concat_ws(",", F.col("sq8").cast("array<string>"))
+            .alias("codes"),
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
         f_exact = pool.submit(pairs, cosine_topk(
             emb, queries, k=5, id_col="vec_id", vec_col="embedding"))
         f_lsh = pool.submit(pairs, ann_lsh_topk(
@@ -1586,21 +1650,26 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding"))
         f_lloyd = pool.submit(lloyd_pairs)
         f_index = pool.submit(index_row)
+        f_sq8 = pool.submit(lambda: sq8_rows().collect())
         exact = f_exact.result()
         lsh, hash_p, lloyd_p = (f_lsh.result(), f_hash.result(),
                                 f_lloyd.result())
         idx_row = f_index.result()
+        sq8_collected = f_sq8.result()
     r_hash = len(exact & hash_p) / len(exact)
     r_lloyd = len(exact & lloyd_p) / len(exact)
     rows = [
-        ("ivf_hash", len(exact), r_hash >= 0.55),
-        ("ivf_lloyd", len(exact), r_lloyd >= 0.85),
-        ("ivf_lloyd_beats_hash", len(exact), r_lloyd >= r_hash),
-        ("lsh", len(exact), len(exact & lsh) >= 0.90 * len(exact)),
-        idx_row,
-    ]
+        ("ivf_hash", len(exact), r_hash >= 0.55, None, None),
+        ("ivf_lloyd", len(exact), r_lloyd >= 0.85, None, None),
+        ("ivf_lloyd_beats_hash", len(exact), r_lloyd >= r_hash,
+         None, None),
+        ("lsh", len(exact),
+         len(exact & lsh) >= 0.90 * len(exact), None, None),
+        idx_row + (None, None),
+    ] + [tuple(r) for r in sq8_collected]
     return spark.createDataFrame(
-        rows, "method string, n_exact long, recall_ok boolean"
+        rows, "method string, n_exact long, recall_ok boolean, "
+              "vec_id long, codes string"
     )
 
 

@@ -586,9 +586,26 @@ def q69_stream_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q55_multimodal_transform",
-    """
+#: q55 phash rider: every doc_id % 5 == 0 doc ALSO lands as a copy
+#: (media_id + 10^9) with its first character replaced — one
+#: perturbed pixel in the fake byte image, exactly the re-encode
+#: noise perceptual hashes exist to survive
+_Q55_AUG_OFFSET = 1_000_000_000
+
+
+def _q55_sql() -> str:
+    from formula1_data_pipeline_spark.operators import phash as P
+
+    def hash_leg(kind: str) -> str:
+        expr = {"ahash": P.ahash_expr,
+                "dhash": P.dhash_expr}[kind]("hx", "h", duck=True)
+        return f"""
+    SELECT media_id, '{kind}' AS kind, CAST(-1 AS BIGINT) AS i,
+           CAST(-1 AS BIGINT) AS j, CAST({expr} AS VARCHAR) AS val
+    FROM mm WHERE h >= 1"""
+
+    dh = P.dhash_expr("hx", "h", duck=True)
+    return f"""
     WITH m AS (
         SELECT doc_id AS media_id, to_hex(encode(text)) AS hx,
                octet_length(encode(text)) AS nb
@@ -609,20 +626,70 @@ def q69_stream_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT media_id, CAST(fi AS BIGINT) AS i,
                md5(substring(hx, fi * 64 + 1, 64)) AS val
         FROM fx WHERE fi % 4 = 0
+    ), mm AS (
+        SELECT media_id, to_hex(encode(text)) AS hx,
+               octet_length(encode(text)) // {P.SRC_W} AS h
+        FROM (
+            SELECT doc_id AS media_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + {_Q55_AUG_OFFSET},
+                   'X' || substring(text, 2)
+            FROM documents WHERE doc_id % 5 = 0
+        )
+    ), hp AS (
+        SELECT media_id, {dh} AS phash FROM mm WHERE h >= 1
+    ), g AS (
+        SELECT phash, min(media_id) AS cid,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM hp GROUP BY 1
+    ), sl AS (
+        SELECT phash, cid, nd, s.x AS sidx,
+               (phash >> (15 * s.x)) & 32767 AS skey
+        FROM g CROSS JOIN (SELECT unnest(range(0, 4)) AS x) s
+    ), pr AS (
+        SELECT DISTINCT a.phash AS ap, b.phash AS bp,
+               bit_count(xor(a.phash, b.phash)) AS hamming,
+               a.cid AS acid, b.cid AS bcid, a.nd * b.nd AS npd
+        FROM sl a JOIN sl b
+          ON a.sidx = b.sidx AND a.skey = b.skey
+         AND a.phash < b.phash
     )
     SELECT media_id, 'px' AS kind, i, j, val FROM px
     UNION ALL
     SELECT media_id, 'frame', i, CAST(-1 AS BIGINT), val FROM fr
-    """,
+    UNION ALL
+    SELECT acid AS media_id, 'apair' AS kind,
+           CAST(hamming AS BIGINT) AS i, CAST(bcid AS BIGINT) AS j,
+           CAST(npd AS VARCHAR) AS val
+    FROM pr WHERE hamming BETWEEN 1 AND 3
+    UNION ALL{hash_leg("ahash")}
+    UNION ALL{hash_leg("dhash")}
+    """
+
+
+@register(
+    "q55_multimodal_transform",
+    _q55_sql(),
     doc="Multimodal transforms (§2.12): nearest-neighbor resize (16-wide "
         "byte-grid fake image -> 4x4) and stride-4 frame sampling "
         "(32-byte fake frames) as Arrow mapInPandas over binary "
         "payloads — the real plumbing (schema, batch iteration, "
         "shuffle-free narrow plan) with the codec faked "
         "deterministically so every sampled byte and frame hash is "
-        "verified byte-for-byte by the oracle's hex arithmetic",
+        "verified byte-for-byte by the oracle's hex arithmetic. "
+        "Round 13 (operators/phash.py): kind='ahash'/'dhash' 60-bit "
+        "perceptual fingerprints — ONE codegen'd SQL expression each "
+        "over the payload hex, no explode/shuffle/Python — plus "
+        "kind='apair' hamming-pair rows (distance 1..3, dhash) over "
+        "a deterministic near-dup augmentation (doc_id % 5 == 0 docs "
+        "re-encoded with one perturbed leading pixel). Pairing rides "
+        "the SAME pigeonhole slice blocking as text simhash "
+        "(4 x 15-bit slices, candidates-only verify — never "
+        "all-pairs; distance 3 < 4 slices keeps it complete), so "
+        "image near-dup inherits the text path's 100 TB shape",
 )
 def q55_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from formula1_data_pipeline_spark.operators import phash as P
     from formula1_data_pipeline_spark.operators.multimodal import (
         frame_sample,
         resize_nearest,
@@ -631,7 +698,38 @@ def q55_multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")["documents"]
     media = to_media_table(docs)
-    return resize_nearest(media).unionByName(frame_sample(media))
+    out = resize_nearest(media).unionByName(frame_sample(media))
+
+    mutated = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + _Q55_AUG_OFFSET).alias("doc_id"),
+            F.concat(F.lit("X"), F.expr("substring(text, 2)"))
+            .alias("text"),
+        )
+    )
+    media_aug = to_media_table(
+        docs.select("doc_id", "text").unionByName(mutated))
+    for kind in ("ahash", "dhash"):
+        out = out.unionByName(P.phash_df(media_aug, kind).select(
+            "media_id",
+            F.lit(kind).alias("kind"),
+            F.lit(-1).cast("long").alias("i"),
+            F.lit(-1).cast("long").alias("j"),
+            F.col("phash").cast("string").alias("val"),
+        ))
+    # dhash pairs at distance 3: the one-pixel augmentation moves at
+    # most two gradient bits, and distance 3 is pigeonhole-complete
+    # with the default 4 x 15 slicing
+    pairs = P.phash_neardup_pairs(media_aug, "dhash",
+                                  max_distance=3).select(
+        F.col("a_canonical_id").alias("media_id"),
+        F.lit("apair").alias("kind"),
+        F.col("hamming").cast("long").alias("i"),
+        F.col("b_canonical_id").cast("long").alias("j"),
+        F.col("n_pair_docs").cast("string").alias("val"),
+    )
+    return out.unionByName(pairs)
 
 
 #: q88 streaming-CMS leg sizing — the q65 gate constants (the
