@@ -76,28 +76,94 @@ _SQL_CC_CTES = f"""{_SQL_SIM_CTES}, groups AS (
     )"""
 
 
+_DWS_K = 100  # q37 dedup-weighted sample size
+
+
 @register(
     "q37_neardup_clusters",
     f"""
-    WITH RECURSIVE {_SQL_CC_CTES}
-    SELECT id AS doc_id, comp AS cluster_id,
-           count(*) OVER (PARTITION BY comp) AS cluster_size
+    WITH RECURSIVE {_SQL_CC_CTES},
+    sizes AS (
+        SELECT comp AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY comp
+    ), dwb AS (
+        SELECT cc.id AS doc_id, s.cluster_id, s.cluster_size,
+               1.0 / CAST(s.cluster_size AS DOUBLE) AS w
+        FROM cc JOIN sizes s ON s.cluster_id = cc.comp
+    ), dwracers AS (
+        SELECT doc_id, cluster_id, cluster_size, w,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || 'priosample-v1'), 1, 15)) AS BIGINT) + 1
+                   AS u
+        FROM dwb WHERE w IS NOT NULL AND w > 0
+    ), dwranked AS (
+        SELECT doc_id, cluster_id, cluster_size, w, u,
+               row_number() OVER (
+                   ORDER BY CAST(u AS DOUBLE) / w ASC, doc_id ASC
+               ) AS prio_rank
+        FROM dwracers
+    ), dwtau AS (
+        SELECT COALESCE(max(w * 1152921504606846976.0
+                            / CAST(u AS DOUBLE)), 0.0) AS tau
+        FROM dwranked WHERE prio_rank = {_DWS_K + 1}
+    )
+    SELECT 'cluster' AS kind, id AS doc_id, comp AS cluster_id,
+           count(*) OVER (PARTITION BY comp) AS cluster_size,
+           CAST(NULL AS DOUBLE) AS w,
+           CAST(NULL AS INTEGER) AS prio_rank,
+           CAST(NULL AS DOUBLE) AS tau,
+           CAST(NULL AS DOUBLE) AS ht_weight
     FROM cc
+    UNION ALL
+    SELECT 'dedup_sample', r.doc_id, r.cluster_id, r.cluster_size,
+           r.w, CAST(r.prio_rank AS INTEGER), t.tau,
+           greatest(r.w, t.tau)
+    FROM dwranked r, dwtau t
+    WHERE r.prio_rank <= {_DWS_K}
     """,
-    doc="Near-dup cluster resolution (§2.12): SimHash hamming<=3 pair "
-        "graph -> connected components (min-label propagation + pointer "
-        "jumping, O(log n) shuffle rounds) -> (doc, cluster, size) with "
-        "cluster_id = canonical doc a keep-one dedup retains; oracle is "
-        "a DuckDB recursive CTE over the same edges",
+    doc="Near-dup cluster surface, two kinds in one frame. "
+        "kind='cluster' (§2.12): SimHash hamming<=3 pair graph -> "
+        "connected components (min-label propagation + pointer "
+        "jumping, O(log n) shuffle rounds) -> (doc, cluster, size) "
+        "with cluster_id = canonical doc a keep-one dedup retains; "
+        "oracle is a DuckDB recursive CTE over the same edges. "
+        "kind='dedup_sample' (round 13, sampling.py::"
+        "dedup_weighted_sample): priority sampling at weight "
+        "1/cluster-size over those clusters, so every cluster "
+        "contributes equal expected mass however duplicated the raw "
+        "crawl is — the duplication-neutral corpus sample. Both "
+        "composed operators (CC clustering, the Duffield-Lund-Thorup "
+        "priority race with Horvitz-Thompson weights) are "
+        "individually gated; the oracle composes their exact CTE "
+        "texts, so the full selection trace value-hashes",
 )
 def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.cluster import (
         neardup_clusters,
     )
+    from formula1_data_pipeline_spark.operators.sampling import (
+        dedup_weighted_sample,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return neardup_clusters(docs, text_col="text", id_col="doc_id",
-                            max_distance=3)
+    nul_d = F.lit(None).cast("double")
+    clusters = neardup_clusters(
+        docs, text_col="text", id_col="doc_id", max_distance=3,
+    ).select(
+        F.lit("cluster").alias("kind"),
+        "doc_id", "cluster_id", "cluster_size",
+        nul_d.alias("w"),
+        F.lit(None).cast("int").alias("prio_rank"),
+        nul_d.alias("tau"),
+        nul_d.alias("ht_weight"),
+    )
+    dws = dedup_weighted_sample(docs, _DWS_K).select(
+        F.lit("dedup_sample").alias("kind"),
+        "doc_id", "cluster_id", "cluster_size",
+        "w", "prio_rank", "tau", "ht_weight",
+    )
+    return clusters.unionByName(dws)
 
 
 # DuckDB twin of operators.sampling.hash_bucket
@@ -1285,6 +1351,84 @@ _BLOOM_GATE_BITS = 1 << 12
 _BLOOM_K = 4
 
 
+#: q66 fuzzy-tier gate sizing: jaccard threshold for the cross-corpus
+#: MinHash-LSH decontamination leg (production default matches the
+#: q21 near-dup threshold family; 0.5 keeps the light-rewrite
+#: benchmark derivation non-vacuous at gate scale)
+_Q66_FUZZY_T = 0.5
+
+
+def _q66_fuzzy_sql() -> str:
+    """Fuzzy-decontamination oracle legs (round 13, promoted verbatim
+    from the r13 draft): benchmark = every doc_id % 17 == 0 document
+    re-entering with one appended token (high-but-<1 jaccard — what
+    the exact shingle tier misses) plus unmatchable noise rows;
+    corpus and benchmark minhash-sign independently, candidates come
+    from the band join, exact jaccard verifies candidates only."""
+    from formula1_data_pipeline_spark.operators.dedup import (
+        _band_sql,
+        _mix_sql,
+    )
+    from formula1_data_pipeline_spark.queries_llm import _SQL_HTOKS
+
+    mins = ",\n               ".join(
+        f"min({_mix_sql(i, 'h')}) AS h{i}" for i in range(16))
+    bands = ",\n            ".join(
+        _band_sql(b, [f"h{b * 4 + i}" for i in range(4)])
+        for b in range(4))
+    htoks_bench = _SQL_HTOKS.replace("text", "btext")
+    return f"""
+    , fdbase AS (
+        SELECT doc_id AS id, {_SQL_HTOKS} AS htoks FROM documents
+    ), fbench AS (
+        SELECT doc_id AS b_id, text || ' zzcontam' AS btext
+        FROM documents WHERE doc_id % 17 = 0
+        UNION ALL
+        SELECT doc_id + 5000000,
+               'zznoise' || CAST(doc_id AS VARCHAR)
+               || ' qqnoise' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 23 = 0
+    ), fbbase AS (
+        SELECT b_id, {htoks_bench} AS htoks FROM fbench
+    ), fdtok AS (
+        SELECT id, unnest(htoks) AS h FROM fdbase
+    ), fbtok AS (
+        SELECT b_id AS id, unnest(htoks) AS h FROM fbbase
+    ), fdsig AS (
+        SELECT id, {mins} FROM fdtok GROUP BY id
+    ), fbsig AS (
+        SELECT id, {mins} FROM fbtok GROUP BY id
+    ), fdbanded AS (
+        SELECT id, unnest([
+            {bands}
+        ]) AS band FROM fdsig
+    ), fbbanded AS (
+        SELECT id AS b_id, unnest([
+            {bands}
+        ]) AS band FROM fbsig
+    ), fcand AS (
+        SELECT DISTINCT d.id AS a_id, b.b_id
+        FROM fdbanded d JOIN fbbanded b USING (band)
+    ), fvp AS (
+        SELECT c.a_id, c.b_id,
+               CAST(len(list_intersect(da.htoks, bb.htoks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.htoks,
+                                                   bb.htoks)))
+                   AS jaccard
+        FROM fcand c
+        JOIN fdbase da ON da.id = c.a_id
+        JOIN fbbase bb ON bb.b_id = c.b_id
+    ), fagg AS (
+        SELECT a_id,
+               CAST(count(DISTINCT b_id) AS BIGINT)
+                   AS n_fuzzy_matches,
+               max(jaccard) AS max_fuzzy_jaccard
+        FROM fvp WHERE jaccard >= {_Q66_FUZZY_T}
+        GROUP BY a_id
+    )
+    """
+
+
 @register(
     "q66_contamination_check",
     f"""
@@ -1334,15 +1478,23 @@ _BLOOM_K = 4
     ), bloomhits AS (
         SELECT doc_id, count(*) AS n_bloom_hits
         FROM chit WHERE nset = {_BLOOM_K} GROUP BY 1
-    )
-    SELECT s.doc_id,
+    ){_q66_fuzzy_sql()}
+    SELECT 'shingle' AS kind, s.doc_id,
            COALESCE(hits.n_hits, 0) AS n_hits,
            COALESCE(hits.n_hits, 0) > 0 AS contaminated,
            COALESCE(b.n_bloom_hits, 0) AS n_bloom_hits,
-           COALESCE(b.n_bloom_hits, 0) > 0 AS bloom_contaminated
+           COALESCE(b.n_bloom_hits, 0) > 0 AS bloom_contaminated,
+           CAST(NULL AS DOUBLE) AS max_fuzzy_jaccard
     FROM sh s LEFT JOIN hits USING (doc_id)
     LEFT JOIN bloomhits b USING (doc_id)
     WHERE s.doc_id % 97 <> 0
+    UNION ALL
+    SELECT 'fuzzy', d.id,
+           COALESCE(a.n_fuzzy_matches, 0),
+           COALESCE(a.n_fuzzy_matches, 0) > 0,
+           CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+           a.max_fuzzy_jaccard
+    FROM fdbase d LEFT JOIN fagg a ON a.a_id = d.id
     """,
     doc="Benchmark-contamination check, exact + Bloom tiers. Exact "
         "(n_hits/contaminated): corpus documents sharing any 3-gram "
@@ -1360,11 +1512,24 @@ _BLOOM_K = 4
         "verdicts are a deterministic SUPERSET. The GATE filter is "
         "deliberately 2^12 bits so deterministic false positives sit "
         "under the value hash (the oracle replays the double-hash "
-        "probes and the bit table word-for-word)",
+        "probes and the bit table word-for-word). "
+        "kind='fuzzy' (round 13, dedup.py::fuzzy_contamination): the "
+        "third tier — cross-corpus MinHash-LSH catching LIGHT "
+        "REWRITES of benchmark items both exact tiers miss (the gate "
+        "derives a benchmark of one-token-appended copies, "
+        "jaccard < 1 by construction, plus unmatchable noise). "
+        "Corpus and benchmark sign independently; candidates come "
+        "from the band join (benchmark side is eval-set-small, so "
+        "the corpus never shuffles for it); exact jaccard verifies "
+        "candidates only — the q21 scale shape pointed across "
+        "corpora",
 )
 def q66_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.bloom import (
         bloom_contamination,
+    )
+    from formula1_data_pipeline_spark.operators.dedup import (
+        fuzzy_contamination,
     )
     from formula1_data_pipeline_spark.operators.text import shingle_hashes_df
 
@@ -1382,19 +1547,48 @@ def q66_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 != 0), bench_h,
         n_bits=_BLOOM_GATE_BITS, n_hashes=_BLOOM_K,
     )
-    return (
+    exact_tiers = (
         docs.filter(F.col("doc_id") % 97 != 0)
         .select("doc_id")
         .join(hits.withColumnRenamed("id", "doc_id"), "doc_id", "left")
         .join(bloom, "doc_id", "left")
         .select(
+            F.lit("shingle").alias("kind"),
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
             "n_bloom_hits",
             "bloom_contaminated",
+            F.lit(None).cast("double").alias("max_fuzzy_jaccard"),
         )
     )
+    fbench = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("doc_id").alias("bench_id"),
+                F.concat(F.col("text"), F.lit(" zzcontam"))
+                .alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("bench_id"),
+                F.concat(
+                    F.lit("zznoise"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" qqnoise"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            ))
+    )
+    fuzzy = fuzzy_contamination(docs, fbench,
+                                threshold=_Q66_FUZZY_T).select(
+        F.lit("fuzzy").alias("kind"),
+        "doc_id",
+        F.col("n_fuzzy_matches").alias("n_hits"),
+        F.col("fuzzy_contaminated").alias("contaminated"),
+        F.lit(None).cast("long").alias("n_bloom_hits"),
+        F.lit(None).cast("boolean").alias("bloom_contaminated"),
+        "max_fuzzy_jaccard",
+    )
+    return exact_tiers.unionByName(fuzzy)
 
 
 @register(

@@ -745,6 +745,7 @@ def _q88_oracle() -> str:
         _cms_heavy_ctes,
     )
     from formula1_data_pipeline_spark.queries_llm import (
+        _SQL_DOT,
         _SQL_TOKS,
         _lsh_verified_pairs_ctes,
     )
@@ -760,19 +761,76 @@ def _q88_oracle() -> str:
                 toks[i + 1] || ' ' || toks[i + 2])
             ELSE [] END) AS gram
         FROM rt
-    ), {_cms_heavy_ctes('cg', _Q88_CMS_W_BITS)}
+    ), {_cms_heavy_ctes('cg', _Q88_CMS_W_BITS)},
+    vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id, vec,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cluster,
+               sqrt({_SQL_DOT.format(a='vec', b='vec')}) AS cnorm
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), ivfscores AS (
+        SELECT v.vec_id AS id, cent.cluster,
+               {_SQL_DOT.format(a='v.vec', b='cent.vec')}
+               / nullif(cent.cnorm, 0.0) AS score
+        FROM vecs v CROSS JOIN cent
+    ), assign_c AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM ivfscores
+        ) WHERE crank <= 3
+    ), probes AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM ivfscores WHERE id < 10
+        ) WHERE crank <= 4
+    ), ivfscored AS (
+        SELECT DISTINCT q.id AS q_id, c.id AS n_id,
+               round(
+                   {_SQL_DOT.format(a='qv.vec', b='cv.vec')}
+                   / nullif(sqrt({_SQL_DOT.format(a='qv.vec', b='qv.vec')})
+                            * sqrt({_SQL_DOT.format(a='cv.vec', b='cv.vec')}),
+                            0.0),
+               6) AS cos_sim
+        FROM probes q
+        JOIN assign_c c USING (cluster)
+        JOIN vecs qv ON qv.vec_id = q.id
+        JOIN vecs cv ON cv.vec_id = c.id
+        WHERE q.id <> c.id
+    ), ivfranked AS (
+        SELECT q_id, n_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+               ) AS rank
+        FROM ivfscored
+    )
     SELECT 'neardup' AS kind, doc_id,
            doc_id NOT IN (SELECT b_id FROM dropped) AS kept,
            CAST(NULL AS VARCHAR) AS gram,
            CAST(NULL AS BIGINT) AS n_occurrences,
            CAST(NULL AS BIGINT) AS est_count,
-           CAST(NULL AS BOOLEAN) AS is_heavy
+           CAST(NULL AS BOOLEAN) AS is_heavy,
+           CAST(NULL AS BIGINT) AS n_id,
+           CAST(NULL AS DOUBLE) AS cos_sim,
+           CAST(NULL AS BIGINT) AS rank
     FROM documents
     UNION ALL
     SELECT 'heavy' AS kind, CAST(NULL AS BIGINT) AS doc_id,
            CAST(NULL AS BOOLEAN) AS kept,
-           gram, n_occurrences, est_count, is_heavy
+           gram, n_occurrences, est_count, is_heavy,
+           NULL, NULL, NULL
     FROM ({_CMS_HEAVY_SELECT.format(t=_Q88_CMS_T)})
+    UNION ALL
+    SELECT 'ivf_stream', q_id, NULL, NULL, NULL, NULL, NULL,
+           n_id, cos_sim, rank
+    FROM ivfranked WHERE rank <= 5
     """
 
 
@@ -798,14 +856,36 @@ def _q88_oracle() -> str:
         "bit-for-bit the one-shot build under ANY split), then the "
         "batch enumeration consumes the LANDED state — row-identical "
         "to q65's batch operator, which is exactly what the shared "
-        "counter-replay oracle asserts",
+        "counter-replay oracle asserts. "
+        "kind='ivf_stream' (round 13, streaming/ivf.py): the "
+        "embedding-ingestion streaming leg — the persisted IVF index "
+        "is built over the head third, then maintained by a 2-file "
+        "micro-batch stream whose tail OVERLAPS the built head "
+        "(re-delivery under the gate: the landed-id skip must no-op "
+        "it) against the FROZEN hash-sample quantizer; top-k from "
+        "the STREAMED index replays the q34 live-IVF oracle "
+        "row-for-row — the build+append==one-shot contract composed "
+        "with the stream",
 )
 def q88_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from formula1_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _hash_sample_coefs,
+        norm,
+    )
+    from formula1_data_pipeline_spark.operators.vecindex import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from formula1_data_pipeline_spark.scratch import scratch_dir
     from formula1_data_pipeline_spark.streaming import stream_neardup_dedup
     from formula1_data_pipeline_spark.streaming.heavyhitters import (
         stream_heavy_ngrams,
+    )
+    from formula1_data_pipeline_spark.streaming.ivf import (
+        stream_ivf_append,
     )
 
     landed = stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet")
@@ -823,7 +903,37 @@ def q88_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("heavy").alias("kind"),
         "gram", "n_occurrences", "est_count", "is_heavy",
     )
-    return neardup.unionByName(heavy, allowMissingColumns=True).select(
-        "kind", "doc_id", "kept", "gram", "n_occurrences",
-        "est_count", "is_heavy",
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("vec"),
+    ).withColumn("nrm", norm(F.col("vec")))
+    coefs = _hash_sample_coefs(base, 16)
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    work = scratch_dir(prefix="q88_ivf_")
+    idx = f"{work}/idx"
+    ivf_index_build(spark, emb.filter(F.col("vec_id") <= mx // 3),
+                    idx, centroid_coefs=coefs, n_assign=3)
+    tail_path = f"{work}/tail.parquet"
+    # the streamed tail OVERLAPS the built head (re-delivery under
+    # the gate) alongside the new rows
+    emb.filter(F.col("vec_id") > mx // 6).write.parquet(tail_path)
+    stream_ivf_append(spark, tail_path, idx, n_source_files=2,
+                      n_assign=3, work_dir=f"{work}/w")
+    ivf = ivf_index_topk(
+        spark, idx, emb.filter(F.col("vec_id") < 10),
+        k=5, n_probe=4,
+    ).select(
+        F.lit("ivf_stream").alias("kind"),
+        F.col("q_id").alias("doc_id"),
+        "n_id", "cos_sim", "rank",
+    )
+    return (
+        neardup.unionByName(heavy, allowMissingColumns=True)
+        .unionByName(ivf, allowMissingColumns=True)
+        .select(
+            "kind", "doc_id", "kept", "gram", "n_occurrences",
+            "est_count", "is_heavy", "n_id", "cos_sim", "rank",
+        )
     )
