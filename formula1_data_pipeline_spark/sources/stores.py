@@ -24,6 +24,38 @@ local paths use ``LocalLinkStore``; schemes whose Hadoop rename is
 copy+delete (``_NON_ATOMIC_RENAME_SCHEMES``) refuse loudly unless an
 adapter is registered — degrading to exists-check + rename there would
 reintroduce the lost-update window the protocol exists to close.
+
+Object-store contract — EVERY local-FS atomicity primitive in this
+repo, and the conditional-write it maps to (round-12 verdict item #6;
+``tests/test_stores_contract.py`` enumerates these mechanically, so a
+new primitive cannot land without extending this contract):
+
+1. **Manifest put-if-absent** (``txn._put_if_absent`` via this
+   module): the commit protocol's only required primitive. S3
+   ``If-None-Match: *``, GCS ``x-goog-if-generation-match: 0``,
+   Azure ``If-None-Match: *``.
+2. **Compaction lease** (``operators/retrieval.py::
+   acquire_compaction_lease`` — ``os.mkdir`` + per-holder nonce file
+   + ``os.utime`` heartbeat via ``_start_lease_heartbeat``;
+   ``release_compaction_lease`` —
+   nonce-verified unlink + ``os.rmdir``): maps to a conditional-PUT
+   lease OBJECT whose body carries the holder nonce. Acquire =
+   put-if-absent; heartbeat = conditional overwrite if-generation-
+   matches (refreshing a TTL the store or the reader enforces);
+   steal = conditional DELETE if-generation-matches on a stale
+   lease, then put-if-absent; release = conditional DELETE
+   if-generation-matches (the nonce/generation check is exactly what
+   keeps an evicted holder's release from freeing the stealer's
+   lease — the local nonce file replays it).
+3. **Pending-late marker** (``operators/retrieval.py::
+   _write_pending_late`` — temp write + atomic ``os.replace``;
+   ``_clear_pending_late`` — unlink). Written and cleared ONLY under
+   the compaction lease (single writer), read by recovery and by the
+   bloom sidecar's heal-on-read, so a plain last-writer-wins PUT +
+   DELETE of a small object suffices on any strongly-consistent
+   store (S3/GCS/ABFS all are, for single keys); the atomic replace
+   only guarantees readers never see a torn body, which object-store
+   PUTs give for free (objects appear whole or not at all).
 """
 
 from __future__ import annotations
