@@ -67,6 +67,115 @@ def decode_media(payload: bytes, media_type: str) -> bytes:
     )
 
 
+# ----------------------------------------------------- codec seam --
+#
+# The production adapter the fake-codec docstrings promise (round-12
+# verdict stretch item): a per-media-type registry of grayscale
+# decoders feeding a canonical byte-grid column, so everything
+# downstream of decode — the resize/frame transforms here, the
+# perceptual hashes in operators/phash.py — runs UNCHANGED on real
+# images. A decoder maps payload bytes -> (width, row-major grayscale
+# bytes); ``decode_to_gray_grid`` nearest-resamples that to the fixed
+# SRC-grid shape the SQL-expression hashes expect (phash's
+# "deployment swaps the pixel expression for a decoded-luma column"
+# seam, made concrete). PIL isn't in this container, so
+# ``pil_gray_codec`` is import-gated: constructing it without PIL
+# raises ImportError loudly (tests skip), while the registry/grid
+# plumbing is fully exercised in-container through
+# ``text_bytes_codec`` (the deterministic fake as just another
+# registered codec).
+
+from collections.abc import Callable  # noqa: E402
+
+#: media_type -> payload-bytes -> (width, row-major grayscale bytes)
+_CODECS: dict[str, Callable[[bytes], tuple[int, bytes]]] = {}
+
+
+def register_codec(media_type: str,
+                   decode: Callable[[bytes], tuple[int, bytes]]) -> None:
+    _CODECS[media_type] = decode
+
+
+def unregister_codec(media_type: str) -> None:
+    _CODECS.pop(media_type, None)
+
+
+def text_bytes_codec(src_w: int = 16) -> Callable[[bytes],
+                                                  tuple[int, bytes]]:
+    """The deterministic fake as a registered codec: payload bytes
+    laid out row-major at ``src_w`` bytes per row, truncated to whole
+    rows (the resize_nearest convention)."""
+    def decode(payload: bytes) -> tuple[int, bytes]:
+        h = len(payload) // src_w
+        return src_w, bytes(payload[: h * src_w])
+    return decode
+
+
+def pil_gray_codec() -> Callable[[bytes], tuple[int, bytes]]:
+    """Real image decode via PIL (grayscale 'L' mode). Import-gated:
+    raises ImportError at CONSTRUCTION when PIL is absent (this
+    container), so a deployment wires it with one line —
+    ``register_codec("image/png", pil_gray_codec())`` — and a broken
+    environment fails loudly at registration, not per-row."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — the import IS the gate
+
+    def decode(payload: bytes) -> tuple[int, bytes]:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return img.width, img.tobytes()
+    return decode
+
+
+def decode_to_gray_grid(
+    media: DataFrame,
+    grid_w: int = 16,
+    grid_h: int = 6,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode every payload through its media_type's REGISTERED codec
+    and nearest-resample to a ``grid_w x grid_h`` grayscale byte grid
+    — the canonical pixel column every downstream hash/transform
+    consumes (feed the result's ``payload`` straight into
+    ``phash.phash_df``: the grid is exactly one SRC_W-wide image of
+    height grid_h). Arrow mapInPandas, constant memory, narrow plan
+    (§2.9: the only Python is the codec itself). Rows whose type has
+    no registered codec raise loudly (a silent drop would
+    under-report near-dups); undecodable payloads (codec returns
+    height 0) are dropped like a demuxer rejecting a truncated file.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "media_type": [], "payload": [],
+            }
+            for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"],
+                    pdf[payload_col]):
+                codec = _CODECS.get(mtype)
+                if codec is None:
+                    raise NotImplementedError(
+                        f"no codec registered for {mtype!r} — "
+                        "register_codec() it (e.g. pil_gray_codec() "
+                        "for images)")
+                w, gray = codec(bytes(payload))
+                h = len(gray) // w if w else 0
+                if h < 1:
+                    continue
+                grid = bytes(
+                    gray[((i * h) // grid_h) * w
+                         + ((j * w) // grid_w)]
+                    for i in range(grid_h) for j in range(grid_w)
+                )
+                out["media_id"].append(mid)
+                out["media_type"].append(mtype)
+                out["payload"].append(grid)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata/feature extraction over binary payloads.
 
