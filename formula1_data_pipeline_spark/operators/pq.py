@@ -227,12 +227,21 @@ def pq_adc_topk(
     n_candidates: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    code_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` (q_id, n_id, cos_sim, rank) per query: ADC candidate
     stage over the m-byte codes (m table lookups per corpus row, no
     shuffle), exact cosine re-rank of the top ``n_candidates`` only.
     Self-matches excluded, (cos desc, n_id) tiebreaks — the
-    ``cosine_topk`` output contract."""
+    ``cosine_topk`` output contract.
+
+    ``code_col``: name of a PRE-ENCODED codes column already on
+    ``corpus`` (must have been produced by ``pq_encode`` over
+    unit-normalized vectors under the SAME codebooks). The
+    production path: encode once at ingest, persist the m-int
+    column, and every search scans codes without touching the float
+    vectors until the candidate re-fetch. ``None`` encodes inline
+    (self-contained gates/tests)."""
     m = len(codebooks)
     sub = _check_geometry(dim, m)
     spark = corpus.sparkSession
@@ -243,13 +252,17 @@ def pq_adc_topk(
     base = corpus.select(
         F.col(id_col).alias("n_id"),
         _as_double(F.col(vec_col)).alias("n_vec"),
+        *([F.col(code_col).alias("pq")] if code_col else []),
     ).filter(F.col("n_vec").isNotNull())
-    coded = (
-        base.select("n_id", _unit(F.col("n_vec")).alias("n_unit"))
-        .transform(lambda d: pq_encode(d, "n_unit", codebooks,
-                                       out_col="pq"))
-        .select("n_id", "pq")
-    )
+    if code_col:
+        coded = base.select("n_id", "pq")
+    else:
+        coded = (
+            base.select("n_id", _unit(F.col("n_vec")).alias("n_unit"))
+            .transform(lambda d: pq_encode(d, "n_unit", codebooks,
+                                           out_col="pq"))
+            .select("n_id", "pq")
+        )
 
     q_rows = queries.select(
         F.col(id_col).alias("id"),

@@ -49,7 +49,8 @@ def blowup_docs(spark, n):
 
 
 def blowup_emb(spark, n):
-    e = spark.read.parquet(f"{SF1}/embeddings.parquet")
+    e = spark.read.parquet(f"{SF1}/embeddings.parquet") \
+        .select("vec_id", "embedding")
     out = e
     for i in range(1, n):
         out = out.unionByName(

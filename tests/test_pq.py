@@ -117,3 +117,27 @@ def test_full_candidate_window_equals_exact(spark, emb, books):
 def test_bad_geometry_raises():
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(None, dim=10, m=4)  # type: ignore[arg-type]
+
+
+def test_precoded_corpus_matches_inline_encode(spark, emb, books):
+    """The production path (codes persisted at ingest, searches scan
+    codes only) must return exactly the inline-encode results."""
+    from formula1_data_pipeline_spark.operators.pq import _unit
+
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(
+        tuple(r) for r in pq_adc_topk(
+            emb, q, books, dim=DIM, k=5, n_candidates=60).collect())
+    pre = (
+        emb.select("vec_id", "embedding",
+                   _unit(F.transform(
+                       "embedding",
+                       lambda x: x.cast("double"))).alias("u"))
+        .transform(lambda d: pq_encode(d, "u", books, out_col="pq"))
+        .drop("u")
+    )
+    precoded = sorted(
+        tuple(r) for r in pq_adc_topk(
+            pre, q, books, dim=DIM, k=5, n_candidates=60,
+            code_col="pq").collect())
+    assert precoded == inline
