@@ -643,6 +643,80 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    n_planes: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the FOURTH
+    contamination tier beside q66's exact-shingle membership, Bloom
+    prefilter, and token-level MinHash fuzzy matching: a corpus item
+    whose EMBEDDING sits within cosine ``threshold`` of a benchmark
+    item's is flagged, catching semantically-equivalent rephrasings
+    that share too few tokens for the lexical tiers (translations,
+    heavy paraphrases — the contamination mode eval-integrity work
+    worries about most).
+
+    Per-corpus-vector report (every corpus row appears — the
+    fuzzy_contamination output shape): (vec_id,
+    n_semantic_matches, max_semantic_cos, semantic_contaminated).
+
+    Scale shape (the ann_lsh_topk candidate discipline pointed
+    across corpora): both sides bucket through the deterministic
+    md5-derived multi-table hyperplanes; the BENCHMARK side is
+    eval-set-small and broadcasts, so the corpus never shuffles for
+    candidate generation; exact 6-dp cosine verifies candidates
+    only, multi-table duplicate hits dedup AFTER scoring (cosine is
+    deterministic, duplicates are bit-identical). Fully untrained —
+    every bucket bit and cosine replays cross-engine, so gate rows
+    carry the FULL value hash (unlike the trained q89/q96 tier).
+    Multi-table is the recall lever: a near-threshold pair missed by
+    one 5-bit sketch has 16 chances (1-(1-q^5)^16).
+    """
+    b = _lsh_bucketed_arrow(
+        bench.select(F.col(bench_id_col).alias("id"),
+                     F.col(bench_vec_col).alias("vec")),
+        dim, n_tables, n_planes, "id", "vec", "b_")
+    c = _lsh_bucketed_arrow(corpus, dim, n_tables, n_planes,
+                            id_col, vec_col, "n_")
+    hits = (
+        c.join(F.broadcast(b), "bucket")
+        .select(
+            "n_id", "b_id",
+            F.round(
+                cosine_from_norms(F.col("n_vec"), F.col("b_vec"),
+                                  F.col("n_norm"), F.col("b_norm")),
+                6).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("n_id")
+        .agg(
+            F.countDistinct("b_id").alias("n_semantic_matches"),
+            F.max("cos_sim").alias("max_semantic_cos"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("n_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_semantic_matches", F.lit(0))
+            .alias("n_semantic_matches"),
+            "max_semantic_cos",
+            (F.coalesce("n_semantic_matches", F.lit(0)) > 0)
+            .alias("semantic_contaminated"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     dim: int,

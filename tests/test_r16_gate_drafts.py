@@ -21,6 +21,12 @@ riders only.
     against the exact top-5 on the clustered fixture (trained
     codebooks gate on BOUNDS, the q92 rule).
 
+  * semantic benchmark decontamination (``similarity.py::
+    semantic_contamination`` — the fourth contamination tier;
+    untrained md5-hyperplane blocking + exact 6-dp cosine, so it
+    gates under the FULL value hash). LANDING ROUTE: rides q66's
+    r15 re-gate as kind='semantic' rows (section below).
+
 Each draft runs the full driver-style compare (schema + rows +
 order-insensitive canonical values) at sf0.001 and sf0.01 — the
 exact acceptance its landing round promotes into __spark_entry__.
@@ -134,3 +140,125 @@ def test_draft_pq_kind(spark, sf_dir):
         sf_dir,
     )
     _compare_frames(sdf, odf)
+
+
+# --------------------------------------------------------------------
+# Semantic benchmark decontamination (similarity.py::
+# semantic_contamination, round 13) — the FOURTH contamination tier:
+# embedding-space cosine >= threshold vs a benchmark embedding set,
+# catching semantically-equivalent rephrasings the lexical tiers
+# (exact shingle / Bloom / MinHash fuzzy) cannot. Fully untrained
+# (md5 hyperplanes, exact 6-dp cosine) -> FULL value hash. LANDING
+# ROUTE: rides q66's r15 re-gate (contamination surface; r13-gated,
+# due r15) as kind='semantic' rows mapped onto q66's columns
+# (doc_id := vec_id, n_hits := n_semantic_matches, contaminated :=
+# semantic_contaminated, max_fuzzy_jaccard := max_semantic_cos).
+# Benchmark derivation is deterministic: vec_id % 17 == 0 embeddings
+# re-enter with +0.05 on dim 0 (cos ~0.999 — a semantic twin), plus
+# md5-noise vectors (cos ~0, never flagged).
+
+_SEM_T = 0.9
+
+
+def _sem_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import (
+        _SQL_BUCKET_KEYS,
+        _SQL_DOT,
+    )
+
+    noise_vec = (
+        "list_transform(range(0, 64), d -> "
+        "CAST(('0x' || substr(md5('noise:' || CAST(vec_id AS VARCHAR)"
+        " || ':' || CAST(d AS VARCHAR)), 1, 16)) AS UBIGINT) "
+        "/ 9223372036854775808.0 - 1.0)"
+    )
+    cos = (f"round({_SQL_DOT.format(a='cb.vec', b='bb.vec')} / nullif("
+           f"sqrt({_SQL_DOT.format(a='cb.vec', b='cb.vec')}) * "
+           f"sqrt({_SQL_DOT.format(a='bb.vec', b='bb.vec')}), 0.0), 6)")
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), sbench AS (
+        SELECT vec_id + 9000000 AS b_id,
+               list_transform(list_zip(vec, range(1, 65)),
+                   p -> p[1] + CASE WHEN p[2] = 1 THEN 0.05
+                               ELSE 0.0 END) AS vec
+        FROM vecs WHERE vec_id % 17 = 0
+        UNION ALL
+        SELECT vec_id + 9500000, {noise_vec}
+        FROM vecs WHERE vec_id % 23 = 0
+    ), cb AS (
+        SELECT vec_id, vec, {_SQL_BUCKET_KEYS} AS bucket FROM vecs
+    ), bb AS (
+        SELECT b_id, vec, {_SQL_BUCKET_KEYS} AS bucket FROM sbench
+    ), cand AS (
+        SELECT DISTINCT cb.vec_id, bb.b_id, {cos} AS cos_sim
+        FROM cb JOIN bb USING (bucket)
+    ), hits AS (
+        SELECT vec_id,
+               CAST(count(DISTINCT b_id) AS BIGINT) AS n,
+               max(cos_sim) AS mx
+        FROM cand WHERE cos_sim >= {_SEM_T} GROUP BY 1
+    )
+    SELECT 'semantic' AS kind, v.vec_id AS doc_id,
+           COALESCE(h.n, 0) AS n_hits,
+           COALESCE(h.n, 0) > 0 AS contaminated,
+           CAST(NULL AS BIGINT) AS n_bloom_hits,
+           CAST(NULL AS BOOLEAN) AS bloom_contaminated,
+           h.mx AS max_fuzzy_jaccard
+    FROM vecs v LEFT JOIN hits h USING (vec_id)
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_semantic_contamination_kind(spark, sf_dir):
+    import hashlib
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+    )
+    copies = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 9_000_000).alias("bench_id"),
+        pert.alias("embedding"),
+    )
+
+    def noise_vec(v: int) -> list[float]:
+        return [
+            int(hashlib.md5(f"noise:{v}:{d}".encode())
+                .hexdigest()[:16], 16) / 2 ** 63 - 1.0
+            for d in range(64)
+        ]
+
+    noise_ids = [r["vec_id"] for r in
+                 emb.filter(F.col("vec_id") % 23 == 0)
+                 .select("vec_id").collect()]
+    noise = spark.createDataFrame(
+        [(v + 9_500_000, noise_vec(v)) for v in noise_ids],
+        "bench_id long, embedding array<double>",
+    )
+    sdf = semantic_contamination(
+        emb, copies.unionByName(noise), dim=64, threshold=_SEM_T,
+    ).select(
+        F.lit("semantic").alias("kind"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("n_semantic_matches").alias("n_hits"),
+        F.col("semantic_contaminated").alias("contaminated"),
+        F.lit(None).cast("long").alias("n_bloom_hits"),
+        F.lit(None).cast("boolean").alias("bloom_contaminated"),
+        F.col("max_semantic_cos").alias("max_fuzzy_jaccard"),
+    ).toPandas()
+    odf = run_oracle(_sem_oracle(), sf_dir)
+    _compare_frames(sdf, odf)
+    # non-vacuous: the semantic twins are flagged, noise never is
+    assert sdf[sdf["contaminated"]].shape[0] >= 1
+    assert (sdf[sdf["contaminated"]]["doc_id"] % 17 == 0).all()

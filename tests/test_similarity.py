@@ -303,3 +303,59 @@ def test_semantic_dedup_accepts_pretrained_quantizer(spark):
     as_set = lambda df: {(r["id"], r["cluster"], r["kept"])
                          for r in df.collect()}
     assert as_set(explicit) == as_set(default)
+
+
+def test_semantic_contamination_flags_rephrasings_not_noise(spark):
+    """The fourth contamination tier (round 13): perturbed copies of
+    benchmark embeddings (cos ~0.999 — the semantic-equivalence mode
+    lexical tiers miss) are flagged; md5-noise vectors and the
+    synthetic corpus's natural pairs (cos <= ~0.51) are not. Every
+    corpus row is reported (the fuzzy_contamination shape)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+    )
+    copies = emb.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 9_000_000).alias("bench_id"),
+        pert.alias("embedding"),
+    )
+
+    def noise_vec(v: int) -> list[float]:
+        return [
+            int(hashlib.md5(f"noise:{v}:{d}".encode())
+                .hexdigest()[:16], 16) / 2 ** 63 - 1.0
+            for d in range(64)
+        ]
+
+    noise_ids = [r["vec_id"] for r in
+                 emb.filter(F.col("vec_id") % 23 == 0)
+                 .select("vec_id").collect()]
+    noise = spark.createDataFrame(
+        [(v + 9_500_000, noise_vec(v)) for v in noise_ids],
+        "bench_id long, embedding array<double>",
+    )
+    out = semantic_contamination(
+        emb, copies.unionByName(noise), dim=64, threshold=0.9,
+    ).collect()
+    assert len(out) == emb.count()
+    flagged = {r["vec_id"] for r in out if r["semantic_contaminated"]}
+    assert flagged == {r["vec_id"] for r in
+                       emb.filter(F.col("vec_id") % 17 == 0).collect()}
+    for r in out:
+        if r["semantic_contaminated"]:
+            assert r["max_semantic_cos"] >= 0.9
+            assert r["n_semantic_matches"] >= 1
+        else:
+            assert r["n_semantic_matches"] == 0
