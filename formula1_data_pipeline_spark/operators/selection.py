@@ -150,3 +150,98 @@ def select_token_budget(
         .filter(F.col("cum_before") < budget)
         .select(id_col, "score_q", "n_tokens", "cum_before")
     )
+
+
+def select_token_budget_by_group(
+    docs: DataFrame,
+    score: Column,
+    n_tokens: Column,
+    group_col: str,
+    budgets: dict,
+    default_budget: int | None = None,
+    id_col: str = "doc_id",
+    bucket_size: int = 1000,
+) -> DataFrame:
+    """Per-GROUP token budgets — the data-mixing form of
+    ``select_token_budget`` (round 13): pretraining mixtures are
+    stated as per-domain/per-language token quotas ("300B web, 30B
+    code, 15B math"), and each group must fill its own quota from
+    its own best documents rather than compete in one global
+    ranking. Each group keeps the (score DESC, id ASC)-ordered
+    prefix of ITS documents whose start offset lands inside the
+    group's budget. Returns (group_col, id_col, score_q, n_tokens,
+    cum_before) — ``cum_before`` is the within-group dense offset.
+
+    ``budgets``: {group value -> token budget}; groups absent from
+    the dict use ``default_budget``, or are DROPPED ENTIRELY when it
+    is None — explicit mixture control, not an accident (property:
+    the output never contains a group without a budget).
+
+    Scale shape: strictly BETTER than the global form — the
+    bucket-offset window (the global operator's one unpartitioned
+    stage) partitions by group here, so no single task ever sees
+    more than one group's metadata-sized bucket table; budget
+    pruning then bounds the join-back at ~sum(budgets) worth of
+    rows. The budget table is caller-provided mixture config (tiny,
+    broadcast). Same NULL/decimal/tie rules as the global form;
+    replays in ANSI SQL as per-group ordered window sums, so it
+    gates with a value-hash oracle."""
+    if default_budget is not None and default_budget < 1:
+        raise ValueError(
+            f"default_budget must be >= 1 or None: {default_budget}")
+    for g, b in budgets.items():
+        if b < 1:
+            raise ValueError(f"budget for group {g!r} must be >= 1: {b}")
+    _require_numeric_id(docs, id_col, "select_token_budget_by_group")
+    spark = docs.sparkSession
+    bdf = spark.createDataFrame(
+        [(g, int(b)) for g, b in budgets.items()],
+        schema=f"{group_col} string, _budget long",
+    )
+    d = docs.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.col(id_col),
+        F.coalesce(
+            quantize6(score), F.lit(-(2 ** 63) + 1).cast("bigint")
+        ).alias("score_q"),
+        F.coalesce(n_tokens.cast("long"), F.lit(0)).alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_size).alias("_ibkt"),
+    )
+    if default_budget is None:
+        d = d.join(F.broadcast(bdf), group_col)  # budgetless: dropped
+    else:
+        d = d.join(F.broadcast(bdf), group_col, "left").withColumn(
+            "_budget",
+            F.coalesce("_budget", F.lit(int(default_budget))),
+        )
+    bucket_sums = d.groupBy(group_col, "_budget", "score_q",
+                            "_ibkt").agg(
+        F.sum("n_tokens").alias("_bsum")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("score_q"), F.asc("_ibkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        group_col, "_budget", "score_q", "_ibkt",
+        F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+        .alias("_offset"),
+    ).filter(F.col("_offset") < F.col("_budget"))
+    w_in = (
+        Window.partitionBy(group_col, "score_q", "_ibkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.drop("_budget")
+        .join(F.broadcast(offsets), [group_col, "score_q", "_ibkt"])
+        .withColumn(
+            "cum_before",
+            F.col("_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .filter(F.col("cum_before") < F.col("_budget"))
+        .select(group_col, id_col, "score_q", "n_tokens",
+                "cum_before")
+    )

@@ -27,6 +27,13 @@ riders only.
     gates under the FULL value hash). LANDING ROUTE: rides q66's
     r15 re-gate as kind='semantic' rows (section below).
 
+  * per-group token-budget selection (``selection.py::
+    select_token_budget_by_group`` — per-domain mixture quotas;
+    exact integer/decimal arithmetic end to end). LANDING ROUTE:
+    rides q68's r14 re-gate (mixture surface; r12-gated, due r14)
+    as kind='group_budget' rows, or q100's r14 re-gate as a
+    curation stage (section below).
+
 Each draft runs the full driver-style compare (schema + rows +
 order-insensitive canonical values) at sf0.001 and sf0.01 — the
 exact acceptance its landing round promotes into __spark_entry__.
@@ -262,3 +269,71 @@ def test_draft_semantic_contamination_kind(spark, sf_dir):
     # non-vacuous: the semantic twins are flagged, noise never is
     assert sdf[sdf["contaminated"]].shape[0] >= 1
     assert (sdf[sdf["contaminated"]]["doc_id"] % 17 == 0).all()
+
+
+# --------------------------------------------------------------------
+# Per-group token-budget selection (selection.py::
+# select_token_budget_by_group, round 13) — pretraining mixtures are
+# per-domain token QUOTAS; each group fills its own budget from its
+# own (score DESC, id ASC) prefix. Strictly better scale shape than
+# the gated global form (the one unpartitioned bucket-offset window
+# partitions by group). LANDING ROUTE: rides q68's r14 re-gate
+# (mixture surface; r12-gated, due r14) as kind='group_budget' rows
+# — or q100's r14 re-gate as a curation stage. Exact integer/decimal
+# arithmetic end to end -> FULL value hash.
+
+_GB_BUDGETS = {"src0": 3000, "src1": 1200}
+_GB_DEFAULT = 700
+
+
+def _group_budget_oracle() -> str:
+    vals = ", ".join(f"('{g}', {b})" for g, b in _GB_BUDGETS.items())
+    return f"""
+    WITH b(source, budget) AS (VALUES {vals}),
+    d AS (
+        SELECT source, doc_id,
+               CAST(CAST(CAST(n_chars % 97 AS DOUBLE) / 97.0
+                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS score_q,
+               CAST(greatest(1, n_chars // 5) AS BIGINT) AS n_tokens
+        FROM documents
+    ), j AS (
+        SELECT d.*, COALESCE(b.budget, {_GB_DEFAULT}) AS budget
+        FROM d LEFT JOIN b USING (source)
+    ), o AS (
+        SELECT source, doc_id, score_q, n_tokens, budget,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY score_q DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM j
+    )
+    SELECT 'group_budget' AS kind, source, doc_id, score_q,
+           n_tokens, cum_before
+    FROM o WHERE cum_before < budget
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_group_budget_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdf = select_token_budget_by_group(
+        docs,
+        (F.col("n_chars") % 97).cast("double") / 97.0,
+        F.greatest(F.lit(1), F.col("n_chars") / F.lit(5)
+                   ).cast("long"),
+        "source", _GB_BUDGETS, default_budget=_GB_DEFAULT,
+    ).select(
+        F.lit("group_budget").alias("kind"),
+        "source", "doc_id", "score_q", "n_tokens", "cum_before",
+    ).toPandas()
+    odf = run_oracle(_group_budget_oracle(), sf_dir)
+    _compare_frames(sdf, odf)
+    # mixture semantics visible: the budgeted sources keep more
+    # tokens than the default-budget ones
+    per = sdf.groupby("source")["n_tokens"].sum()
+    assert per["src0"] > per["src2"]

@@ -197,3 +197,106 @@ def test_select_token_budget_property(spark, rows, budget, bucket_size):
         bucket_size=bucket_size,
     ))
     assert got == _naive(data, budget)
+
+
+# ------------------------------------------------- per-group budgets --
+
+
+def _mkgdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id long, score double, n_tokens long"
+    )
+
+
+def _naive_grouped(rows, budgets, default=None):
+    """Reference semantics: an independent budget walk per group."""
+    q = lambda s: int(round(s * 1_000_000))  # noqa: E731
+    out = []
+    groups = {r[0] for r in rows}
+    for g in groups:
+        b = budgets.get(g, default)
+        if b is None:
+            continue
+        cum = 0
+        for src, doc_id, score, n in sorted(
+                (r for r in rows if r[0] == g),
+                key=lambda r: (-q(r[2]), r[1])):
+            if cum < b:
+                out.append((src, doc_id, q(score), n, cum))
+            cum += n
+    return sorted(out)
+
+
+def test_group_budget_matches_naive_per_group_walk(spark):
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    rows = [
+        ("web", 1, 0.9, 40), ("web", 2, 0.8, 40), ("web", 3, 0.95, 50),
+        ("code", 10, 0.5, 30), ("code", 11, 0.7, 30),
+        ("math", 20, 0.99, 10), ("math", 21, 0.2, 10),
+    ]
+    budgets = {"web": 60, "code": 30}
+    got = sorted(
+        tuple(r) for r in select_token_budget_by_group(
+            _mkgdocs(spark, rows), F.col("score"), F.col("n_tokens"),
+            "source", budgets, default_budget=15,
+        ).collect()
+    )
+    assert got == _naive_grouped(rows, budgets, default=15)
+    # each group fills its OWN budget from its own ranking: web keeps
+    # its top docs even though code's best scores are lower
+    kept = {(g, i) for g, i, *_ in got}
+    assert ("web", 3) in kept and ("web", 1) in kept
+    assert ("code", 11) in kept and ("code", 10) not in kept
+    assert ("math", 20) in kept  # via the default budget
+
+
+def test_group_without_budget_is_dropped_when_no_default(spark):
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    rows = [("web", 1, 0.9, 10), ("junk", 2, 1.0, 10)]
+    got = select_token_budget_by_group(
+        _mkgdocs(spark, rows), F.col("score"), F.col("n_tokens"),
+        "source", {"web": 100}, default_budget=None,
+    ).collect()
+    assert {r["source"] for r in got} == {"web"}
+
+
+def test_group_budget_partitioning_invariant(spark):
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    rows = [
+        (["web", "code", "math"][i % 3], i,
+         (i * 37 % 100) / 100.0, 5 + i % 7)
+        for i in range(300)
+    ]
+    budgets = {"web": 120, "code": 80, "math": 50}
+    want = _naive_grouped(rows, budgets)
+    for parts in (1, 7):
+        got = sorted(
+            tuple(r) for r in select_token_budget_by_group(
+                _mkgdocs(spark, rows).repartition(parts),
+                F.col("score"), F.col("n_tokens"),
+                "source", budgets, bucket_size=13,
+            ).collect()
+        )
+        assert got == want
+
+
+def test_group_budget_validation(spark):
+    import pytest
+
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    with pytest.raises(ValueError, match="must be >= 1"):
+        select_token_budget_by_group(
+            _mkgdocs(spark, [("a", 1, 0.5, 5)]), F.col("score"),
+            F.col("n_tokens"), "source", {"a": 0})
