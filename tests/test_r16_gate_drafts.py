@@ -34,6 +34,12 @@ riders only.
     as kind='group_budget' rows, or q100's r14 re-gate as a
     curation stage (section below).
 
+  * streaming priority sampling (``streaming/sample.py`` — the
+    bottom-(k+1) racer state merges per micro-batch; BIT-FOR-BIT
+    the batch priority_sample for any split). LANDING ROUTE: rides
+    q80's r14 re-gate as kind='priority_stream' rows against q80's
+    own oracle (section below).
+
 Each draft runs the full driver-style compare (schema + rows +
 order-insensitive canonical values) at sf0.001 and sf0.01 — the
 exact acceptance its landing round promotes into __spark_entry__.
@@ -337,3 +343,48 @@ def test_draft_group_budget_kind(spark, sf_dir):
     # tokens than the default-budget ones
     per = sdf.groupby("source")["n_tokens"].sum()
     assert per["src0"] > per["src2"]
+
+
+# --------------------------------------------------------------------
+# Streaming priority sampling (streaming/sample.py, round 13) — the
+# fixed-size weighted sample maintained over a document stream,
+# converging BIT-FOR-BIT to the batch priority_sample (bottom-k
+# selection merges; md5 race keys make the state a pure function of
+# the document set — value-level idempotent under replay, the HLL
+# discipline). LANDING ROUTE: rides q80's r14 re-gate (fixed-size
+# sampling surface; r12-gated, due r14) as kind='priority_stream'
+# rows — the SAME oracle as the landed kind='priority' leg, by exact
+# convergence (this draft compares against q80's registered oracle:
+# zero duplication).
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_priority_stream_kind(spark, sf_dir, tmp_path):
+    from formula1_data_pipeline_spark.queries import CATALOG
+    from formula1_data_pipeline_spark.streaming.sample import (
+        stream_priority_sample,
+    )
+
+    got = stream_priority_sample(
+        spark, f"{sf_dir}/documents.parquet", "n_chars", 100,
+        n_source_files=3, work_dir=str(tmp_path / "w"))
+    # prio_rank rides as double here: the ORACLE side is filtered
+    # out of q80's full union frame, where the stratified rows' NULL
+    # ranks make pandas float64-ize the column ('32.0' under the
+    # canon) — at landing time the spark side is the same full union
+    # and float64-izes identically, so this is draft-only shimming
+    sdf = got.select(
+        F.lit("priority_stream").alias("kind"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "w",
+        F.col("prio_rank").cast("double").alias("prio_rank"),
+        "tau",
+        "ht_weight",
+    ).toPandas()
+    oracle_all = run_oracle(
+        CATALOG["q80_stratified_topn"].oracle, sf_dir)
+    odf = oracle_all[oracle_all["kind"] == "priority"].copy()
+    odf["kind"] = "priority_stream"
+    _compare_frames(sdf, odf)
