@@ -961,6 +961,13 @@ CHANGED_SINCE_GATE = [
     #      dedup_weighted_sample) as kind='dedup_sample' rows —
     #      r12-gated, due r14; prioritized there via the carve-out
     "q37_neardup_clusters",
+    # q34: ivf_index_append's read path gained the bloom-sidecar
+    #      pending-late heal (crash recovery, round-12 ADVICE) and
+    #      the landed-PQ-codebooks existence check (a no-op for
+    #      every non-PQ index, q34 included) — output unchanged,
+    #      listed conservatively; r12-gated, due r14, so the
+    #      carve-out makes this cost-free
+    "q34_ivf_flat_topk",
 ]
 
 
