@@ -268,9 +268,14 @@ def pq_adc_topk(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
     ).filter(F.col("vec").isNotNull()).collect()
+    # q_id schema follows the caller's id type (the bm25_index_topk
+    # qid-type lesson: a hardcoded bigint crashes createDataFrame on
+    # string ids)
+    qid_type = dict(queries.dtypes)[id_col]
     qlut = spark.createDataFrame(
         _luts(q_rows, codebooks, sub),
-        "q_id bigint, q_vec array<double>, lut array<array<double>>",
+        f"q_id {qid_type}, q_vec array<double>, "
+        "lut array<array<double>>",
     )
 
     adc = F.aggregate(

@@ -617,6 +617,7 @@ def recover_pending_late(spark, table: str,
     import json
 
     from formula1_data_pipeline_spark.sources.txn import (
+        current_version,
         read_table,
         txn_append,
     )
@@ -625,6 +626,18 @@ def recover_pending_late(spark, table: str,
         with open(_pending_late_path(table)) as f:
             pend = json.load(f)
     except FileNotFoundError:
+        return
+    # A marker naming the STILL-LIVE version is pre-publish: the
+    # writer crashed before (or has not yet reached) its publish, so
+    # every attempt it names is in the live table and there is
+    # nothing to restore. Leave the marker in place (round-13 ADVICE,
+    # the medium item): clearing it here would race a LIVE compactor
+    # that just wrote its pre-publish marker — it publishes next, and
+    # a crash between that publish and its late append would then be
+    # unrecoverable. A genuinely crashed pre-publish marker is
+    # harmless to leave; the next compaction overwrites it with its
+    # own.
+    if current_version(spark, table) == pend["superseded_version"]:
         return
     prev = read_table(spark, table,
                       version=pend["superseded_version"])

@@ -175,7 +175,13 @@ def select_token_budget_by_group(
     ``budgets``: {group value -> token budget}; groups absent from
     the dict use ``default_budget``, or are DROPPED ENTIRELY when it
     is None — explicit mixture control, not an accident (property:
-    the output never contains a group without a budget).
+    the output never contains a group without a budget). A NULL
+    group value is one group like any other (round-13 ADVICE: plain
+    equi-joins silently dropped NULL keys AFTER granting them
+    default_budget): internally NULL maps to a reserved sentinel key
+    for the joins/windows and maps back to NULL in the output; a
+    ``None`` key in ``budgets`` addresses the NULL group explicitly,
+    else it follows the default_budget rule.
 
     Scale shape: strictly BETTER than the global form — the
     bucket-offset window (the global operator's one unpartitioned
@@ -194,9 +200,15 @@ def select_token_budget_by_group(
             raise ValueError(f"budget for group {g!r} must be >= 1: {b}")
     _require_numeric_id(docs, id_col, "select_token_budget_by_group")
     spark = docs.sparkSession
+    # NULL-group sentinel: every join/groupBy/window below keys on
+    # _gkey (never NULL), so NULL-group rows flow like any other
+    # group instead of vanishing at the inner equi-joins; the output
+    # carries the original (possibly NULL) group_col
+    null_key = "\x00__null_group__"
     bdf = spark.createDataFrame(
-        [(g, int(b)) for g, b in budgets.items()],
-        schema=f"{group_col} string, _budget long",
+        [(g if g is not None else null_key, int(b))
+         for g, b in budgets.items()],
+        schema="_gkey string, _budget long",
     )
     d = docs.select(
         F.col(group_col).cast("string").alias(group_col),
@@ -206,36 +218,38 @@ def select_token_budget_by_group(
         ).alias("score_q"),
         F.coalesce(n_tokens.cast("long"), F.lit(0)).alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_size).alias("_ibkt"),
+    ).withColumn(
+        "_gkey", F.coalesce(F.col(group_col), F.lit(null_key))
     )
     if default_budget is None:
-        d = d.join(F.broadcast(bdf), group_col)  # budgetless: dropped
+        d = d.join(F.broadcast(bdf), "_gkey")  # budgetless: dropped
     else:
-        d = d.join(F.broadcast(bdf), group_col, "left").withColumn(
+        d = d.join(F.broadcast(bdf), "_gkey", "left").withColumn(
             "_budget",
             F.coalesce("_budget", F.lit(int(default_budget))),
         )
-    bucket_sums = d.groupBy(group_col, "_budget", "score_q",
+    bucket_sums = d.groupBy("_gkey", "_budget", "score_q",
                             "_ibkt").agg(
         F.sum("n_tokens").alias("_bsum")
     )
     w_off = (
-        Window.partitionBy(group_col)
+        Window.partitionBy("_gkey")
         .orderBy(F.desc("score_q"), F.asc("_ibkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = bucket_sums.select(
-        group_col, "_budget", "score_q", "_ibkt",
+        "_gkey", "_budget", "score_q", "_ibkt",
         F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
         .alias("_offset"),
     ).filter(F.col("_offset") < F.col("_budget"))
     w_in = (
-        Window.partitionBy(group_col, "score_q", "_ibkt")
+        Window.partitionBy("_gkey", "score_q", "_ibkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         d.drop("_budget")
-        .join(F.broadcast(offsets), [group_col, "score_q", "_ibkt"])
+        .join(F.broadcast(offsets), ["_gkey", "score_q", "_ibkt"])
         .withColumn(
             "cum_before",
             F.col("_offset")

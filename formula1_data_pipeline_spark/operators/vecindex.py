@@ -230,16 +230,22 @@ def _landed_id_bloom(spark, table: str):
     NEGATIVE (a landed id missing from the bloom), and the append
     contract ("a miss is definitely new") would double-insert on
     re-delivery. The pending-late marker is a cheap file-existence
-    test; recovery outside the compaction lease is safe for THIS
-    table specifically because bloom words merge by bit_or
-    (idempotent — a racing recovery merely re-appends identical
-    words), unlike the sum-merged bm25/aggmart deltas whose recovery
-    stays lease-serialized."""
+    test. The heal runs UNDER the compaction lease (round-13 ADVICE:
+    a lease-less heal's marker CLEAR raced a live fold's pre-publish
+    marker — the fold publishes next, and a crash before its late
+    append was then unrecoverable; the bit_or-idempotence argument
+    covered re-appends, not the clear). Contended lease → skip the
+    heal and read as-is: the live holder either completes its own
+    late append or re-crashes leaving the marker for the next
+    healer, and ``recover_pending_late`` itself now refuses to clear
+    a still-live-version marker as the second line of defense."""
     import os
 
     from formula1_data_pipeline_spark.operators.retrieval import (
         _pending_late_path,
+        acquire_compaction_lease,
         recover_pending_late,
+        release_compaction_lease,
     )
     from formula1_data_pipeline_spark.sources.txn import (
         is_txn_table,
@@ -249,7 +255,12 @@ def _landed_id_bloom(spark, table: str):
     if not is_txn_table(spark, table):
         return None, None
     if os.path.exists(_pending_late_path(table)):
-        recover_pending_late(spark, table)
+        lease = acquire_compaction_lease(table)
+        if lease is not None:
+            try:
+                recover_pending_late(spark, table)
+            finally:
+                release_compaction_lease(lease)
     words = read_table(spark, table)
     first = words.select("n_bits").first()
     if first is None:
@@ -700,18 +711,25 @@ def ivf_index_pq_topk(
     base_q = queries.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("vec"),
+    ).filter(
+        # NULL embeddings sit out, matching pq_adc_topk — without
+        # this _luts raises a bare TypeError driver-side
+        F.col("vec").isNotNull()
     ).withColumn("nrm", norm(F.col("vec")))
     q = _ivf_assign(base_q, coefs, n_probe, "q_")
     probed = [r["cluster"]
               for r in q.select("cluster").distinct().collect()]
     # per-query LUTs driver-side (queries are broadcast-small), keyed
-    # to the probed (q_id, cluster) pairs
+    # to the probed (q_id, cluster) pairs; q_id schema follows the
+    # caller's id type (the bm25_index_topk qid-type lesson)
+    qid_type = dict(queries.dtypes)[id_col]
     luts = {qid: (qvec, lut) for qid, qvec, lut in _luts(
         base_q.collect(), books, sub)}
     q_rows = [(r["q_id"], int(r["cluster"]), luts[r["q_id"]][1])
               for r in q.select("q_id", "cluster").collect()]
     qlut = spark.createDataFrame(
-        q_rows, "q_id bigint, cluster int, lut array<array<double>>")
+        q_rows,
+        f"q_id {qid_type}, cluster int, lut array<array<double>>")
 
     lists_tbl = _tables(index_dir)[_LISTS]
     # candidate stage: code column ONLY — the vec/nrm columns never
@@ -757,7 +775,7 @@ def ivf_index_pq_topk(
     ).join(F.broadcast(ids), "n_id").distinct()
     qv = spark.createDataFrame(
         [(qid, v) for qid, (v, _) in luts.items()],
-        "q_id bigint, q_vec array<double>",
+        f"q_id {qid_type}, q_vec array<double>",
     ).withColumn("q_norm", norm(F.col("q_vec")))
     scored = (
         cand.join(vecs, "n_id").join(F.broadcast(qv), "q_id")

@@ -923,51 +923,62 @@ from formula1_data_pipeline_spark import queries_curation  # noqa: E402,F401
 # (q05/q15, last gated r3; the r4 cohort) need no listing — the
 # last-gated ranking below surfaces them first automatically.
 CHANGED_SINCE_GATE = [
-    # round-13 diff, BEHAVIOR/physical-path changes only. All r12
-    # entries were driver-gated green in r12 (CORRECTNESS_r12:
-    # 49/50; the one red row, q24, was a canonicalizer schema defect
-    # fixed below, values parity-proven at both SFs), so the list
-    # reset to the round-13 diff. Budget math: the 50 r11-gated
-    # queries are due in r13 and exactly fill the 50-row window;
-    # the five r13 riders below target r11-gated queries (no extra
-    # slot), and the two r14-tier landings (q24/q37, r12-gated) ride
-    # the carve-out: they stay fresh this round (gated newest) and
-    # get changed-priority in r14 once CORRECTNESS_r13 lands.
+    # round-14 diff, BEHAVIOR/physical-path changes only. All 50 r13
+    # entries were driver-gated green in r13 (CORRECTNESS_r13:
+    # 50/50), so the list resets to the round-14 diff. Budget math:
+    # the 50 r12-gated queries are due in r14 and exactly fill the
+    # 50-row window; every r14 rider below targets an r12-gated
+    # query (no extra slot).
     #
-    # q55: perceptual image hashing (operators/phash.py) as
-    #      kind='ahash'/'dhash' fingerprint rows + kind='apair'
-    #      hamming near-dup pairs over the re-encode augmentation
-    "q55_multimodal_transform",
-    # q53: persisted mergeable HLL sketch table (operators/hll.py)
-    #      as kind='hll_idx' rows — exact counts + accuracy booleans
-    "q53_approx_sketches",
-    # q92: int8 scalar quantization (operators/quantize.py) as
-    #      kind='sq8' rows — serialized codes under the full value
-    #      hash + reconstruction-bound boolean
-    "q92_ann_recall_clustered",
-    # q88: streaming IVF-index maintenance (streaming/ivf.py) as
-    #      kind='ivf_stream' rows replaying the q34 live-IVF oracle
-    "q88_stream_neardup_dedup",
-    # q66: fuzzy benchmark decontamination (dedup.py::
-    #      fuzzy_contamination) as kind='fuzzy' rows — cross-corpus
-    #      MinHash-LSH catching light rewrites the exact tier misses
-    "q66_contamination_check",
-    # q24: canonicalizer-safe schema (the r12 red row: proj
-    #      array<double> exploded to scalar component rows) + MMR
-    #      re-rank rider (operators/mmr.py) as kind='mmr' rows —
-    #      r12-gated, due r14; prioritized there via the carve-out
+    # q24: driver confirmation still pending for the r13 scalar-only
+    #      schema fix (the r12 red row) + the MMR kind landed r13 —
+    #      r12-gated, due r14; THE priority row of the round
     "q24_cosine_topk",
-    # q37: dedup-weighted sampling (sampling.py::
-    #      dedup_weighted_sample) as kind='dedup_sample' rows —
-    #      r12-gated, due r14; prioritized there via the carve-out
+    # q39: streaming BM25-index maintenance (streaming/bm25.py) as
+    #      kind='bm25_stream' rows — foreachBatch appends where the
+    #      landed-doc anti-join is the replay guard; row-identical
+    #      to the live kind, so the shared bm_ranked CTE replays it
+    "q39_tfidf_top_terms",
+    # q68: per-group token budgets (selection.py::
+    #      select_token_budget_by_group) as kind='group_budget'
+    #      rows; host reshaped to a kind-discriminated long schema.
+    #      Also carries the NULL-group sentinel fix (r13 ADVICE low)
+    "q68_mixture_resample",
+    # q80: streaming priority sampling (streaming/sample.py) as
+    #      kind='priority_stream' rows — bit-for-bit the batch leg
+    #      by the bottom-(k+1) merge property, oracle arm re-labeled.
+    #      Also carries the re-delivery id-dedup fix (r13 ADVICE
+    #      high)
+    "q80_stratified_topn",
+    # q37: dedup-weighted sampling kind landed r13, driver-ungated —
+    #      r12-gated, due r14
     "q37_neardup_clusters",
-    # q34: ivf_index_append's read path gained the bloom-sidecar
-    #      pending-late heal (crash recovery, round-12 ADVICE) and
-    #      the landed-PQ-codebooks existence check (a no-op for
-    #      every non-PQ index, q34 included) — output unchanged,
-    #      listed conservatively; r12-gated, due r14, so the
-    #      carve-out makes this cost-free
+    # q36: stream replay shrunk 4 -> 2 micro-batches (r13 bench
+    #      flagged the gate latency-dominated; converged state is
+    #      split-invariant, output unchanged) — r12-gated, due r14
+    "q36_stream_merge_upsert",
+    # q99: logreg 50 -> 30 iterations (holdout bound flat past 30,
+    #      measured both SFs; -20 sequential gradient jobs) —
+    #      r12-gated, due r14; bounds-gated so output booleans
+    #      unchanged
+    "q99_quality_classifier",
+    # q34: the ivf read path's bloom-sidecar heal changed again this
+    #      round (lease-guarded heal + still-live-marker guard, r13
+    #      ADVICE medium) — output unchanged, listed conservatively;
+    #      r12-gated, due r14, so the listing is cost-free
     "q34_ivf_flat_topk",
+    # Conservative listings for physical-path changes whose hosts
+    # are r13-gated (gated in the NEWEST round => the rank function
+    # keeps their real rank — zero window cost; they re-gate with
+    # the whole r13 cohort in r15): q53 (hll compaction's recover
+    # guard), q88 (vecindex heal + 2-file stream replays), q92
+    # (pq qid-type/NULL-vec fixes), q87 (verdicts now lazy-unioned
+    # from pinned index versions instead of txn-appended — same
+    # rows, one final job)
+    "q53_approx_sketches",
+    "q88_stream_neardup_dedup",
+    "q92_ann_recall_clustered",
+    "q87_incremental_neardup_dedup",
 ]
 
 

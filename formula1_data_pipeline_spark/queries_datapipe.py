@@ -308,6 +308,10 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
     UNION ALL
     SELECT 'bm25_idx', query_id, doc_id, CAST(n AS BIGINT), score, rank
     FROM bm_ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'bm25_stream', query_id, doc_id, CAST(n AS BIGINT), score,
+           rank
+    FROM bm_ranked WHERE rank <= 10
     """,
     doc="Term/document relevance surface, both directions in one long "
         "(kind, key, doc_id, n, score, rank) shape (§2.12). "
@@ -329,6 +333,13 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
         "probe terms pushed as IN-lists + manifest term-range "
         "pruning. Row-identity with the live-scan kind is the gated "
         "contract, so one oracle CTE replays both. "
+        "kind='bm25_stream' (round 14): the SAME top-10 from a "
+        "STREAM-maintained index (streaming/bm25.py — readStream "
+        "over the corpus files, foreachBatch -> bm25_index_append "
+        "where the landed-doc anti-join IS the replay guard, final "
+        "lease-serialized compaction) — query-equivalent to the "
+        "one-shot build for any micro-batch split, so the shared "
+        "bm_ranked CTE replays this leg too. "
         "Legs 1-2 reuse the same tf aggregate",
 )
 def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +447,31 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
-    return tfidf.unionByName(bm25).unionByName(bm25_idx)
+
+    # kind='bm25_stream' (round 14): the STREAM-maintained index —
+    # foreachBatch -> bm25_index_append over a 2-micro-batch file
+    # replay (2, not 3: multi-batch folding is proven at 2 and each
+    # AvailableNow batch is a full sequential Spark job — the r13
+    # bench lesson on latency-dominated gates), then the same pruned
+    # query. Query-equivalence to the one-shot build for ANY split
+    # is the streaming module's tested contract, so this leg ranks
+    # row-for-row with the live kind under the shared oracle CTE.
+    from formula1_data_pipeline_spark.streaming.bm25 import (
+        stream_bm25_index,
+    )
+
+    sidx = stream_bm25_index(
+        spark, f"{sf_dir}/documents.parquet", n_source_files=2)
+    bm25_stream = bm25_index_topk(spark, sidx, qdf, k=10).select(
+        F.lit("bm25_stream").alias("kind"),
+        F.col("query_id").alias("key"),
+        "doc_id",
+        F.col("n_terms_matched").alias("n"),
+        "score",
+        "rank",
+    )
+    return (tfidf.unionByName(bm25).unionByName(bm25_idx)
+            .unionByName(bm25_stream))
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1642,9 +1677,14 @@ def q67_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GB_BUDGETS = {"src0": 3000, "src1": 1200}
+_GB_DEFAULT = 700
+_GB_VALUES = ", ".join(f"('{g}', {b})" for g, b in _GB_BUDGETS.items())
+
+
 @register(
     "q68_mixture_resample",
-    """
+    f"""
     WITH counts AS (
         SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
     ), m AS (
@@ -1653,27 +1693,69 @@ def q67_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, n_docs,
                sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
         FROM counts, m
+    ), gb(gsource, budget) AS (
+        VALUES {_GB_VALUES}
+    ), gd AS (
+        SELECT source, doc_id,
+               CAST(CAST(CAST(n_chars % 97 AS DOUBLE) / 97.0
+                    AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS score_q,
+               CAST(greatest(1, n_chars // 5) AS BIGINT) AS n_tokens
+        FROM documents
+    ), gj AS (
+        SELECT gd.*, COALESCE(gb.budget, {_GB_DEFAULT}) AS budget
+        FROM gd LEFT JOIN gb ON gd.source = gb.gsource
+    ), go AS (
+        SELECT source, doc_id, score_q, n_tokens, budget,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY score_q DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM gj
     )
-    SELECT d.doc_id, d.lang, r.n_docs,
+    SELECT 'resample' AS kind, d.doc_id, d.lang AS grp, r.n_docs,
            round(r.rate, 6) AS keep_rate,
            CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
                 'mix-v1'), 1, 15)) AS BIGINT) % 1000000
-               < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+               < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept,
+           CAST(NULL AS BIGINT) AS score_q,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS cum_before
     FROM documents d JOIN rates r USING (lang)
+    UNION ALL
+    SELECT 'group_budget', doc_id, source, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN),
+           score_q, n_tokens, cum_before
+    FROM go WHERE cum_before < budget
     """,
-    doc="Domain-mixture resampling (temperature 0.5): per-language "
-        "keep rates sqrt(n_min/n_lang), so sampled counts scale as "
-        "sqrt(n_lang) — the standard temperature reweighting of a "
-        "multi-source training mix. sqrt is IEEE-correctly-rounded in "
-        "both engines (pow is NOT, which is why T is fixed at 0.5), "
-        "the rate threshold is an exact integer compare on the md5 "
-        "micro-bucket, and membership is a pure function of doc_id — "
-        "reproducible across runs, engines and partitionings. Shape: "
-        "one tiny aggregate (langs), broadcast back over a narrow "
-        "scan; no corpus shuffle at any scale",
+    doc="Training-mixture control surface, two kinds. "
+        "kind='resample': domain-mixture resampling (temperature "
+        "0.5): per-language keep rates sqrt(n_min/n_lang), so "
+        "sampled counts scale as sqrt(n_lang) — the standard "
+        "temperature reweighting of a multi-source training mix. "
+        "sqrt is IEEE-correctly-rounded in both engines (pow is NOT, "
+        "which is why T is fixed at 0.5), the rate threshold is an "
+        "exact integer compare on the md5 micro-bucket, and "
+        "membership is a pure function of doc_id — reproducible "
+        "across runs, engines and partitionings. Shape: one tiny "
+        "aggregate (langs), broadcast back over a narrow scan; no "
+        "corpus shuffle at any scale. "
+        "kind='group_budget' (round 14, selection.py::"
+        "select_token_budget_by_group): per-SOURCE token QUOTAS — "
+        "each source fills its own budget from its own (score DESC, "
+        "doc_id ASC) prefix, the mixture form pretraining recipes "
+        "state ('300B web, 30B code'); sources outside the quota "
+        "dict take a default budget. Exact integer/decimal "
+        "arithmetic end to end; the bucket-offset window partitions "
+        "BY GROUP (strictly better scale shape than the q100 global "
+        "form), budget pruning bounds the join-back at "
+        "~sum(budgets) rows",
 )
 def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import hash_bucket
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
 
     docs = load(spark, sf_dir, "documents")["documents"]
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -1687,14 +1769,38 @@ def q68_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucket = hash_bucket(F.col("doc_id"), "mix-v1", n_buckets=1000000)
-    return (
+    nul_b = F.lit(None).cast("long")
+    resample = (
         docs.join(F.broadcast(rates), "lang")
         .select(
-            "doc_id", "lang", "n_docs",
+            F.lit("resample").alias("kind"),
+            "doc_id",
+            F.col("lang").alias("grp"),
+            "n_docs",
             F.round("rate", 6).alias("keep_rate"),
             (bucket < F.floor(F.col("rate") * 1000000)).alias("kept"),
+            nul_b.alias("score_q"),
+            nul_b.alias("n_tokens"),
+            nul_b.alias("cum_before"),
         )
     )
+    group_budget = select_token_budget_by_group(
+        docs,
+        (F.col("n_chars") % 97).cast("double") / 97.0,
+        F.greatest(F.lit(1), F.col("n_chars") / F.lit(5)).cast("long"),
+        "source", _GB_BUDGETS, default_budget=_GB_DEFAULT,
+    ).select(
+        F.lit("group_budget").alias("kind"),
+        "doc_id",
+        F.col("source").alias("grp"),
+        nul_b.alias("n_docs"),
+        F.lit(None).cast("double").alias("keep_rate"),
+        F.lit(None).cast("boolean").alias("kept"),
+        "score_q",
+        "n_tokens",
+        "cum_before",
+    )
+    return resample.unionByName(group_budget)
 
 
 _PRIO_K = 100
@@ -1742,6 +1848,12 @@ _PRIO_K = 100
            greatest(r.w, t.tau)
     FROM pranked r, ptau t
     WHERE r.prio_rank <= {_PRIO_K}
+    UNION ALL
+    SELECT 'priority_stream', NULL, r.doc_id, NULL, r.w,
+           CAST(r.prio_rank AS INTEGER), t.tau,
+           greatest(r.w, t.tau)
+    FROM pranked r, ptau t
+    WHERE r.prio_rank <= {_PRIO_K}
     """,
     doc="Fixed-size sampling surface, two kinds. kind='stratified': "
         "exactly 200 events per event_type by deterministic 60-bit "
@@ -1762,7 +1874,16 @@ _PRIO_K = 100
         "unbiased; priorities are md5-derived (no RNG), every "
         "arithmetic step an IEEE correctly-rounded op on identically "
         "constructed operands, so the whole leg value-hash-gates. "
-        "One TakeOrderedAndProject scan, k-flat driver state",
+        "One TakeOrderedAndProject scan, k-flat driver state. "
+        "kind='priority_stream' (round 14, streaming/sample.py): the "
+        "SAME sample maintained over a micro-batch file replay — "
+        "bottom-(k+1) racer states MERGE (bottom-k selection is "
+        "associative; md5 race keys make the state a pure function "
+        "of the document set), so the streamed result is bit-for-bit "
+        "the batch operator's for ANY split and the oracle arm is "
+        "the priority CTE re-labeled. Per micro-batch: one "
+        "TakeOrderedAndProject + a (2k+2)-row merge + O(k) txn "
+        "state overwrite; the landed corpus is never re-read",
 )
 def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from formula1_data_pipeline_spark.operators.sampling import (
@@ -1801,7 +1922,31 @@ def q80_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tau",
         "ht_weight",
     )
-    return strat.unionByName(prio)
+
+    # kind='priority_stream' (round 14): the stream-maintained sample
+    # over a 2-micro-batch replay (2, not 3: the merge property is
+    # proven at 2 and each AvailableNow batch is a full sequential
+    # Spark job — the r13 bench lesson on latency-dominated gates);
+    # bit-for-bit the batch leg by the bottom-(k+1) merge property,
+    # so the oracle arm is the priority CTE re-labeled.
+    from formula1_data_pipeline_spark.streaming.sample import (
+        stream_priority_sample,
+    )
+
+    prio_stream = stream_priority_sample(
+        spark, f"{sf_dir}/documents.parquet", "n_chars", _PRIO_K,
+        n_source_files=2,
+    ).select(
+        F.lit("priority_stream").alias("kind"),
+        F.lit(None).cast("string").alias("grp"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "w",
+        F.col("prio_rank").cast("int").alias("prio_rank"),
+        "tau",
+        "ht_weight",
+    )
+    return strat.unionByName(prio).unionByName(prio_stream)
 
 
 @register(
@@ -2084,8 +2229,13 @@ def _q87_oracle() -> str:
         "dropping d against an unkept near-dup keeps the semantics "
         "order-stable) plus its own earlier rows, verifies exact "
         "token-set jaccard >= 0.8 on candidates only, and txn-appends "
-        "its band keys + token sets to the index and its keep/drop "
-        "verdicts to the result. The corpus is NEVER rescanned: per "
+        "its band keys + token sets to the index — the durable "
+        "incremental state; keep/drop verdicts are derived rows, "
+        "built per batch against the index version PINNED at "
+        "read_table time and unioned lazily so the whole verdict "
+        "pass is ONE final Spark job (round 14: was 3 verdict "
+        "txn-appends + a read-back — pure sequential-job latency). "
+        "The corpus is NEVER rescanned: per "
         "batch the work is one banded self-join + one band-key join "
         "against the index (shuffles carry (band, id) pairs), and "
         "jaccard runs on candidates only. The oracle replays the "
@@ -2114,7 +2264,8 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
     b1, b2 = mx // 3, mx * 2 // 3
     bounds = [(None, b1, 0), (b1, b2, 1), (b2, None, 2)]
     root = scratch_dir(prefix="q87_corpus_")
-    idx_path, res_path = f"{root}/seen_index", f"{root}/result"
+    idx_path = f"{root}/seen_index"
+    verdict_legs = []
     for lo, hi, batch_no in bounds:
         batch = docs
         if lo is not None:
@@ -2155,22 +2306,29 @@ def q87_incremental_neardup_dedup(spark: SparkSession,
             F.col("id") > lo if lo is not None else F.lit(True),
             threshold=threshold,
         )
-        verdicts = (
+        # verdict legs accumulate LAZILY: read_table pinned the
+        # index's post-append version at call time (manifest resolved
+        # eagerly), so the final union action evaluates all three
+        # batch-state joins in ONE Spark job instead of 3 verdict
+        # txn-appends + a read-back — r13 bench lesson: this gate's
+        # wall is sequential-small-job count, not data volume. The
+        # durable incremental STATE (the seen index) still commits
+        # per batch; the verdicts are derived rows a production run
+        # would sink wherever its writer already lands output.
+        verdict_legs.append(
             batch.select(F.col("doc_id").alias("id"))
             .join(dropped.withColumn("__dropped", F.lit(True)),
                   "id", "left")
             .select(
-                F.col("id").alias("doc_id"),
-                F.lit(batch_no).alias("arrival_batch"),
+                F.col("id").cast("long").alias("doc_id"),
+                F.lit(batch_no).cast("int").alias("arrival_batch"),
                 F.col("__dropped").isNull().alias("kept"),
             )
         )
-        txn_append(spark, verdicts, res_path)
-    return read_table(spark, res_path).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("arrival_batch").cast("int").alias("arrival_batch"),
-        F.col("kept").cast("boolean").alias("kept"),
-    )
+    out = verdict_legs[0]
+    for leg in verdict_legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def _span_ctes(k: int, src: str = "documents") -> str:

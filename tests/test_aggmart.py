@@ -494,7 +494,10 @@ def test_pending_late_marker_written_before_publish(spark, tmp_path,
     hook), so even a crash AT the publish itself leaves a marker —
     there is no publish->marker loss window. A pre-publish crash's
     marker names a still-live version, so recovery against it is a
-    no-op (idempotence makes early-marking free)."""
+    data no-op — and (round-13 ADVICE, the medium item) it must
+    LEAVE the marker in place: clearing it would race a live
+    compactor between its marker write and its publish, making a
+    crash before its late append unrecoverable."""
     import os
 
     import formula1_data_pipeline_spark.sources.txn as T
@@ -519,10 +522,16 @@ def test_pending_late_marker_written_before_publish(spark, tmp_path,
     assert os.path.exists(R._pending_late_path(t))
     before = sorted((r["k"], r["attempt"])
                     for r in T.read_table(spark, t).collect())
-    # ...and recovery against the still-live version is a no-op
+    # ...and recovery against the still-live version is a data no-op
+    # that LEAVES the marker (it may belong to a live pre-publish
+    # compactor; the next successful compaction supersedes it)
     R.recover_pending_late(spark, t)
     assert sorted((r["k"], r["attempt"])
                   for r in T.read_table(spark, t).collect()) == before
+    assert os.path.exists(R._pending_late_path(t))
+    # the next successful compaction overwrites the stale marker
+    # with its own and clears it on completion
+    R._overwrite_preserving_late(spark, fold, t, ["a", "c"])
     assert not os.path.exists(R._pending_late_path(t))
 
 

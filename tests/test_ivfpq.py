@@ -134,3 +134,19 @@ def test_plain_index_refuses_pq_query(spark, emb, tmp_path):
                     n_centroids=4, n_iter=1)
     with pytest.raises(ValueError, match="no PQ codes"):
         ivf_index_pq_topk(spark, d, emb.filter(F.col("vec_id") < 3))
+
+
+def test_null_vector_query_sits_out(spark, emb, idx):
+    """Round-13 ADVICE (low): a NULL embedding in the query frame
+    used to reach _luts and raise a bare TypeError driver-side;
+    NULL-vector queries now sit out, matching pq_adc_topk."""
+    q = emb.filter(F.col("vec_id") < 5) \
+        .select("vec_id", "embedding").unionByName(
+            spark.createDataFrame(
+                [(999_999, None)],
+                "vec_id long, embedding array<double>"))
+    got = ivf_index_pq_topk(spark, idx, q, k=3, n_probe=2,
+                            n_candidates=50)
+    qids = {r["q_id"] for r in got.select("q_id").distinct().collect()}
+    assert 999_999 not in qids
+    assert len(qids) == 5

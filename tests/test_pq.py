@@ -141,3 +141,20 @@ def test_precoded_corpus_matches_inline_encode(spark, emb, books):
             pre, q, books, dim=DIM, k=5, n_candidates=60,
             code_col="pq").collect())
     assert precoded == inline
+
+
+def test_string_ids_supported(spark, emb, books):
+    """Round-13 ADVICE (low): the driver-built LUT frame hardcoded
+    `q_id bigint`, crashing createDataFrame for string id columns
+    (the bm25_index_topk qid-type lesson). The q_id schema now
+    follows the caller's id dtype."""
+    s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    q = s.filter(F.col("vec_id").isin("doc-1", "doc-2"))
+    got = pq_adc_topk(s, q, books, dim=DIM, k=3, n_candidates=40)
+    rows = got.collect()
+    assert {r["q_id"] for r in rows} == {"doc-1", "doc-2"}
+    assert all(isinstance(r["n_id"], str) for r in rows)
+    assert all(r["q_id"] != r["n_id"] for r in rows)

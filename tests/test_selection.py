@@ -289,6 +289,49 @@ def test_group_budget_partitioning_invariant(spark):
         assert got == want
 
 
+def test_null_group_gets_default_budget(spark):
+    """Round-13 ADVICE (low): rows with a NULL group were granted
+    default_budget by the left-join coalesce and then silently
+    dropped by the inner equi-join (NULL keys never match). NULL is
+    one group like any other now: it fills default_budget from its
+    own ranking, or an explicit None key in ``budgets``."""
+    from formula1_data_pipeline_spark.operators.selection import (
+        select_token_budget_by_group,
+    )
+
+    rows = [
+        ("web", 1, 0.9, 10), (None, 2, 0.8, 10), (None, 3, 0.95, 10),
+        (None, 4, 0.5, 10),
+    ]
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(
+        ((r["source"], r["doc_id"])
+         for r in select_token_budget_by_group(
+             _mkgdocs(spark, rows), F.col("score"), F.col("n_tokens"),
+             "source", {"web": 100}, default_budget=20,
+         ).collect()), key=key,
+    )
+    # NULL group keeps its own top-2 by score (budget 20 / 10 tokens)
+    assert got == [(None, 2), (None, 3), ("web", 1)]
+
+    # explicit None key in budgets addresses the NULL group directly
+    got2 = sorted(
+        ((r["source"], r["doc_id"])
+         for r in select_token_budget_by_group(
+             _mkgdocs(spark, rows), F.col("score"), F.col("n_tokens"),
+             "source", {"web": 100, None: 10}, default_budget=None,
+         ).collect()), key=key,
+    )
+    assert got2 == [(None, 3), ("web", 1)]
+
+    # and with no default and no None key, NULL groups drop entirely
+    got3 = select_token_budget_by_group(
+        _mkgdocs(spark, rows), F.col("score"), F.col("n_tokens"),
+        "source", {"web": 100}, default_budget=None,
+    ).collect()
+    assert {r["source"] for r in got3} == {"web"}
+
+
 def test_group_budget_validation(spark):
     import pytest
 

@@ -177,6 +177,42 @@ def test_crashed_sidecar_fold_healed_before_append(spark, tmp_path,
     assert n_rows == 40  # n_assign=1 — no double-insert
 
 
+def test_heal_skipped_while_fold_holds_lease(spark, tmp_path):
+    """Round-13 ADVICE (medium): the sidecar heal in
+    `_landed_id_bloom` runs UNDER the compaction lease now — while a
+    live fold holds it (having just written its pre-publish marker),
+    a concurrent reader must NOT recover-and-clear the marker, or a
+    fold crash between publish and late append becomes unrecoverable.
+    Contended lease => heal skipped, marker untouched, read proceeds
+    on the live sidecar."""
+    import os
+
+    import formula1_data_pipeline_spark.operators.vecindex as V
+    from formula1_data_pipeline_spark.operators import retrieval as R
+
+    d = str(tmp_path / "idx")
+    ivf_index_build(spark, _scrambled(spark, 100), d,
+                    n_centroids=4, n_iter=2, id_col="vec_id",
+                    vec_col="embedding")
+    sidecar = V._tables(d)[V._IDBLOOM]
+    # a "live fold": lease held, pre-publish marker on disk
+    lease = R.acquire_compaction_lease(sidecar)
+    assert lease is not None
+    R._write_pending_late(sidecar, 1, ["whatever"])
+    try:
+        words, n_bits = V._landed_id_bloom(spark, sidecar)
+        assert words is not None and n_bits > 0
+        # the reader did not steal the heal: marker survives
+        assert os.path.exists(R._pending_late_path(sidecar))
+    finally:
+        R.release_compaction_lease(lease)
+    # once the lease is free, the next reader MAY heal; a marker
+    # naming the still-live version is a no-op that stays in place
+    # (recover_pending_late's version guard — the second defense)
+    V._landed_id_bloom(spark, sidecar)
+    assert os.path.exists(R._pending_late_path(sidecar))
+
+
 def test_non_integral_id_raises_loudly(spark, tmp_path):
     """Round-12 ADVICE (vecindex.py:427): the landed-id skip compares
     ids AS BIGINT — a string id would cast to NULL and silently
