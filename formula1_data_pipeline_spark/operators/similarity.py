@@ -840,3 +840,92 @@ def semantic_dedup(
         "id", F.lit(-1).alias("cluster"), F.lit(True).alias("kept")
     )
     return verdicts.unionByName(unassignable)
+
+
+def cluster_balanced_resample(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_coefs: DataFrame | None = None,
+    salt: str = "clusterbal-v1",
+) -> DataFrame:
+    """Semantic-cluster-balanced resampling (round 14, pre-staged):
+    q68's temperature-0.5 mixture reweighting applied to SEMANTIC
+    clusters instead of metadata. Assign every embedding to its
+    primary centroid cell (the q89/q34 quantizer — deterministic md5
+    hash-sample init, or a trained ``centroid_coefs`` table), compute
+    per-cluster keep rates ``sqrt(n_min / n_cluster)``, and keep each
+    doc by its salted md5 micro-bucket — so sampled cluster sizes
+    scale as sqrt(n_cluster): the web-duplicate topics shrink, the
+    rare topics survive. This is the cluster-balancing step
+    web-scale curation runs where no domain/language label exists
+    (topic skew is a property of the EMBEDDING space, not the
+    metadata), complementing q68 (label mixture), q89 (within-cell
+    near-dup pruning) and q27 (diversity downsample).
+
+    Returns exactly one row per input doc: (``id_col``, cluster,
+    n_docs, keep_rate, kept). NULL/empty embeddings can't be
+    balanced (no defined cell), so they pass through LOUDLY as
+    ``cluster = -1, n_docs/keep_rate NULL, kept = true`` — the
+    semantic_dedup convention: a vanished verdict row is
+    indistinguishable from "dropped" downstream.
+
+    Determinism (the q68 rules, so the whole output value-hash
+    gates when the quantizer is the untrained hash-sample):
+    temperature is FIXED at 0.5 because ``sqrt`` is IEEE
+    correctly-rounded in both engines while ``pow`` is not; the keep
+    threshold is an exact integer compare of the md5 micro-bucket
+    against ``floor(rate * 1e6)``; membership is a pure function of
+    the doc id. With a TRAINED quantizer the assignment itself is
+    trained floats — bounds-gate it (the q92 rule).
+
+    Scale shape: centroid table broadcasts (offline k-means at
+    scale, ~sqrt(N) cells); assignment is one explode +
+    broadcast-join + per-(id, cluster) SUM (map-side + one skinny
+    shuffle — ``_ivf_assign``); cluster counts are a
+    centroid-cardinality aggregate that broadcasts back over a
+    narrow scan. No corpus-sized shuffle anywhere, no pairwise work
+    at all (unlike q89's within-cell verify)."""
+    from formula1_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    raw = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    degenerate = F.col("vec").isNull() | (F.size("vec") == 0)
+    base = raw.filter(~degenerate).withColumn("nrm", norm(F.col("vec")))
+    coefs = (
+        centroid_coefs if centroid_coefs is not None
+        else _hash_sample_coefs(base, n_centroids)
+    )
+    assigned = _ivf_assign(base, coefs, 1, "").select("id", "cluster")
+    counts = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "cluster", "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+        .alias("rate"),
+    )
+    bucket = hash_bucket(F.col("id"), salt, n_buckets=1_000_000)
+    balanced = (
+        assigned.join(F.broadcast(rates), "cluster")
+        .select(
+            "id", "cluster", "n_docs",
+            F.round("rate", 6).alias("keep_rate"),
+            (bucket < F.floor(F.col("rate") * 1_000_000)).alias("kept"),
+        )
+    )
+    unassignable = raw.filter(degenerate).select(
+        "id", F.lit(-1).alias("cluster"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("double").alias("keep_rate"),
+        F.lit(True).alias("kept"),
+    )
+    return balanced.unionByName(unassignable).select(
+        F.col("id").alias(id_col), "cluster", "n_docs", "keep_rate",
+        "kept",
+    )

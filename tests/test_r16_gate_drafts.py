@@ -388,3 +388,177 @@ def test_draft_priority_stream_kind(spark, sf_dir, tmp_path):
     odf = oracle_all[oracle_all["kind"] == "priority"].copy()
     odf["kind"] = "priority_stream"
     _compare_frames(sdf, odf)
+
+
+# --------------------------------------------------------------------
+# Semantic-cluster-balanced resampling (similarity.py::
+# cluster_balanced_resample, round 14) — q68's temperature-0.5
+# mixture reweighting over SEMANTIC clusters (primary centroid cell
+# of the q89/q34 hash-sample quantizer) instead of metadata labels:
+# per-cluster keep rates sqrt(n_min/n_cluster), salted-md5 keep
+# threshold, degenerate embeddings pass through loudly. All exact
+# (sqrt is IEEE-correct in both engines; untrained quantizer) ->
+# FULL value hash. LANDING ROUTE: rides q89's r15 re-gate as
+# kind='balance' rows beside the dedup verdicts (shared quantizer
+# cells, n_centroids=16), host reshaped to a kind-discriminated
+# frame like q68 r14.
+
+
+def _balance_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import _SQL_DOT
+
+    return f"""
+    WITH raw0 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ), vecs AS (
+        SELECT vec_id, vec FROM raw0
+        WHERE vec IS NOT NULL AND len(vec) > 0
+    ), cent AS (
+        SELECT vec_id, vec,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS cluster,
+               sqrt({_SQL_DOT.format(a='vec', b='vec')}) AS cnorm
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ), scores AS (
+        SELECT v.vec_id AS id, cent.cluster,
+               {_SQL_DOT.format(a='v.vec', b='cent.vec')}
+               / nullif(cent.cnorm, 0.0) AS score
+        FROM vecs v CROSS JOIN cent
+    ), pri AS (
+        SELECT id, cluster FROM (
+            SELECT id, cluster, row_number() OVER (
+                PARTITION BY id ORDER BY score DESC, cluster ASC
+            ) AS crank FROM scores
+        ) WHERE crank = 1
+    ), counts AS (
+        SELECT cluster, count(*) AS n_docs FROM pri GROUP BY 1
+    ), m AS (
+        SELECT min(n_docs) AS n_min FROM counts
+    ), rates AS (
+        SELECT cluster, n_docs,
+               sqrt(CAST(n_min AS DOUBLE) / n_docs) AS rate
+        FROM counts, m
+    )
+    SELECT p.id AS vec_id, p.cluster, r.n_docs,
+           round(r.rate, 6) AS keep_rate,
+           CAST(('0x' || substr(md5(CAST(p.id AS VARCHAR) || '|' ||
+                'clusterbal-v1'), 1, 15)) AS BIGINT) % 1000000
+               < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+    FROM pri p JOIN rates r USING (cluster)
+    UNION ALL
+    SELECT vec_id, -1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           TRUE
+    FROM raw0 WHERE vec IS NULL OR len(vec) = 0
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_cluster_balance_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cluster_balanced_resample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    sdf = cluster_balanced_resample(
+        emb, dim=64, n_centroids=16).toPandas()
+    odf = run_oracle(_balance_oracle(), sf_dir)
+    _compare_frames(sdf, odf)
+    # non-vacuous: rates genuinely vary and the smallest cluster
+    # keeps everything
+    real = sdf[sdf["cluster"] >= 0]
+    assert real["keep_rate"].nunique() > 1
+    top = real[real["keep_rate"] == 1.0]
+    assert len(top) and top["kept"].all()
+
+
+# --------------------------------------------------------------------
+# Shard integrity manifest (shards.py::shard_integrity_manifest,
+# round 14) — per-shard (n_rows, rank slice, contiguous, order-free
+# 60-bit XOR content fingerprint): the verification a trainer or a
+# cross-site copy runs before consuming a 100 TB shard export. One
+# map-side partial aggregate per shard key; partials merge (XOR), so
+# per-file manifests fold. Exact md5/integer arithmetic -> FULL
+# value hash. LANDING ROUTE: rides q94's r16 re-gate as
+# kind='manifest' rows over the SAME bins/rank CTEs q94 already
+# computes (group the existing r CTE by shard).
+
+
+def _manifest_oracle() -> str:
+    from formula1_data_pipeline_spark.queries_llm import (
+        _bpe_sql_pattern,
+    )
+
+    return rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_bpe_sql_pattern()}'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM d
+    ), bins AS (
+        SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id
+        FROM c GROUP BY 1
+    ), h AS (
+        SELECT bin_id,
+               CAST(('0x' || substr(md5(CAST(bin_id AS VARCHAR)
+                    || '|' || 'epoch-1'), 1, 15)) AS BIGINT) AS _h
+        FROM bins
+    ), r AS (
+        SELECT bin_id,
+               row_number() OVER (ORDER BY _h, bin_id) - 1 AS epoch_rank
+        FROM h
+    ), s AS (
+        SELECT bin_id, epoch_rank,
+               epoch_rank // 16 AS shard,
+               epoch_rank % 16 AS row_in_shard
+        FROM r
+    )
+    SELECT shard, count(*) AS n_rows,
+           min(epoch_rank) AS rank_min,
+           max(epoch_rank) AS rank_max,
+           max(epoch_rank) - min(epoch_rank) + 1 = count(*)
+               AND min(row_in_shard) = 0
+               AND max(row_in_shard) = count(*) - 1 AS contiguous,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(bin_id AS VARCHAR) || '|' ||
+               CAST(epoch_rank AS VARCHAR) || '|' || 'shardfp-v1'
+           ), 1, 15)) AS BIGINT)) AS content_fp
+    FROM s GROUP BY shard
+    """
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_draft_shard_manifest_kind(spark, sf_dir):
+    from formula1_data_pipeline_spark.operators import text as T
+    from formula1_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from formula1_data_pipeline_spark.operators.shards import (
+        epoch_shuffle,
+        shard_integrity_manifest,
+    )
+    from formula1_data_pipeline_spark.queries import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bins = (
+        pack_sequences(docs, T.bpe_token_count(F.col("text")),
+                       budget=512, id_col="doc_id", bucket_size=1000)
+        .groupBy("bin_id").agg(F.count("*").alias("n_docs"))
+    )
+    ranked = epoch_shuffle(bins, epoch_salt="epoch-1",
+                           rows_per_shard=16, id_col="bin_id")
+    sdf = shard_integrity_manifest(ranked, id_col="bin_id").toPandas()
+    odf = run_oracle(_manifest_oracle(), sf_dir)
+    _compare_frames(sdf, odf)
+    assert sdf["contiguous"].all()

@@ -359,3 +359,83 @@ def test_semantic_contamination_flags_rephrasings_not_noise(spark):
             assert r["n_semantic_matches"] >= 1
         else:
             assert r["n_semantic_matches"] == 0
+
+
+def test_cluster_balanced_resample_rates_and_determinism(spark):
+    """Cluster-balanced resampling (round 14, pre-staged for a q89
+    rider): per-cluster keep rates sqrt(n_min/n_cluster) over the
+    PRIMARY cell assignment, membership a pure function of the doc
+    id, degenerate embeddings pass through loudly."""
+    import pyspark.sql.functions as F
+
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cluster_balanced_resample,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(9_000_001, None), (9_000_002, [])],
+            "vec_id long, embedding array<float>"))
+    out = cluster_balanced_resample(emb, dim=64, n_centroids=8)
+    rows = out.collect()
+    n_in = emb.count()
+    # exactly one verdict row per input doc
+    assert len(rows) == n_in
+    assert len({r["vec_id"] for r in rows}) == n_in
+    # degenerate rows: cluster -1, kept, NULL rate
+    degs = [r for r in rows if r["vec_id"] > 9_000_000]
+    assert all(r["cluster"] == -1 and r["kept"]
+               and r["keep_rate"] is None for r in degs)
+    real = [r for r in rows if r["cluster"] >= 0]
+    # rates: sqrt(n_min/n) per cluster, rate 1.0 for the smallest
+    import math
+    by_cluster = {}
+    for r in real:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    sizes = {c: len(v) for c, v in by_cluster.items()}
+    n_min = min(sizes.values())
+    for c, members in by_cluster.items():
+        want = round(math.sqrt(n_min / sizes[c]), 6)
+        assert all(r["keep_rate"] == want for r in members), c
+        assert all(r["n_docs"] == sizes[c] for r in members)
+    smallest = min(sizes, key=lambda c: (sizes[c], c))
+    assert all(r["kept"] for r in by_cluster[smallest])
+    # kept counts track rate * n (binomial-ish, generous bound)
+    for c, members in by_cluster.items():
+        kept = sum(r["kept"] for r in members)
+        expect = sizes[c] * math.sqrt(n_min / sizes[c])
+        assert abs(kept - expect) <= max(6, 0.5 * expect), (c, kept)
+    # determinism + partitioning invariance
+    again = cluster_balanced_resample(
+        emb.repartition(7), dim=64, n_centroids=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cluster_balanced_resample_accepts_trained_quantizer(spark):
+    """A trained (cluster, cnorm, d, coef) table plugs in exactly as
+    semantic_dedup accepts it — assignment then follows the trained
+    cells (bounds-gate trained outputs; the q92 rule)."""
+    from formula1_data_pipeline_spark.evalsets import (
+        clustered_embeddings,
+    )
+    from formula1_data_pipeline_spark.operators.similarity import (
+        cluster_balanced_resample,
+        train_ivf_centroids,
+    )
+
+    emb = clustered_embeddings(spark, n=300, dim=8, n_clusters=3,
+                               std=0.2, seed=5)
+    coefs = train_ivf_centroids(emb, n_centroids=3, n_iter=3,
+                                id_col="vec_id",
+                                vec_col="embedding")
+    out = cluster_balanced_resample(
+        emb, dim=8, centroid_coefs=coefs,
+        id_col="vec_id", vec_col="embedding")
+    rows = out.collect()
+    assert len(rows) == 300
+    # trained cells on a balanced 3-cluster fixture: every cell's
+    # rate is near 1 (sizes within 2x of each other -> rate > 0.7)
+    assert all(r["keep_rate"] is not None and r["keep_rate"] > 0.5
+               for r in rows)
