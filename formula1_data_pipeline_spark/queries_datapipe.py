@@ -460,8 +460,14 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_bm25_index,
     )
 
+    # compact=False: the batch leg above already gates delta-log
+    # compaction; the stream leg's query folds deltas identically
+    # (read-path equivalence is the module's tested contract), and
+    # the in-gate compaction measured ~10 s of pure duplicate
+    # coverage at sf0.1
     sidx = stream_bm25_index(
-        spark, f"{sf_dir}/documents.parquet", n_source_files=2)
+        spark, f"{sf_dir}/documents.parquet", n_source_files=2,
+        compact=False)
     bm25_stream = bm25_index_topk(spark, sidx, qdf, k=10).select(
         F.lit("bm25_stream").alias("kind"),
         F.col("query_id").alias("key"),
