@@ -65,43 +65,66 @@ def train_logreg(
     evaluated ONCE per row instead of being alias-substituted into
     all n_features+1 aggregate children — value-identical (same IEEE
     ops, same order; gradient components verified bit-equal) and
-    measured ~15% per-pass at 36 features. Cost note for bench
-    scales: each iteration pays ~0.7 s of FIXED plan-build + job
-    overhead regardless of data size (weights are literals — a fresh
-    shallow plan per pass is the design), so small-corpus wall time
-    is ~n_iter x overhead; at deployment scale the per-pass scan
-    dominates and the overhead vanishes. A weights-as-broadcast-row
-    variant (identical codegen source across passes) was measured
-    SLOWER (crossJoin + fold overhead exceeds the compile savings)
-    and changes float summation order — rejected."""
+    measured ~15% per-pass at 36 features.
+
+    Per-pass fixed cost (r14 optimization, guide §1.2 "per-task
+    work"): the original expression-API pass paid ~0.7 s of FIXED
+    overhead per iteration — hundreds of py4j plan-construction round
+    trips for the 37-term z chain, plus a fresh Janino compile every
+    pass because the weights were inlined as scalar literals in the
+    generated source. Each pass now builds as ONE SQL string over a
+    features-array view: the weights enter as a single
+    ``array(...)`` literal whose dot product with the feature array
+    is ``aggregate(zip_with(...))`` seeded with the bias — bit-
+    identical z (same multiplies, same left-fold add order; pinned by
+    test_classify's twin-implementation test) at ~0.25 s/pass
+    (measured: 10 iterations 20.2 s -> 4.6 s cold, 2.7 s warm).
+    Plan-construction is one parse instead of py4j chatter, and the
+    higher-order dot product is a CodegenFallback expression — it
+    lives in the codegen references array, so the compiled source is
+    iteration-invariant and Janino compiles once. Scale note: the
+    interpreted per-row HOF eval trades a few ns/row against the
+    per-pass compile; a petabyte-scale deployment whose gradient
+    pass is CPU-bound on the scan can swap z back to the fused
+    expression chain without touching the math (the twin in the test
+    IS that form)."""
+    import uuid
+
+    spark = df.sparkSession
     df = df.na.drop(subset=[*feature_cols, label_col])
-    feats = [F.col(c).cast("double") for c in feature_cols]
-    y = F.col(label_col).cast("double")
-    w = [0.0] * len(feature_cols)
+    nf = len(feature_cols)
+    base = df.select(
+        F.array(*[F.col(c).cast("double") for c in feature_cols])
+        .alias("_xs"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    view = f"_logreg_pass_{uuid.uuid4().hex[:8]}"
+    base.createOrReplaceTempView(view)
+    w = [0.0] * nf
     b = 0.0
-    nf = len(feats)
-    for _ in range(n_iter):
-        z = F.lit(b)
-        for wi, x in zip(w, feats):
-            z = z + F.lit(wi) * x
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - y
-        base = df.select(
-            F.explode(F.array(err)).alias("_e"),
-            *[x.alias(f"_x{j}") for j, x in enumerate(feats)],
-        )
-        aggs = [F.sum(F.col("_e") * F.col(f"_x{j}")).alias(f"g{j}")
-                for j in range(nf)]
-        aggs.append(F.sum("_e").alias("gb"))
-        aggs.append(F.count(F.lit(1)).alias("n"))
-        row = base.agg(*aggs).collect()[0]
-        # sum() over zero rows is NULL — an empty training frame
-        # (e.g. a split bucket that landed no docs) degrades to a
-        # zero gradient, not a float(None) TypeError
-        n = max(int(row["n"]), 1)
-        w = [wi - lr * float(row[f"g{j}"] or 0.0) / n
-             for j, wi in enumerate(w)]
-        b = b - lr * float(row["gb"] or 0.0) / n
+    xs_cols = ", ".join(f"_xs[{j}] AS _x{j}" for j in range(nf))
+    g_cols = ", ".join(f"sum(_e * _x{j}) AS g{j}" for j in range(nf))
+    try:
+        for _ in range(n_iter):
+            wlit = "array(" + ", ".join(
+                repr(x) + "D" for x in (*w, b)) + ")"
+            z = (f"aggregate(zip_with(_xs, slice({wlit}, 1, {nf}), "
+                 f"(x, wv) -> wv * x), element_at({wlit}, {nf + 1}), "
+                 f"(acc, v) -> acc + v)")
+            row = spark.sql(
+                f"SELECT {g_cols}, sum(_e) AS gb, count(1) AS n FROM ("
+                f"SELECT explode(array(1.0D / (1.0D + exp(-({z}))) "
+                f"- _y)) AS _e, {xs_cols} FROM {view})"
+            ).collect()[0]
+            # sum() over zero rows is NULL — an empty training frame
+            # (e.g. a split bucket that landed no docs) degrades to a
+            # zero gradient, not a float(None) TypeError
+            n = max(int(row["n"]), 1)
+            w = [wi - lr * float(row[f"g{j}"] or 0.0) / n
+                 for j, wi in enumerate(w)]
+            b = b - lr * float(row["gb"] or 0.0) / n
+    finally:
+        spark.catalog.dropTempView(view)
     return w, b
 
 

@@ -288,17 +288,34 @@ def bm25_index_append(
         if n_new == 0:
             return 0
         tag = F.lit(attempt).alias("attempt")
-        txn_append(spark, tf.select("*", tag), t[_POSTINGS],
-                   stats_cols=["term"])
-        txn_append(spark, dl.select("*", tag), t[_DOCLEN])
-        txn_append(spark, dfd.select("*", tag), t[_DFDELTA],
-                   stats_cols=["term"])
-        txn_append(spark, stats.select("*", tag), t[_STATSDELTA])
+        # the four delta appends target four DISJOINT txn tables and
+        # all read the cached tf — their write/commit chains are
+        # independent, so they run from driver threads (guide §2.6;
+        # r14 optimization: ~8 sequential jobs/append -> ~4). Only
+        # ordering that matters is marker-last, below.
+        from formula1_data_pipeline_spark.concurrency import overlap
+
+        overlap(spark, [
+            ("bm25 append: postings",
+             lambda: txn_append(spark, tf.select("*", tag),
+                                t[_POSTINGS], stats_cols=["term"])),
+            ("bm25 append: doclen",
+             lambda: txn_append(spark, dl.select("*", tag),
+                                t[_DOCLEN])),
+            ("bm25 append: dfdelta",
+             lambda: txn_append(spark, dfd.select("*", tag),
+                                t[_DFDELTA], stats_cols=["term"])),
+            ("bm25 append: statsdelta",
+             lambda: txn_append(spark, stats.select("*", tag),
+                                t[_STATSDELTA])),
+        ])
         # the commit point: the four appends above are invisible to
         # every reader until this 1-row marker lands (itself a
         # single-table atomic append) — a crash anywhere earlier
         # leaves only orphan rows that readers filter out and the
-        # re-delivered batch re-indexes under a new attempt
+        # re-delivered batch re-indexes under a new attempt.
+        # overlap() raises only after every leg settles, so a failed
+        # leg can never be followed by this marker.
         marker = spark.createDataFrame([(attempt,)], "attempt string")
         txn_append(spark, marker, t[_COMMITS])
         return n_new
@@ -358,20 +375,27 @@ def _bm25_index_compact_locked(spark, index_dir: str) -> None:
         read_table(spark, t[_DFDELTA]), committed
     ).groupBy("term").agg(
         F.sum("df_delta").cast("long").alias("df_delta"))
-    _overwrite_preserving_late(
-        spark, dfd.select("*", tag), t[_DFDELTA],
-        committed + [attempt], stats_cols=["term"],
-    )
     stats = _committed_only(
         read_table(spark, t[_STATSDELTA]), committed
     ).agg(
         F.sum("n_docs_delta").cast("long").alias("n_docs_delta"),
         F.sum("n_tokens_delta").cast("long").alias("n_tokens_delta"),
     )
-    _overwrite_preserving_late(
-        spark, stats.select("*", tag), t[_STATSDELTA],
-        committed + [attempt],
-    )
+    # the two folds rewrite DISJOINT tables (each with its own
+    # pending-late marker protocol) — overlap their rewrite chains
+    # (guide §2.6; r14 optimization)
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    overlap(spark, [
+        ("bm25 compact: dfdelta",
+         lambda: _overwrite_preserving_late(
+             spark, dfd.select("*", tag), t[_DFDELTA],
+             committed + [attempt], stats_cols=["term"])),
+        ("bm25 compact: statsdelta",
+         lambda: _overwrite_preserving_late(
+             spark, stats.select("*", tag), t[_STATSDELTA],
+             committed + [attempt])),
+    ])
 
 
 def acquire_compaction_lease(root_dir: str,

@@ -971,14 +971,23 @@ CHANGED_SINCE_GATE = [
     # are r13-gated (gated in the NEWEST round => the rank function
     # keeps their real rank — zero window cost; they re-gate with
     # the whole r13 cohort in r15): q53 (hll compaction's recover
-    # guard), q88 (vecindex heal + 2-file stream replays), q92
-    # (pq qid-type/NULL-vec fixes), q87 (verdicts now lazy-unioned
-    # from pinned index versions instead of txn-appended — same
-    # rows, one final job)
+    # guard), q88 (vecindex heal + 2-file stream replays; r14
+    # optimization: the three legs now build from driver threads),
+    # q92 (pq qid-type/NULL-vec fixes), q87 (verdicts now
+    # lazy-unioned from pinned index versions instead of
+    # txn-appended — same rows, one final job)
     "q53_approx_sketches",
     "q88_stream_neardup_dedup",
     "q92_ann_recall_clustered",
     "q87_incremental_neardup_dedup",
+    # r14 OPTIMIZATION round physical-path changes (outputs parity-
+    # proven unchanged at sf0.001+sf0.01): q82's two landed layouts
+    # build from driver threads; q100 rides train_logreg's SQL-string
+    # gradient pass (bit-identical weights, test-pinned). q24/q39/
+    # q88/q99 also changed physically this round — already listed
+    # above.
+    "q82_stats_pruned_read",
+    "q100_curation_chain",
 ]
 
 

@@ -426,27 +426,31 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from formula1_data_pipeline_spark.scratch import scratch_dir
 
-    idx = scratch_dir(prefix="q39_bm25idx_") + "/idx"
-    mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    b1, b2 = mx // 3, (2 * mx) // 3
-    bm25_index_append(spark, docs.filter(F.col("doc_id") <= b1), idx)
-    bm25_index_append(
-        spark,
-        docs.filter(
-            (F.col("doc_id") > b1 // 2) & (F.col("doc_id") <= b2)
-        ),
-        idx,
-    )
-    bm25_index_compact(spark, idx)
-    bm25_index_append(spark, docs.filter(F.col("doc_id") > b2), idx)
-    bm25_idx = bm25_index_topk(spark, idx, qdf, k=10).select(
-        F.lit("bm25_idx").alias("kind"),
-        F.col("query_id").alias("key"),
-        "doc_id",
-        F.col("n_terms_matched").alias("n"),
-        "score",
-        "rank",
-    )
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    def batch_idx_leg() -> DataFrame:
+        idx = scratch_dir(prefix="q39_bm25idx_") + "/idx"
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        b1, b2 = mx // 3, (2 * mx) // 3
+        bm25_index_append(spark, docs.filter(F.col("doc_id") <= b1),
+                          idx)
+        bm25_index_append(
+            spark,
+            docs.filter(
+                (F.col("doc_id") > b1 // 2) & (F.col("doc_id") <= b2)
+            ),
+            idx,
+        )
+        bm25_index_compact(spark, idx)
+        bm25_index_append(spark, docs.filter(F.col("doc_id") > b2), idx)
+        return bm25_index_topk(spark, idx, qdf, k=10).select(
+            F.lit("bm25_idx").alias("kind"),
+            F.col("query_id").alias("key"),
+            "doc_id",
+            F.col("n_terms_matched").alias("n"),
+            "score",
+            "rank",
+        )
 
     # kind='bm25_stream' (round 14): the STREAM-maintained index —
     # foreachBatch -> bm25_index_append over a 2-micro-batch file
@@ -460,22 +464,31 @@ def q39_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_bm25_index,
     )
 
-    # compact=False: the batch leg above already gates delta-log
-    # compaction; the stream leg's query folds deltas identically
-    # (read-path equivalence is the module's tested contract), and
-    # the in-gate compaction measured ~10 s of pure duplicate
-    # coverage at sf0.1
-    sidx = stream_bm25_index(
-        spark, f"{sf_dir}/documents.parquet", n_source_files=2,
-        compact=False)
-    bm25_stream = bm25_index_topk(spark, sidx, qdf, k=10).select(
-        F.lit("bm25_stream").alias("kind"),
-        F.col("query_id").alias("key"),
-        "doc_id",
-        F.col("n_terms_matched").alias("n"),
-        "score",
-        "rank",
-    )
+    def stream_idx_leg() -> DataFrame:
+        # compact=False: the batch leg above already gates delta-log
+        # compaction; the stream leg's query folds deltas identically
+        # (read-path equivalence is the module's tested contract), and
+        # the in-gate compaction measured ~10 s of pure duplicate
+        # coverage at sf0.1
+        sidx = stream_bm25_index(
+            spark, f"{sf_dir}/documents.parquet", n_source_files=2,
+            compact=False)
+        return bm25_index_topk(spark, sidx, qdf, k=10).select(
+            F.lit("bm25_stream").alias("kind"),
+            F.col("query_id").alias("key"),
+            "doc_id",
+            F.col("n_terms_matched").alias("n"),
+            "score",
+            "rank",
+        )
+
+    # the two maintained indexes live in disjoint scratch dirs and
+    # never read each other — overlap their sequential append/commit
+    # chains from driver threads (guide §2.6; r14 optimization)
+    bm25_idx, bm25_stream = overlap(spark, [
+        ("q39: batch-maintained index", batch_idx_leg),
+        ("q39: stream-maintained index", stream_idx_leg),
+    ])
     return (tfidf.unionByName(bm25).unionByName(bm25_idx)
             .unionByName(bm25_stream))
 

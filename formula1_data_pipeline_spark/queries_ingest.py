@@ -774,23 +774,61 @@ def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     mx, lo, half = agg["mx"], agg["mx"] * 3 // 4, agg["mx"] // 2
     chi = agg["mc"] // 4
-    path = scratch_dir(prefix="q82_stats_") + "/t"
-    txn_append(spark, orders.drop("o_custkey")
-               .filter(F.col("o_orderkey") <= half), path,
-               key="o_orderstatus", stats_cols=["o_orderkey"],
-               compact_threshold=None)
-    # second commit inherits the table's recorded stats columns
-    txn_append(spark, orders.drop("o_custkey")
-               .filter(F.col("o_orderkey") > half), path,
-               key="o_orderstatus", compact_threshold=None)
-    full = read_table(spark, path)
-    pruned = read_table(spark, path, prune={"o_orderkey": (lo, None)})
-    if not len(pruned.inputFiles()) < len(full.inputFiles()):
-        raise AssertionError(
-            "manifest stats pruned no segments — data skipping regressed"
-        )
+    from formula1_data_pipeline_spark.concurrency import overlap
+
     price_sum = (F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
                  .cast("double").alias("total_price"))
+
+    def stats_build():
+        path = scratch_dir(prefix="q82_stats_") + "/t"
+        txn_append(spark, orders.drop("o_custkey")
+                   .filter(F.col("o_orderkey") <= half), path,
+                   key="o_orderstatus", stats_cols=["o_orderkey"],
+                   compact_threshold=None)
+        # second commit inherits the table's recorded stats columns
+        txn_append(spark, orders.drop("o_custkey")
+                   .filter(F.col("o_orderkey") > half), path,
+                   key="o_orderstatus", compact_threshold=None)
+        full = read_table(spark, path)
+        pruned = read_table(spark, path,
+                            prune={"o_orderkey": (lo, None)})
+        if not len(pruned.inputFiles()) < len(full.inputFiles()):
+            raise AssertionError(
+                "manifest stats pruned no segments — data skipping "
+                "regressed"
+            )
+        return pruned
+
+    def zorder_build():
+        # z-order leg: land the same orders as 8 Morton-ordered
+        # segments with stats on BOTH interleaved columns, assert a
+        # box on EITHER column prunes files, and pin the layout
+        # function itself
+        zpath = scratch_dir(prefix="q82_zorder_") + "/z"
+        zorder_land(spark, orders, ["o_orderkey", "o_custkey"], _Z_NF,
+                    zpath, "o_orderkey", bits=_Z_BITS)
+        zfull = read_table(spark, zpath)
+        n_all = len(zfull.inputFiles())
+        z_ok = read_table(spark, zpath,
+                          prune={"o_orderkey": (lo, None)})
+        z_ck = read_table(spark, zpath,
+                          prune={"o_custkey": (None, chi)})
+        if not (len(z_ok.inputFiles()) < n_all
+                and len(z_ck.inputFiles()) < n_all):
+            raise AssertionError(
+                "z-order layout pruned no segments on one of the "
+                "interleaved columns — multi-column skipping regressed"
+            )
+        return z_ok, z_ck
+
+    # the two landed layouts are disjoint scratch tables built from
+    # the same source frame — overlap their write/commit chains
+    # (guide §2.6; r14 optimization)
+    pruned, (z_ok, z_ck) = overlap(spark, [
+        ("q82: stats-pruned table", stats_build),
+        ("q82: z-ordered table", zorder_build),
+    ])
+    zcols = ["o_orderkey", "o_custkey"]
     stats_leg = (
         pruned.filter(F.col("o_orderkey") >= lo)
         .groupBy("o_orderstatus")
@@ -799,24 +837,6 @@ def q82_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderstatus").alias("key"),
                 "n_orders", "total_price")
     )
-
-    # z-order leg: land the same orders as 8 Morton-ordered segments
-    # with stats on BOTH interleaved columns, assert a box on EITHER
-    # column prunes files, and pin the layout function itself
-    zcols = ["o_orderkey", "o_custkey"]
-    zpath = scratch_dir(prefix="q82_zorder_") + "/z"
-    zorder_land(spark, orders, zcols, _Z_NF, zpath,
-                "o_orderkey", bits=_Z_BITS)
-    zfull = read_table(spark, zpath)
-    n_all = len(zfull.inputFiles())
-    z_ok = read_table(spark, zpath, prune={"o_orderkey": (lo, None)})
-    z_ck = read_table(spark, zpath, prune={"o_custkey": (None, chi)})
-    if not (len(z_ok.inputFiles()) < n_all
-            and len(z_ck.inputFiles()) < n_all):
-        raise AssertionError(
-            "z-order layout pruned no segments on one of the "
-            "interleaved columns — multi-column skipping regressed"
-        )
     za = zorder_assignment(orders, zcols, _Z_NF, "o_orderkey",
                            bits=_Z_BITS)
     z_leg = (

@@ -505,46 +505,61 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    n_candidates=30, top_k=5),
         "rp_topk",
     )
-    mmr = widen(
-        mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL,
-                   lam=_MMR_LAM, dim=64)
-        .withColumnRenamed("mmr_rank", "rank"),
-        "mmr",
-    )
+    from formula1_data_pipeline_spark.concurrency import overlap
 
-    # incremental-Gram PCA: 3 batches + a re-delivery that must no-op
-    k = 8
-    mart = scratch_dir(prefix="q24_gram_") + "/gm"
-    for b in range(3):
-        DR.gram_mart_append(spark, emb.filter(F.col("vec_id") % 3 == b),
-                            mart, "embedding", 64, f"gate-{b}")
-    if DR.gram_mart_append(
-            spark, emb.filter(F.col("vec_id") % 3 == 1),
-            mart, "embedding", 64, "gate-1") != 0:
-        raise AssertionError(
-            "gram_mart_append re-delivery was not a no-op — "
-            "exactly-once regressed"
+    def mmr_leg():
+        return widen(
+            mmr_rerank(emb, queries, k=_MMR_K, pool=_MMR_POOL,
+                       lam=_MMR_LAM, dim=64)
+            .withColumnRenamed("mmr_rank", "rank"),
+            "mmr",
         )
-    ev, comps = DR.pca_fit_from_mart(spark, mart, 64, k)
-    C = np.array(comps)
-    g_mart = np.array(DR.gram_from_mart(spark, mart, 64))
-    g_full = np.array(DR.gram_matrix(emb, "embedding", 64))
-    checks = [
-        ("eig_desc_ok",
-         bool(all(ev[i] >= ev[i + 1] for i in range(k - 1)))),
-        ("orthonormal_ok",
-         bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8))),
-        ("variance_floor_ok",
-         bool(sum(ev) / float(np.trace(g_mart)) > k / 64)),
-        ("mart_matches_one_shot_ok",
-         bool(np.allclose(g_mart, g_full, rtol=1e-9))),
-    ]
-    pca = spark.createDataFrame(
-        [("pca", None, None, None, None, None, name, ok)
-         for name, ok in checks],
-        "kind string, q_id bigint, n_id bigint, cos_sim double, "
-        "rank int, mmr_score double, note string, ok boolean",
-    )
+
+    def pca_leg():
+        # incremental-Gram PCA: 3 batches + a re-delivery that must
+        # no-op
+        k = 8
+        mart = scratch_dir(prefix="q24_gram_") + "/gm"
+        for b in range(3):
+            DR.gram_mart_append(
+                spark, emb.filter(F.col("vec_id") % 3 == b),
+                mart, "embedding", 64, f"gate-{b}")
+        if DR.gram_mart_append(
+                spark, emb.filter(F.col("vec_id") % 3 == 1),
+                mart, "embedding", 64, "gate-1") != 0:
+            raise AssertionError(
+                "gram_mart_append re-delivery was not a no-op — "
+                "exactly-once regressed"
+            )
+        ev, comps = DR.pca_fit_from_mart(spark, mart, 64, k)
+        C = np.array(comps)
+        g_mart = np.array(DR.gram_from_mart(spark, mart, 64))
+        g_full = np.array(DR.gram_matrix(emb, "embedding", 64))
+        checks = [
+            ("eig_desc_ok",
+             bool(all(ev[i] >= ev[i + 1] for i in range(k - 1)))),
+            ("orthonormal_ok",
+             bool(np.allclose(C @ C.T, np.eye(k), atol=1e-8))),
+            ("variance_floor_ok",
+             bool(sum(ev) / float(np.trace(g_mart)) > k / 64)),
+            ("mart_matches_one_shot_ok",
+             bool(np.allclose(g_mart, g_full, rtol=1e-9))),
+        ]
+        return spark.createDataFrame(
+            [("pca", None, None, None, None, None, name, ok)
+             for name, ok in checks],
+            "kind string, q_id bigint, n_id bigint, cos_sim double, "
+            "rank int, mmr_score double, note string, ok boolean",
+        )
+
+    # the MMR unroll (driver-planned selection rounds) and the Gram
+    # mart chain (txn appends + driver eigh) are the two EAGER legs;
+    # they share nothing but the source table — overlap them from
+    # driver threads (guide §2.6; r14 optimization)
+    mmr, pca = overlap(spark, [
+        ("q24: mmr rounds", mmr_leg),
+        ("q24: gram mart + pca", pca_leg),
+    ])
     return (exact.unionByName(rp).unionByName(rpk)
             .unionByName(mmr).unionByName(pca))
 

@@ -896,53 +896,70 @@ def q88_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_ivf_append,
     )
 
+    from formula1_data_pipeline_spark.concurrency import overlap
+
     # 2 micro-batches per streamed leg (was 3): cross-batch folding +
     # the split-invariance contract are proven at 2, and each
     # AvailableNow batch is a full sequential job chain — this gate
     # was the heaviest on the r13 driver wall (40.5 s) purely on job
     # count; the streaming modules' own tests keep deeper splits
-    landed = stream_neardup_dedup(spark, f"{sf_dir}/documents.parquet",
-                                  n_source_files=2)
-    # landing is all-string (S4 semantics); cast back for comparison
-    neardup = landed.select(
-        F.lit("neardup").alias("kind"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        (F.col("kept") == "true").alias("kept"),
-    )
-    heavy = stream_heavy_ngrams(
-        spark, f"{sf_dir}/documents.parquet", n=2,
-        threshold=_Q88_CMS_T, d=4, w_bits=_Q88_CMS_W_BITS,
-        n_source_files=2,
-    ).select(
-        F.lit("heavy").alias("kind"),
-        "gram", "n_occurrences", "est_count", "is_heavy",
-    )
 
-    emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    base = emb.select(
-        F.col("vec_id").alias("id"),
-        _as_double(F.col("embedding")).alias("vec"),
-    ).withColumn("nrm", norm(F.col("vec")))
-    coefs = _hash_sample_coefs(base, 16)
-    mx = emb.agg(F.max("vec_id")).collect()[0][0]
-    work = scratch_dir(prefix="q88_ivf_")
-    idx = f"{work}/idx"
-    ivf_index_build(spark, emb.filter(F.col("vec_id") <= mx // 3),
-                    idx, centroid_coefs=coefs, n_assign=3)
-    tail_path = f"{work}/tail.parquet"
-    # the streamed tail OVERLAPS the built head (re-delivery under
-    # the gate) alongside the new rows
-    emb.filter(F.col("vec_id") > mx // 6).write.parquet(tail_path)
-    stream_ivf_append(spark, tail_path, idx, n_source_files=2,
-                      n_assign=3, work_dir=f"{work}/w")
-    ivf = ivf_index_topk(
-        spark, idx, emb.filter(F.col("vec_id") < 10),
-        k=5, n_probe=4,
-    ).select(
-        F.lit("ivf_stream").alias("kind"),
-        F.col("q_id").alias("doc_id"),
-        "n_id", "cos_sim", "rank",
-    )
+    def neardup_leg() -> DataFrame:
+        landed = stream_neardup_dedup(
+            spark, f"{sf_dir}/documents.parquet", n_source_files=2)
+        # landing is all-string (S4 semantics); cast back for comparison
+        return landed.select(
+            F.lit("neardup").alias("kind"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("kept") == "true").alias("kept"),
+        )
+
+    def heavy_leg() -> DataFrame:
+        return stream_heavy_ngrams(
+            spark, f"{sf_dir}/documents.parquet", n=2,
+            threshold=_Q88_CMS_T, d=4, w_bits=_Q88_CMS_W_BITS,
+            n_source_files=2,
+        ).select(
+            F.lit("heavy").alias("kind"),
+            "gram", "n_occurrences", "est_count", "is_heavy",
+        )
+
+    def ivf_leg() -> DataFrame:
+        emb = load(spark, sf_dir, "embeddings")["embeddings"]
+        base = emb.select(
+            F.col("vec_id").alias("id"),
+            _as_double(F.col("embedding")).alias("vec"),
+        ).withColumn("nrm", norm(F.col("vec")))
+        coefs = _hash_sample_coefs(base, 16)
+        mx = emb.agg(F.max("vec_id")).collect()[0][0]
+        work = scratch_dir(prefix="q88_ivf_")
+        idx = f"{work}/idx"
+        ivf_index_build(spark, emb.filter(F.col("vec_id") <= mx // 3),
+                        idx, centroid_coefs=coefs, n_assign=3)
+        tail_path = f"{work}/tail.parquet"
+        # the streamed tail OVERLAPS the built head (re-delivery under
+        # the gate) alongside the new rows
+        emb.filter(F.col("vec_id") > mx // 6).write.parquet(tail_path)
+        stream_ivf_append(spark, tail_path, idx, n_source_files=2,
+                          n_assign=3, work_dir=f"{work}/w")
+        return ivf_index_topk(
+            spark, idx, emb.filter(F.col("vec_id") < 10),
+            k=5, n_probe=4,
+        ).select(
+            F.lit("ivf_stream").alias("kind"),
+            F.col("q_id").alias("doc_id"),
+            "n_id", "cos_sim", "rank",
+        )
+
+    # the three legs build disjoint artifacts (verdict table, counter
+    # log, IVF index) in disjoint scratch dirs — run their sequential
+    # job chains from driver threads so the idle cores back-fill
+    # (guide §2.6; r14 optimization — wall drops from sum to max)
+    neardup, heavy, ivf = overlap(spark, [
+        ("q88: neardup stream", neardup_leg),
+        ("q88: heavy-ngrams stream", heavy_leg),
+        ("q88: ivf build+stream", ivf_leg),
+    ])
     return (
         neardup.unionByName(heavy, allowMissingColumns=True)
         .unionByName(ivf, allowMissingColumns=True)

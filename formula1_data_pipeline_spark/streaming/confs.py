@@ -11,13 +11,31 @@ parameter, defaulting to a small value only for these local bounded
 replays. The previous session value is always restored — the conf is
 read at stream *planning* time, so restoring after awaitTermination
 can't affect the finished query.
+
+Concurrency (round 14): independent streaming legs of one gate now
+run from driver threads (guide §2.6 back-fill — a bounded replay is
+a chain of small sequential jobs that leaves most cores idle), but
+``spark.conf`` is SESSION-global, not thread-local. A naive
+save/set/restore from two threads can interleave so that one thread
+"restores" the other thread's override, leaking it into every later
+plan. The scope is therefore reference-counted under a module lock:
+the first enter saves+sets, the last exit restores, and a thread
+requesting a DIFFERENT value blocks until the current scope fully
+unwinds (same value → share the scope). All in-repo replays use the
+same default (8), so sharing is the hot path and blocking is the
+loud-but-safe fallback.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+_LOCK = threading.Condition()
+#: session-id -> [depth, active value, saved previous value]
+_ACTIVE: dict[int, list] = {}
 
 
 @contextmanager
@@ -25,9 +43,23 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
     if n is None:
         yield
         return
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    key = id(spark)
+    with _LOCK:
+        while key in _ACTIVE and _ACTIVE[key][1] != n:
+            _LOCK.wait()
+        if key in _ACTIVE:
+            _ACTIVE[key][0] += 1
+        else:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            _ACTIVE[key] = [1, n, prev]
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        with _LOCK:
+            st = _ACTIVE[key]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set("spark.sql.shuffle.partitions", st[2])
+                del _ACTIVE[key]
+                _LOCK.notify_all()
