@@ -65,8 +65,26 @@ def bigrams(col: Column) -> Column:
     ``sequence(2, size)`` DESCENDS when size < 2 (sequence(2,1) is
     [2,1], and element_at(_, 0) then raises), so the short-doc case
     must be guarded out before the transform — and ``explode(NULL)``
-    already yields zero rows, exactly like an empty array would."""
-    toks = tokens(col)
+    already yields zero rows, exactly like an empty array would.
+
+    The token array is bound as a LAMBDA VARIABLE via a one-element
+    array wrapper (r14 optimization): higher-order functions evaluate
+    interpreted with NO subexpression caching, so a ``tokens(col)``
+    subtree referenced inside the lambda body used to re-split the
+    WHOLE document for every ``element_at`` — O(tokens^2) regex work
+    per doc (measured: q65's LM leg spent 19 s of its 21 s just
+    materializing 360k bigram rows at sf0.1; linear after the
+    binding). The wrapper evaluates ``tokens(col)`` once (argument
+    position), the inner lambda touches only the bound variable, and
+    the emitted pairs are value-identical."""
+    return F.element_at(
+        F.transform(F.array(tokens(col)), _pairs_of_bound_toks), 1)
+
+
+def _pairs_of_bound_toks(toks: Column) -> Column:
+    """Adjacent-pair construction over an already-BOUND token array
+    (a lambda variable or attribute — never an expression subtree,
+    see ``bigrams``)."""
     return F.when(
         F.size(toks) >= 2,
         F.transform(

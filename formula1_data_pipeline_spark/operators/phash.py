@@ -121,18 +121,50 @@ def phash_df(media: DataFrame, kind: str = "ahash",
              payload_col: str = "payload") -> DataFrame:
     """(media_id, phash) for every payload tall enough to sample
     (height >= 1 row, the resize_nearest truncated-file convention).
-    One shuffle-free codegen'd projection."""
-    expr_fn = {"ahash": ahash_expr, "dhash": dhash_expr}[kind]
+    Shuffle-free codegen'd projections.
+
+    Staged as pixel COLUMNS (r14 optimization): the one-expression
+    form (``ahash_expr``/``dhash_expr``, kept as the semantic spec
+    and the DuckDB twin) inlines every sampled-pixel extract at every
+    use — the aHash mean appears inside all 60 bit terms, ~3.7k
+    substring/conv nodes — and parse+analysis+Janino of that tree
+    measured ~7 s at sf0.1 for microseconds of row work. Extracting
+    the 60-66 pixels once into a projection, the mean into a second,
+    and packing bits from plain attribute references is the same
+    integer arithmetic on the same values (twin-pinned in
+    test_phash) with a ~180-node plan. CollapseProject keeps the
+    stages apart: every pixel column is referenced more than once
+    and ``conv(substring(...))`` is not collapse-cheap."""
     base = media.select(
         F.col(id_col).alias("media_id"),
         F.hex(F.col(payload_col)).alias("hx"),
         F.expr(f"CAST(length({payload_col}) AS BIGINT) "
                f"div {SRC_W}").alias("h"),
     ).filter(F.col("h") >= 1)
-    return base.select(
+    n_cols = {"ahash": GRID_COLS, "dhash": GRID_COLS + 1}[kind]
+    px = base.selectExpr(
         "media_id",
-        F.expr(expr_fn("hx", "h")).alias("phash"),
+        *[f"{_px('hx', 'h', i, j, n_cols, False)} AS _px_{i}_{j}"
+          for i in range(GRID_ROWS) for j in range(n_cols)],
     )
+    if kind == "ahash":
+        n = GRID_ROWS * GRID_COLS
+        total = " + ".join(f"_px_{i}_{j}" for i in range(GRID_ROWS)
+                           for j in range(GRID_COLS))
+        bits = " + ".join(
+            f"((CASE WHEN {n} * _px_{i}_{j} > _total "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) "
+            f"<< {i * GRID_COLS + j})"
+            for i in range(GRID_ROWS) for j in range(GRID_COLS))
+        return px.selectExpr(
+            "media_id", f"({total}) AS _total", *px.columns[1:],
+        ).selectExpr("media_id", f"({bits}) AS phash")
+    bits = " + ".join(
+        f"((CASE WHEN _px_{i}_{j} > _px_{i}_{j + 1} "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) "
+        f"<< {i * GRID_COLS + j})"
+        for i in range(GRID_ROWS) for j in range(GRID_COLS))
+    return px.selectExpr("media_id", f"({bits}) AS phash")
 
 
 def phash_groups(media: DataFrame, kind: str = "ahash",

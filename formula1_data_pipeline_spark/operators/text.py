@@ -325,18 +325,28 @@ def quality_score(text: Column) -> Column:
 def word_ngrams(col: Column, n: int = 2) -> Column:
     """Space-joined word n-grams of the whitespace tokens (empty array
     for docs shorter than ``n`` tokens — guarded because
-    ``sequence(0, cnt - n)`` with negative bounds counts DOWN)."""
-    toks = tokens(col)
-    cnt = F.size(toks)
+    ``sequence(0, cnt - n)`` with negative bounds counts DOWN).
 
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        )
+    Tokens are bound as a lambda variable via the one-element-array
+    wrapper (r14 optimization, the lm.bigrams lesson): interpreted
+    HOF eval has no subexpression caching, so referencing the
+    ``tokens(col)`` subtree inside the lambda body re-split the whole
+    document per element access — O(tokens^2) per doc."""
 
-    return F.when(
-        cnt >= n, F.transform(F.sequence(F.lit(0), cnt - n), gram)
-    ).otherwise(F.array().cast("array<string>"))
+    def grams_of(toks: Column) -> Column:
+        cnt = F.size(toks)
+
+        def gram(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            )
+
+        return F.when(
+            cnt >= n, F.transform(F.sequence(F.lit(0), cnt - n), gram)
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(tokens(col)), grams_of), 1)
 
 
 def repeated_ngram_fraction(col: Column, n: int = 2) -> Column:

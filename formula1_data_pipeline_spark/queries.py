@@ -988,6 +988,12 @@ CHANGED_SINCE_GATE = [
     # above.
     "q82_stats_pruned_read",
     "q100_curation_chain",
+    # r14 optimization, second batch (same parity proof discipline):
+    # q65/q100 ride lm.bigrams' lambda-bound token array (the
+    # quadratic interpreted-HOF fix); q55 rides phash_df's staged
+    # pixel columns (one-expression spec unchanged, twin-pinned)
+    "q65_repetition_filter",
+    "q55_multimodal_transform",
 ]
 
 

@@ -130,3 +130,36 @@ def test_plan_is_shuffle_free(spark):
     plan = (P.phash_df(media, "ahash")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_column_form_matches_one_expression_spec(spark):
+    """r14 optimization guard: phash_df now stages pixel columns; the
+    one-expression builders stay the semantic spec — both forms must
+    hash every payload identically (including the h >= 1 edge)."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.phash import (
+        SRC_W,
+        ahash_expr,
+        dhash_expr,
+        phash_df,
+    )
+
+    rows = [(i, bytes((i * 37 + j * 11) % 256 for j in range(n)))
+            for i, n in enumerate([16, 96, 40, 15, 256, 33])]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    for kind, expr_fn in (("ahash", ahash_expr), ("dhash", dhash_expr)):
+        spec = (
+            media.select(
+                "media_id",
+                F.hex("payload").alias("hx"),
+                F.expr(f"CAST(length(payload) AS BIGINT) div {SRC_W}")
+                .alias("h"),
+            )
+            .filter(F.col("h") >= 1)
+            .select("media_id", F.expr(expr_fn("hx", "h")).alias("phash"))
+        )
+        got = {r["media_id"]: r["phash"]
+               for r in phash_df(media, kind).collect()}
+        want = {r["media_id"]: r["phash"] for r in spec.collect()}
+        assert got == want, kind
