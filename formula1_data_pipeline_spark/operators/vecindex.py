@@ -436,22 +436,42 @@ def ivf_index_build(
     # without them the skip's anti-join scans every landed segment,
     # so append cost grows with INDEX size instead of batch size
     # (round-10 verdict finding)
-    txn_overwrite(spark, rows, t[_LISTS], key="cluster",
-                  auto_vacuum=True, stats_cols=["id"])
-    # landed-id Bloom sidecar (round-12 verdict item #2): the
-    # unconditional append-cost bound under NON-monotonic ids. One
-    # bit_or-mergeable word table; appends probe it broadcast-side so
-    # a fresh batch never reads the landed lists at all. A rebuild
-    # replaces it wholesale; meta-last consistency (below) keeps any
-    # crash in this sequence a loud build error.
     import uuid
 
-    built_ids = rows.select("id").distinct()
-    if bloom_bits is None:  # auto-size: one count on the offline path
-        bloom_bits = _auto_bloom_bits(built_ids.count())
-    words = _bloom_words(built_ids, bloom_bits,
-                         "build-" + uuid.uuid4().hex[:16])
-    txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
+    # the assignment pass used to re-run three times (lists write,
+    # bloom auto-size count, bloom words write) — persist it, and
+    # land the two independent tables from driver threads (guide
+    # §2.6; r14 optimization). meta stays LAST below: it is the
+    # consistency seal, and overlap() raises before it if either
+    # commit failed.
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    rows = rows.persist()
+    try:
+        def land_lists() -> None:
+            txn_overwrite(spark, rows, t[_LISTS], key="cluster",
+                          auto_vacuum=True, stats_cols=["id"])
+
+        def land_bloom() -> None:
+            # landed-id Bloom sidecar (round-12 verdict item #2): the
+            # unconditional append-cost bound under NON-monotonic
+            # ids. One bit_or-mergeable word table; appends probe it
+            # broadcast-side so a fresh batch never reads the landed
+            # lists at all. A rebuild replaces it wholesale.
+            built_ids = rows.select("id").distinct()
+            bits = bloom_bits
+            if bits is None:  # auto-size: one count, offline path
+                bits = _auto_bloom_bits(built_ids.count())
+            words = _bloom_words(built_ids, bits,
+                                 "build-" + uuid.uuid4().hex[:16])
+            txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
+
+        overlap(spark, [
+            ("ivf build: lists", land_lists),
+            ("ivf build: id bloom", land_bloom),
+        ])
+    finally:
+        rows.unpersist()
     # meta LAST: the build marker carries the landed quantizer's
     # content hash, and readers (_check_consistent) refuse the index
     # until it matches — so a crash between the three commits is a
