@@ -994,6 +994,13 @@ CHANGED_SINCE_GATE = [
     # pixel columns (one-expression spec unchanged, twin-pinned)
     "q65_repetition_filter",
     "q55_multimodal_transform",
+    # r14 optimization, later batches: q31/q54's independent
+    # streaming legs and q53's index-build/exact-count legs now run
+    # from driver threads (q37 likewise — already listed above via
+    # its r13 rider note); q24 additionally folds the gram mart once
+    # for fit+check (was two identical folds)
+    "q31_stream_windowed_agg",
+    "q54_stream_static_join",
 ]
 
 

@@ -285,23 +285,38 @@ def q53_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from formula1_data_pipeline_spark.concurrency import overlap
+
     docs = load(spark, sf_dir, "documents")["documents"]
     idx = scratch_dir(prefix="q53_hllidx_") + "/idx"
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    for lo, hi in ((-1, mx // 3), (mx // 3, (2 * mx) // 3),
-                   ((2 * mx) // 3, mx)):
+
+    def build_index() -> int:
+        for lo, hi in ((-1, mx // 3), (mx // 3, (2 * mx) // 3),
+                       ((2 * mx) // 3, mx)):
+            hll_sketch_append(
+                spark,
+                docs.filter(
+                    (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+                idx, ["source"], "doc_id")
+        # re-delivery: a register no-op for every represented value —
+        # the estimates below are unchanged, which the bound rows pin
         hll_sketch_append(
-            spark,
-            docs.filter((F.col("doc_id") > lo) & (F.col("doc_id") <= hi)),
+            spark, docs.filter(F.col("doc_id") <= mx // 3),
             idx, ["source"], "doc_id")
-    # re-delivery: a register no-op for every represented value —
-    # the estimates below are unchanged, which the bound rows pin
-    hll_sketch_append(
-        spark, docs.filter(F.col("doc_id") <= mx // 3),
-        idx, ["source"], "doc_id")
-    # lease-serialized compaction folds the delta rows to one per
-    # group; register union keeps every estimate invariant
-    hll_sketch_compact(spark, idx)
+        # lease-serialized compaction folds the delta rows to one per
+        # group; register union keeps every estimate invariant
+        hll_sketch_compact(spark, idx)
+        return hll_distinct_estimates(spark, idx, []) \
+            .collect()[0].n_distinct_est
+
+    # the exact-count job is independent of the sketch index — let it
+    # back-fill the append chain (guide §2.6; r14 optimization)
+    tot_est, tot_exact = overlap(spark, [
+        ("q53: hll index build", build_index),
+        ("q53: exact distinct count",
+         lambda: docs.select("doc_id").distinct().count()),
+    ])
     est = hll_distinct_estimates(spark, idx, ["source"])
     exact = docs.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_exact"))
@@ -318,9 +333,6 @@ def q53_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) <= bound).alias("ok1"),
         nul_b.alias("ok2"),
     )
-    tot_est = hll_distinct_estimates(spark, idx, []) \
-        .collect()[0].n_distinct_est
-    tot_exact = docs.select("doc_id").distinct().count()
     total = spark.createDataFrame(
         [("hll_idx", "_total", tot_exact,
           abs(tot_est - tot_exact) <= max(2.0, 0.05 * tot_exact),

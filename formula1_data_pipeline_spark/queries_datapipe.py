@@ -146,23 +146,37 @@ def q37_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_weighted_sample,
     )
 
+    from formula1_data_pipeline_spark.concurrency import overlap
+
     docs = load(spark, sf_dir, "documents")["documents"]
     nul_d = F.lit(None).cast("double")
-    clusters = neardup_clusters(
-        docs, text_col="text", id_col="doc_id", max_distance=3,
-    ).select(
-        F.lit("cluster").alias("kind"),
-        "doc_id", "cluster_id", "cluster_size",
-        nul_d.alias("w"),
-        F.lit(None).cast("int").alias("prio_rank"),
-        nul_d.alias("tau"),
-        nul_d.alias("ht_weight"),
-    )
-    dws = dedup_weighted_sample(docs, _DWS_K).select(
-        F.lit("dedup_sample").alias("kind"),
-        "doc_id", "cluster_id", "cluster_size",
-        "w", "prio_rank", "tau", "ht_weight",
-    )
+
+    def cluster_leg() -> DataFrame:
+        return neardup_clusters(
+            docs, text_col="text", id_col="doc_id", max_distance=3,
+        ).select(
+            F.lit("cluster").alias("kind"),
+            "doc_id", "cluster_id", "cluster_size",
+            nul_d.alias("w"),
+            F.lit(None).cast("int").alias("prio_rank"),
+            nul_d.alias("tau"),
+            nul_d.alias("ht_weight"),
+        )
+
+    def sample_leg() -> DataFrame:
+        return dedup_weighted_sample(docs, _DWS_K).select(
+            F.lit("dedup_sample").alias("kind"),
+            "doc_id", "cluster_id", "cluster_size",
+            "w", "prio_rank", "tau", "ht_weight",
+        )
+
+    # both legs drive their own CC label-propagation rounds (driver-
+    # iterated collects) — overlap the chains (guide §2.6; r14
+    # optimization)
+    clusters, dws = overlap(spark, [
+        ("q37: cluster rounds", cluster_leg),
+        ("q37: dedup-weighted sample", sample_leg),
+    ])
     return clusters.unionByName(dws)
 
 

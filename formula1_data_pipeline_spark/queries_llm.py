@@ -531,9 +531,14 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gram_mart_append re-delivery was not a no-op — "
                 "exactly-once regressed"
             )
-        ev, comps = DR.pca_fit_from_mart(spark, mart, 64, k)
+        # ONE mart fold feeds both the fit and the one-shot check
+        # (pca_fit_from_mart + gram_from_mart each re-folded the
+        # landed cells — identical rows, two collect jobs; r14
+        # optimization)
+        g_mart_rows, _, _ = DR.moments_from_mart(spark, mart, 64)
+        ev, comps = DR._eigh_topk(g_mart_rows, k)
         C = np.array(comps)
-        g_mart = np.array(DR.gram_from_mart(spark, mart, 64))
+        g_mart = np.array(g_mart_rows)
         g_full = np.array(DR.gram_matrix(emb, "embedding", 64))
         checks = [
             ("eig_desc_ok",

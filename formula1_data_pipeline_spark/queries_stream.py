@@ -130,29 +130,44 @@ def q31_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_quantile_histogram,
     )
 
+    from formula1_data_pipeline_spark.concurrency import overlap
+
     nul_l = F.lit(None).cast("bigint")
-    win = stream_windowed_agg(spark, f"{sf_dir}/events.parquet").select(
-        F.lit("window").alias("kind"),
-        "window_start", "window_end", "event_type",
-        "n_events", "sum_value",
-        nul_l.alias("p50_approx"),
-        nul_l.alias("p95_approx"),
-        nul_l.alias("p99_approx"),
-    )
-    state = stream_quantile_histogram(
-        spark, f"{sf_dir}/events.parquet", "value", ["event_type"],
-    )
-    histq = histogram_quantiles(
-        state, ["event_type"], [0.5, 0.95, 0.99],
-    ).select(
-        F.lit("histq").alias("kind"),
-        F.lit(None).cast("timestamp").alias("window_start"),
-        F.lit(None).cast("timestamp").alias("window_end"),
-        "event_type",
-        nul_l.alias("n_events"),
-        F.lit(None).cast("double").alias("sum_value"),
-        "p50_approx", "p95_approx", "p99_approx",
-    )
+
+    def window_leg() -> DataFrame:
+        return stream_windowed_agg(
+            spark, f"{sf_dir}/events.parquet"
+        ).select(
+            F.lit("window").alias("kind"),
+            "window_start", "window_end", "event_type",
+            "n_events", "sum_value",
+            nul_l.alias("p50_approx"),
+            nul_l.alias("p95_approx"),
+            nul_l.alias("p99_approx"),
+        )
+
+    def histq_leg() -> DataFrame:
+        state = stream_quantile_histogram(
+            spark, f"{sf_dir}/events.parquet", "value", ["event_type"],
+        )
+        return histogram_quantiles(
+            state, ["event_type"], [0.5, 0.95, 0.99],
+        ).select(
+            F.lit("histq").alias("kind"),
+            F.lit(None).cast("timestamp").alias("window_start"),
+            F.lit(None).cast("timestamp").alias("window_end"),
+            "event_type",
+            nul_l.alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+            "p50_approx", "p95_approx", "p99_approx",
+        )
+
+    # two independent bounded replays of the same source — overlap
+    # their micro-batch chains (guide §2.6; r14 optimization)
+    win, histq = overlap(spark, [
+        ("q31: windowed agg stream", window_leg),
+        ("q31: quantile-histogram stream", histq_leg),
+    ])
     return win.unionByName(histq)
 
 
@@ -434,38 +449,53 @@ def q54_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_drift_monitor,
     )
 
-    dim = load(spark, sf_dir, "customer")["customer"].select(
-        "c_custkey", "c_mktsegment"
-    )
-    joined = stream_static_join_agg(
-        spark, f"{sf_dir}/events.parquet", dim,
-        dim_key="c_custkey", dim_attr="c_mktsegment",
-    ).select(
-        F.lit("join").alias("kind"),
-        "c_mktsegment", "event_type", "n_events", "sum_value",
-    )
-    docs = load(spark, sf_dir, "documents")["documents"]
-    monitor = stream_drift_monitor(
-        spark, f"{sf_dir}/documents.parquet", docs,
-        ["lang", "source"], n_source_files=_Q54_DRIFT_SLICES,
-    ).select(
-        F.lit("drift").alias("kind"),
-        F.col("batch_id").cast("long").alias("batch_id"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        "column", "n_values", "tv_distance",
-    )
-    sam = stream_agg_mart(
-        spark, f"{sf_dir}/documents.parquet", ["source"], "n_chars",
-        work_dir=scratch_dir(prefix="q54_sam_"),
-    ).select(
-        F.lit("aggmart_stream").alias("kind"),
-        F.col("source").alias("column"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("sum_value").cast("long").alias("am_sum"),
-        F.col("min_value").cast("long").alias("am_min"),
-        F.col("max_value").cast("long").alias("am_max"),
-        F.col("mean_value").alias("am_mean"),
-    )
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    def join_leg() -> DataFrame:
+        dim = load(spark, sf_dir, "customer")["customer"].select(
+            "c_custkey", "c_mktsegment"
+        )
+        return stream_static_join_agg(
+            spark, f"{sf_dir}/events.parquet", dim,
+            dim_key="c_custkey", dim_attr="c_mktsegment",
+        ).select(
+            F.lit("join").alias("kind"),
+            "c_mktsegment", "event_type", "n_events", "sum_value",
+        )
+
+    def drift_leg() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")["documents"]
+        return stream_drift_monitor(
+            spark, f"{sf_dir}/documents.parquet", docs,
+            ["lang", "source"], n_source_files=_Q54_DRIFT_SLICES,
+        ).select(
+            F.lit("drift").alias("kind"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "column", "n_values", "tv_distance",
+        )
+
+    def aggmart_leg() -> DataFrame:
+        return stream_agg_mart(
+            spark, f"{sf_dir}/documents.parquet", ["source"],
+            "n_chars", work_dir=scratch_dir(prefix="q54_sam_"),
+        ).select(
+            F.lit("aggmart_stream").alias("kind"),
+            F.col("source").alias("column"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_value").cast("long").alias("am_sum"),
+            F.col("min_value").cast("long").alias("am_min"),
+            F.col("max_value").cast("long").alias("am_max"),
+            F.col("mean_value").alias("am_mean"),
+        )
+
+    # three independent bounded replays (disjoint sinks/work dirs) —
+    # overlap their micro-batch chains (guide §2.6; r14 optimization)
+    joined, monitor, sam = overlap(spark, [
+        ("q54: stream-static join", join_leg),
+        ("q54: drift monitor", drift_leg),
+        ("q54: agg-mart stream", aggmart_leg),
+    ])
     return joined.unionByName(
         monitor, allowMissingColumns=True
     ).unionByName(
