@@ -83,14 +83,30 @@ def _initial_repr(w: Column) -> Column:
 
 def apply_merges(r: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply ``merges`` in order to an existing pipe-wrapped symbol
-    representation — a chain of literal replaces, one per merge."""
-    for a, b in merges:
-        r = F.replace(
-            r,
-            F.lit(f"{DELIM}{a}{DELIM}{DELIM}{b}{DELIM}"),
-            F.lit(f"{DELIM}{a}{b}{DELIM}"),
+    representation.
+
+    Shape (r14 optimization): a FOLD over one literal array of
+    (search, replace) pairs instead of a chain of ``merges`` nested
+    replace nodes. Value-identical — the fold runs the same
+    ``replace`` calls on the same arguments in the same order — but
+    the expression tree is constant-size, so per-round analysis cost
+    in the trainer stops growing with the merge count and the
+    compiled source is round-invariant (the folded literal array
+    lands in the codegen references, not the source). The fold is a
+    higher-order function (interpreted eval), fine here because every
+    consumer applies it to the VOCABULARY-sized word table, never a
+    corpus-sized row stream."""
+    if not merges:
+        return r
+    pairs = F.array(*[
+        F.struct(
+            F.lit(f"{DELIM}{a}{DELIM}{DELIM}{b}{DELIM}").alias("s"),
+            F.lit(f"{DELIM}{a}{b}{DELIM}").alias("t"),
         )
-    return r
+        for a, b in merges
+    ])
+    return F.aggregate(
+        pairs, r, lambda acc, m: F.replace(acc, m["s"], m["t"]))
 
 
 def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:

@@ -1001,6 +1001,12 @@ CHANGED_SINCE_GATE = [
     # for fit+check (was two identical folds)
     "q31_stream_windowed_agg",
     "q54_stream_static_join",
+    # r14 optimization: bpe.apply_merges folds one literal pair array
+    # (constant-size plan per training round; chain semantics
+    # twin-pinned in test_bpe) — rides every BPE host
+    "q95_bpe_merge_training",
+    "q97_corpus_to_trainer_flagship",
+    "q98_bpe_tokenize",
 ]
 
 

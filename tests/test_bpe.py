@@ -285,9 +285,15 @@ def test_checkpointing_matches_unchained_training(spark):
 
 
 def test_checkpointing_bounds_plan_depth(spark):
-    """The per-round replace chain must reset at every checkpoint:
-    round r's analyzed plan carries (r mod K) replaces, never r —
-    the actual plan is inspected, not the driver-side merge list."""
+    """The per-round plan must not grow with the merge count. The
+    pre-r14 form guaranteed this only via checkpointing (chain depth
+    = merges mod K); the r14 fold form bounds it STRUCTURALLY — one
+    aggregate-fold replace node whatever the accumulated merges, with
+    the pairs in a literal array. The probe inspects the actual
+    analyzed plan, not the driver-side merge list; the checkpoint
+    machinery's value semantics stay covered by
+    test_checkpointing_matches_unchained_training and
+    test_resume_from_checkpoint_matches_uninterrupted."""
     from formula1_data_pipeline_spark.operators.bpe import (
         train_bpe_merges,
     )
@@ -302,16 +308,15 @@ def test_checkpointing_bounds_plan_depth(spark):
         plan = d._jdf.queryExecution().analyzed().toString()
         depths.append(plan.count("replace("))
 
-    k = 3
-    train_bpe_merges(docs, 10, checkpoint_every=k, plan_inspector=probe)
+    train_bpe_merges(docs, 10, checkpoint_every=3, plan_inspector=probe)
     assert len(depths) >= 8, depths
-    # every round's chain length is exactly (merges so far) mod K
-    assert depths == [i % k for i in range(len(depths))], depths
+    assert max(depths) <= 1, depths
 
-    # the unchained form grows without bound — the hazard being closed
+    # WITHOUT checkpointing the fold form must still stay flat — the
+    # unbounded-chain hazard is closed at the expression level now
     depths.clear()
     train_bpe_merges(docs, 7, checkpoint_every=0, plan_inspector=probe)
-    assert depths == list(range(len(depths))), depths
+    assert max(depths) <= 1, depths
 
 
 def test_resume_from_checkpoint_matches_uninterrupted(spark):
@@ -342,3 +347,34 @@ def test_resume_from_checkpoint_matches_uninterrupted(spark):
         None, 5, checkpoint_every=2,
         resume=(ck, [(a, b) for a, b, _ in first]))
     assert first + more == plain, (first, more, plain)
+
+
+def test_fold_apply_merges_matches_replace_chain(spark):
+    """r14 optimization guard: apply_merges folds one literal pair
+    array; the pre-r14 nested-replace chain is the semantic spec —
+    both must rewrite every representation identically (order
+    matters: an earlier merge can create the pattern a later one
+    consumes)."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.operators.bpe import (
+        _initial_repr,
+        apply_merges,
+    )
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("h", "i")]
+
+    def chain(r):
+        for a, b in merges:
+            r = F.replace(
+                r, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        return r
+
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("hi",), ("hillow",), ("",), ("xyz",)],
+        "w string")
+    base = words.select("w", _initial_repr(F.col("w")).alias("r"))
+    got = base.select("w", apply_merges(F.col("r"), merges)
+                      .alias("out")).collect()
+    want = base.select("w", chain(F.col("r")).alias("out")).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
