@@ -439,37 +439,29 @@ def ivf_index_build(
     import uuid
 
     # the assignment pass used to re-run three times (lists write,
-    # bloom auto-size count, bloom words write) — persist it, and
-    # land the two independent tables from driver threads (guide
-    # §2.6; r14 optimization). meta stays LAST below: it is the
-    # consistency seal, and overlap() raises before it if either
-    # commit failed.
-    from formula1_data_pipeline_spark.concurrency import overlap
-
+    # bloom auto-size count, bloom words write) — persist it and land
+    # SEQUENTIALLY: the lists write populates the cache, the bloom
+    # derivations then read it. (A first r14 draft overlapped the two
+    # commits from driver threads; both legs raced to materialize the
+    # same not-yet-cached frame — concurrent jobs over an uncached
+    # InMemoryRelation each compute every partition — and measured
+    # SLOWER cold than this form. meta stays LAST below: it is the
+    # consistency seal.)
     rows = rows.persist()
     try:
-        def land_lists() -> None:
-            txn_overwrite(spark, rows, t[_LISTS], key="cluster",
-                          auto_vacuum=True, stats_cols=["id"])
-
-        def land_bloom() -> None:
-            # landed-id Bloom sidecar (round-12 verdict item #2): the
-            # unconditional append-cost bound under NON-monotonic
-            # ids. One bit_or-mergeable word table; appends probe it
-            # broadcast-side so a fresh batch never reads the landed
-            # lists at all. A rebuild replaces it wholesale.
-            built_ids = rows.select("id").distinct()
-            bits = bloom_bits
-            if bits is None:  # auto-size: one count, offline path
-                bits = _auto_bloom_bits(built_ids.count())
-            words = _bloom_words(built_ids, bits,
-                                 "build-" + uuid.uuid4().hex[:16])
-            txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
-
-        overlap(spark, [
-            ("ivf build: lists", land_lists),
-            ("ivf build: id bloom", land_bloom),
-        ])
+        txn_overwrite(spark, rows, t[_LISTS], key="cluster",
+                      auto_vacuum=True, stats_cols=["id"])
+        # landed-id Bloom sidecar (round-12 verdict item #2): the
+        # unconditional append-cost bound under NON-monotonic ids.
+        # One bit_or-mergeable word table; appends probe it
+        # broadcast-side so a fresh batch never reads the landed
+        # lists at all. A rebuild replaces it wholesale.
+        built_ids = rows.select("id").distinct()
+        if bloom_bits is None:  # auto-size: one count, offline path
+            bloom_bits = _auto_bloom_bits(built_ids.count())
+        words = _bloom_words(built_ids, bloom_bits,
+                             "build-" + uuid.uuid4().hex[:16])
+        txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
     finally:
         rows.unpersist()
     # meta LAST: the build marker carries the landed quantizer's
