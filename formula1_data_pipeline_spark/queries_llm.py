@@ -1619,14 +1619,24 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from formula1_data_pipeline_spark.scratch import scratch_dir
 
+        from formula1_data_pipeline_spark.concurrency import overlap
+
         emb_s = clustered_embeddings(spark, n=600, dim=16,
                                      n_clusters=8)
         idx = str(scratch_dir(prefix="q92_ivfidx_"))
         ivf_index_build(spark, emb_s, idx, n_centroids=8, n_iter=5)
         q2 = emb_s.filter(F.col("vec_id") % 29 == 0)
-        approx = pairs(ivf_index_topk(spark, idx, q2, k=1, n_probe=3))
-        exact2 = pairs(cosine_topk(emb_s, q2, k=1, id_col="vec_id",
-                                   vec_col="embedding"))
+        # the two probe collects read disjoint inputs (landed index
+        # vs fixture) — overlap them (guide §2.6; r14 optimization)
+        approx, exact2 = overlap(spark, [
+            ("q92 index leg: probe topk",
+             lambda: pairs(ivf_index_topk(spark, idx, q2, k=1,
+                                          n_probe=3))),
+            ("q92 index leg: exact topk",
+             lambda: pairs(cosine_topk(emb_s, q2, k=1,
+                                       id_col="vec_id",
+                                       vec_col="embedding"))),
+        ])
         rec = len(exact2 & approx) / max(len(exact2), 1)
         return ("ivf_index", len(exact2), rec >= 0.85)
 
