@@ -48,13 +48,20 @@ def overlap(spark: SparkSession,
         futures = [pool.submit(run, label, thunk) for label, thunk in legs]
         results: list[Any] = []
         first_exc: BaseException | None = None
-        for f in futures:
+        for (label, _), f in zip(legs, futures):
             try:
                 results.append(f.result())
             except BaseException as exc:  # noqa: BLE001 — re-raised below
                 results.append(None)
                 if first_exc is None:
                     first_exc = exc
+                else:
+                    # secondary leg failures must not vanish — the
+                    # root-cause leg may be a later one (round-14
+                    # ADVICE); notes ride the raised exception
+                    first_exc.add_note(
+                        f"overlap: leg {label!r} also failed: "
+                        f"{type(exc).__name__}: {exc}")
         if first_exc is not None:
             raise first_exc
     return results

@@ -88,7 +88,21 @@ def train_logreg(
     pass is CPU-bound on the scan can swap z back to the fused
     expression chain without touching the math (the twin in the test
     IS that form)."""
+    import math
     import uuid
+
+    def dlit(x: float) -> str:
+        # repr() of a non-finite float ('inf'/'nan') is not a valid SQL
+        # double literal — an Infinity feature value (na.drop removes
+        # null/NaN, not inf) would otherwise turn the NEXT pass into a
+        # ParseException. The string-cast forms parse in both engines
+        # and keep the F.lit-era tolerance of non-finite weights.
+        if math.isfinite(x):
+            return repr(x) + "D"
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        sign = "" if x > 0 else "-"
+        return f"CAST('{sign}Infinity' AS DOUBLE)"
 
     spark = df.sparkSession
     df = df.na.drop(subset=[*feature_cols, label_col])
@@ -107,7 +121,7 @@ def train_logreg(
     try:
         for _ in range(n_iter):
             wlit = "array(" + ", ".join(
-                repr(x) + "D" for x in (*w, b)) + ")"
+                dlit(x) for x in (*w, b)) + ")"
             z = (f"aggregate(zip_with(_xs, slice({wlit}, 1, {nf}), "
                  f"(x, wv) -> wv * x), element_at({wlit}, {nf + 1}), "
                  f"(acc, v) -> acc + v)")

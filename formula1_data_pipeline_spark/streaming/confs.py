@@ -34,7 +34,8 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 _LOCK = threading.Condition()
-#: session-id -> [depth, active value, saved previous value]
+#: session-id -> [depth, active value, saved previous value,
+#:                {thread ident: nesting depth}]
 _ACTIVE: dict[int, list] = {}
 
 
@@ -44,22 +45,45 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
         yield
         return
     key = id(spark)
+    me = threading.get_ident()
     with _LOCK:
+        # a thread nesting the scope with a DIFFERENT value would wait
+        # on itself forever (it holds the depth the wait loop is
+        # waiting out) — refuse loudly instead of deadlocking
+        if (key in _ACTIVE and _ACTIVE[key][1] != n
+                and me in _ACTIVE[key][3]):
+            raise RuntimeError(
+                "scoped_shuffle_partitions: same-thread re-entry with "
+                f"a conflicting value ({n} inside an active "
+                f"{_ACTIVE[key][1]} scope) would self-deadlock")
         while key in _ACTIVE and _ACTIVE[key][1] != n:
             _LOCK.wait()
         if key in _ACTIVE:
             _ACTIVE[key][0] += 1
+            owners = _ACTIVE[key][3]
+            owners[me] = owners.get(me, 0) + 1
         else:
             prev = spark.conf.get("spark.sql.shuffle.partitions")
             spark.conf.set("spark.sql.shuffle.partitions", str(n))
-            _ACTIVE[key] = [1, n, prev]
+            _ACTIVE[key] = [1, n, prev, {me: 1}]
     try:
         yield
     finally:
         with _LOCK:
             st = _ACTIVE[key]
             st[0] -= 1
+            owners = st[3]
+            if owners.get(me, 0) <= 1:
+                owners.pop(me, None)
+            else:
+                owners[me] -= 1
             if st[0] == 0:
-                spark.conf.set("spark.sql.shuffle.partitions", st[2])
-                del _ACTIVE[key]
-                _LOCK.notify_all()
+                try:
+                    spark.conf.set("spark.sql.shuffle.partitions",
+                                   st[2])
+                finally:
+                    # even if the restore raises (session stopped
+                    # mid-gate), the entry must not survive at depth 0
+                    # with waiters blocked forever
+                    del _ACTIVE[key]
+                    _LOCK.notify_all()
