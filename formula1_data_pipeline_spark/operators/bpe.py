@@ -83,7 +83,7 @@ def _initial_repr(w: Column) -> Column:
 
 def apply_merges(r: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply ``merges`` in order to an existing pipe-wrapped symbol
-    representation.
+    representation — the TRAINER-side form.
 
     Shape (r14 optimization): a FOLD over one literal array of
     (search, replace) pairs instead of a chain of ``merges`` nested
@@ -93,9 +93,13 @@ def apply_merges(r: Column, merges: list[tuple[str, str]]) -> Column:
     in the trainer stops growing with the merge count and the
     compiled source is round-invariant (the folded literal array
     lands in the codegen references, not the source). The fold is a
-    higher-order function (interpreted eval), fine here because every
-    consumer applies it to the VOCABULARY-sized word table, never a
-    corpus-sized row stream."""
+    higher-order function (INTERPRETED eval, per row), which is the
+    right trade only where the input is the vocabulary-sized word
+    table and the plan is rebuilt every round (train_bpe_merges,
+    _checkpoint_repr). Corpus-facing one-shot paths must use
+    ``apply_merges_chain`` instead (round-15 fix: r14 routed
+    bpe_tokenize's corpus-sized row stream through this fold and the
+    per-row interpreted eval regressed q98 16%)."""
     if not merges:
         return r
     pairs = F.array(*[
@@ -109,11 +113,34 @@ def apply_merges(r: Column, merges: list[tuple[str, str]]) -> Column:
         pairs, r, lambda acc, m: F.replace(acc, m["s"], m["t"]))
 
 
+def apply_merges_chain(r: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply ``merges`` in order as a chain of nested ``replace``
+    nodes — the CORPUS-side form: whole-stage-codegen'd (fused,
+    compiled once per plan), value-identical to ``apply_merges``
+    (same replaces, same order; twin-pinned in test_bpe). The plan
+    is built ONCE per tokenize/score call, so the chain's size-in-
+    merges is a one-time analysis cost, not the trainer's per-round
+    quadratic — and per ROW it beats the interpreted fold on every
+    corpus-sized stream."""
+    for a, b in merges:
+        r = F.replace(
+            r,
+            F.lit(f"{DELIM}{a}{DELIM}{DELIM}{b}{DELIM}"),
+            F.lit(f"{DELIM}{a}{b}{DELIM}"),
+        )
+    return r
+
+
 def merged_repr(w: Column, merges: list[tuple[str, str]]) -> Column:
     """The symbol representation of ``w`` after applying ``merges`` in
-    order — a chain of literal replaces over the char-split base (see
-    module docstring for why plan depth per round stays constant)."""
+    order — trainer-side fold form (see ``apply_merges``)."""
     return apply_merges(_initial_repr(w), merges)
+
+
+def merged_repr_chain(w: Column, merges: list[tuple[str, str]]) -> Column:
+    """``merged_repr`` in the corpus-side codegen chain form (see
+    ``apply_merges_chain``)."""
+    return apply_merges_chain(_initial_repr(w), merges)
 
 
 def repr_symbols(r: Column) -> Column:
@@ -286,7 +313,7 @@ def bpe_encode_count(text: Column,
         bpe_tokens(text),
         lambda w: F.when(
             w.contains(DELIM), F.length(w)
-        ).otherwise(F.size(repr_symbols(merged_repr(w, merges)))),
+        ).otherwise(F.size(repr_symbols(merged_repr_chain(w, merges)))),
     )
     return F.coalesce(
         F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x),
@@ -348,7 +375,7 @@ def bpe_tokenize(docs: DataFrame,
     syms = F.when(
         w.contains(DELIM),
         F.filter(F.split(w, ""), lambda c: c != F.lit("")),
-    ).otherwise(repr_symbols(merged_repr(w, merges)))
+    ).otherwise(repr_symbols(merged_repr_chain(w, merges)))
     tok = (
         docs.select(
             F.col(id_col),

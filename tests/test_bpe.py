@@ -360,6 +360,7 @@ def test_fold_apply_merges_matches_replace_chain(spark):
     from formula1_data_pipeline_spark.operators.bpe import (
         _initial_repr,
         apply_merges,
+        apply_merges_chain,
     )
 
     merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("h", "i")]
@@ -378,3 +379,34 @@ def test_fold_apply_merges_matches_replace_chain(spark):
                       .alias("out")).collect()
     want = base.select("w", chain(F.col("r")).alias("out")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the corpus-side chain form (r15: bpe_tokenize/bpe_encode_count
+    # route per-row work through codegen, not the interpreted fold)
+    # must be the same chain, node for node
+    got_chain = base.select(
+        "w", apply_merges_chain(F.col("r"), merges).alias("out")
+    ).collect()
+    assert sorted(map(tuple, got_chain)) == sorted(map(tuple, want))
+
+
+def test_tokenize_uses_codegen_chain_not_fold(spark):
+    """r15 optimization guard: the corpus-facing tokenizer must apply
+    merges as a codegen'd nested-replace chain, NOT the trainer's
+    interpreted aggregate fold — the fold evaluates per posexploded
+    word of every document (r14 regression: q98 -16%). The trainer's
+    constant-plan bound stays covered by
+    test_checkpointing_bounds_plan_depth."""
+    from formula1_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        build_vocab,
+        train_bpe_merges,
+    )
+
+    texts = ["low lower lowest", "new newer newest"] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    trained = train_bpe_merges(docs, 4)
+    vocab = build_vocab(spark, docs, trained)
+    tok = bpe_tokenize(docs, trained, vocab)
+    plan = tok._jdf.queryExecution().analyzed().toString()
+    assert "replace(replace(" in plan, plan[:2000]
+    assert "aggregate(array(struct(" not in plan, plan[:2000]
