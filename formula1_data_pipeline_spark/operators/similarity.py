@@ -470,7 +470,27 @@ def train_ivf_centroids(
     (q92), never value-hash a trained quantizer's output — unlike the
     hash-sample init, which is exactly reproducible (q34's oracle
     replays it).
+
+    Per-round shape (r15 optimization, guide §1.2/§2.4): centroids
+    are driver-resident anyway, so the assignment argmax is ONE
+    codegen'd projection over literal centroid coordinates (a SQL
+    string — one parse, no py4j chatter, no per-round
+    ``createDataFrame`` Python-RDD leg) and the means are ONE
+    groupBy(cluster) with a per-dimension ``avg`` — per round one job
+    of two stages instead of the r14 pipeline's explode + broadcast
+    centroid join + (id, cluster) aggregate + window argmax + join-
+    back (three extra shuffles per round, measured 3-4x the per-round
+    wall). Semantics preserved exactly where defined: cosine argmax
+    with ties to the LOWEST cluster id (struct-max on (score, -c)),
+    zero-norm centroids never win (score -Infinity, like the old
+    NULL-score sort), empty clusters carry their previous centroid
+    forward. Trained floats remain bounds-gated everywhere, so the
+    changed partial-sum ORDER inside dot/means is within contract.
+    The query-side assignment (``ivf_flat_topk``/``_ivf_assign``) is
+    untouched — q34's oracle replays that path exactly.
     """
+    import math
+
     spark = vecs.sparkSession
     base = vecs.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
@@ -491,20 +511,49 @@ def train_ivf_centroids(
             rows, "cluster int, cnorm double, d int, coef double"
         )
 
+    if not cent:  # empty corpus — nothing to train
+        return coefs_df()
+    dim = max(len(v) for v in cent.values())
+    neg_inf = "CAST('-Infinity' AS DOUBLE)"
+
+    def dlit(x: float) -> str:
+        # repr of a non-finite double is not a valid SQL literal
+        # (the classify.py lesson); centroids are data means, so
+        # non-finite only under non-finite inputs — still parse
+        if math.isfinite(x):
+            return repr(x) + "D"
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+
     for _ in range(n_iter):
-        assigned = _ivf_assign(base, coefs_df(), 1, "")
-        means = (
-            assigned.select(
-                "cluster", F.posexplode("vec").alias("d", "val")
-            )
-            .groupBy("cluster", "d")
-            .agg(F.avg("val").alias("coef"))
-        )
-        new: dict[int, dict[int, float]] = {}
-        for r in means.collect():  # <= n_centroids x dim rows
-            new.setdefault(r["cluster"], {})[r["d"]] = r["coef"]
-        for c, dd in new.items():  # empty clusters keep previous
-            cent[c] = [dd[d] for d in sorted(dd)]
+        structs = []
+        for c, cvec in sorted(cent.items()):
+            cn = math.sqrt(sum(x * x for x in cvec))
+            if cn == 0.0 or not math.isfinite(cn):
+                score = neg_inf if cn == 0.0 else (
+                    "coalesce((" + " + ".join(
+                        f"vec[{d}] * {dlit(x)}"
+                        for d, x in enumerate(cvec)
+                    ) + f") / {dlit(cn)}, {neg_inf})")
+            else:
+                dotc = " + ".join(
+                    f"vec[{d}] * {dlit(x)}" for d, x in enumerate(cvec))
+                score = f"coalesce(({dotc}) / {dlit(cn)}, {neg_inf})"
+            structs.append(
+                f"named_struct('s', {score}, 'nc', {-c})")
+        argmax = f"(-array_max(array({', '.join(structs)})).nc)"
+        # the old join-back dropped NULL-id rows from the means; the
+        # projection form must exclude them the same way
+        assigned = base.filter(F.col("id").isNotNull()).selectExpr(
+            f"{argmax} AS cluster", "vec")
+        means = assigned.groupBy("cluster").agg(
+            *[F.avg(F.col("vec")[d]).alias(f"_m{d}")
+              for d in range(dim)])
+        for r in means.collect():  # <= n_centroids rows
+            ms = [r[f"_m{d}"] for d in range(dim)]
+            if r["cluster"] in cent and all(m is not None for m in ms):
+                cent[r["cluster"]] = ms
     return coefs_df()
 
 

@@ -1586,8 +1586,15 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
+    # the fixture is a driver-generated local relation: every job over
+    # it pays a Python-worker unpickle leg, and SIX legs each run
+    # multiple jobs over it. ONE eager localCheckpoint (r15; guide §5 —
+    # 2000 x 16 floats, nothing like the corpus-scale rows that made
+    # q34's persist lose) materializes it as JVM blocks; 8 partitions
+    # keep the many tiny downstream stages task-lean on local[32]
     emb = clustered_embeddings(spark, n=2000, dim=16, n_clusters=20,
-                               std=0.6, seed=7)
+                               std=0.6, seed=7) \
+        .coalesce(8).localCheckpoint(eager=True)
     queries = emb.filter(F.col("vec_id") < 20)
 
     def pairs(df):
@@ -1621,8 +1628,14 @@ def q92_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from formula1_data_pipeline_spark.concurrency import overlap
 
+        # same localCheckpoint rationale as the main fixture: the
+        # build re-scans this frame per Lloyd round and 3x for the
+        # lists/bloom-count/bloom-words passes (recompute-from-scan
+        # is the keeper — r14's measured revert — but the SCAN should
+        # be JVM blocks, not a Python-RDD unpickle per job)
         emb_s = clustered_embeddings(spark, n=600, dim=16,
-                                     n_clusters=8)
+                                     n_clusters=8) \
+            .coalesce(4).localCheckpoint(eager=True)
         idx = str(scratch_dir(prefix="q92_ivfidx_"))
         ivf_index_build(spark, emb_s, idx, n_centroids=8, n_iter=5)
         q2 = emb_s.filter(F.col("vec_id") % 29 == 0)
@@ -1833,8 +1846,12 @@ def q96_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_ivf_centroids,
     )
 
+    # fixture checkpointed once (the q92 rationale: a local relation
+    # pays a Python-worker leg per job, and three legs each run
+    # several jobs over it)
     emb = clustered_embeddings(spark, n=800, dim=16, n_clusters=20,
-                               std=0.7, seed=11)
+                               std=0.7, seed=11) \
+        .coalesce(4).localCheckpoint(eager=True)
 
     def dropped(**kw):
         return {
@@ -1846,13 +1863,57 @@ def q96_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not r["kept"]
         }
 
+    def exact_dropped():
+        # ground-truth leg (r15 optimization, verdict item 5): the
+        # n_centroids=1 semantic_dedup run degenerates to "every
+        # (a < b) pair verified exactly" — compute THAT directly
+        # (one pool-bounded pair join + the operator's own verify
+        # expression) instead of routing all pairs through the full
+        # assignment + salted-band-join + two id-join machinery.
+        # Drop-set equality with semantic_dedup(n_centroids=1) is
+        # exact (same cosine expression on the same pairs; pinned by
+        # tests/test_similarity.py::
+        # test_exact_all_pairs_twin_matches_one_cell_semantic_dedup).
+        # The METHOD legs keep the real operator — this leg is the
+        # denominator, not the operator under test.
+        from formula1_data_pipeline_spark.operators.similarity import (
+            _as_double,
+            cosine_from_norms,
+            norm,
+        )
+
+        base = emb.select(
+            F.col("vec_id").alias("id"),
+            _as_double(F.col("embedding")).alias("vec"),
+        ).filter(
+            ~(F.col("vec").isNull() | (F.size("vec") == 0))
+        ).withColumn("nrm", norm(F.col("vec")))
+        a = base.select(F.col("id").alias("a_id"),
+                        F.col("vec").alias("a_vec"),
+                        F.col("nrm").alias("a_norm"))
+        b = base.select(F.col("id").alias("b_id"),
+                        F.col("vec").alias("b_vec"),
+                        F.col("nrm").alias("b_norm"))
+        pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+        return {
+            r["b_id"]
+            for r in pairs.select(
+                "b_id",
+                F.round(cosine_from_norms(
+                    F.col("a_vec"), F.col("b_vec"),
+                    F.col("a_norm"), F.col("b_norm")), 6)
+                .alias("cos_sim"),
+            ).filter(F.col("cos_sim") >= 0.85)
+            .select("b_id").distinct().collect()
+        }
+
     def lloyd_dropped():
         coefs = train_ivf_centroids(emb, n_centroids=20, n_iter=3,
                                     id_col="vec_id", vec_col="embedding")
         return dropped(n_centroids=20, n_assign=1, centroid_coefs=coefs)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_exact = pool.submit(dropped, n_centroids=1)
+        f_exact = pool.submit(exact_dropped)
         f_hash = pool.submit(dropped, n_centroids=20, n_assign=1)
         f_lloyd = pool.submit(lloyd_dropped)
         exact, hash_d, lloyd_d = (f_exact.result(), f_hash.result(),

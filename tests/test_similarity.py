@@ -439,3 +439,60 @@ def test_cluster_balanced_resample_accepts_trained_quantizer(spark):
     # rate is near 1 (sizes within 2x of each other -> rate > 0.7)
     assert all(r["keep_rate"] is not None and r["keep_rate"] > 0.5
                for r in rows)
+
+
+def test_exact_all_pairs_twin_matches_one_cell_semantic_dedup(spark):
+    """r15 optimization guard (q96 ground-truth leg): the direct
+    all-(a<b)-pairs verify must drop EXACTLY the ids that
+    semantic_dedup(n_centroids=1) drops — same cosine expression,
+    same 6-dp round, same threshold — because q96 now computes its
+    exact denominator that way instead of routing every pair through
+    the one-cell assignment + salted band join."""
+    from pyspark.sql import functions as F
+
+    from formula1_data_pipeline_spark.evalsets import (
+        clustered_embeddings,
+    )
+    from formula1_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        cosine_from_norms,
+        norm,
+        semantic_dedup,
+    )
+
+    emb = clustered_embeddings(spark, n=200, dim=8, n_clusters=6,
+                               std=0.7, seed=11)
+    thr = 0.85
+    op_dropped = {
+        r["id"]
+        for r in semantic_dedup(
+            emb, dim=8, threshold=thr, n_centroids=1,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+        if not r["kept"]
+    }
+
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        _as_double(F.col("embedding")).alias("vec"),
+    ).filter(
+        ~(F.col("vec").isNull() | (F.size("vec") == 0))
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = base.select(F.col("id").alias("a_id"),
+                    F.col("vec").alias("a_vec"),
+                    F.col("nrm").alias("a_norm"))
+    b = base.select(F.col("id").alias("b_id"),
+                    F.col("vec").alias("b_vec"),
+                    F.col("nrm").alias("b_norm"))
+    twin_dropped = {
+        r["b_id"]
+        for r in a.join(b, F.col("a_id") < F.col("b_id")).select(
+            "b_id",
+            F.round(cosine_from_norms(
+                F.col("a_vec"), F.col("b_vec"),
+                F.col("a_norm"), F.col("b_norm")), 6).alias("cos_sim"),
+        ).filter(F.col("cos_sim") >= thr)
+        .select("b_id").distinct().collect()
+    }
+    assert twin_dropped == op_dropped
+    assert len(op_dropped) > 0  # fixture sanity: the twin is exercised
