@@ -376,21 +376,59 @@ def _attach_stats(spark: SparkSession, table: str, segments: list[dict],
 
 
 def _stage(spark: SparkSession, df: DataFrame, table: str,
-           key: str | None) -> tuple[str, list[dict]]:
+           key: str | None,
+           observe_stats_cols: list[str] | None = None,
+           ) -> tuple[str, list[dict]]:
     """Write ``df`` into a fresh uniquely-named data dir under the
     table root and return (dir name, segment entries). Data here is
     invisible to every reader until a manifest referencing it is
     published. The dir name is returned separately because an empty
     keyed batch stages ZERO segments while the directory still exists
-    on disk — callers need the name to clean up no-op commits."""
+    on disk — callers need the name to clean up no-op commits.
+
+    ``observe_stats_cols`` (r15 optimization, guide §1.2 job-count):
+    for UNKEYED staging, compute the per-segment min/max column stats
+    via ``observe()`` INSIDE the staging write — the rows flow through
+    the writer anyway, so the stats cost zero extra jobs and the
+    ``_segment_stats`` read-back (one aggregate job per stats-bearing
+    commit) is skipped. min/max are idempotent under task retry /
+    speculation, so the observed values equal the read-back's
+    (parquet round-trips the stat-bearing types exactly). When the
+    stats are observed here, they are attached to the returned
+    segments directly. Keyed staging keeps the read-back (observe
+    cannot aggregate per partition value)."""
+    obs = None
+    obs_cols: list[str] = []
+    if observe_stats_cols and key is None:
+        from pyspark.sql import Observation
+
+        obs_cols = [c for c in observe_stats_cols if c in df.columns]
+        if obs_cols:
+            obs = Observation()
+            aggs = []
+            for c in obs_cols:
+                aggs.append(F.min(c).alias(f"__mn_{c}"))
+                aggs.append(F.max(c).alias(f"__mx_{c}"))
+            df = df.observe(obs, *aggs)
     d = f"d-{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("errorifexists")
     if key is not None:
         writer = writer.partitionBy(key)
     writer.parquet(f"{table}/{d}")
     if key is None:
-        return d, [{"dir": d, "partition": None,
-                    "files": _data_files(spark, f"{table}/{d}")}]
+        seg = {"dir": d, "partition": None,
+               "files": _data_files(spark, f"{table}/{d}")}
+        if obs is not None:
+            row = obs.get
+            st = {}
+            for c in obs_cols:
+                mn = _stat_val(row[f"__mn_{c}"])
+                mx = _stat_val(row[f"__mx_{c}"])
+                if mn is not None and mx is not None:
+                    st[c] = [mn, mx]
+            if st:
+                seg["stats"] = st
+        return d, [seg]
     segments = []
     for name, is_dir in sorted(_ls(spark, f"{table}/{d}")):
         if is_dir and name.startswith(f"{key}="):
@@ -666,8 +704,15 @@ def _commit_staged(spark: SparkSession, df: DataFrame, table: str,
     turns out to be a no-op (empty first batch) — otherwise the orphan
     would sit unreclaimable until the table exists and vacuum ages it
     out. ``merge_old(old_segments, staged) -> list[dict]``."""
-    staged_dir, staged = _stage(spark, df, table, key)
+    # explicit stats_cols + unkeyed staging: the effective stats
+    # columns are known up front (an explicit argument overrides any
+    # inherited manifest value on every retry), so the stats ride the
+    # staging write itself via observe() — no read-back job (r15)
+    staged_dir, staged = _stage(spark, df, table, key,
+                                observe_stats_cols=stats_cols)
     state: dict = {"attached": None, "segments": []}
+    if stats_cols is not None and key is None:
+        state["attached"] = sorted(stats_cols)
 
     def nxt(v, old, effective):
         # re-attach when a concurrent winner changed the table's
@@ -977,9 +1022,13 @@ def txn_compact(spark: SparkSession, table: str,
             key = manifest["key"]
             df = read_table(spark, table, version=v)
             # the rewrite recomputes the table's recorded column stats
-            # for the fresh segments (carried forward in the manifest)
-            staged_dir, segments = _stage(spark, df, table, key)
-            if manifest.get("stats_cols"):
+            # for the fresh segments (carried forward in the manifest);
+            # unkeyed rewrites observe them inside the staging write
+            # (r15), keyed ones keep the per-partition read-back
+            staged_dir, segments = _stage(
+                spark, df, table, key,
+                observe_stats_cols=manifest.get("stats_cols"))
+            if manifest.get("stats_cols") and key is not None:
                 _attach_stats(spark, table, segments, key,
                               manifest["stats_cols"])
             staged_dirs.append(staged_dir)
@@ -1050,9 +1099,9 @@ def txn_merge(spark: SparkSession, table: str, merge_fn,
             if stats_cols is not None:
                 scols = stats_cols
             merged = merge_fn(existing)
-            staged_dir, segments = _stage(spark, merged, table, None)
-            if scols:
-                _attach_stats(spark, table, segments, None, scols)
+            # unkeyed staging: stats ride the write via observe (r15)
+            staged_dir, segments = _stage(spark, merged, table, None,
+                                          observe_stats_cols=scols)
             staged_dirs.append(staged_dir)
             if pre_publish_hook is not None:
                 pre_publish_hook()

@@ -893,3 +893,53 @@ def test_overwrite_auto_vacuum_reclaims_superseded_copies(
     # single dir survives each rebuild
     assert len(dirs(tmp_path / "t")) <= 2, dirs(tmp_path / "t")
     assert _snapshot(spark, path) == [("k4", "4")]
+
+
+def test_unkeyed_observed_stats_match_readback(spark, tmp_path):
+    """r15 optimization guard: an UNKEYED stats-bearing commit now
+    computes its segment min/max via observe() inside the staging
+    write (zero extra jobs); the recorded values and types must equal
+    what the _segment_stats read-back computes from the staged
+    parquet — across the stat-bearing types (ints, strings, doubles,
+    timestamps) and the skipped ones (NaN)."""
+    import datetime
+
+    from formula1_data_pipeline_spark.sources.txn import (
+        _read_manifest,
+        _segment_stats,
+    )
+
+    path = str(tmp_path / "t")
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(5, "bb", 1.5, ts), (2, "aa", float("nan"),
+                              ts + datetime.timedelta(days=2))],
+        "v long, s string, d double, t timestamp",
+    )
+    txn_append(spark, df, path, stats_cols=["v", "s", "d", "t"],
+               compact_threshold=None)
+    m = _read_manifest(spark, path, 1)
+    seg = m["segments"][0]
+    back = _segment_stats(spark, f"{path}/{seg['dir']}", None,
+                          ["v", "s", "d", "t"])
+    assert seg.get("stats") == back[None]
+    assert seg["stats"]["v"] == [2, 5]
+    assert seg["stats"]["s"] == ["aa", "bb"]
+    # NaN orders weirdly — max(d) is NaN, which _stat_val drops on
+    # BOTH paths, so 'd' has no recorded stats either way
+    assert "d" not in seg["stats"]
+    assert seg["stats"]["t"][0].startswith("2024-03-01 12:30")
+
+    # inherited stats (stats_cols=None) still resolve via the
+    # manifest and the read-back; values identical to observed form
+    df2 = spark.createDataFrame(
+        [(9, "zz", 0.0, ts)], "v long, s string, d double, t timestamp")
+    txn_append(spark, df2, path, compact_threshold=None)
+    m2 = _read_manifest(spark, path, 2)
+    new_seg = [s for s in m2["segments"] if s["dir"] != seg["dir"]][0]
+    assert new_seg["stats"]["v"] == [9, 9]
+    assert new_seg["stats"]["s"] == ["zz", "zz"]
+
+    # prune correctness over the observed stats
+    pruned = read_table(spark, path, prune={"v": (8, 10)})
+    assert [r.v for r in pruned.collect()] == [9]
