@@ -814,9 +814,21 @@ def q79_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tv = drift_summary(rep).select(F.lit("drift_tv").alias("kind"), "*")
 
     mart = scratch_dir(prefix="q79_aggmart_") + "/m"
-    for b in range(3):
-        agg_mart_append(spark, docs.filter(F.col("doc_id") % 3 == b),
-                        mart, ["source"], "n_chars", f"gate-{b}")
+    # the three batches are INDEPENDENT appends of distinct batch_ids
+    # to one mart — txn appends are optimistic-concurrency-safe by
+    # contract (test_txn's concurrent-commit suite), so the three
+    # marker-probe/aggregate/commit chains overlap from driver threads
+    # (guide §2.6; r15). The re-delivery assertion stays strictly
+    # AFTER the overlap settles: it needs gate-1's marker committed.
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    overlap(spark, [
+        (f"q79 aggmart append gate-{b}",
+         lambda b=b: agg_mart_append(
+             spark, docs.filter(F.col("doc_id") % 3 == b),
+             mart, ["source"], "n_chars", f"gate-{b}"))
+        for b in range(3)
+    ])
     if agg_mart_append(
             spark, docs.filter(F.col("doc_id") % 3 == 1),
             mart, ["source"], "n_chars", "gate-1") != 0:

@@ -520,10 +520,21 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no-op
         k = 8
         mart = scratch_dir(prefix="q24_gram_") + "/gm"
-        for b in range(3):
-            DR.gram_mart_append(
-                spark, emb.filter(F.col("vec_id") % 3 == b),
-                mart, "embedding", 64, f"gate-{b}")
+        # the three batches are independent appends of distinct
+        # batch_ids (txn appends are optimistic-concurrency-safe),
+        # and the one-shot full-corpus Gram the mart is checked
+        # against shares nothing with the mart chain — all four
+        # overlap from driver threads (guide §2.6; r15). The
+        # re-delivery assertion stays strictly after the overlap:
+        # it needs gate-1's marker committed.
+        *_, g_full_rows = overlap(spark, [
+            (f"q24 gram append gate-{b}",
+             lambda b=b: DR.gram_mart_append(
+                 spark, emb.filter(F.col("vec_id") % 3 == b),
+                 mart, "embedding", 64, f"gate-{b}"))
+            for b in range(3)
+        ] + [("q24 one-shot gram check",
+              lambda: DR.gram_matrix(emb, "embedding", 64))])
         if DR.gram_mart_append(
                 spark, emb.filter(F.col("vec_id") % 3 == 1),
                 mart, "embedding", 64, "gate-1") != 0:
@@ -539,7 +550,7 @@ def q24_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, comps = DR._eigh_topk(g_mart_rows, k)
         C = np.array(comps)
         g_mart = np.array(g_mart_rows)
-        g_full = np.array(DR.gram_matrix(emb, "embedding", 64))
+        g_full = np.array(g_full_rows)
         checks = [
             ("eig_desc_ok",
              bool(all(ev[i] >= ev[i + 1] for i in range(k - 1)))),
