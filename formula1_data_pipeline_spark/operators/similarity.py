@@ -530,16 +530,24 @@ def train_ivf_centroids(
         structs = []
         for c, cvec in sorted(cent.items()):
             cn = math.sqrt(sum(x * x for x in cvec))
-            if cn == 0.0 or not math.isfinite(cn):
-                score = neg_inf if cn == 0.0 else (
-                    "coalesce((" + " + ".join(
-                        f"vec[{d}] * {dlit(x)}"
-                        for d, x in enumerate(cvec)
-                    ) + f") / {dlit(cn)}, {neg_inf})")
+            if cn == 0.0:
+                score = neg_inf
             else:
-                dotc = " + ".join(
-                    f"vec[{d}] * {dlit(x)}" for d, x in enumerate(cvec))
-                score = f"coalesce(({dotc}) / {dlit(cn)}, {neg_inf})"
+                # dot as a fold over a literal ARRAY, not an unrolled
+                # vec[d]*lit sum: the unrolled form built a
+                # n_centroids x dim one-expression tree (~16k nodes at
+                # 16x64 — the q55 giant-tree trap; measured q34 14 ->
+                # 40 s), while the array literal lands in the
+                # references and the tree stays constant-size per
+                # cluster. Interpreted per-row eval is the q99 trade,
+                # documented there; a scan-CPU-bound deployment routes
+                # training assignment through _ivf_assign instead
+                # (the pre-r15 form, still the probe path)
+                lits = ", ".join(dlit(x) for x in cvec)
+                score = (
+                    f"coalesce(aggregate(zip_with(vec, array({lits}),"
+                    f" (x, c) -> x * c), 0.0D, (a, v) -> a + v)"
+                    f" / {dlit(cn)}, {neg_inf})")
             structs.append(
                 f"named_struct('s', {score}, 'nc', {-c})")
         argmax = f"(-array_max(array({', '.join(structs)})).nc)"
