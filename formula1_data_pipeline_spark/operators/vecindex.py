@@ -439,8 +439,8 @@ def ivf_index_build(
     # NOTE (r14 optimization round, measured-and-rejected twice): the
     # assignment pass below is recomputed by the lists write, the
     # bloom auto-size count, and the bloom words write. Two attempts
-    # to share it were both SLOWER than this plain form: (a) persist +
-    # concurrent lists/bloom commits — the threads raced to
+    # to SHARE it were both SLOWER than recompute-from-scan: (a)
+    # persist + concurrent lists/bloom commits — the threads raced to
     # materialize the uncached InMemoryRelation, each computing every
     # partition; (b) persist + sequential commits — columnar-caching
     # the array<double>-carrying rows costs more than recomputing the
@@ -448,22 +448,42 @@ def ivf_index_build(
     # sf0.1), and at corpus scale an in-memory cache of 3x corpus
     # vector rows is infeasible anyway, so recompute-from-scan is
     # also the scale-sane shape.
-    txn_overwrite(spark, rows, t[_LISTS], key="cluster",
-                  auto_vacuum=True, stats_cols=["id"])
+    #
+    # r15: keep recompute-from-scan but OVERLAP the two independent
+    # legs (lists overwrite ∥ bloom count+overwrite) from driver
+    # threads — no shared persisted frame, so the r14 (a) race does
+    # not exist; each leg recomputes from the scan as before and the
+    # concurrent jobs back-fill each other (guide §2.6). Crash
+    # safety is unchanged: BUILD ordering needs only meta-LAST (the
+    # meta seal below refuses the index until quantizer hash matches,
+    # so any crash with lists and/or bloom partially landed is a loud
+    # partial-build error — unlike APPEND, whose bloom-before-lists
+    # invariant this does not touch).
+    import uuid
+
+    from formula1_data_pipeline_spark.concurrency import overlap
+
+    def land_lists():
+        txn_overwrite(spark, rows, t[_LISTS], key="cluster",
+                      auto_vacuum=True, stats_cols=["id"])
+
     # landed-id Bloom sidecar (round-12 verdict item #2): the
     # unconditional append-cost bound under NON-monotonic ids. One
     # bit_or-mergeable word table; appends probe it broadcast-side so
     # a fresh batch never reads the landed lists at all. A rebuild
     # replaces it wholesale; meta-last consistency (below) keeps any
     # crash in this sequence a loud build error.
-    import uuid
+    def land_bloom():
+        built_ids = rows.select("id").distinct()
+        bits = bloom_bits
+        if bits is None:  # auto-size: one count on the offline path
+            bits = _auto_bloom_bits(built_ids.count())
+        words = _bloom_words(built_ids, bits,
+                             "build-" + uuid.uuid4().hex[:16])
+        txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
 
-    built_ids = rows.select("id").distinct()
-    if bloom_bits is None:  # auto-size: one count on the offline path
-        bloom_bits = _auto_bloom_bits(built_ids.count())
-    words = _bloom_words(built_ids, bloom_bits,
-                         "build-" + uuid.uuid4().hex[:16])
-    txn_overwrite(spark, words, t[_IDBLOOM], auto_vacuum=True)
+    overlap(spark, [("ivf build: lists", land_lists),
+                    ("ivf build: id bloom", land_bloom)])
     # meta LAST: the build marker carries the landed quantizer's
     # content hash, and readers (_check_consistent) refuse the index
     # until it matches — so a crash between the three commits is a
